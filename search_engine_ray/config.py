@@ -1,0 +1,57 @@
+"""Engine configuration.
+
+The reference hard-codes every knob (SURVEY.md §2.9): SPIMI spill threshold
+10_000_000 bytes (/root/reference/src/dictionary/mod.rs:31-33), 64 KB index
+blocks (/root/reference/src/indexer/block.rs:9), 128 postings per chunk
+(/root/reference/src/indexer/index_merge_writer.rs:148). We keep the
+semantically meaningful constants (chunk size = the skip/scoring granularity)
+and expose everything as config.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # --- chunking / index layout -------------------------------------------
+    #: postings per compressed chunk; the chunk is the skip unit, each chunk
+    #: stores max_doc_id (reference: index_merge_writer.rs:148, chunk.rs:9).
+    chunk_size: int = 128
+    #: hot-term salting: postings of one term are grouped by
+    #: ``doc_id // salt_span`` so no single groupby-group exceeds
+    #: ~salt_span postings (reference has no salting — single node).
+    #: Salt buckets of one term are disjoint ascending doc_id ranges, so
+    #: concatenating them in salt order restores global doc_id order.
+    salt_span: int = 1 << 20
+    #: number of range shards of the final postings index (by term_id).
+    index_shards: int = 32
+    #: posting-list payload codec: "vb" = delta-gap + variable-byte binary
+    #: (reference-style: vb_encode.rs, helper.rs), "arrow" = plain
+    #: list<int64>/list<int32> columns (parquet does the compression).
+    codec: str = "vb"
+
+    # --- scoring ------------------------------------------------------------
+    #: BM25 parameters. The reference defines none (its live scoring is
+    #: tf·idf, scoring/mod.rs:34-48); frozen at the textbook defaults.
+    bm25_k1: float = 1.2
+    bm25_b: float = 0.75
+
+    # --- execution ----------------------------------------------------------
+    #: rows per batch for the tokenize actor pool.
+    tokenize_batch_size: int = 1024
+    #: actor pool size for the tokenize stage; None = let Ray use tasks.
+    tokenize_concurrency: int | None = None
+    #: target rows per output file for parquet sinks.
+    min_rows_per_file: int | None = None
+
+    # --- tokenizer ----------------------------------------------------------
+    #: extra lemma file (reference format, tokenizer.rs:52-87); merged over
+    #: the built-in lemma table when set.
+    lemma_path: str | None = None
+
+    def with_(self, **kw) -> "EngineConfig":
+        from dataclasses import replace
+
+        return replace(self, **kw)

@@ -1,0 +1,157 @@
+"""Tokenize stage: actor pool emitting postings rows.
+
+The reference tokenizes on the reader thread and streams one ``Term`` record
+per (document, distinct word) over an mpsc channel to the SPIMI consumer
+(/root/reference/src/indexer/indexer.rs:105-144,195-204). Here the same unit
+of work is a row of the postings Dataset:
+
+    (term: string, doc_id: int64, positions: list<int32>, tf: int32,
+     doc_length: int32)
+
+produced by ``map_batches(TokenizeStage, concurrency=N)`` — the lemma table
+loads once per actor in ``__init__`` (reference: SearchTokenizer built once,
+tokenizer.rs:109-121). Zero-token docs emit one sentinel row with term=""
+(cleaned-empty raw tokens never yield "" terms, so the sentinel is
+unambiguous); it carries doc_length=0 so doc metadata can be derived from
+postings without re-reading the corpus, and is filtered before the merge.
+
+The batch kernel is vectorized everywhere except the raw split (Python
+``str.split`` — C-speed, and the only way to get Rust ``split_whitespace``'s
+Unicode semantics) and per-UNIQUE-token normalization, which is memoized
+across batches in the actor (Zipfian text → tiny unique set per batch).
+Tested against the pure-Python spec in functions/tokenizer.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from search_engine_ray.config import EngineConfig
+from search_engine_ray.functions.tokenizer import Tokenizer
+
+POSTINGS_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("doc_id", pa.int64()),
+        ("positions", pa.list_(pa.int32())),
+        ("tf", pa.int32()),
+        ("doc_length", pa.int32()),
+    ]
+)
+
+
+class TokenizeStage:
+    """Callable-class stage: one lemma table + normalization cache per actor."""
+
+    def __init__(self, config: EngineConfig | None = None):
+        config = config or EngineConfig()
+        self.tokenizer = Tokenizer(lemma_path=config.lemma_path)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return tokenize_batch(batch, self.tokenizer)
+
+
+def tokenize_batch(
+    batch: pa.Table,
+    tokenizer: Tokenizer,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    texts = batch[text_col].to_pylist()
+    doc_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    raw_lists = [t.split() if t is not None else [] for t in texts]
+    counts = np.fromiter((len(r) for r in raw_lists), np.int64, len(raw_lists))
+    total = int(counts.sum())
+
+    if total == 0:
+        return _emit(tokenizer, np.array([], np.int64), np.array([], np.int64),
+                     np.array([], np.int64), [], counts, doc_ids)
+
+    flat = np.empty(total, dtype=object)
+    pos = np.empty(total, dtype=np.int64)
+    off = 0
+    for r in raw_lists:
+        n = len(r)
+        flat[off : off + n] = r
+        pos[off : off + n] = np.arange(n)
+        off += n
+    doc_idx = np.repeat(np.arange(len(raw_lists)), counts)
+
+    # factorize raw tokens → normalize each unique once (memoized in actor)
+    codes, uniques = pd.factorize(flat, use_na_sentinel=False)
+    norm_unique = [tokenizer.normalize(u) for u in uniques]
+    # factorize normalized forms so groupings use int codes, '' = dropped
+    norm_codes_u, norm_terms = pd.factorize(np.asarray(norm_unique, dtype=object), use_na_sentinel=False)
+    tok_norm_code = norm_codes_u[codes]
+    keep = np.asarray(norm_terms, dtype=object)[tok_norm_code] != ""
+
+    return _emit(tokenizer, doc_idx[keep], tok_norm_code[keep], pos[keep],
+                 norm_terms, counts, doc_ids)
+
+
+def _emit(tokenizer, doc_idx, term_code, positions, norm_terms, counts, doc_ids):
+    """Group kept tokens by (doc, term) → postings rows (+ zero-doc sentinels)."""
+    n = len(doc_idx)
+    if n:
+        order = np.lexsort((positions, term_code, doc_idx))
+        doc_idx = doc_idx[order]
+        term_code = term_code[order]
+        positions = positions[order]
+        # run starts where (doc, term) changes
+        change = np.empty(n, bool)
+        change[0] = True
+        np.logical_or(doc_idx[1:] != doc_idx[:-1], term_code[1:] != term_code[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        run_doc = doc_idx[starts]
+        run_term = term_code[starts]
+        run_len = np.diff(np.append(starts, n))
+        doc_lengths_all = np.bincount(doc_idx, minlength=len(counts))
+    else:
+        starts = np.array([], np.int64)
+        run_doc = np.array([], np.int64)
+        run_term = np.array([], np.int64)
+        run_len = np.array([], np.int64)
+        doc_lengths_all = np.zeros(len(counts), np.int64)
+
+    terms_arr = pa.array(np.asarray(norm_terms, dtype=object)[run_term] if len(run_term) else [], type=pa.string())
+    positions_list = pa.ListArray.from_arrays(
+        pa.array(np.append(starts, len(positions)), type=pa.int32()),
+        pa.array(positions, type=pa.int32()),
+    )
+
+    # sentinel rows for zero-token docs
+    empty_docs = np.flatnonzero(doc_lengths_all == 0)
+    if len(empty_docs):
+        terms_arr = pa.concat_arrays([terms_arr, pa.array([""] * len(empty_docs), pa.string())])
+        run_doc = np.concatenate([run_doc, empty_docs])
+        run_len = np.concatenate([run_len, np.zeros(len(empty_docs), np.int64)])
+        zero_offsets = pa.array(np.zeros(len(empty_docs) + 1, np.int32), type=pa.int32())
+        positions_list = pa.concat_arrays(
+            [positions_list, pa.ListArray.from_arrays(zero_offsets, pa.array([], type=pa.int32()))]
+        )
+
+    return pa.table(
+        {
+            "term": terms_arr,
+            "doc_id": pa.array(doc_ids[run_doc], type=pa.int64()),
+            "positions": positions_list,
+            "tf": pa.array(run_len, type=pa.int32()),
+            "doc_length": pa.array(doc_lengths_all[run_doc], type=pa.int32()),
+        }
+    )
+
+
+def tokenize_stage(ds, config: EngineConfig | None = None):
+    """docs Dataset (doc_id, text, ...) → postings Dataset (see module doc)."""
+    config = config or EngineConfig()
+    kwargs = dict(batch_format="pyarrow", batch_size=config.tokenize_batch_size)
+    if config.tokenize_concurrency:
+        return ds.map_batches(TokenizeStage, fn_constructor_args=(config,),
+                              concurrency=config.tokenize_concurrency, **kwargs)
+    # default: stateless tasks constructing the (cheap, built-in) lemma table
+    # per task would be wasteful — use a small actor pool sized by Ray
+    return ds.map_batches(TokenizeStage, fn_constructor_args=(config,),
+                          concurrency=(1, 8), **kwargs)
