@@ -1,0 +1,234 @@
+"""Query engine over a built index (pipelines/build.py layout).
+
+The per-process equivalent of the reference's query stack — in-memory
+dictionary + open index handle + tokenizer
+(/root/reference/src/search_engine/mod.rs:24-70,
+query_processor.rs:5-84, index_metadata.rs:3-48) — designed to run inside a
+Ray actor pool for batch/offline retrieval (see ``batch.py``) or standalone
+for interactive queries. All loading happens once in ``__init__`` (the
+actor-pool contract).
+
+Scale note: on a real cluster each serving actor would load only a term-hash
+shard of the dictionary/postings and queries would fan out by term; here one
+process holds the whole (small) index and we document the sharding seam.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from search_engine_ray.config import EngineConfig
+from search_engine_ray.functions.tokenizer import Tokenizer
+from search_engine_ray.pipelines.build import IndexPaths, load_stats
+from search_engine_ray.query.bktree import BKTree
+from search_engine_ray.query.postings_codec import TermPostings, decode_term_chunks
+from search_engine_ray.query.scoring import bm25_weights, tfidf_weights, topk_docs
+
+
+class SearchEngine:
+    def __init__(
+        self,
+        index_dir: str,
+        config: EngineConfig | None = None,
+        build_bktree: bool = True,
+    ):
+        self.config = config or EngineConfig()
+        self.paths = IndexPaths(index_dir)
+        self.stats = load_stats(index_dir)
+        self.num_docs: int = self.stats["num_docs"]
+        self.avgdl: float = self.stats["avgdl"]
+        self.tokenizer = Tokenizer(lemma_path=self.config.lemma_path)
+
+        # dictionary: term → (term_id, df, n_chunks)  (MapInMemoryDict
+        # equivalent, map_in_memory_dict.rs:4-22)
+        dic = pq.read_table(self.paths.dictionary)
+        self._dict: dict[str, tuple[int, int, int]] = {}
+        terms = dic["term"].to_pylist()
+        for t, tid, df, nc in zip(
+            terms,
+            dic["term_id"].to_pylist(),
+            dic["df"].to_pylist(),
+            dic["n_chunks"].to_pylist(),
+        ):
+            self._dict[t] = (tid, df, nc)
+
+        # doc lengths + urls indexed by doc_id (sorted arrays + searchsorted;
+        # doc_ids are dense 1..N from zip_with_index but we stay robust)
+        dl = pq.read_table(self.paths.doc_lengths).combine_chunks().sort_by("doc_id")
+        self._dl_ids = dl["doc_id"].to_numpy().astype(np.int64)
+        self._dl = dl["doc_length"].to_numpy().astype(np.int64)
+
+        # fuzzy lookup (my_bk_tree/mod.rs:3-26; built from all dictionary
+        # terms like index_metadata.rs:33-35)
+        self.bktree = BKTree(terms) if build_bktree else None
+
+        # postings dataset handle (QueryProcessor.inverted_index_file
+        # equivalent) + small decoded-postings cache
+        self._postings_ds = pads.dataset(self.paths.postings, format="parquet")
+        self._cache: dict[str, TermPostings] = {}
+        self._cache_cap = 1024
+
+    # ------------------------------------------------------------------ lookups
+    def lookup(self, term: str):
+        """term → (term_id, df, n_chunks) or None (no unwrap-panic — the
+        reference's get_term_metadata panics on missing terms, SURVEY.md J1;
+        we return None)."""
+        return self._dict.get(term)
+
+    def doc_length(self, doc_ids: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(self._dl_ids, doc_ids)
+        return self._dl[np.clip(idx, 0, len(self._dl) - 1)]
+
+    def get_postings(self, term: str) -> TermPostings | None:
+        if term not in self._dict:
+            return None
+        hit = self._cache.get(term)
+        if hit is not None:
+            return hit
+        table = self._postings_ds.to_table(filter=pc.field("term") == term)
+        tp = decode_term_chunks(table)
+        if len(self._cache) >= self._cache_cap:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[term] = tp
+        return tp
+
+    def query_terms(self, query: str) -> list[str]:
+        """Distinct query terms in first-occurrence order."""
+        seen: dict[str, None] = {}
+        for tok in self.tokenizer.tokenize(query):
+            seen.setdefault(tok.word, None)
+        return list(seen)
+
+    # ------------------------------------------------------------------ boolean
+    def boolean_and(self, query: str) -> np.ndarray:
+        """AND retrieval, min-df term first (query_processor.rs:57-84);
+        any term missing from the dictionary → empty result."""
+        terms = self.query_terms(query)
+        if not terms:
+            return np.zeros(0, np.int64)
+        metas = [self.lookup(t) for t in terms]
+        if any(m is None for m in metas):
+            return np.zeros(0, np.int64)
+        order = sorted(range(len(terms)), key=lambda i: metas[i][1])
+        docs = self.get_postings(terms[order[0]]).doc_ids
+        for i in order[1:]:
+            if len(docs) == 0:
+                break
+            docs = np.intersect1d(docs, self.get_postings(terms[i]).doc_ids, assume_unique=True)
+        return docs
+
+    # ------------------------------------------------------------------ ranked
+    def tfidf_topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Union-accumulated tf·idf top-k, f32, reference formulas
+        (scoring/mod.rs:34-48); ties → ascending doc_id."""
+        doc_parts, score_parts = [], []
+        for t in self.query_terms(query):
+            tp = self.get_postings(t)
+            if tp is None or tp.df == 0:
+                continue
+            doc_parts.append(tp.doc_ids)
+            score_parts.append(tfidf_weights(tp.tfs, tp.df, self.num_docs))
+        if not doc_parts:
+            return []
+        ids, scores = topk_docs(
+            np.concatenate(doc_parts), np.concatenate(score_parts).astype(np.float32), k
+        )
+        return [(int(d), float(s)) for d, s in zip(ids, scores)]
+
+    def bm25_topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        doc_parts, score_parts = [], []
+        for t in self.query_terms(query):
+            tp = self.get_postings(t)
+            if tp is None or tp.df == 0:
+                continue
+            dl = self.doc_length(tp.doc_ids)
+            w = bm25_weights(
+                tp.tfs, dl, tp.df, self.num_docs, self.avgdl,
+                self.config.bm25_k1, self.config.bm25_b,
+            )
+            doc_parts.append(tp.doc_ids)
+            score_parts.append(w)
+        if not doc_parts:
+            return []
+        ids, scores = topk_docs(np.concatenate(doc_parts), np.concatenate(score_parts), k)
+        return [(int(d), float(s)) for d, s in zip(ids, scores)]
+
+    # ------------------------------------------------------------------ phrase
+    def phrase(self, query: str) -> np.ndarray:
+        """Docs containing the query terms at consecutive positions
+        (has_consecutive_positions, positional_intersect/mod.rs:11-35):
+        for each start position of term 0, term i must appear at start+i.
+        Duplicate words keep their order (positions are raw whitespace-token
+        indices, so punctuation-only words break adjacency — by design)."""
+        words = [t.word for t in self.tokenizer.tokenize(query)]
+        if not words:
+            return np.zeros(0, np.int64)
+        if len(words) == 1:
+            tp = self.get_postings(words[0])
+            return tp.doc_ids if tp else np.zeros(0, np.int64)
+        tps = []
+        for w in words:
+            tp = self.get_postings(w)
+            if tp is None:
+                return np.zeros(0, np.int64)
+            tps.append(tp)
+        candidates = tps[0].doc_ids
+        for tp in tps[1:]:
+            candidates = np.intersect1d(candidates, tp.doc_ids, assume_unique=True)
+        out = []
+        for doc in candidates:
+            doc = int(doc)
+            starts = tps[0].positions_for_doc(doc)
+            others = [tps[i].positions_for_doc(doc) for i in range(1, len(tps))]
+            # for each start: term i present at start+i (binary search, like
+            # the reference's positions.binary_search(&expected_pos))
+            hit = np.ones(len(starts), bool)
+            for i, pos in enumerate(others, start=1):
+                idx = np.searchsorted(pos, starts + i)
+                found = (idx < len(pos)) & (pos[np.minimum(idx, len(pos) - 1)] == starts + i)
+                hit &= found
+                if not hit.any():
+                    break
+            if hit.any():
+                out.append(doc)
+        return np.asarray(out, np.int64)
+
+    # ------------------------------------------------------------------ proximity
+    def proximity(self, term1: str, term2: str, k: int) -> list[tuple[int, int, int]]:
+        """positional_intersect (positional_intersect/mod.rs:322-343,579-604):
+        matches (doc_id, pp1, pp2) with pp2 > pp1 and pp2 - pp1 <= k
+        (one-directional window), over docs containing both terms."""
+        t1 = self.tokenizer.normalize(term1)
+        t2 = self.tokenizer.normalize(term2)
+        tp1, tp2 = self.get_postings(t1), self.get_postings(t2)
+        if tp1 is None or tp2 is None:
+            return []
+        common = np.intersect1d(tp1.doc_ids, tp2.doc_ids, assume_unique=True)
+        out = []
+        for doc in common:
+            pp1 = tp1.positions_for_doc(int(doc))
+            pp2 = tp2.positions_for_doc(int(doc))
+            for p1 in pp1:
+                for p2 in pp2:
+                    if p2 > p1 and p2 - p1 <= k:
+                        out.append((int(doc), int(p1), int(p2)))
+        return out
+
+    # ------------------------------------------------------------------ fuzzy
+    def fuzzy(self, term: str, edit_distance: int) -> list[str]:
+        """BK-tree Levenshtein lookup (my_bk_tree/mod.rs:14-21); the probe is
+        normalized like any query token."""
+        if self.bktree is None:
+            raise RuntimeError("engine built with build_bktree=False")
+        key = self.tokenizer.normalize(term)
+        return sorted(self.bktree.find(key, edit_distance))
+
+    def fuzzy_boolean(self, term: str, edit_distance: int) -> np.ndarray:
+        """Docs containing ANY term within edit_distance (fuzzy OR)."""
+        docs = [self.get_postings(t).doc_ids for t in self.fuzzy(term, edit_distance)]
+        if not docs:
+            return np.zeros(0, np.int64)
+        return np.unique(np.concatenate(docs))

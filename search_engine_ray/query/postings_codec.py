@@ -1,0 +1,104 @@
+"""Decode chunk rows (stages/merge.py CHUNK_SCHEMA) back into postings.
+
+Mirrors the reference's read path: Block::decode_chunks_for_term →
+Chunk::get_doc_ids / positions (/root/reference/src/indexer/block.rs:114-141,
+chunk.rs:58-94) — but with explicit lengths instead of the buggy 0x00
+delimiter scan (SURVEY.md §2.7 C5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from search_engine_ray.functions.vb import decode_ascending, delta_decode_array, vb_decode_array
+
+
+@dataclass
+class TermPostings:
+    """Merged, doc_id-ascending postings of one term."""
+
+    doc_ids: np.ndarray  # int64, ascending
+    tfs: np.ndarray  # int64
+    # positions as a flat array + offsets (positions[offsets[i]:offsets[i+1]])
+    pos_offsets: np.ndarray
+    pos_values: np.ndarray
+
+    @property
+    def df(self) -> int:
+        return len(self.doc_ids)
+
+    def positions_of(self, i: int) -> np.ndarray:
+        return self.pos_values[self.pos_offsets[i] : self.pos_offsets[i + 1]]
+
+    def positions_for_doc(self, doc_id: int) -> np.ndarray | None:
+        i = int(np.searchsorted(self.doc_ids, doc_id))
+        if i < len(self.doc_ids) and self.doc_ids[i] == doc_id:
+            return self.positions_of(i)
+        return None
+
+
+def decode_chunk_doc_ids(doc_gaps: bytes) -> np.ndarray:
+    return decode_ascending(doc_gaps)
+
+
+def decode_chunk_positions(pos_gaps: bytes, pos_lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """→ (pos_offsets, pos_values) for one chunk; pos_lens = VB byte length
+    per posting (the split the reference encodes inline, helper.rs:75-78)."""
+    gaps = vb_decode_array(np.frombuffer(pos_gaps, np.uint8)) if len(pos_gaps) else np.zeros(0, np.uint64)
+    # value-count per posting: VB values and bytes are aligned per posting;
+    # recover counts by decoding byte-lengths per value within each span.
+    # Positions are per-posting delta streams: first value absolute → we must
+    # cumsum WITHIN posting spans. Compute value counts per posting from the
+    # byte stream: count terminator bytes per span.
+    buf = np.frombuffer(pos_gaps, np.uint8)
+    term_mask = (buf >= 128).astype(np.int64)
+    byte_bounds = np.zeros(len(pos_lens) + 1, np.int64)
+    np.cumsum(np.asarray(pos_lens, np.int64), out=byte_bounds[1:])
+    csum = np.zeros(len(buf) + 1, np.int64)
+    np.cumsum(term_mask, out=csum[1:])
+    counts = csum[byte_bounds[1:]] - csum[byte_bounds[:-1]]
+    offsets = np.zeros(len(counts) + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    # un-delta: groupwise cumsum = global cumsum minus the base carried in
+    # from previous postings
+    running = np.cumsum(gaps.astype(np.int64))
+    starts = offsets[:-1]
+    base_per_posting = np.where(starts > 0, running[np.maximum(starts - 1, 0)], 0)
+    values = running - np.repeat(base_per_posting, counts)
+    return offsets, values
+
+
+def decode_term_chunks(chunks: pa.Table) -> TermPostings:
+    """All chunk rows of ONE term (any order) → merged TermPostings.
+
+    Rows are ordered by (salt, chunk_seq); salt buckets are disjoint ascending
+    doc_id ranges so concatenation restores global order (stages/merge.py).
+    """
+    if chunks.num_rows == 0:
+        z = np.zeros(0, np.int64)
+        return TermPostings(z, z, np.zeros(1, np.int64), z)
+    chunks = chunks.combine_chunks().sort_by([("salt", "ascending"), ("chunk_seq", "ascending")])
+    doc_parts = []
+    tf_parts = []
+    off_parts = [np.zeros(1, np.int64)]
+    val_parts = []
+    total = 0
+    for row in range(chunks.num_rows):
+        doc_gaps = chunks["doc_gaps"][row].as_py()
+        doc_parts.append(decode_chunk_doc_ids(doc_gaps))
+        tfs = np.asarray(chunks["tfs"][row].as_py(), np.int64)
+        tf_parts.append(tfs)
+        pos_lens = np.asarray(chunks["pos_lens"][row].as_py(), np.int64)
+        offs, vals = decode_chunk_positions(chunks["pos_gaps"][row].as_py(), pos_lens)
+        off_parts.append(offs[1:] + total)
+        total += offs[-1]
+        val_parts.append(vals)
+    return TermPostings(
+        np.concatenate(doc_parts),
+        np.concatenate(tf_parts),
+        np.concatenate(off_parts),
+        np.concatenate(val_parts) if val_parts else np.zeros(0, np.int64),
+    )

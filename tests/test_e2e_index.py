@@ -1,0 +1,182 @@
+"""End-to-end: build index on a tiny deterministic corpus → query engine
+results rank-identical to the brute-force oracle (FIXTURES.md §1.2 edge
+cases, §2 query set)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from search_engine_ray.config import EngineConfig
+from search_engine_ray.pipelines.build import build_index, load_stats
+from search_engine_ray.query.engine import SearchEngine
+from search_engine_ray.query.oracle import OracleIndex
+from search_engine_ray.sources.webpages import _url_for
+from search_engine_ray.functions.textproc import synthesize_html
+
+# FIXTURES.md §1.2: tiny corpus with the mandated edge cases
+TEXTS = [
+    "zero first word at position zero",                      # position 0
+    "word1 ,,, !!! word2 between punct",                     # empty-cleaned positions
+    "Apple apple APPLE mixed case",                          # case folding
+    "was has children went bought",                          # lemma hits
+    "café naïve «unicode» trimming…",                        # unicode
+    "(hello) world! (hello) again",                          # strip + repeats
+    "repeat repeat repeat thrice here",                      # tf ≥ 3
+    "",                                                      # empty doc
+    "   \t ",                                                # whitespace-only doc
+    "the quick brown fox jumps over the lazy dog",
+    "quick brown cows jump quickly",
+    "slow brown fox naps",
+    "phrase target phrase target end",                       # recurring bigram
+    "helo wrld typos here",                                  # fuzzy near-miss
+    "hello world exact spelling",
+    "alpha beta gamma delta epsilon",
+    "alpha gamma beta window test",                          # proximity windows
+    "common common common term",                             # hot-ish term
+] + [f"filler doc {i} common word" for i in range(18, 40)]   # 'common' hot term
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory, ray_session):
+    import ray.data
+
+    out = str(tmp_path_factory.mktemp("index"))
+    # urls chosen so doc_id (url rank) == row order + 1
+    rows = [
+        {"url": _url_for(i), "html": synthesize_html(t).encode()}
+        for i, t in enumerate(TEXTS)
+    ]
+    ds = ray.data.from_items(rows, override_num_blocks=5)
+    # small chunks + tiny salt span to exercise multi-chunk and multi-salt
+    cfg = EngineConfig(chunk_size=4, salt_span=8, tokenize_batch_size=7)
+    paths = build_index(ds, out, cfg)
+    engine = SearchEngine(out, cfg)
+    oracle = OracleIndex({i + 1: t for i, t in enumerate(TEXTS)})
+    return engine, oracle, paths
+
+
+QUERIES = [
+    "zero", "word1 word2", "apple", "be", "have", "café", "hello world",
+    "common", "quick brown", "fox", "the lazy dog", "brown", "alpha beta",
+    "repeat", "phrase target", "nonexistentterm", "common word", "was bought",
+    "THE Quick", "naïve trimming",
+]
+
+
+class TestDictionary:
+    def test_df_and_term_ids_match_oracle(self, built):
+        engine, oracle, _ = built
+        assert engine.num_docs == oracle.num_docs == len(TEXTS)
+        ids = oracle.term_ids()
+        assert len(engine._dict) == len(ids)
+        for term, tid in ids.items():
+            etid, edf, _ = engine.lookup(term)
+            assert etid == tid, term
+            assert edf == oracle.df(term), term
+
+    def test_doc_lengths(self, built):
+        engine, oracle, _ = built
+        for doc_id, dl in oracle.doc_lengths.items():
+            assert engine.doc_length(np.array([doc_id]))[0] == dl
+
+    def test_stats(self, built):
+        engine, oracle, paths = built
+        assert engine.avgdl == pytest.approx(oracle.avgdl)
+
+
+class TestPostingsParity:
+    def test_all_terms_roundtrip(self, built):
+        engine, oracle, _ = built
+        for term, plist in oracle.postings.items():
+            tp = engine.get_postings(term)
+            assert tp is not None, term
+            assert tp.doc_ids.tolist() == sorted(plist), term
+            for i, d in enumerate(tp.doc_ids.tolist()):
+                assert tp.positions_of(i).tolist() == plist[d], (term, d)
+
+
+class TestQueriesMatchOracle:
+    @pytest.mark.parametrize("q", QUERIES)
+    def test_boolean_and(self, built, q):
+        engine, oracle, _ = built
+        assert engine.boolean_and(q).tolist() == oracle.boolean_and(q)
+
+    @pytest.mark.parametrize("q", QUERIES)
+    @pytest.mark.parametrize("k", [2, 10])  # k=2 = the reference's hard-coded k
+    def test_tfidf_rank_identity(self, built, q, k):
+        engine, oracle, _ = built
+        got = engine.tfidf_topk(q, k)
+        want = oracle.tfidf_topk(q, k)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in want], rtol=0, atol=0
+        )  # f32-exact
+
+    @pytest.mark.parametrize("q", QUERIES)
+    def test_bm25_rank_identity(self, built, q):
+        engine, oracle, _ = built
+        got = engine.bm25_topk(q, 10)
+        want = oracle.bm25_topk(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        np.testing.assert_allclose([s for _, s in got], [s for _, s in want], rtol=1e-12)
+
+    @pytest.mark.parametrize(
+        "q", ["quick brown", "phrase target", "the quick brown fox", "brown fox",
+              "hello world", "alpha beta", "beta alpha", "word1 word2", "common word"]
+    )
+    def test_phrase(self, built, q):
+        engine, oracle, _ = built
+        assert engine.phrase(q).tolist() == oracle.phrase(q)
+
+    @pytest.mark.parametrize("t1,t2,k", [
+        ("alpha", "beta", 1), ("alpha", "beta", 2), ("alpha", "gamma", 2),
+        ("quick", "fox", 3), ("the", "dog", 8), ("word1", "word2", 3),
+    ])
+    def test_proximity(self, built, t1, t2, k):
+        engine, oracle, _ = built
+        assert engine.proximity(t1, t2, k) == oracle.proximity(t1, t2, k)
+
+    @pytest.mark.parametrize("t,d", [("helo", 1), ("helo", 2), ("wrld", 1), ("commn", 1)])
+    def test_fuzzy(self, built, t, d):
+        engine, oracle, _ = built
+        assert engine.fuzzy(t, d) == oracle.fuzzy(t, d)
+
+
+class TestResume:
+    def test_rerun_skips_completed_stages(self, built, tmp_path):
+        import time
+
+        engine, oracle, paths = built
+        # manifests exist and are complete
+        from search_engine_ray.state import manifests
+
+        for d in [paths.docs, paths.runs, paths.postings, paths.dictionary, paths.doc_lengths]:
+            m = manifests.read_manifest(d)
+            assert m and m["complete"] and m["num_rows"] > 0
+
+        # resume run: no stage re-executes (mtimes unchanged)
+        import os
+
+        mtimes = {d: os.path.getmtime(manifests.manifest_path(d)) for d in [paths.docs, paths.runs]}
+        cfg = engine.config
+        import ray.data
+
+        same_fp_input = ray.data.from_items([{"url": "x", "html": b"y"}])
+        build_index(same_fp_input, paths.out_dir, cfg, resume=True)
+        for d, t0 in mtimes.items():
+            assert os.path.getmtime(manifests.manifest_path(d)) == t0
+
+    def test_changed_input_invalidates(self, built):
+        # a different input-path fingerprint must NOT be treated as complete
+        engine, oracle, paths = built
+        from search_engine_ray.state import manifests
+
+        other_fp = manifests.fingerprint("other-input", "cfg")
+        assert not manifests.stage_complete(paths.docs, other_fp)
+
+    def test_incomplete_stage_recomputed(self, built):
+        engine, oracle, paths = built
+        # a fresh out_dir missing manifests must rebuild (fingerprint mismatch)
+        from search_engine_ray.state.manifests import stage_complete
+
+        assert not stage_complete("/tmp/definitely-missing-xyz", "abc")
