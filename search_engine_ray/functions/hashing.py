@@ -1,0 +1,64 @@
+"""Stable hashing utilities for dedup / fingerprinting.
+
+Everything is deterministic across processes and platforms (no PYTHONHASHSEED
+dependence): md5/blake2 based, or splitmix64-style integer mixing in numpy.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_U64 = np.uint64
+_MASK64 = _U64(0xFFFFFFFFFFFFFFFF)
+
+
+def md5_hex(text: str) -> str:
+    """Matches DuckDB's md5(text) for UTF-8 strings (oracle-SQL parity)."""
+    return hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+def md5_hex_batch(texts) -> list[str]:
+    md5 = hashlib.md5
+    return [md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+
+
+def stable_word_hash(word: str) -> int:
+    """64-bit stable hash of a token (first 8 bytes of blake2b)."""
+    return int.from_bytes(hashlib.blake2b(word.encode("utf-8"), digest_size=8).digest(), "little")
+
+
+def mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — cheap vectorized re-hash of uint64 arrays."""
+    x = x.astype(_U64)
+    x = (x + _U64(0x9E3779B97F4A7C15)) & _MASK64
+    x = ((x ^ (x >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)) & _MASK64
+    x = ((x ^ (x >> _U64(27))) * _U64(0x94D049BB133111EB)) & _MASK64
+    return x ^ (x >> _U64(31))
+
+
+def shingle_hashes(token_hashes: np.ndarray, k: int) -> np.ndarray:
+    """Hashes of k-token shingles from per-token 64-bit hashes (vectorized:
+    combine a sliding window with distinct per-offset mixes)."""
+    n = len(token_hashes)
+    if n < k:
+        return np.zeros(0, _U64)
+    acc = np.zeros(n - k + 1, _U64)
+    t = token_hashes.astype(_U64)
+    for j in range(k):
+        acc = (acc * _U64(1099511628211) + mix64(t[j : n - k + 1 + j])) & _MASK64
+    return mix64(acc)
+
+
+def winnow_fingerprint(token_hashes: np.ndarray, k: int = 5, window: int = 4) -> np.ndarray:
+    """Winnowing document fingerprint (Schleimer et al., SIGMOD'03 — public
+    algorithm): k-gram hashes, keep the minimum of each sliding window,
+    deduplicated. Deterministic; robust to local edits."""
+    h = shingle_hashes(token_hashes, k)
+    if len(h) == 0:
+        return np.zeros(0, _U64)
+    if len(h) <= window:
+        return np.unique(h.min(keepdims=True))
+    sw = np.lib.stride_tricks.sliding_window_view(h, window)
+    return np.unique(sw.min(axis=1))

@@ -1,0 +1,513 @@
+"""Training-data pipeline operators over the documents/embeddings tables:
+deduplication (exact, MinHash+LSH, SimHash, exact n-gram Jaccard verify),
+similarity search (brute-force cosine top-k + IVF variant), text analysis
+(quality stats, language-ID, token counting, winnowing fingerprints).
+
+All operators are Dataset → Dataset (streaming, no driver-side loops over
+full data); small lookup sides are broadcast with ``ray.put``. Candidate
+near-dup edge sets are reduced to clusters with driver union-find behind an
+explicit cap (the edge set after LSH banding + verification is orders of
+magnitude smaller than the corpus; the documented scale-out path is
+iterative min-label propagation via groupby rounds).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min
+
+from search_engine_ray.functions.hashing import (
+    md5_hex_batch,
+    mix64,
+    shingle_hashes,
+    winnow_fingerprint,
+)
+from search_engine_ray.functions.minhash import (
+    MinHasher,
+    band_hashes,
+    simhash64,
+    simhash_bands,
+)
+from search_engine_ray.functions.quality import (
+    bpe_ish_token_count,
+    doc_stats,
+    lang_id,
+    quality_score,
+)
+
+_U64 = np.uint64
+
+
+def _tok_hashes(text: str) -> np.ndarray:
+    """Per-token 64-bit hashes (lowercased whitespace tokens)."""
+    toks = (text or "").lower().split()
+    if not toks:
+        return np.zeros(0, _U64)
+    raw = np.frombuffer(
+        b"".join(int.to_bytes(hash_bytes(t), 8, "little") for t in toks), dtype=_U64
+    )
+    return raw
+
+
+@__import__("functools").lru_cache(maxsize=200_000)
+def hash_bytes(t: str) -> int:
+    import hashlib
+
+    return int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def text_stats(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc quality metrics + composite score + BPE-ish token count."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        rows = {
+            "n_tokens": [], "n_chars": [], "mean_token_len": [], "alpha_ratio": [],
+            "digit_ratio": [], "stopword_ratio": [], "quality": [], "bpe_tokens": [],
+        }
+        for t in batch[text_col].to_pylist():
+            t = t or ""
+            s = doc_stats(t)
+            rows["n_tokens"].append(s["n_tokens"])
+            rows["n_chars"].append(s["n_chars"])
+            rows["mean_token_len"].append(s["mean_token_len"])
+            rows["alpha_ratio"].append(s["alpha_ratio"])
+            rows["digit_ratio"].append(s["digit_ratio"])
+            rows["stopword_ratio"].append(s["stopword_ratio"])
+            rows["quality"].append(quality_score(s))
+            rows["bpe_tokens"].append(bpe_ish_token_count(t))
+        out = {id_col: ids}
+        out.update({k: pa.array(v) for k, v in rows.items()})
+        return pa.table(out)
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def lang_id_table(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"):
+    def fn(batch: pa.Table) -> pa.Table:
+        preds, confs = [], []
+        for t in batch[text_col].to_pylist():
+            lang, conf = lang_id(t or "")
+            preds.append(lang)
+            confs.append(round(conf, 6))
+        return pa.table({id_col: batch[id_col], "lang_pred": pa.array(preds), "confidence": pa.array(confs)})
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def fingerprints(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text",
+                 k: int = 5, window: int = 4):
+    """Winnowing fingerprints: (doc_id, fingerprint:int64) exploded rows."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids_out, fps = [], []
+        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            f = winnow_fingerprint(_tok_hashes(t), k, window)
+            ids_out.extend([i] * len(f))
+            fps.extend(f.view(np.int64).tolist())
+        return pa.table({id_col: pa.array(ids_out, pa.int64()), "fingerprint": pa.array(fps, pa.int64())})
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"):
+    """Hash-partitioned exact dedup: one row per distinct md5(text) with the
+    minimum doc_id as keeper and the duplicate count."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "text_hash": pa.array(md5_hex_batch(batch[text_col].to_pylist()), pa.string()),
+                id_col: batch[id_col],
+            }
+        )
+
+    hashed = docs.map_batches(add_hash, batch_format="pyarrow")
+    return hashed.groupby("text_hash").aggregate(
+        Min(id_col, alias_name="keep_doc_id"), Count(alias_name="n_dupes")
+    )
+
+
+class _MinHashStage:
+    """Actor: permutations built once; per doc → signature row."""
+
+    def __init__(self, shingle_k: int, num_perm: int, seed: int,
+                 id_col: str, text_col: str):
+        self.h = MinHasher(num_perm, seed)
+        self.k = shingle_k
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        # sig stored as num_perm little-endian uint64s in one binary value —
+        # binary payloads survive Ray's hash join (list columns do not)
+        sigs = []
+        for t in batch[self.text_col].to_pylist():
+            sh = shingle_hashes(_tok_hashes(t), self.k)
+            sigs.append(self.h.signature(sh).tobytes())
+        return pa.table(
+            {self.id_col: pa.array(ids, pa.int64()), "sig": pa.array(sigs, pa.binary())}
+        )
+
+
+def minhash_signatures(docs, shingle_k=3, num_perm=128, seed=1,
+                       id_col="doc_id", text_col="text"):
+    return docs.map_batches(
+        _MinHashStage,
+        fn_constructor_args=(shingle_k, num_perm, seed, id_col, text_col),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
+def _verify_bucket(group: pd.DataFrame, threshold: float, max_bucket: int) -> pd.DataFrame:
+    """One LSH bucket: pairwise signature-estimated Jaccard over its (unique,
+    sorted, capped) docs — vectorized (n,perm) equality matmul."""
+    g = group.drop_duplicates("doc_id").sort_values("doc_id").head(max_bucket)
+    ids = g["doc_id"].to_numpy()
+    empty = pd.DataFrame(
+        {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64),
+         "jaccard": pd.Series([], dtype=np.float64)}
+    )
+    if len(ids) < 2:
+        return empty
+    sig = np.stack([np.frombuffer(s, _U64) for s in g["sig"]])
+    ai, bi = np.triu_indices(len(ids), k=1)
+    est = (sig[ai] == sig[bi]).mean(axis=1)
+    keep = est >= threshold
+    if not keep.any():
+        return empty
+    return pd.DataFrame(
+        {"a": ids[ai[keep]].astype(np.int64), "b": ids[bi[keep]].astype(np.int64),
+         "jaccard": est[keep]}
+    )
+
+
+def minhash_band_rows(sig_ds, bands=32):
+    """Signatures → (band_key, doc_id, sig) rows. Carrying the signature
+    through the shuffle lets buckets verify pairs locally — one groupby, no
+    joins (Ray's hash join is avoided by design here: verification needs
+    both signatures co-located anyway, and the band shuffle already does
+    that)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sig_list = batch["sig"].combine_chunks() if isinstance(batch["sig"], pa.ChunkedArray) else batch["sig"]
+        sigs = sig_list.to_pylist()
+        out_ids, out_keys, out_sigs = [], [], []
+        for i, sig in zip(ids, sigs):
+            bk = band_hashes(np.frombuffer(sig, _U64), bands)
+            # combine band index into key so different bands never collide
+            keys = mix64(bk ^ (np.arange(bands, dtype=_U64) << _U64(56)))
+            out_ids.extend([int(i)] * bands)
+            out_keys.extend(keys.view(np.int64).tolist())
+            out_sigs.extend([sig] * bands)
+        return pa.table(
+            {
+                "band_key": pa.array(out_keys, pa.int64()),
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "sig": pa.array(out_sigs, pa.binary()),
+            }
+        )
+
+    return sig_ds.map_batches(explode, batch_format="pyarrow")
+
+
+def minhash_verified_pairs(sig_ds, bands=32, threshold=0.7, max_bucket=64):
+    """LSH bucket → locally verified pairs → global max-estimate dedup.
+    Buckets are capped at ``max_bucket`` docs (beyond the cap a bucket is a
+    near-clique of near-identical docs; its smallest ids represent it)."""
+    band_rows = minhash_band_rows(sig_ds, bands)
+    pairs = band_rows.groupby("band_key").map_groups(
+        lambda g: _verify_bucket(g, threshold, max_bucket), batch_format="pandas"
+    )
+    # a pair can collide in many bands → dedup; estimates are identical, Max
+    # is a deterministic pick
+    from ray.data.aggregate import Max
+
+    return pairs.groupby(["a", "b"]).aggregate(Max("jaccard", alias_name="jaccard"))
+
+
+def clusters_from_pairs(pairs, max_edges: int = 2_000_000) -> pd.DataFrame:
+    """Union-find over the (small) verified edge set → (doc_id, cluster_id).
+    cluster_id = min doc_id in component. Driver-side by design — the edge
+    set is the output of LSH + verification; scale-out path (documented):
+    iterative min-label propagation with groupby until fixpoint."""
+    if hasattr(pairs, "to_pandas"):
+        pairs = pairs.to_pandas(limit=max_edges + 1)
+    if len(pairs) > max_edges:
+        raise ValueError(f"edge set exceeds max_edges={max_edges}; raise cap or use label propagation")
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["a"].astype(int), pairs["b"].astype(int)):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id keeps cluster_id deterministic
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    docs = sorted(set(pairs["a"].astype(int)) | set(pairs["b"].astype(int)))
+    return pd.DataFrame({"doc_id": docs, "cluster_id": [find(d) for d in docs]})
+
+
+def minhash_lsh_dedup(docs, shingle_k=3, num_perm=128, bands=32, threshold=0.7,
+                      id_col="doc_id", text_col="text"):
+    """Full near-dup pipeline → (a, b, jaccard) verified pairs Dataset:
+    shingle→minhash → band shuffle → in-bucket verification → pair dedup."""
+    sigs = minhash_signatures(docs, shingle_k, num_perm, 1, id_col, text_col)
+    return minhash_verified_pairs(sigs, bands, threshold)
+
+
+def simhash_table(docs, id_col="doc_id", text_col="text"):
+    def fn(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch[text_col].to_pylist():
+            th = _tok_hashes(t)
+            uniq, counts = np.unique(th, return_counts=True) if len(th) else (np.zeros(0, _U64), np.zeros(0, np.int64))
+            out.append(np.int64(np.uint64(simhash64(uniq, counts))))
+        return pa.table({id_col: batch[id_col], "simhash": pa.array(out, pa.int64())})
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def simhash_dedup(docs, max_hamming=3, bands=4, id_col="doc_id", text_col="text"):
+    """SimHash near-dup pairs: band-collision candidates (pigeonhole ensures
+    recall for hamming ≤ bands-1) verified by exact Hamming distance."""
+    sims = simhash_table(docs, id_col, text_col).materialize()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        v = batch["simhash"].to_numpy(zero_copy_only=False).view(_U64)
+        bk = simhash_bands(v, bands)
+        keys = mix64(bk.astype(_U64) ^ (np.arange(bands, dtype=_U64)[None, :] << _U64(56)))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
+                "band_key": pa.array(keys.reshape(-1).view(np.int64), pa.int64()),
+                "simhash": pa.array(np.repeat(v.view(np.int64), bands), pa.int64()),
+            }
+        )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()[:64]
+        hs = g["simhash"].to_numpy()[:64].astype(np.int64).view(_U64)
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64),
+                                 "hamming": pd.Series([], dtype=np.int64)})
+        ai, bi = np.triu_indices(len(ids), k=1)
+        x = hs[ai] ^ hs[bi]
+        ham = np.array([bin(int(t)).count("1") for t in x])
+        keep = ham <= max_hamming
+        return pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep], "hamming": ham[keep]})
+
+    band_rows = sims.map_batches(explode, batch_format="pyarrow")
+    pairs = band_rows.groupby("band_key").map_groups(pairs_in_bucket, batch_format="pandas")
+    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+def ngram_jaccard_verify(pairs_ds, docs, shingle_k=3, threshold=0.5,
+                         id_col="doc_id", text_col="text",
+                         max_candidates: int = 1_000_000) -> pd.DataFrame:
+    """Exact n-gram Jaccard for candidate pairs.
+
+    Semi-join pattern (ray_guide.md): broadcast the candidate doc_id set,
+    filter the corpus to it inside map_batches (the big side never
+    shuffles), compute shingle sets distributed, gather only the candidate
+    docs' shingle sets (bounded by the pair set, ``max_candidates`` guard),
+    score pairs driver-side."""
+    pairs = pairs_ds.to_pandas() if hasattr(pairs_ds, "to_pandas") else pairs_ds
+    cand_ids = sorted(set(pairs["a"].astype(int)) | set(pairs["b"].astype(int)))
+    if len(cand_ids) > max_candidates:
+        raise ValueError("candidate set too large for exact verification")
+    idset_ref = ray.put(frozenset(cand_ids))
+
+    def shingle_sets(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(idset_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        mask = np.fromiter((int(i) in wanted for i in ids), bool, len(ids))
+        batch = batch.filter(pa.array(mask))
+        out_ids, out_sh = [], []
+        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            sh = np.unique(shingle_hashes(_tok_hashes(t), shingle_k))
+            out_ids.append(int(i))
+            out_sh.append(sh.tobytes())
+        return pa.table({id_col: pa.array(out_ids, pa.int64()), "sh": pa.array(out_sh, pa.binary())})
+
+    gathered = docs.map_batches(shingle_sets, batch_format="pyarrow").to_pandas()
+    sets = {int(i): set(np.frombuffer(b, _U64).tolist()) for i, b in zip(gathered[id_col], gathered["sh"])}
+    rows = []
+    for a, b in zip(pairs["a"].astype(int), pairs["b"].astype(int)):
+        sx, sy = sets.get(a, set()), sets.get(b, set())
+        jac = len(sx & sy) / len(sx | sy) if (sx or sy) else 1.0
+        if jac >= threshold:
+            rows.append((a, b, jac))
+    return pd.DataFrame(rows, columns=["a", "b", "jaccard_exact"]).astype(
+        {"a": np.int64, "b": np.int64, "jaccard_exact": np.float64}
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    values = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return values.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def ann_brute_force(embeddings, query_matrix: np.ndarray, k: int = 10,
+                    id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Brute-force cosine top-k: the query matrix is broadcast once via
+    ``ray.put`` and each batch does one matmul; per-batch partial top-k rows
+    stream out and a final (tiny) global top-k runs per query."""
+    qref = ray.put(np.ascontiguousarray(query_matrix, np.float64))
+
+    def score(batch: pa.Table) -> pa.Table:
+        q = _normalize(ray.get(qref))
+        m = _normalize(_to_matrix(batch[emb_col]))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sims = m @ q.T  # (n, nq)
+        nq = sims.shape[1]
+        out_q, out_v, out_s = [], [], []
+        kk = min(k, sims.shape[0])
+        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+        for qi in range(nq):
+            rows = part[:, qi]
+            out_q.extend([qi] * len(rows))
+            out_v.extend(ids[rows].tolist())
+            out_s.extend(sims[rows, qi].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int32()),
+                id_col: pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = embeddings.map_batches(score, batch_format="pyarrow")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["score_r"] = g["score"].round(6)
+        g = g.sort_values(["score_r", id_col], ascending=[False, True]).head(k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g[["query_id", "rank", id_col, "score_r"]]
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def ivf_index(embeddings, n_centroids: int = 16, id_col="vec_id", emb_col="embedding",
+              sample_size: int = 2048, iters: int = 5, seed: int = 7):
+    """IVF coarse quantizer: k-means on a driver-side sample (small,
+    broadcast), then one pass assigning every vector to its nearest centroid
+    → Dataset with an extra ``centroid`` column. The scale path: centroids
+    are tiny (n_centroids × dim) however large the corpus."""
+    sample = embeddings.limit(sample_size).to_pandas()
+    m = _normalize(np.stack(sample[emb_col].to_numpy()).astype(np.float64))
+    rng = np.random.default_rng(seed)
+    cents = m[rng.choice(len(m), min(n_centroids, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cents.T, axis=1)
+        for c in range(len(cents)):
+            mask = assign == c
+            if mask.any():
+                v = m[mask].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    cref = ray.put(cents)
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _normalize(_to_matrix(batch[emb_col]))
+        a = np.argmax(m @ c.T, axis=1).astype(np.int32)
+        return batch.append_column("centroid", pa.array(a, pa.int32()))
+
+    return embeddings.map_batches(assign_batch, batch_format="pyarrow"), cents
+
+
+def ann_ivf(embeddings_with_centroid, centroids: np.ndarray, query_matrix: np.ndarray,
+            k: int = 10, nprobe: int = 4, id_col="vec_id", emb_col="embedding"):
+    """IVF search: per query probe the nprobe nearest centroids only —
+    row-filter pushdown inside map_batches (each batch drops rows whose
+    centroid no query probes)."""
+    q = _normalize(np.ascontiguousarray(query_matrix, np.float64))
+    probe = np.argsort(-(q @ _normalize(centroids).T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    probe_ref = ray.put(probe)
+    qref = ray.put(q)
+
+    def score(batch: pa.Table) -> pa.Table:
+        probes = ray.get(probe_ref)
+        qm = ray.get(qref)
+        cent = batch["centroid"].to_numpy(zero_copy_only=False)
+        wanted = np.isin(cent, np.unique(probes))
+        batch = batch.filter(pa.array(wanted))
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int32()),
+                             id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        m = _normalize(_to_matrix(batch[emb_col]))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        cent = batch["centroid"].to_numpy(zero_copy_only=False)
+        sims = m @ qm.T
+        out_q, out_v, out_s = [], [], []
+        for qi in range(qm.shape[0]):
+            mask = np.isin(cent, probes[qi])
+            if not mask.any():
+                continue
+            s = sims[mask, qi]
+            idx = np.argsort(-s)[: min(k, len(s))]
+            out_q.extend([qi] * len(idx))
+            out_v.extend(ids[mask][idx].tolist())
+            out_s.extend(s[idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int32()),
+                id_col: pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = embeddings_with_centroid.map_batches(score, batch_format="pyarrow")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["score_r"] = g["score"].round(6)
+        g = g.sort_values(["score_r", id_col], ascending=[False, True]).head(k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g[["query_id", "rank", id_col, "score_r"]]
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")

@@ -1,0 +1,158 @@
+"""Training-data operators: dedup (exact / MinHash-LSH / SimHash), ANN,
+text analysis — correctness on planted fixtures."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from search_engine_ray.pipelines.training_data import (
+    ann_brute_force,
+    ann_ivf,
+    clusters_from_pairs,
+    exact_dedup,
+    fingerprints,
+    ivf_index,
+    lang_id_table,
+    minhash_lsh_dedup,
+    ngram_jaccard_verify,
+    simhash_dedup,
+    text_stats,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches from "
+    "the warm windowsill and the birds sing in the garden under a bright sky "
+).split()
+
+
+def _doc(mutations: int, seed: int) -> str:
+    rng = np.random.default_rng(seed)
+    words = list(BASE) * 3
+    for _ in range(mutations):
+        i = int(rng.integers(0, len(words)))
+        words[i] = f"mut{int(rng.integers(0, 1000))}"
+    return " ".join(words)
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    rows = [
+        {"doc_id": 1, "text": _doc(0, 1)},
+        {"doc_id": 2, "text": _doc(0, 2)},      # exact dup of 1
+        {"doc_id": 3, "text": _doc(3, 3)},      # near dup of 1
+        {"doc_id": 4, "text": _doc(4, 4)},      # near dup of 1
+        {"doc_id": 5, "text": " ".join(f"unique{i}word{i * 7 % 13}" for i in range(90))},
+        {"doc_id": 6, "text": "der hund und die katze sind im garten mit der maus und das ist gut"},
+        {"doc_id": 7, "text": "le chat et le chien sont dans le jardin avec la souris et est pour"},
+        {"doc_id": 8, "text": "totally different content about databases indexes queries and scans"},
+        {"doc_id": 9, "text": ""},
+    ]
+    return ray.data.from_items(rows, override_num_blocks=3)
+
+
+class TestExactDedup:
+    def test_planted_exact_dup(self, docs_ds):
+        out = exact_dedup(docs_ds).to_pandas()
+        assert len(out) == 8  # 9 docs, one exact-dup pair
+        dup = out[out["n_dupes"] == 2]
+        assert len(dup) == 1
+        assert dup.iloc[0]["keep_doc_id"] == 1
+
+
+class TestMinHashLSH:
+    def test_near_dups_found(self, docs_ds):
+        pairs = minhash_lsh_dedup(docs_ds, threshold=0.5).to_pandas()
+        got = {tuple(sorted((a, b))) for a, b in zip(pairs["a"], pairs["b"])}
+        assert {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)} <= got
+        # unrelated docs never pair
+        assert not any(5 in p or 8 in p or 9 in p for p in got)
+        # exact dup pair estimates jaccard 1.0
+        row = pairs[(pairs["a"] == 1) & (pairs["b"] == 2)]
+        assert float(row["jaccard"].iloc[0]) == 1.0
+
+    def test_clusters(self, docs_ds):
+        pairs = minhash_lsh_dedup(docs_ds, threshold=0.5)
+        clusters = clusters_from_pairs(pairs)
+        by_doc = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
+        assert by_doc[1] == by_doc[2] == by_doc[3] == by_doc[4] == 1
+
+    def test_exact_jaccard_verify(self, docs_ds):
+        pairs = minhash_lsh_dedup(docs_ds, threshold=0.5)
+        exact = ngram_jaccard_verify(pairs, docs_ds, threshold=0.5)
+        row = exact[(exact["a"] == 1) & (exact["b"] == 2)]
+        assert float(row["jaccard_exact"].iloc[0]) == 1.0
+
+
+class TestSimHash:
+    def test_near_dups_found(self, docs_ds):
+        pairs = simhash_dedup(docs_ds, max_hamming=3).to_pandas()
+        got = {tuple(sorted((a, b))) for a, b in zip(pairs["a"], pairs["b"])}
+        assert (1, 2) in got  # exact dup: hamming 0
+        ham = dict(zip(zip(pairs["a"], pairs["b"]), pairs["hamming"]))
+        assert ham[(1, 2)] == 0
+        assert not any(8 in p or 5 in p for p in got)
+
+
+class TestTextStats:
+    def test_stats_and_quality(self, docs_ds):
+        out = text_stats(docs_ds).to_pandas().set_index("doc_id")
+        assert out.loc[9, "n_tokens"] == 0
+        assert out.loc[1, "n_tokens"] == len(BASE) * 3
+        assert 0 <= out["quality"].min() and out["quality"].max() <= 1
+        assert out.loc[1, "stopword_ratio"] > 0.2
+
+    def test_lang_id(self, docs_ds):
+        out = lang_id_table(docs_ds).to_pandas().set_index("doc_id")
+        assert out.loc[1, "lang_pred"] == "en"
+        assert out.loc[6, "lang_pred"] == "de"
+        assert out.loc[7, "lang_pred"] == "fr"
+        assert out.loc[9, "lang_pred"] == "und"
+
+    def test_fingerprints_detect_overlap(self, docs_ds):
+        fp = fingerprints(docs_ds).to_pandas()
+        s1 = set(fp[fp["doc_id"] == 1]["fingerprint"])
+        s2 = set(fp[fp["doc_id"] == 2]["fingerprint"])
+        s8 = set(fp[fp["doc_id"] == 8]["fingerprint"])
+        assert s1 == s2
+        assert not (s1 & s8)
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(40, 16))
+    rows = [{"vec_id": i, "embedding": base[i].astype(np.float32).tolist()} for i in range(40)]
+    return ray.data.from_items(rows, override_num_blocks=4), base
+
+
+class TestANN:
+    def test_brute_force_matches_numpy(self, emb_ds):
+        ds, base = emb_ds
+        q = base[[0, 7]]
+        out = ann_brute_force(ds, q, k=5).to_pandas()
+        norm = base / np.linalg.norm(base, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        sims = norm @ qn.T
+        for qi in range(2):
+            # float32 storage: compare against float32-rounded reference
+            stored = np.stack(ds.to_pandas()["embedding"].to_numpy()).astype(np.float64)
+            sn = stored / np.linalg.norm(stored, axis=1, keepdims=True)
+            ref_scores = sn @ qn.T
+            order = np.lexsort((np.arange(40), -ref_scores[:, qi].round(6)))[:5]
+            got = out[out["query_id"] == qi].sort_values("rank")["vec_id"].tolist()
+            assert got == order.tolist()
+            assert got[0] == [0, 7][qi]  # query vector's own row ranks first
+
+    def test_ivf_high_recall_on_self_queries(self, emb_ds):
+        ds, base = emb_ds
+        assigned, cents = ivf_index(ds, n_centroids=4, sample_size=40)
+        assigned = assigned.materialize()
+        out = ann_ivf(assigned, cents, base[[3, 11]], k=3, nprobe=2).to_pandas()
+        for qi, vid in enumerate([3, 11]):
+            top = out[(out["query_id"] == qi) & (out["rank"] == 1)]["vec_id"].iloc[0]
+            assert top == vid
