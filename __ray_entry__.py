@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (full inverted-index build over
+webpages synthesized from sf0.001 + BM25 retrieval); ``queries()`` exposes
+one callable per implemented operator from SURVEY.md §2 (and the
+training-data operators); ``oracle_sql()`` gives the DuckDB-equivalent SQL
+for every SQL-expressible query (same column names — the driver hash-compares
+values after sorting columns by name).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -20,25 +18,28 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the full index on sf0.001 (extract → doc ids →
+    tokenize actor pool → groupby(term, salt) merge → chunked VB postings +
+    dictionary) and serve BM25 top-k for a set of queries."""
+    import pandas as pd
+
+    from search_engine_ray.pipelines.driver_queries import engine_for
+
+    eng = engine_for("/root/testdata/sf0.001")
+    rows = []
+    for q in ["fast table merge", "spark query", "slow scan", "window group sort"]:
+        for rank, (doc_id, score) in enumerate(eng.bm25_topk(q, 10), start=1):
+            rows.append({"query": q, "rank": rank, "doc_id": doc_id, "score": score})
+    return pd.DataFrame(rows, columns=["query", "rank", "doc_id", "score"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from search_engine_ray.pipelines.driver_queries import RAY_QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(RAY_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from search_engine_ray.pipelines.driver_queries import oracle_queries
+
+    return oracle_queries()

@@ -1,0 +1,534 @@
+"""Driver-contract queries: each SURVEY.md §2 operator as a callable over an
+``sf_dir`` plus (where SQL-expressible) a DuckDB oracle query producing the
+same rows with the same column names (__ray_entry__ exposes these).
+
+doc_id convention: the index pipeline assigns doc_id = 1-based rank of url,
+and urls are synthesized zero-padded from the documents table's doc_id
+(sources/webpages.py), so index doc_id == documents.doc_id + 1; oracle SQL
+writes ``doc_id + 1`` wherever it mirrors index-side output.
+
+Float parity: tf-idf/BM25 oracle queries compute in float64 on both sides
+(DuckDB computes in doubles; same libm log/log10) and compare ROUND(x, 4);
+ANN compares ROUND(x, 3) because DuckDB's list_cosine_similarity computes in
+float32. The reference-exact f32 tf-idf path is pytest-verified separately
+(tests/test_e2e_index.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from search_engine_ray.config import EngineConfig
+from search_engine_ray.functions.lemmas import builtin_lemmas
+from search_engine_ray.functions.quality import STOPWORDS_EN
+from search_engine_ray.functions.textproc import (
+    HTML_PARA_SEP,
+    HTML_PREFIX,
+    HTML_SUFFIX,
+    extract_plaintext,
+    synthesize_html,
+)
+
+# ---------------------------------------------------------------------------
+# shared: cached index per sf_dir (manifests make cross-process reuse a no-op)
+# ---------------------------------------------------------------------------
+
+_ENGINES: dict[str, "object"] = {}
+CACHE_ROOT = "/tmp/se_ray_index_cache"
+
+
+def engine_for(sf_dir: str):
+    from search_engine_ray.pipelines.build import build_index
+    from search_engine_ray.query.engine import SearchEngine
+    from search_engine_ray.sources.webpages import webpages_from_documents
+
+    if sf_dir in _ENGINES:
+        return _ENGINES[sf_dir]
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out = os.path.join(CACHE_ROOT, key)
+    pages = webpages_from_documents(sf_dir)
+    build_index(pages, out, EngineConfig(), resume=True)
+    eng = SearchEngine(out)
+    _ENGINES[sf_dir] = eng
+    return eng
+
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+
+def lemma_values_sql() -> str:
+    rows = ",".join(f"('{k}','{v}')" for k, v in sorted(builtin_lemmas().items()))
+    return f"lemmas(inflected, lemma) AS (VALUES {rows})"
+
+
+TOKENS_CTE = r"""
+raw AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS w, unnest(range(len(toks))) AS position FROM raw
+),
+cleaned AS (
+  SELECT doc_id, position,
+         regexp_replace(regexp_replace(lower(w), '^[^a-z0-9]+', ''), '[^a-z0-9]+$', '') AS cw
+  FROM tok
+),
+lem AS (
+  SELECT c.doc_id, c.position, coalesce(l.lemma, c.cw) AS term
+  FROM cleaned c LEFT JOIN lemmas l ON c.cw = l.inflected
+  WHERE c.cw <> ''
+),
+postings AS (
+  SELECT term, doc_id, count(*)::BIGINT AS tf FROM lem GROUP BY term, doc_id
+),
+term_df AS (
+  SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term
+)
+"""
+
+
+def _with(body: str) -> str:
+    return f"WITH {lemma_values_sql()},{TOKENS_CTE} {body}"
+
+
+HTML_SQL = (
+    f"'{HTML_PREFIX}' || replace(text, chr(10)||chr(10), "
+    f"'</p>'||chr(10)||chr(10)||'<p>') || '{HTML_SUFFIX}'"
+)
+assert HTML_PARA_SEP == "</p>\n\n<p>"
+
+# search query constants (terms exist in the driver corpus vocabulary)
+Q_TERMS = ["fast", "table", "merge"]
+Q_TEXT = " ".join(Q_TERMS)
+PHRASE = ("fast", "table")
+PROX = ("fast", "scan", 3)
+FUZZY = ("tabel", 1)
+TOPK = 10
+
+
+# ---------------------------------------------------------------------------
+# Ray-side callables
+# ---------------------------------------------------------------------------
+
+
+def _read_docs(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+def q_extract_text(sf_dir: str):
+    """S2/M1: html synthesis + reference-exact tag strip (round-trips text)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = [extract_plaintext(synthesize_html(t or "")) for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"], "text": pa.array(texts, pa.string())})
+
+    return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def q_doc_ids(sf_dir: str):
+    """A6-equivalent for docs: dense 1-based rank of url (zip_with_index)."""
+    from search_engine_ray.sources.webpages import _url_for
+    from search_engine_ray.stages.doc_ids import zip_with_index
+
+    def add_url(batch: pa.Table) -> pa.Table:
+        urls = [_url_for(int(i)) for i in batch["doc_id"].to_pylist()]
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    ds = _read_docs(sf_dir, ["doc_id"]).map_batches(add_url, batch_format="pyarrow")
+    return zip_with_index(ds, "url", "doc_id", start=1)
+
+
+def q_term_postings(sf_dir: str):
+    """M5/M7: tokenization → per-doc postings (term, doc_id, tf)."""
+    import pyarrow.compute as pc
+
+    from search_engine_ray.stages.tokenize import tokenize_stage
+
+    postings = tokenize_stage(_read_docs(sf_dir))
+
+    def project(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.not_equal(batch["term"], ""))
+        return pa.table(
+            {
+                "term": batch["term"],
+                "doc_id": batch["doc_id"],
+                "tf": pc.cast(batch["tf"], pa.int64()),
+            }
+        )
+
+    return postings.map_batches(project, batch_format="pyarrow")
+
+
+def q_term_df(sf_dir: str):
+    """A7: document frequency per term (from the built dictionary)."""
+    import pyarrow.parquet as pq
+
+    eng = engine_for(sf_dir)
+    t = pq.read_table(eng.paths.dictionary, columns=["term", "df"])
+    return t.set_column(1, "df", t["df"].cast(pa.int64()))
+
+
+def q_dictionary(sf_dir: str):
+    """A6: dense 1-based term_id over sorted terms + df."""
+    import pyarrow.parquet as pq
+
+    eng = engine_for(sf_dir)
+    t = pq.read_table(eng.paths.dictionary, columns=["term", "term_id", "df"])
+    return pa.table(
+        {
+            "term": t["term"],
+            "term_id": t["term_id"].cast(pa.int64()),
+            "df": t["df"].cast(pa.int64()),
+        }
+    )
+
+
+def q_doc_lengths(sf_dir: str):
+    """M8: doc_length per doc (token count; zero-token docs included)."""
+    import pyarrow.parquet as pq
+
+    eng = engine_for(sf_dir)
+    t = pq.read_table(eng.paths.doc_lengths)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "doc_length": t["doc_length"].cast(pa.int64()),
+        }
+    )
+
+
+def q_top_terms(sf_dir: str):
+    """K1/K2-style: top 20 terms by (df desc, term asc)."""
+    df = q_term_df(sf_dir).to_pandas()
+    out = df.sort_values(["df", "term"], ascending=[False, True]).head(20)
+    return out.reset_index(drop=True)
+
+
+def q_boolean_and(sf_dir: str):
+    """Q1/Q3: AND retrieval, min-df first."""
+    eng = engine_for(sf_dir)
+    return pd.DataFrame({"doc_id": eng.boolean_and(Q_TEXT).astype(np.int64)})
+
+
+def _ranked(scores: list[tuple[int, float]], digits: int) -> pd.DataFrame:
+    df = pd.DataFrame(scores, columns=["doc_id", "score"])
+    df["score_r"] = df["score"].round(digits)
+    df = df.sort_values(["score_r", "doc_id"], ascending=[False, True]).head(TOPK)
+    df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return df[["rank", "doc_id", "score_r"]].reset_index(drop=True)
+
+
+def q_tfidf_topk(sf_dir: str):
+    """Q8: tf·idf top-k (float64 oracle-parity mode; f32 reference parity is
+    pytest-checked)."""
+    eng = engine_for(sf_dir)
+    # pull enough candidates that rounding-ties at the k boundary are stable
+    scores = eng.tfidf_topk(Q_TEXT, k=10_000_000, dtype=np.float64)
+    return _ranked(scores, 4)
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 top-k (k1=1.2, b=0.75 frozen)."""
+    eng = engine_for(sf_dir)
+    scores = eng.bm25_topk(Q_TEXT, k=10_000_000)
+    return _ranked(scores, 4)
+
+
+def q_phrase(sf_dir: str):
+    """Q6: phrase match via consecutive positions."""
+    eng = engine_for(sf_dir)
+    return pd.DataFrame({"doc_id": eng.phrase(" ".join(PHRASE)).astype(np.int64)})
+
+
+def q_proximity(sf_dir: str):
+    """Q4/Q5: one-directional proximity window (pp2 > pp1, pp2-pp1 <= k)."""
+    eng = engine_for(sf_dir)
+    t1, t2, k = PROX
+    rows = eng.proximity(t1, t2, k)
+    return pd.DataFrame(rows, columns=["doc_id", "pp1", "pp2"]).astype(np.int64)
+
+
+def q_fuzzy(sf_dir: str):
+    """J3: BK-tree Levenshtein term lookup."""
+    eng = engine_for(sf_dir)
+    term, d = FUZZY
+    return pd.DataFrame({"term": eng.fuzzy(term, d)})
+
+
+def q_exact_dedup(sf_dir: str):
+    from search_engine_ray.pipelines.training_data import exact_dedup
+
+    out = exact_dedup(_read_docs(sf_dir)).to_pandas()
+    return out.astype({"keep_doc_id": np.int64, "n_dupes": np.int64})
+
+
+def q_lang_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read_docs(sf_dir, ["doc_id", "lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+def q_text_stats(sf_dir: str):
+    from search_engine_ray.pipelines.training_data import text_stats
+
+    out = text_stats(_read_docs(sf_dir)).to_pandas()
+    out["mean_token_len_r"] = out["mean_token_len"].round(6)
+    out["stopword_ratio_r"] = out["stopword_ratio"].round(6)
+    out["alpha_ratio_r"] = out["alpha_ratio"].round(6)
+    return out[
+        ["doc_id", "n_tokens", "n_chars", "mean_token_len_r", "alpha_ratio_r",
+         "stopword_ratio_r", "bpe_tokens"]
+    ].astype({"n_tokens": np.int64, "n_chars": np.int64, "bpe_tokens": np.int64})
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k; queries = embeddings of vec_id 0..2.
+    round(3): DuckDB's list_cosine_similarity computes in float32."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from search_engine_ray.pipelines.training_data import ann_brute_force
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    order = np.argsort(t["vec_id"].to_numpy())
+    qidx = order[:3]
+    qm = np.stack([np.asarray(t["embedding"][int(i)].as_py(), np.float64) for i in qidx])
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = ann_brute_force(emb, qm, k=TOPK, round_digits=3).to_pandas()
+    out["query_id"] = out["query_id"].astype(np.int64)
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "vec_id", "score_r"]]
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing: binary payload → deterministic features."""
+    from search_engine_ray.pipelines.multimodal import media_features, media_from_documents
+
+    out = media_features(media_from_documents(sf_dir)).to_pandas()
+    return out[["doc_id", "n_bytes", "payload_md5"]]
+
+
+# rows-only (non-SQL-expressible) ------------------------------------------
+
+
+def q_minhash_pairs(sf_dir: str):
+    from search_engine_ray.pipelines.training_data import minhash_lsh_dedup
+
+    out = minhash_lsh_dedup(_read_docs(sf_dir), shingle_k=2, threshold=0.4).to_pandas()
+    out["jaccard"] = out["jaccard"].round(6)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def q_simhash_pairs(sf_dir: str):
+    from search_engine_ray.pipelines.training_data import simhash_dedup
+
+    out = simhash_dedup(_read_docs(sf_dir), max_hamming=3).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True).astype(np.int64)
+
+
+def q_fingerprints(sf_dir: str):
+    from search_engine_ray.pipelines.training_data import fingerprints
+
+    return fingerprints(_read_docs(sf_dir))
+
+
+def q_langid(sf_dir: str):
+    from search_engine_ray.pipelines.training_data import lang_id_table
+
+    return lang_id_table(_read_docs(sf_dir))
+
+
+def q_ann_ivf(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from search_engine_ray.pipelines.training_data import ann_ivf, ivf_index
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qm = np.stack([np.asarray(v, np.float64) for v in t["embedding"].to_pylist()[:3]])
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, cents = ivf_index(emb, n_centroids=16)
+    assigned = assigned.materialize()
+    out = ann_ivf(assigned, cents, qm, k=TOPK, nprobe=4).to_pandas()
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+
+def oracle_queries() -> dict[str, str]:
+    stop_list = ",".join(f"'{w}'" for w in sorted(STOPWORDS_EN))
+    n_docs = "(SELECT count(*) FROM documents)"
+    doclen_cte = (
+        "doclen AS (SELECT d.doc_id, coalesce(t.n, 0)::BIGINT AS doc_length "
+        "FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS n FROM lem GROUP BY doc_id) t "
+        "ON d.doc_id = t.doc_id)"
+    )
+    qterms = ",".join(f"'{t}'" for t in Q_TERMS)
+
+    return {
+        "extract_text": f"""
+            WITH h AS (SELECT doc_id, {HTML_SQL} AS html FROM documents)
+            SELECT doc_id, regexp_replace(html, '<[^>]*>', '', 'g') AS text FROM h
+        """,
+        "doc_ids": """
+            SELECT printf('https://example-%09d.test/page', doc_id) AS url,
+                   ROW_NUMBER() OVER (ORDER BY doc_id)::BIGINT AS doc_id
+            FROM documents
+        """,
+        "term_postings": _with("SELECT term, doc_id, tf FROM postings"),
+        "term_df": _with("SELECT term, df FROM term_df"),
+        "dictionary": _with(
+            "SELECT term, ROW_NUMBER() OVER (ORDER BY term)::BIGINT AS term_id, df FROM term_df"
+        ),
+        "doc_lengths": _with(
+            f",{doclen_cte} SELECT doc_id + 1 AS doc_id, doc_length FROM doclen"
+        ),
+        "top_terms": _with("SELECT term, df FROM term_df ORDER BY df DESC, term LIMIT 20"),
+        "boolean_and": _with(
+            f"""
+            SELECT doc_id + 1 AS doc_id FROM postings
+            WHERE term IN ({qterms})
+            GROUP BY doc_id HAVING count(DISTINCT term) = {len(Q_TERMS)}
+            """
+        ),
+        "tfidf_topk": _with(
+            f"""
+            , scores AS (
+              SELECT p.doc_id, sum(p.tf * log10({n_docs}::DOUBLE / t.df)) AS s
+              FROM postings p JOIN term_df t USING (term)
+              WHERE p.term IN ({qterms})
+              GROUP BY p.doc_id
+            )
+            SELECT ROW_NUMBER() OVER (ORDER BY round(s, 4) DESC, doc_id)::BIGINT AS rank,
+                   doc_id + 1 AS doc_id, round(s, 4) AS score_r
+            FROM scores ORDER BY round(s, 4) DESC, doc_id LIMIT {TOPK}
+            """
+        ),
+        "bm25_topk": _with(
+            f"""
+            , {doclen_cte}
+            , stats AS (SELECT avg(doc_length) AS avgdl FROM doclen)
+            , scores AS (
+              SELECT p.doc_id,
+                     sum( ln(({n_docs} - t.df + 0.5) / (t.df + 0.5) + 1.0)
+                          * p.tf * (1.2 + 1.0)
+                          / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_length / s.avgdl)) ) AS s
+              FROM postings p
+              JOIN term_df t USING (term)
+              JOIN doclen dl ON dl.doc_id = p.doc_id
+              CROSS JOIN stats s
+              WHERE p.term IN ({qterms})
+              GROUP BY p.doc_id
+            )
+            SELECT ROW_NUMBER() OVER (ORDER BY round(s, 4) DESC, doc_id)::BIGINT AS rank,
+                   doc_id + 1 AS doc_id, round(s, 4) AS score_r
+            FROM scores ORDER BY round(s, 4) DESC, doc_id LIMIT {TOPK}
+            """
+        ),
+        "phrase": _with(
+            f"""
+            SELECT DISTINCT a.doc_id + 1 AS doc_id
+            FROM lem a JOIN lem b ON a.doc_id = b.doc_id AND b.position = a.position + 1
+            WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+            """
+        ),
+        "proximity": _with(
+            f"""
+            SELECT a.doc_id + 1 AS doc_id, a.position AS pp1, b.position AS pp2
+            FROM lem a JOIN lem b ON a.doc_id = b.doc_id
+            WHERE a.term = '{PROX[0]}' AND b.term = '{PROX[1]}'
+              AND b.position > a.position AND b.position - a.position <= {PROX[2]}
+            """
+        ),
+        "fuzzy": _with(
+            f"SELECT DISTINCT term FROM term_df WHERE levenshtein(term, '{FUZZY[0]}') <= {FUZZY[1]} ORDER BY term"
+        ),
+        "exact_dedup": """
+            SELECT md5(text) AS text_hash, min(doc_id)::BIGINT AS keep_doc_id,
+                   count(*)::BIGINT AS n_dupes
+            FROM documents GROUP BY md5(text)
+        """,
+        "lang_counts": "SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang",
+        "text_stats": f"""
+            WITH raw AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(toks)::BIGINT AS n_tokens,
+                   length(text)::BIGINT AS n_chars,
+                   round(CASE WHEN len(toks) = 0 THEN 0.0
+                         ELSE list_aggregate(list_transform(toks, t -> length(t)), 'sum')::DOUBLE / len(toks) END, 6) AS mean_token_len_r,
+                   round(CASE WHEN len(toks) = 0 THEN 0.0
+                         ELSE len(list_filter(toks, t -> regexp_matches(t, '^[A-Za-z]+$')))::DOUBLE / len(toks) END, 6) AS alpha_ratio_r,
+                   round(CASE WHEN len(toks) = 0 THEN 0.0
+                         ELSE len(list_filter(toks, t -> lower(t) IN ({stop_list})))::DOUBLE / len(toks) END, 6) AS stopword_ratio_r,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9_\\s]'))::BIGINT AS bpe_tokens
+            FROM raw
+        """,
+        "ann_topk": f"""
+            WITH q AS (
+              SELECT vec_id::BIGINT AS query_idx, embedding FROM embeddings
+              WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3)
+            ),
+            qn AS (SELECT ROW_NUMBER() OVER (ORDER BY query_idx) - 1 AS query_id, embedding FROM q),
+            s AS (
+              SELECT qn.query_id::BIGINT AS query_id, e.vec_id,
+                     round(list_cosine_similarity(e.embedding, qn.embedding)::DOUBLE, 3) AS score_r
+              FROM embeddings e CROSS JOIN qn
+            ),
+            r AS (
+              SELECT query_id, vec_id, score_r,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_r DESC, vec_id)::BIGINT AS rank
+              FROM s
+            )
+            SELECT query_id, rank, vec_id, score_r FROM r WHERE rank <= {TOPK}
+        """,
+        "media_features": f"""
+            SELECT doc_id, length({HTML_SQL})::BIGINT AS n_bytes, md5({HTML_SQL}) AS payload_md5
+            FROM documents
+        """,
+    }
+
+
+RAY_QUERIES = {
+    "extract_text": q_extract_text,
+    "doc_ids": q_doc_ids,
+    "term_postings": q_term_postings,
+    "term_df": q_term_df,
+    "dictionary": q_dictionary,
+    "doc_lengths": q_doc_lengths,
+    "top_terms": q_top_terms,
+    "boolean_and": q_boolean_and,
+    "tfidf_topk": q_tfidf_topk,
+    "bm25_topk": q_bm25_topk,
+    "phrase": q_phrase,
+    "proximity": q_proximity,
+    "fuzzy": q_fuzzy,
+    "exact_dedup": q_exact_dedup,
+    "lang_counts": q_lang_counts,
+    "text_stats": q_text_stats,
+    "ann_topk": q_ann_topk,
+    "media_features": q_media_features,
+    # rows-only (no SQL oracle): stateful/approx/sketch operators
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "fingerprints": q_fingerprints,
+    "langid": q_langid,
+    "ann_ivf_topk": q_ann_ivf,
+}

@@ -389,7 +389,8 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def ann_brute_force(embeddings, query_matrix: np.ndarray, k: int = 10,
-                    id_col: str = "vec_id", emb_col: str = "embedding"):
+                    id_col: str = "vec_id", emb_col: str = "embedding",
+                    round_digits: int = 6):
     """Brute-force cosine top-k: the query matrix is broadcast once via
     ``ray.put`` and each batch does one matmul; per-batch partial top-k rows
     stream out and a final (tiny) global top-k runs per query."""
@@ -402,7 +403,9 @@ def ann_brute_force(embeddings, query_matrix: np.ndarray, k: int = 10,
         sims = m @ q.T  # (n, nq)
         nq = sims.shape[1]
         out_q, out_v, out_s = [], [], []
-        kk = min(k, sims.shape[0])
+        # partial top-(k+margin): the final reduce sorts by ROUNDED score, so
+        # keep a few extra per batch to survive rounding-tie reordering
+        kk = min(k + 8, sims.shape[0])
         part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
         for qi in range(nq):
             rows = part[:, qi]
@@ -421,9 +424,9 @@ def ann_brute_force(embeddings, query_matrix: np.ndarray, k: int = 10,
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.copy()
-        g["score_r"] = g["score"].round(6)
+        g["score_r"] = g["score"].round(round_digits)
         g = g.sort_values(["score_r", id_col], ascending=[False, True]).head(k)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g[["query_id", "rank", id_col, "score_r"]]
 
     return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")

@@ -121,20 +121,26 @@ class SearchEngine:
         return docs
 
     # ------------------------------------------------------------------ ranked
-    def tfidf_topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
-        """Union-accumulated tf·idf top-k, f32, reference formulas
-        (scoring/mod.rs:34-48); ties → ascending doc_id."""
+    def tfidf_topk(self, query: str, k: int = 10, dtype=np.float32) -> list[tuple[int, float]]:
+        """Union-accumulated tf·idf top-k, reference formulas
+        (scoring/mod.rs:34-48); ties → ascending doc_id. dtype=float32 is
+        the reference-parity default (its scoring is f32); float64 is the
+        oracle-SQL parity mode (DuckDB computes in doubles)."""
         doc_parts, score_parts = [], []
         for t in self.query_terms(query):
             tp = self.get_postings(t)
             if tp is None or tp.df == 0:
                 continue
             doc_parts.append(tp.doc_ids)
-            score_parts.append(tfidf_weights(tp.tfs, tp.df, self.num_docs))
+            if dtype == np.float32:
+                w = tfidf_weights(tp.tfs, tp.df, self.num_docs)
+            else:
+                w = tp.tfs.astype(np.float64) * np.log10(float(self.num_docs) / float(tp.df))
+            score_parts.append(w)
         if not doc_parts:
             return []
         ids, scores = topk_docs(
-            np.concatenate(doc_parts), np.concatenate(score_parts).astype(np.float32), k
+            np.concatenate(doc_parts), np.concatenate(score_parts).astype(dtype), k
         )
         return [(int(d), float(s)) for d, s in zip(ids, scores)]
 

@@ -1,0 +1,106 @@
+"""Driver-mimic: run every queries() entry at sf0.01 and compare against its
+oracle_sql() via DuckDB — row count, column names, and an order-insensitive
+value comparison (this is the same gate CORRECTNESS_r{N}.json records)."""
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+@pytest.fixture(scope="module")
+def entry(ray_session):
+    import __ray_entry__
+
+    return __ray_entry__
+
+
+def _to_pandas(obj):
+    if isinstance(obj, pd.DataFrame):
+        return obj
+    if hasattr(obj, "to_pandas"):
+        return obj.to_pandas()
+    return pd.DataFrame(obj)
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str):
+    assert len(ray_df) == len(sql_df), f"{name}: row count {len(ray_df)} != {len(sql_df)}"
+    assert sorted(ray_df.columns) == sorted(sql_df.columns), (
+        f"{name}: columns {sorted(ray_df.columns)} != {sorted(sql_df.columns)}"
+    )
+    a, b = _canon(ray_df), _canon(sql_df)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if np.issubdtype(np.asarray(av).dtype, np.floating) or np.issubdtype(
+            np.asarray(bv).dtype, np.floating
+        ):
+            np.testing.assert_allclose(
+                av.astype(np.float64), bv.astype(np.float64), rtol=0, atol=0,
+                err_msg=f"{name}.{c}",
+            )
+        else:
+            assert (av == bv).all(), f"{name}.{c}: values differ"
+
+
+def test_entry_smoke(entry):
+    out = entry.entry()
+    df = _to_pandas(out)
+    assert len(df) >= 0
+    assert list(df.columns) == ["query", "rank", "doc_id", "score"]
+    assert len(df) > 0
+
+
+def test_query_and_oracle_keys_align(entry):
+    q = entry.queries()
+    o = entry.oracle_sql()
+    assert set(o) <= set(q), "oracle keys must be a subset of query keys"
+    # every SQL-checked op plus the documented rows-only ops
+    assert len(q) >= 20
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "extract_text", "doc_ids", "term_postings", "term_df", "dictionary",
+        "doc_lengths", "top_terms", "boolean_and", "tfidf_topk", "bm25_topk",
+        "phrase", "proximity", "fuzzy", "exact_dedup", "lang_counts",
+        "text_stats", "ann_topk", "media_features",
+    ],
+)
+def test_sql_parity(entry, con, name):
+    ray_out = _to_pandas(entry.queries()[name](SF))
+    sql_out = con.execute(entry.oracle_sql()[name]).df()
+    compare(ray_out, sql_out, name)
+
+
+@pytest.mark.parametrize(
+    "name", ["minhash_pairs", "simhash_pairs", "fingerprints", "langid", "ann_ivf_topk"]
+)
+def test_rows_only_queries_run(entry, name):
+    out = _to_pandas(entry.queries()[name](SF))
+    assert len(out) >= 0
+    assert len(out.columns) >= 2
