@@ -174,6 +174,29 @@ def delta_decode_array(gaps: np.ndarray) -> np.ndarray:
     return np.cumsum(g, dtype=_U64)
 
 
+def binary_from_spans(data: np.ndarray, span_offsets: np.ndarray):
+    """Zero-copy build of an Arrow binary column whose i-th value is
+    data[span_offsets[i]:span_offsets[i+1]]."""
+    import pyarrow as pa
+
+    return pa.Array.from_buffers(
+        pa.binary(),
+        len(span_offsets) - 1,
+        [None, pa.py_buffer(np.ascontiguousarray(span_offsets, np.int32)), pa.py_buffer(data)],
+    )
+
+
+def binary_column_parts(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets int64[n+1], data uint8[]) of an Arrow BinaryArray, handling
+    array offsets (BinaryArray layout: int32 offsets buffer + data buffer)."""
+    import pyarrow as pa
+
+    assert isinstance(arr, pa.Array)
+    offsets = np.frombuffer(arr.buffers()[1], np.int32)[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(arr.buffers()[2], np.uint8) if arr.buffers()[2] is not None else np.zeros(0, np.uint8)
+    return offsets.astype(np.int64), data
+
+
 def encode_ascending(values: np.ndarray) -> bytes:
     """delta-gap + VB encode an ascending int array → bytes."""
     out, _ = vb_encode_array(delta_encode_array(values))

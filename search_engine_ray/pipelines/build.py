@@ -95,10 +95,19 @@ def build_index(
     _stage(paths.postings, "postings", in_fp, resume, produce_postings)
 
     # ---- stage 4: dictionary (df + dense 1-based term_id by sorted term) --
+    # partial+final aggregate: per-batch combine shrinks the shuffle input
+    # from one row per chunk to one row per (batch, term) (ray_guide.md).
     def produce_dictionary(d: str) -> None:
+        import pandas as pd
+
         chunks = ray.data.read_parquet(paths.postings, columns=["term", "n_postings"])
-        agg = chunks.groupby("term").aggregate(
-            Sum("n_postings", alias_name="df"), Count(alias_name="n_chunks")
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            g = batch.groupby("term", sort=False)["n_postings"].agg(["sum", "size"])
+            return g.rename(columns={"sum": "df_part", "size": "nc_part"}).reset_index()
+
+        agg = chunks.map_batches(partial, batch_format="pandas").groupby("term").aggregate(
+            Sum("df_part", alias_name="df"), Sum("nc_part", alias_name="n_chunks")
         )
         with_ids = zip_with_index(agg, "term", "term_id", start=1)
         with_ids.write_parquet(d, **write_kwargs)
@@ -107,9 +116,16 @@ def build_index(
 
     # ---- stage 5: doc lengths (from runs, column-pruned; sentinels keep
     #               zero-token docs present — indexer.rs:109-116) -----------
+    # partial dedup per batch first: a doc's postings rows are colocated, so
+    # the shuffle input shrinks from one row per posting to ~one per doc.
     def produce_doc_lengths(d: str) -> None:
+        import pandas as pd
+
         runs = ray.data.read_parquet(paths.runs, columns=["doc_id", "doc_length"])
-        lengths = runs.groupby("doc_id").aggregate(Max("doc_length", alias_name="doc_length"))
+        dedup = runs.map_batches(
+            lambda b: b.drop_duplicates("doc_id"), batch_format="pandas"
+        )
+        lengths = dedup.groupby("doc_id").aggregate(Max("doc_length", alias_name="doc_length"))
         lengths.write_parquet(d, **write_kwargs)
 
     _stage(paths.doc_lengths, "doc_lengths", in_fp, resume, produce_doc_lengths)

@@ -74,13 +74,18 @@ def decode_chunk_positions(pos_gaps: bytes, pos_lens: np.ndarray) -> tuple[np.nd
 def decode_term_chunks(chunks: pa.Table) -> TermPostings:
     """All chunk rows of ONE term (any order) → merged TermPostings.
 
-    Rows are ordered by (salt, chunk_seq); salt buckets are disjoint ascending
-    doc_id ranges so concatenation restores global order (stages/merge.py).
+    Rows are ordered by (salt, first_doc_id): salt buckets are disjoint
+    ascending doc_id ranges, and within a (term, salt) group every chunk —
+    including fragments of block-straddling groups — holds a disjoint
+    ascending doc_id range, so this ordering restores global doc_id order
+    exactly (stages/merge.py).
     """
     if chunks.num_rows == 0:
         z = np.zeros(0, np.int64)
         return TermPostings(z, z, np.zeros(1, np.int64), z)
-    chunks = chunks.combine_chunks().sort_by([("salt", "ascending"), ("chunk_seq", "ascending")])
+    chunks = chunks.combine_chunks().sort_by(
+        [("salt", "ascending"), ("first_doc_id", "ascending"), ("chunk_seq", "ascending")]
+    )
     doc_parts = []
     tf_parts = []
     off_parts = [np.zeros(1, np.int64)]

@@ -24,7 +24,11 @@ import ray.data
 
 
 @ray.remote(num_cpus=0.5)
-def _stamp_block(block: pa.Table, offset: int, id_column: str) -> pa.Table:
+def _stamp_block(block, offset: int, id_column: str) -> pa.Table:
+    # blocks are Arrow by default but pandas when an upstream stage used
+    # batch_format="pandas" — normalize to Arrow
+    if not isinstance(block, pa.Table):
+        block = pa.Table.from_pandas(block, preserve_index=False)
     ids = pa.array(np.arange(offset, offset + block.num_rows, dtype=np.int64), type=pa.int64())
     if id_column in block.column_names:
         block = block.drop_columns([id_column])

@@ -4,15 +4,18 @@ The reference merges sorted SPIMI runs with a k-way smallest-term loop
 (/root/reference/src/indexer/spimi.rs:50-121) and writes 64 KB blocks of
 ≤128-posting VB-compressed chunks, each chunk recording max_doc_id as a skip
 pointer (/root/reference/src/indexer/index_merge_writer.rs:126-200,
-chunk.rs:5-15). Here the ``groupby`` shuffle IS the merge:
+chunk.rs:5-15). Here the sort shuffle IS the merge:
 
-    postings rows ──add salt──► groupby(term, salt) ──map_groups──► chunk rows
+    postings rows ──add salt──► sort(term, salt, doc_id) ──vectorized
+    multi-group kernel per sorted block──► chunk rows
 
 Hot-term skew (SURVEY.md §4): a term appearing in every doc would
-concentrate its whole posting list in one group, so the group key is
-``(term, salt)`` with ``salt = doc_id // salt_span``. Salt buckets of one
-term hold disjoint ascending doc_id ranges, so reading chunks in
-(salt, chunk_seq) order restores global doc_id order with a plain concat.
+concentrate its whole posting list in one range partition, so the grouping
+key is ``(term, salt)`` with ``salt = doc_id // salt_span``, bounding any
+group at salt_span postings. Salt buckets of one term hold disjoint
+ascending doc_id ranges, and so does every chunk within a group, so reading
+a term's chunks in (salt, first_doc_id) order restores global doc_id order
+with a plain concat (see merge_postings for the block-straddling case).
 
 Chunk rows (the persisted index; one row per ≤chunk_size postings):
     term:string, salt:int64, chunk_seq:int32, n_postings:int32,
@@ -40,7 +43,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from search_engine_ray.config import EngineConfig
-from search_engine_ray.functions.vb import vb_encode_array
+from search_engine_ray.functions.vb import binary_column_parts, binary_from_spans, vb_encode_array
 
 CHUNK_SCHEMA = pa.schema(
     [
@@ -56,16 +59,6 @@ CHUNK_SCHEMA = pa.schema(
         ("pos_gaps", pa.binary()),
     ]
 )
-
-
-def _binary_from_spans(data: np.ndarray, span_offsets: np.ndarray) -> pa.BinaryArray:
-    """Zero-copy build of a binary column whose i-th value is
-    data[span_offsets[i]:span_offsets[i+1]]."""
-    return pa.Array.from_buffers(
-        pa.binary(),
-        len(span_offsets) - 1,
-        [None, pa.py_buffer(span_offsets.astype(np.int32)), pa.py_buffer(data)],
-    )
 
 
 def chunk_rows_from_postings(
@@ -136,48 +129,140 @@ def chunk_rows_from_postings(
             "n_postings": pa.array((chunk_ends - chunk_starts).astype(np.int32), pa.int32()),
             "first_doc_id": pa.array(doc_ids[chunk_starts], pa.int64()),
             "max_doc_id": pa.array(doc_ids[chunk_ends - 1], pa.int64()),
-            "doc_gaps": _binary_from_spans(doc_enc, doc_spans),
+            "doc_gaps": binary_from_spans(doc_enc, doc_spans),
             "tfs": tf_list,
             "pos_lens": pos_lens_list,
-            "pos_gaps": _binary_from_spans(pos_enc, pos_spans),
+            "pos_gaps": binary_from_spans(pos_enc, pos_spans),
         }
     )
 
 
-def _merge_group(group: pa.Table, chunk_size: int) -> pa.Table:
-    """map_groups fn: one (term, salt) group → chunk rows. Re-establishes
-    ascending doc_id order (the streaming reference gets it for free,
-    SURVEY.md §2.10; post-shuffle we sort within the group)."""
-    group = group.combine_chunks()
-    term = group["term"][0].as_py()
-    salt = group["salt"][0].as_py()
-    doc_ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(doc_ids, kind="stable")
-    doc_ids = doc_ids[order]
-    tfs = group["tf"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
-    positions = group["positions"].combine_chunks().take(pa.array(order))
-    pos_values = positions.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-    # tf == len(positions) per posting, so offsets derive from tfs directly
-    pos_offsets = np.zeros(len(tfs) + 1, np.int64)
-    np.cumsum(tfs, out=pos_offsets[1:])
-    return chunk_rows_from_postings(term, salt, doc_ids, tfs, pos_offsets, pos_values, chunk_size)
+def _chunks_for_sorted_batch(batch: pa.Table, chunk_size: int,
+                             skip_edge_groups: bool) -> pa.Table:
+    """Vectorized multi-group chunk construction over a batch of posting rows
+    already sorted by (term, salt, doc_id). When ``skip_edge_groups`` is set,
+    the batch's first and last (term, salt) runs are skipped (they may
+    continue in neighbouring blocks; the boundary-repair pass handles them).
+
+    One VB encode for the whole batch's doc stream and one for its position
+    stream — no per-group Python at all (the reason the reference's per-term
+    merge loop, spimi.rs:63-97, doesn't translate here)."""
+    batch = batch.combine_chunks()
+    n = batch.num_rows
+    if n == 0:
+        return CHUNK_SCHEMA.empty_table()
+    terms = batch["term"]
+    salts = batch["salt"].to_numpy(zero_copy_only=False)
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tfs = batch["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    # group run detection (term or salt change); dictionary-encode terms for
+    # cheap comparison
+    tenc = terms.dictionary_encode().combine_chunks()
+    tcodes = tenc.indices.to_numpy(zero_copy_only=False)
+    change = np.empty(n, bool)
+    change[0] = True
+    np.logical_or(tcodes[1:] != tcodes[:-1], salts[1:] != salts[:-1], out=change[1:])
+    group_starts = np.flatnonzero(change)
+    group_ids = np.cumsum(change) - 1  # per row
+    if skip_edge_groups and len(group_starts) > 0:
+        keep_group = np.ones(len(group_starts), bool)
+        keep_group[0] = False
+        keep_group[-1] = False
+        row_keep = keep_group[group_ids]
+        if not row_keep.any():
+            return CHUNK_SCHEMA.empty_table()
+        sel = np.flatnonzero(row_keep)
+        batch = batch.take(pa.array(sel))
+        return _chunks_for_sorted_batch(batch, chunk_size, skip_edge_groups=False)
+
+    # position within group → chunk index within group
+    pos_in_group = np.arange(n) - np.repeat(group_starts, np.diff(np.append(group_starts, n)))
+    is_chunk_start = (pos_in_group % chunk_size) == 0
+    chunk_starts = np.flatnonzero(is_chunk_start)
+    n_chunks = len(chunk_starts)
+    chunk_ends = np.append(chunk_starts[1:], n)
+    # a chunk never crosses a group boundary: group starts are chunk starts
+    chunk_group = group_ids[chunk_starts]
+    chunk_seq = (pos_in_group[chunk_starts] // chunk_size).astype(np.int32)
+
+    # --- doc stream: gaps, absolute at chunk starts -----------------------
+    doc_gaps = np.empty(n, np.int64)
+    doc_gaps[0] = doc_ids[0]
+    np.subtract(doc_ids[1:], doc_ids[:-1], out=doc_gaps[1:])
+    doc_gaps[chunk_starts] = doc_ids[chunk_starts]
+    doc_enc, doc_bytelens = vb_encode_array(doc_gaps)
+    doc_bounds = np.zeros(n + 1, np.int64)
+    np.cumsum(doc_bytelens, out=doc_bounds[1:])
+    doc_spans = doc_bounds[np.append(chunk_starts, n)]
+
+    # --- position stream: already VB-encoded per posting by the tokenize
+    # stage (pos_enc binary); chunks just slice the shared byte buffer ------
+    pos_arr = batch["pos_enc"]
+    if isinstance(pos_arr, pa.ChunkedArray):
+        pos_arr = pos_arr.combine_chunks()
+    pos_bounds, pos_data = binary_column_parts(pos_arr)
+    per_posting_bytes = np.diff(pos_bounds)
+    pos_enc = pos_data
+    pos_spans = pos_bounds[np.append(chunk_starts, n)]
+
+    list_bounds = pa.array(np.append(chunk_starts, n), type=pa.int32())
+    chunk_rows = pa.table(
+        {
+            "term": tenc.dictionary.take(pa.array(tcodes[chunk_starts])).cast(pa.string()),
+            "salt": pa.array(salts[chunk_starts], pa.int64()),
+            "chunk_seq": pa.array(chunk_seq, pa.int32()),
+            "n_postings": pa.array((chunk_ends - chunk_starts).astype(np.int32), pa.int32()),
+            "first_doc_id": pa.array(doc_ids[chunk_starts], pa.int64()),
+            "max_doc_id": pa.array(doc_ids[chunk_ends - 1], pa.int64()),
+            "doc_gaps": binary_from_spans(doc_enc, doc_spans),
+            "tfs": pa.ListArray.from_arrays(list_bounds, pa.array(tfs, type=pa.int32())),
+            "pos_lens": pa.ListArray.from_arrays(
+                list_bounds, pa.array(per_posting_bytes, type=pa.int32())
+            ),
+            "pos_gaps": binary_from_spans(pos_enc, pos_spans),
+        }
+    )
+    return chunk_rows
 
 
-def merge_postings(postings_ds, config: EngineConfig | None = None):
-    """postings Dataset → chunk-row Dataset (the groupby shuffle = the merge).
-
-    Filters the zero-token sentinel rows (term == "") first.
-    """
-    config = config or EngineConfig()
+def prep_postings(postings_ds, config: EngineConfig):
+    """Filter sentinels, add the salt column."""
     span = config.salt_span
-    chunk_size = config.chunk_size
 
     def prep(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.not_equal(batch["term"], ""))
         salt = pc.divide(batch["doc_id"], span)
-        return batch.drop_columns(["doc_length"]).append_column("salt", pc.cast(salt, pa.int64()))
+        cols = [c for c in ("doc_length",) if c in batch.column_names]
+        return batch.drop_columns(cols).append_column("salt", pc.cast(salt, pa.int64()))
 
-    prepped = postings_ds.map_batches(prep, batch_format="pyarrow")
-    return prepped.groupby(["term", "salt"]).map_groups(
-        lambda g: _merge_group(g, chunk_size), batch_format="pyarrow"
+    return postings_ds.map_batches(prep, batch_format="pyarrow")
+
+
+def merge_postings(postings_ds, config: EngineConfig | None = None):
+    """postings Dataset → chunk-row Dataset. The range-partitioned
+    ``sort(term, salt, doc_id)`` IS the merge shuffle (it subsumes the
+    reference's k-way run merge AND its per-group doc_id ordering); chunk
+    rows are then built by one fully vectorized multi-group kernel per
+    sorted block — no per-group Python anywhere.
+
+    A (term, salt) group that straddles block boundaries is chunked
+    per-fragment: each fragment independently emits ≤chunk_size chunks.
+    That is safe because fragments hold disjoint ascending doc_id ranges, so
+    ordering a term's chunks by (salt, first_doc_id) — not chunk ordinals —
+    reconstructs global doc_id order exactly (query/postings_codec.py).
+    Deviation from the reference's global 128-alignment: a split group may
+    contain a few sub-128 chunks at fragment seams; skip pointers
+    (max_doc_id) and scoring are unaffected. The alternative (boundary
+    repair) re-shuffles the straddling groups, which under Zipfian skew is
+    an inspection-paradox trap: block boundaries fall inside HOT terms, so
+    "just the edge groups" was measured at ~30% of all rows."""
+    config = config or EngineConfig()
+    chunk_size = config.chunk_size
+
+    sorted_ds = prep_postings(postings_ds, config).sort(["term", "salt", "doc_id"])
+    return sorted_ds.map_batches(
+        lambda b: _chunks_for_sorted_batch(b, chunk_size, skip_edge_groups=False),
+        batch_format="pyarrow",
+        batch_size=None,
     )

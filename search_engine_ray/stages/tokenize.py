@@ -35,7 +35,7 @@ POSTINGS_SCHEMA = pa.schema(
     [
         ("term", pa.string()),
         ("doc_id", pa.int64()),
-        ("positions", pa.list_(pa.int32())),
+        ("pos_enc", pa.binary()),
         ("tf", pa.int32()),
         ("doc_length", pa.int32()),
     ]
@@ -117,10 +117,26 @@ def _emit(tokenizer, doc_idx, term_code, positions, norm_terms, counts, doc_ids)
         doc_lengths_all = np.zeros(len(counts), np.int64)
 
     terms_arr = pa.array(np.asarray(norm_terms, dtype=object)[run_term] if len(run_term) else [], type=pa.string())
-    positions_list = pa.ListArray.from_arrays(
-        pa.array(np.append(starts, len(positions)), type=pa.int32()),
-        pa.array(positions, type=pa.int32()),
-    )
+
+    # positions, delta-gap + VB encoded per posting right here (the postings
+    # runs ARE VB-compressed, like the reference's spill files spimi.rs:148-179;
+    # it also shrinks the merge shuffle ~4x vs list<int32>)
+    from search_engine_ray.functions.vb import binary_from_spans, vb_encode_array
+
+    m = len(positions)
+    if m:
+        gaps = np.empty(m, np.int64)
+        gaps[0] = positions[0]
+        np.subtract(positions[1:], positions[:-1], out=gaps[1:])
+        gaps[starts] = positions[starts]  # absolute at each posting start
+        enc, bytelens = vb_encode_array(gaps)
+        bounds = np.zeros(m + 1, np.int64)
+        np.cumsum(bytelens, out=bounds[1:])
+        spans = bounds[np.append(starts, m)]
+    else:
+        enc = np.zeros(0, np.uint8)
+        spans = np.zeros(len(starts) + 1, np.int64)
+    pos_enc = binary_from_spans(enc, spans)
 
     # sentinel rows for zero-token docs
     empty_docs = np.flatnonzero(doc_lengths_all == 0)
@@ -128,16 +144,13 @@ def _emit(tokenizer, doc_idx, term_code, positions, norm_terms, counts, doc_ids)
         terms_arr = pa.concat_arrays([terms_arr, pa.array([""] * len(empty_docs), pa.string())])
         run_doc = np.concatenate([run_doc, empty_docs])
         run_len = np.concatenate([run_len, np.zeros(len(empty_docs), np.int64)])
-        zero_offsets = pa.array(np.zeros(len(empty_docs) + 1, np.int32), type=pa.int32())
-        positions_list = pa.concat_arrays(
-            [positions_list, pa.ListArray.from_arrays(zero_offsets, pa.array([], type=pa.int32()))]
-        )
+        pos_enc = pa.concat_arrays([pos_enc, pa.array([b""] * len(empty_docs), pa.binary())])
 
     return pa.table(
         {
             "term": terms_arr,
             "doc_id": pa.array(doc_ids[run_doc], type=pa.int64()),
-            "positions": positions_list,
+            "pos_enc": pos_enc,
             "tf": pa.array(run_len, type=pa.int32()),
             "doc_length": pa.array(doc_lengths_all[run_doc], type=pa.int32()),
         }

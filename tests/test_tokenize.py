@@ -76,9 +76,12 @@ def _expected_rows(texts, ids):
 
 
 def _actual_rows(table):
+    from search_engine_ray.functions.vb import decode_ascending
+
     out = set()
     for r in table.to_pylist():
-        out.add((r["term"], r["doc_id"], tuple(r["positions"]), r["tf"], r["doc_length"]))
+        positions = tuple(decode_ascending(r["pos_enc"]).tolist())
+        out.add((r["term"], r["doc_id"], positions, r["tf"], r["doc_length"]))
     return out
 
 
@@ -104,8 +107,10 @@ class TestTokenizeBatch:
         assert not any(r[0] == "" and r[1] == 2 for r in rows)
 
     def test_positions_sorted_per_posting(self):
+        from search_engine_ray.functions.vb import decode_ascending
+
         out = tokenize_batch(_batch(["b a b a b"]), tok())
-        d = {r["term"]: r["positions"] for r in out.to_pylist()}
+        d = {r["term"]: decode_ascending(r["pos_enc"]).tolist() for r in out.to_pylist()}
         assert d["b"] == [0, 2, 4]
         assert d["a"] == [1, 3]
 
