@@ -18,7 +18,58 @@ Layout:
   state/      per-partition lineage manifests for checkpoint/resume
 """
 
-from search_engine_ray.config import EngineConfig
+def _guard_fsspec_http() -> None:
+    """Ray's read_parquet probes ``fsspec.implementations.http`` and only
+    tolerates ModuleNotFoundError; in this environment aiohttp is absent and
+    a concurrently half-initialized module surfaces as a plain ImportError
+    that crashes reads (observed flakily). Installing a stub aiohttp makes
+    the probe import deterministic; the http filesystem is never used."""
+    import sys
+    import types
+
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+        return
+    except ImportError:
+        sys.modules.pop("fsspec.implementations.http", None)
+    # aiohttp/yarl are absent here; empty module stubs satisfy fsspec's
+    # import-time references (their attributes are only touched at use time,
+    # and the http filesystem is never actually used)
+    for name in ("aiohttp", "yarl"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except Exception:  # pragma: no cover - keep reads working regardless
+        sys.modules.pop("fsspec.implementations.http", None)
+
+
+def _patch_ray_http_probe() -> None:
+    """Belt and braces for the same issue: Ray's ``_is_http_filesystem``
+    only tolerates ModuleNotFoundError from the fsspec probe, but a
+    concurrently half-initialized module raises plain ImportError. Wrap it
+    so any ImportError means "not an http filesystem"."""
+    try:
+        from ray.data.datasource import path_util
+    except Exception:  # pragma: no cover
+        return
+    orig = path_util._is_http_filesystem
+    if getattr(orig, "_se_ray_safe", False):
+        return
+
+    def safe(fs):
+        try:
+            return orig(fs)
+        except ImportError:
+            return False
+
+    safe._se_ray_safe = True
+    path_util._is_http_filesystem = safe
+
+
+_guard_fsspec_http()
+_patch_ray_http_probe()
+
+from search_engine_ray.config import EngineConfig  # noqa: E402
 
 __all__ = ["EngineConfig"]
 __version__ = "0.1.0"

@@ -43,8 +43,10 @@ class EngineConfig:
     tokenize_batch_size: int = 1024
     #: actor pool size for the tokenize stage; None = let Ray use tasks.
     tokenize_concurrency: int | None = None
-    #: target rows per output file for parquet sinks.
-    min_rows_per_file: int | None = None
+    #: target rows per output file for parquet sinks; keeps run/index files
+    #: from fragmenting into hundreds of tiny files when upstream blocks are
+    #: small (tiny files make every downstream sort latency-bound).
+    min_rows_per_file: int | None = 250_000
 
     # --- tokenizer ----------------------------------------------------------
     #: extra lemma file (reference format, tokenizer.rs:52-87); merged over

@@ -175,26 +175,69 @@ def minhash_signatures(docs, shingle_k=3, num_perm=128, seed=1,
     )
 
 
-def _verify_bucket(group: pd.DataFrame, threshold: float, max_bucket: int) -> pd.DataFrame:
-    """One LSH bucket: pairwise signature-estimated Jaccard over its (unique,
-    sorted, capped) docs — vectorized (n,perm) equality matmul."""
-    g = group.drop_duplicates("doc_id").sort_values("doc_id").head(max_bucket)
-    ids = g["doc_id"].to_numpy()
-    empty = pd.DataFrame(
-        {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64),
-         "jaccard": pd.Series([], dtype=np.float64)}
+_PAIR_TEMPLATES: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _pair_template(size: int) -> tuple[np.ndarray, np.ndarray]:
+    t = _PAIR_TEMPLATES.get(size)
+    if t is None:
+        t = np.triu_indices(size, k=1)
+        _PAIR_TEMPLATES[size] = t
+    return t
+
+
+def _group_pair_indices(gid: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """Row-index pairs (i < j) within each group of the sorted gid array,
+    capped at ``cap`` rows per group; vectorized per distinct group size."""
+    n = len(gid)
+    change = np.empty(n, bool)
+    change[0] = True
+    np.not_equal(gid[1:], gid[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    sizes = np.minimum(np.diff(np.append(starts, n)), cap)
+    multi = sizes >= 2
+    if not multi.any():
+        z = np.zeros(0, np.int64)
+        return z, z
+    a_parts, b_parts = [], []
+    for s in np.unique(sizes[multi]):
+        iu, ju = _pair_template(int(s))
+        g_starts = starts[multi][sizes[multi] == s]
+        a_parts.append((g_starts[:, None] + iu[None, :]).ravel())
+        b_parts.append((g_starts[:, None] + ju[None, :]).ravel())
+    return np.concatenate(a_parts), np.concatenate(b_parts)
+
+
+def _minhash_bucket_pairs_batch(batch: pa.Table, threshold: float, max_bucket: int,
+                                num_perm: int) -> pa.Table:
+    """Whole-bucket batch (sorted by band_key, doc_id) → verified pairs.
+    Vectorized across ALL buckets in the batch (no per-group Python)."""
+    empty = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "jaccard": pa.array([], pa.float64())}
     )
-    if len(ids) < 2:
+    batch = batch.combine_chunks()
+    if batch.num_rows < 2:
         return empty
-    sig = np.stack([np.frombuffer(s, _U64) for s in g["sig"]])
-    ai, bi = np.triu_indices(len(ids), k=1)
+    keys = batch["band_key"].to_numpy(zero_copy_only=False)
+    ai, bi = _group_pair_indices(keys, max_bucket)
+    if len(ai) == 0:
+        return empty
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    from search_engine_ray.functions.vb import binary_column_parts
+
+    offs, data = binary_column_parts(batch["sig"].combine_chunks() if isinstance(batch["sig"], pa.ChunkedArray) else batch["sig"])
+    sig = data.view(_U64).reshape(batch.num_rows, num_perm)
     est = (sig[ai] == sig[bi]).mean(axis=1)
     keep = est >= threshold
     if not keep.any():
         return empty
-    return pd.DataFrame(
-        {"a": ids[ai[keep]].astype(np.int64), "b": ids[bi[keep]].astype(np.int64),
-         "jaccard": est[keep]}
+    return pa.table(
+        {
+            "a": pa.array(ids[ai[keep]], pa.int64()),
+            "b": pa.array(ids[bi[keep]], pa.int64()),
+            "jaccard": pa.array(est[keep], pa.float64()),
+        }
     )
 
 
@@ -228,13 +271,22 @@ def minhash_band_rows(sig_ds, bands=32):
     return sig_ds.map_batches(explode, batch_format="pyarrow")
 
 
-def minhash_verified_pairs(sig_ds, bands=32, threshold=0.7, max_bucket=64):
+def minhash_verified_pairs(sig_ds, bands=32, threshold=0.7, max_bucket=64, num_perm=128):
     """LSH bucket → locally verified pairs → global max-estimate dedup.
     Buckets are capped at ``max_bucket`` docs (beyond the cap a bucket is a
-    near-clique of near-identical docs; its smallest ids represent it)."""
+    near-clique of near-identical docs; its smallest ids represent it).
+
+    Bucket processing goes through stages/grouped.py::sorted_group_map — a
+    per-bucket map_groups measured 100-1000x slower on high-cardinality band
+    keys (one Python call per bucket)."""
+    from search_engine_ray.stages.grouped import sorted_group_map
+
     band_rows = minhash_band_rows(sig_ds, bands)
-    pairs = band_rows.groupby("band_key").map_groups(
-        lambda g: _verify_bucket(g, threshold, max_bucket), batch_format="pandas"
+    pairs = sorted_group_map(
+        band_rows,
+        ["band_key"],
+        lambda b: _minhash_bucket_pairs_batch(b, threshold, max_bucket, num_perm),
+        sort_cols=["band_key", "doc_id"],
     )
     # a pair can collide in many bands → dedup; estimates are identical, Max
     # is a deterministic pick
@@ -310,22 +362,37 @@ def simhash_dedup(docs, max_hamming=3, bands=4, id_col="doc_id", text_col="text"
             }
         )
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()[:64]
-        hs = g["simhash"].to_numpy()[:64].astype(np.int64).view(_U64)
-        if len(ids) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                                 "b": pd.Series([], dtype=np.int64),
-                                 "hamming": pd.Series([], dtype=np.int64)})
-        ai, bi = np.triu_indices(len(ids), k=1)
-        x = hs[ai] ^ hs[bi]
-        ham = np.array([bin(int(t)).count("1") for t in x])
+    def pairs_batch(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "hamming": pa.array([], pa.int64())}
+        )
+        batch = batch.combine_chunks()
+        if batch.num_rows < 2:
+            return empty
+        keys = batch["band_key"].to_numpy(zero_copy_only=False)
+        ai, bi = _group_pair_indices(keys, 64)
+        if len(ai) == 0:
+            return empty
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hs = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.int64).view(_U64)
+        x = (hs[ai] ^ hs[bi]).astype(np.uint64)
+        # vectorized popcount via per-byte unpack
+        ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1).astype(np.int64)
         keep = ham <= max_hamming
-        return pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep], "hamming": ham[keep]})
+        if not keep.any():
+            return empty
+        return pa.table(
+            {"a": pa.array(ids[ai[keep]], pa.int64()),
+             "b": pa.array(ids[bi[keep]], pa.int64()),
+             "hamming": pa.array(ham[keep], pa.int64())}
+        )
+
+    from search_engine_ray.stages.grouped import sorted_group_map
 
     band_rows = sims.map_batches(explode, batch_format="pyarrow")
-    pairs = band_rows.groupby("band_key").map_groups(pairs_in_bucket, batch_format="pandas")
+    pairs = sorted_group_map(band_rows, ["band_key"], pairs_batch,
+                             sort_cols=["band_key", "doc_id"])
     return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 

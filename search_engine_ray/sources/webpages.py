@@ -129,6 +129,10 @@ def generate_webpages(
     seed: int = 42,
     override_num_blocks: int | None = None,
 ) -> "ray.data.Dataset":
+    if override_num_blocks is None:
+        # ~2k-doc blocks: parallel enough for 32 CPUs without a tiny-block
+        # storm (downstream sorts pay per-block overhead per wave)
+        override_num_blocks = max(8, num_docs // 2_000)
     ds = ray.data.range(num_docs, override_num_blocks=override_num_blocks)
     return ds.map_batches(
         _GenDocs,

@@ -40,9 +40,13 @@ def zip_with_index(
     sort_key: str,
     id_column: str,
     start: int = 1,
+    assume_sorted: bool = False,
 ) -> "ray.data.Dataset":
-    """Sort by ``sort_key`` and add ``id_column`` = start + global row rank."""
-    ds = ds.sort(sort_key).materialize()
+    """Sort by ``sort_key`` and add ``id_column`` = start + global row rank.
+
+    ``assume_sorted`` skips the sort when the input is already globally
+    sorted by ``sort_key`` (e.g. the output of a sort-based groupby)."""
+    ds = (ds if assume_sorted else ds.sort(sort_key)).materialize()
     block_refs: list = []
     counts: list[int] = []
     for bundle in ds.iter_internal_ref_bundles():

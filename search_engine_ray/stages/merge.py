@@ -41,6 +41,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
 from search_engine_ray.config import EngineConfig
 from search_engine_ray.functions.vb import binary_column_parts, binary_from_spans, vb_encode_array
@@ -138,23 +139,26 @@ def chunk_rows_from_postings(
 
 
 def _chunks_for_sorted_batch(batch: pa.Table, chunk_size: int,
-                             skip_edge_groups: bool) -> pa.Table:
+                             skip_edge_groups: bool, salt_span: int) -> pa.Table:
     """Vectorized multi-group chunk construction over a batch of posting rows
-    already sorted by (term, salt, doc_id). When ``skip_edge_groups`` is set,
-    the batch's first and last (term, salt) runs are skipped (they may
-    continue in neighbouring blocks; the boundary-repair pass handles them).
+    (term, doc_id, pos_enc) already sorted by (term, doc_id). When
+    ``skip_edge_groups`` is set, the batch's first and last (term, salt) runs
+    are skipped (they may continue in neighbouring blocks; the boundary-
+    repair pass handles them).
 
-    One VB encode for the whole batch's doc stream and one for its position
-    stream — no per-group Python at all (the reason the reference's per-term
-    merge loop, spimi.rs:63-97, doesn't translate here)."""
+    salt and tf are DERIVED here (salt = doc_id // salt_span; tf = count of
+    VB terminator bytes per pos_enc value) — they are deliberately not part
+    of the shuffle payload (see prep_postings). One VB encode for the whole
+    batch's doc stream; no per-group Python at all (the reason the
+    reference's per-term merge loop, spimi.rs:63-97, doesn't translate
+    here)."""
     batch = batch.combine_chunks()
     n = batch.num_rows
     if n == 0:
         return CHUNK_SCHEMA.empty_table()
     terms = batch["term"]
-    salts = batch["salt"].to_numpy(zero_copy_only=False)
     doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    tfs = batch["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+    salts = doc_ids // salt_span
 
     # group run detection (term or salt change); dictionary-encode terms for
     # cheap comparison
@@ -174,7 +178,7 @@ def _chunks_for_sorted_batch(batch: pa.Table, chunk_size: int,
             return CHUNK_SCHEMA.empty_table()
         sel = np.flatnonzero(row_keep)
         batch = batch.take(pa.array(sel))
-        return _chunks_for_sorted_batch(batch, chunk_size, skip_edge_groups=False)
+        return _chunks_for_sorted_batch(batch, chunk_size, False, salt_span)
 
     # position within group → chunk index within group
     pos_in_group = np.arange(n) - np.repeat(group_starts, np.diff(np.append(group_starts, n)))
@@ -182,8 +186,6 @@ def _chunks_for_sorted_batch(batch: pa.Table, chunk_size: int,
     chunk_starts = np.flatnonzero(is_chunk_start)
     n_chunks = len(chunk_starts)
     chunk_ends = np.append(chunk_starts[1:], n)
-    # a chunk never crosses a group boundary: group starts are chunk starts
-    chunk_group = group_ids[chunk_starts]
     chunk_seq = (pos_in_group[chunk_starts] // chunk_size).astype(np.int32)
 
     # --- doc stream: gaps, absolute at chunk starts -----------------------
@@ -206,6 +208,11 @@ def _chunks_for_sorted_batch(batch: pa.Table, chunk_size: int,
     pos_enc = pos_data
     pos_spans = pos_bounds[np.append(chunk_starts, n)]
 
+    # tf per posting = number of VB terminator bytes in its pos_enc span
+    term_csum = np.zeros(len(pos_data) + 1, np.int64)
+    np.cumsum((pos_data >= 128).astype(np.int64), out=term_csum[1:])
+    tfs = term_csum[pos_bounds[1:]] - term_csum[pos_bounds[:-1]]
+
     list_bounds = pa.array(np.append(chunk_starts, n), type=pa.int32())
     chunk_rows = pa.table(
         {
@@ -227,14 +234,18 @@ def _chunks_for_sorted_batch(batch: pa.Table, chunk_size: int,
 
 
 def prep_postings(postings_ds, config: EngineConfig):
-    """Filter sentinels, add the salt column."""
-    span = config.salt_span
+    """Filter sentinels; project to the minimal shuffle payload.
+
+    Only (term, doc_id, pos_enc) move through the sort: salt is derived from
+    doc_id in the kernel, and tf is recovered by counting VB terminator
+    bytes in pos_enc — the merge shuffle is bandwidth-bound on a shared
+    object store, so every dropped byte is throughput. Sorting by
+    (term, doc_id) orders identically to (term, salt, doc_id): salt is
+    monotonic in doc_id."""
 
     def prep(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.not_equal(batch["term"], ""))
-        salt = pc.divide(batch["doc_id"], span)
-        cols = [c for c in ("doc_length",) if c in batch.column_names]
-        return batch.drop_columns(cols).append_column("salt", pc.cast(salt, pa.int64()))
+        return batch.select(["term", "doc_id", "pos_enc"])
 
     return postings_ds.map_batches(prep, batch_format="pyarrow")
 
@@ -259,10 +270,22 @@ def merge_postings(postings_ds, config: EngineConfig | None = None):
     "just the edge groups" was measured at ~30% of all rows."""
     config = config or EngineConfig()
     chunk_size = config.chunk_size
+    salt_span = config.salt_span
 
-    sorted_ds = prep_postings(postings_ds, config).sort(["term", "salt", "doc_id"])
+    prepped = prep_postings(postings_ds, config)
+    # Coalesce to ~2 blocks per CPU before the sort: Ray's sort exchanges
+    # n_blocks × n_blocks intermediate objects, and hundreds of small input
+    # blocks turn the shuffle into an object-store small-object storm
+    # (measured: 208 blocks → 43k exchange objects → ~3x slower than the
+    # same sort over 64 blocks).
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:  # pragma: no cover
+        ncpu = 8
+    prepped = prepped.repartition(max(16, 2 * ncpu))
+    sorted_ds = prepped.sort(["term", "doc_id"])
     return sorted_ds.map_batches(
-        lambda b: _chunks_for_sorted_batch(b, chunk_size, skip_edge_groups=False),
+        lambda b: _chunks_for_sorted_batch(b, chunk_size, False, salt_span),
         batch_format="pyarrow",
         batch_size=None,
     )

@@ -53,6 +53,21 @@ class TokenizeStage:
         return tokenize_batch(batch, self.tokenizer)
 
 
+#: process-global tokenizer per (lemma_path): lets plain *task*-based
+#: map_batches reuse the lemma table + normalize cache across tasks on the
+#: same worker, with none of an actor pool's startup latency or fixed size —
+#: tasks stay fully elastic across CPU budgets (scaling criterion).
+_WORKER_TOKENIZERS: dict = {}
+
+
+def get_worker_tokenizer(lemma_path: str | None = None) -> Tokenizer:
+    tok = _WORKER_TOKENIZERS.get(lemma_path)
+    if tok is None:
+        tok = Tokenizer(lemma_path=lemma_path)
+        _WORKER_TOKENIZERS[lemma_path] = tok
+    return tok
+
+
 def tokenize_batch(
     batch: pa.Table,
     tokenizer: Tokenizer,
@@ -162,9 +177,14 @@ def tokenize_stage(ds, config: EngineConfig | None = None):
     config = config or EngineConfig()
     kwargs = dict(batch_format="pyarrow", batch_size=config.tokenize_batch_size)
     if config.tokenize_concurrency:
+        # explicit actor pool when requested
         return ds.map_batches(TokenizeStage, fn_constructor_args=(config,),
                               concurrency=config.tokenize_concurrency, **kwargs)
-    # default: stateless tasks constructing the (cheap, built-in) lemma table
-    # per task would be wasteful — use a small actor pool sized by Ray
-    return ds.map_batches(TokenizeStage, fn_constructor_args=(config,),
-                          concurrency=(1, 8), **kwargs)
+    # default: plain tasks + process-global tokenizer — elastic across any
+    # CPU budget, no pool startup, cache still amortized per worker process
+    lemma_path = config.lemma_path
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return tokenize_batch(batch, get_worker_tokenizer(lemma_path))
+
+    return ds.map_batches(fn, **kwargs)

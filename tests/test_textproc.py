@@ -79,3 +79,22 @@ class TestSplitWhitespace:
     def test_empty(self):
         assert split_whitespace("") == []
         assert split_whitespace("   ") == []
+
+
+class TestLemmaFileParser:
+    def test_reference_format(self, tmp_path):
+        # the reference's lemmas.txt line format (tokenizer.rs:52-87)
+        p = tmp_path / "lemmas.txt"
+        p.write_text(
+            'be,"is, was, are"\n'
+            "\n"
+            'run,"ran, running"\n'
+            'be,"am"\n'          # later lines overwrite
+            "noquotes,x, y\n"    # quotes optional; split at FIRST comma
+        )
+        from search_engine_ray.functions.lemmas import parse_lemma_file
+
+        m = parse_lemma_file(str(p))
+        assert m["is"] == "be" and m["was"] == "be" and m["am"] == "be"
+        assert m["running"] == "run"
+        assert m["x"] == "noquotes" and m["y"] == "noquotes"
