@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import re
 
-import numpy as np
 
 #: BPE-ish pre-tokenization: letter runs, digit runs, single non-space symbols
 #: (a simplified GPT-2-style pattern; compiled once per actor).

@@ -13,7 +13,7 @@ from dataclasses import dataclass
 import numpy as np
 import pyarrow as pa
 
-from search_engine_ray.functions.vb import decode_ascending, delta_decode_array, vb_decode_array
+from search_engine_ray.functions.vb import decode_ascending, vb_decode_array
 
 
 @dataclass
