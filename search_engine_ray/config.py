@@ -31,6 +31,9 @@ class EngineConfig:
     #: (reference-style: vb_encode.rs, helper.rs), "arrow" = plain
     #: list<int64>/list<int32> columns (parquet does the compression).
     codec: str = "vb"
+    #: on-disk chunk-row schema version; part of every stage fingerprint so
+    #: format changes invalidate cached/resumable indexes.
+    format_version: int = 2
 
     # --- scoring ------------------------------------------------------------
     #: BM25 parameters. The reference defines none (its live scoring is

@@ -244,6 +244,14 @@ def q_bm25_topk(sf_dir: str):
     return _ranked(scores, 4)
 
 
+def q_bm25_wand(sf_dir: str):
+    """Block-max WAND BM25 (query/wand.py) — must equal the exhaustive
+    scorer row-for-row, so it shares bm25_topk's oracle SQL."""
+    eng = engine_for(sf_dir)
+    scores = eng.bm25_topk_wand(Q_TEXT, k=10_000_000)
+    return _ranked(scores, 4)
+
+
 def q_phrase(sf_dir: str):
     """Q6: phrase match via consecutive positions."""
     eng = engine_for(sf_dir)
@@ -418,7 +426,7 @@ def oracle_queries() -> dict[str, str]:
             FROM scores ORDER BY round(s, 4) DESC, doc_id LIMIT {TOPK}
             """
         ),
-        "bm25_topk": _with(
+        "bm25_topk": (out_bm25 := _with(
             f"""
             , {doclen_cte}
             , stats AS (SELECT avg(doc_length) AS avgdl FROM doclen)
@@ -438,7 +446,8 @@ def oracle_queries() -> dict[str, str]:
                    doc_id + 1 AS doc_id, round(s, 4) AS score_r
             FROM scores ORDER BY round(s, 4) DESC, doc_id LIMIT {TOPK}
             """
-        ),
+        )),
+        "bm25_wand": out_bm25,
         "phrase": _with(
             f"""
             SELECT DISTINCT a.doc_id + 1 AS doc_id
@@ -517,6 +526,7 @@ RAY_QUERIES = {
     "boolean_and": q_boolean_and,
     "tfidf_topk": q_tfidf_topk,
     "bm25_topk": q_bm25_topk,
+    "bm25_wand": q_bm25_wand,
     "phrase": q_phrase,
     "proximity": q_proximity,
     "fuzzy": q_fuzzy,

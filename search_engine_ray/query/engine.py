@@ -82,6 +82,13 @@ class SearchEngine:
         idx = np.searchsorted(self._dl_ids, doc_ids)
         return self._dl[np.clip(idx, 0, len(self._dl) - 1)]
 
+    def get_chunks(self, term: str):
+        """Raw chunk rows of a term (no posting decode) — WAND feeds on
+        these; decoding happens lazily per chunk inside the cursor."""
+        if term not in self._dict:
+            return None
+        return self._postings_ds.to_table(filter=pc.field("term") == term)
+
     def get_postings(self, term: str) -> TermPostings | None:
         if term not in self._dict:
             return None
@@ -161,6 +168,40 @@ class SearchEngine:
             return []
         ids, scores = topk_docs(np.concatenate(doc_parts), np.concatenate(score_parts), k)
         return [(int(d), float(s)) for d, s in zip(ids, scores)]
+
+    def bm25_topk_wand(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Block-max WAND top-k BM25 (query/wand.py): identical results to
+        :meth:`bm25_topk` (ties included — pytest-enforced), but skips whole
+        chunks whose upper bound cannot reach the running threshold, using
+        the per-chunk max_doc_id skip pointers + max_tf bounds."""
+        from search_engine_ray.query.scoring import bm25_idf
+        from search_engine_ray.query.wand import TermCursor, wand_topk
+
+        def dl_of(doc_id: int) -> int:
+            i = int(np.searchsorted(self._dl_ids, doc_id))
+            return int(self._dl[min(i, len(self._dl) - 1)])
+
+        cursors = []
+        for t in self.query_terms(query):
+            meta = self.lookup(t)
+            if meta is None:
+                continue
+            chunks = self.get_chunks(t)
+            if chunks is None or chunks.num_rows == 0:
+                continue
+            cursors.append(
+                TermCursor(
+                    chunks,
+                    bm25_idf(meta[1], self.num_docs),
+                    self.config.bm25_k1,
+                    self.config.bm25_b,
+                    self.avgdl,
+                    dl_of,
+                )
+            )
+        if not cursors:
+            return []
+        return wand_topk(cursors, k)
 
     # ------------------------------------------------------------------ phrase
     def phrase(self, query: str) -> np.ndarray:

@@ -52,6 +52,7 @@ CHUNK_SCHEMA = pa.schema(
         ("salt", pa.int64()),
         ("chunk_seq", pa.int32()),
         ("n_postings", pa.int32()),
+        ("max_tf", pa.int32()),
         ("first_doc_id", pa.int64()),
         ("max_doc_id", pa.int64()),
         ("doc_gaps", pa.binary()),
@@ -128,6 +129,7 @@ def chunk_rows_from_postings(
             "salt": pa.array(np.full(n_chunks, salt), pa.int64()),
             "chunk_seq": pa.array(np.arange(n_chunks, dtype=np.int32), pa.int32()),
             "n_postings": pa.array((chunk_ends - chunk_starts).astype(np.int32), pa.int32()),
+            "max_tf": pa.array(np.maximum.reduceat(np.asarray(tfs, np.int64), chunk_starts).astype(np.int32), pa.int32()),
             "first_doc_id": pa.array(doc_ids[chunk_starts], pa.int64()),
             "max_doc_id": pa.array(doc_ids[chunk_ends - 1], pa.int64()),
             "doc_gaps": binary_from_spans(doc_enc, doc_spans),
@@ -220,6 +222,7 @@ def _chunks_for_sorted_batch(batch: pa.Table, chunk_size: int,
             "salt": pa.array(salts[chunk_starts], pa.int64()),
             "chunk_seq": pa.array(chunk_seq, pa.int32()),
             "n_postings": pa.array((chunk_ends - chunk_starts).astype(np.int32), pa.int32()),
+            "max_tf": pa.array(np.maximum.reduceat(tfs, chunk_starts).astype(np.int32), pa.int32()),
             "first_doc_id": pa.array(doc_ids[chunk_starts], pa.int64()),
             "max_doc_id": pa.array(doc_ids[chunk_ends - 1], pa.int64()),
             "doc_gaps": binary_from_spans(doc_enc, doc_spans),

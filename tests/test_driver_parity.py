@@ -86,7 +86,7 @@ def test_query_and_oracle_keys_align(entry):
     "name",
     [
         "extract_text", "doc_ids", "term_postings", "term_df", "dictionary",
-        "doc_lengths", "top_terms", "boolean_and", "tfidf_topk", "bm25_topk",
+        "doc_lengths", "top_terms", "boolean_and", "tfidf_topk", "bm25_topk", "bm25_wand",
         "phrase", "proximity", "fuzzy", "exact_dedup", "lang_counts",
         "text_stats", "ann_topk", "media_features",
     ],
