@@ -1,0 +1,120 @@
+"""CLI: build an index / query it / run the training-data ops.
+
+The reference's public surface is SearchEngine::{new, build_index,
+handle_query} (/root/reference/src/search_engine/mod.rs:24-70) with an empty
+main(); this CLI is the runnable equivalent.
+
+    python -m search_engine_ray build  --input DIR_OR_PARQUET --out IDX [--resume]
+    python -m search_engine_ray query  --index IDX --mode bm25 "fast table merge"
+    python -m search_engine_ray dedup  --sf-dir /root/testdata/sf0.01 [--threshold 0.7]
+    python -m search_engine_ray bench-queries --index IDX --n 40
+
+Owns its Ray session (init+shutdown); the library itself never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session(num_cpus: int | None):
+    import ray
+
+    kwargs = dict(address="local", include_dashboard=False,
+                  ignore_reinit_error=True, logging_level="ERROR")
+    if num_cpus:
+        kwargs["num_cpus"] = num_cpus
+    ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="search_engine_ray")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build an inverted index from webpages parquet")
+    b.add_argument("--input", required=True, help="parquet path/dir with (url, html) columns")
+    b.add_argument("--out", required=True)
+    b.add_argument("--resume", action="store_true")
+    b.add_argument("--chunk-size", type=int, default=128)
+
+    q = sub.add_parser("query", help="query a built index")
+    q.add_argument("--index", required=True)
+    q.add_argument("--mode", default="bm25",
+                   choices=["bm25", "bm25_wand", "tfidf", "boolean", "phrase", "proximity", "fuzzy"])
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--prox-k", type=int, default=3)
+    q.add_argument("--edit-dist", type=int, default=1)
+    q.add_argument("text", nargs="+")
+
+    d = sub.add_parser("dedup", help="MinHash-LSH near-dup pairs over documents.parquet")
+    d.add_argument("--sf-dir", required=True)
+    d.add_argument("--threshold", type=float, default=0.7)
+    d.add_argument("--shingle-k", type=int, default=3)
+
+    bq = sub.add_parser("bench-queries", help="run the deterministic query set via the actor pool")
+    bq.add_argument("--index", required=True)
+    bq.add_argument("--n", type=int, default=40)
+
+    args = ap.parse_args(argv)
+    ray = _ray_session(args.num_cpus)
+    try:
+        if args.cmd == "build":
+            from search_engine_ray.config import EngineConfig
+            from search_engine_ray.pipelines.build import build_index, load_stats
+
+            build_index(args.input, args.out,
+                        EngineConfig(chunk_size=args.chunk_size), resume=args.resume)
+            print(json.dumps(load_stats(args.out)))
+        elif args.cmd == "query":
+            from search_engine_ray.query.engine import SearchEngine
+
+            eng = SearchEngine(args.index, build_bktree=(args.mode == "fuzzy"))
+            text = " ".join(args.text)
+            if args.mode == "bm25":
+                out = eng.bm25_topk(text, args.k)
+            elif args.mode == "bm25_wand":
+                out = eng.bm25_topk_wand(text, args.k)
+            elif args.mode == "tfidf":
+                out = eng.tfidf_topk(text, args.k)
+            elif args.mode == "boolean":
+                out = eng.boolean_and(text).tolist()[: args.k]
+            elif args.mode == "phrase":
+                out = eng.phrase(text).tolist()[: args.k]
+            elif args.mode == "proximity":
+                words = text.split()
+                out = eng.proximity(words[0], words[1], args.prox_k)[: args.k]
+            else:
+                out = eng.fuzzy(text.split()[0], args.edit_dist)
+            print(json.dumps({"mode": args.mode, "query": text, "results": out}))
+        elif args.cmd == "dedup":
+            import ray.data
+
+            from search_engine_ray.pipelines.training_data import minhash_lsh_dedup
+
+            docs = ray.data.read_parquet(f"{args.sf_dir}/documents.parquet",
+                                         columns=["doc_id", "text"])
+            pairs = minhash_lsh_dedup(docs, shingle_k=args.shingle_k,
+                                      threshold=args.threshold).to_pandas()
+            print(pairs.sort_values(["a", "b"]).to_json(orient="records"))
+        elif args.cmd == "bench-queries":
+            import ray.data
+
+            from search_engine_ray.query.batch import batch_query, make_query_set
+
+            qs = ray.data.from_items(make_query_set(args.n))
+            out = batch_query(qs, args.index).to_pandas()
+            print(json.dumps({"queries": args.n, "result_rows": len(out)}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

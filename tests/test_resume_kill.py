@@ -1,0 +1,69 @@
+"""Kill-and-rerun resume: a build killed mid-pipeline must resume from its
+last complete checkpoint, not restart (north_rule: resumable with
+per-partition lineage)."""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+SCRIPT = r"""
+import sys
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from search_engine_ray.config import EngineConfig
+from search_engine_ray.pipelines.build import build_index
+from search_engine_ray.sources.webpages import generate_webpages
+
+out = sys.argv[1]
+corpus = generate_webpages(3000, vocab_size=2000, tokens_per_doc=80, seed=5)
+build_index(corpus, out, EngineConfig(), resume=True)
+print("BUILD-COMPLETE", flush=True)
+ray.shutdown()
+"""
+
+
+@pytest.mark.slow
+def test_kill_mid_build_then_resume(tmp_path):
+    out = str(tmp_path / "idx")
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+
+    # run 1: kill as soon as the runs checkpoint manifest exists (mid-build)
+    p = subprocess.Popen([sys.executable, "-c", SCRIPT, out], env=env,
+                         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
+    runs_manifest = os.path.join(out, "runs", "_MANIFEST.json")
+    deadline = time.time() + 180
+    killed = False
+    while time.time() < deadline:
+        if os.path.exists(runs_manifest) and not os.path.exists(
+            os.path.join(out, "stats.json")
+        ):
+            p.send_signal(signal.SIGKILL)
+            killed = True
+            break
+        if p.poll() is not None:
+            break  # finished before we could kill — still fine, assert below
+        time.sleep(0.05)
+    p.wait(timeout=60)
+    assert killed or os.path.exists(os.path.join(out, "stats.json"))
+
+    mtime_runs = os.path.getmtime(runs_manifest)
+
+    # run 2: resume must complete without redoing the runs checkpoint
+    done = subprocess.run([sys.executable, "-c", SCRIPT, out], env=env,
+                          capture_output=True, text=True, timeout=300)
+    assert "BUILD-COMPLETE" in done.stdout, done.stdout[-2000:]
+    assert os.path.getmtime(runs_manifest) == mtime_runs, "runs checkpoint was rebuilt"
+    stats = json.load(open(os.path.join(out, "stats.json")))
+    assert stats["num_docs"] == 3000
+    # lineage manifests: every stage complete, per-partition entries recorded
+    for stage in ["docs", "runs", "postings", "dictionary", "doc_lengths"]:
+        m = json.load(open(os.path.join(out, stage, "_MANIFEST.json")))
+        assert m["complete"] and m["num_rows"] > 0
+        assert all("path" in e and "rows" in e for e in m["partitions"])
