@@ -71,9 +71,17 @@ class IndexPaths:
 
 
 def _stage(paths_dir: str, name: str, fp: str, resume: bool, producer) -> None:
-    """Run ``producer(out_dir)`` unless a matching complete manifest exists."""
+    """Run ``producer(out_dir)`` unless a matching complete manifest exists.
+
+    A (re)build always starts from an EMPTY stage dir: a stale or
+    partial previous attempt (different fingerprint, crash mid-write, older
+    format) would otherwise leave its parquet files mixed in with the new
+    ones."""
     if resume and manifests.stage_complete(paths_dir, fp):
         return
+    import shutil
+
+    shutil.rmtree(paths_dir, ignore_errors=True)
     os.makedirs(paths_dir, exist_ok=True)
     t0 = time.perf_counter()
     producer(paths_dir)
@@ -143,6 +151,11 @@ def build_index(
         ]
         runs_ds = ray.data.from_arrow_refs([o[0] for o in outs]) if outs else None
         docs_ds = ray.data.from_arrow_refs([o[1] for o in outs]) if outs else None
+        import shutil
+
+        # always start from empty dirs (stale/partial prior attempts)
+        shutil.rmtree(paths.runs, ignore_errors=True)
+        shutil.rmtree(paths.docs, ignore_errors=True)
         os.makedirs(paths.runs, exist_ok=True)
         os.makedirs(paths.docs, exist_ok=True)
 

@@ -180,3 +180,27 @@ class TestResume:
         from search_engine_ray.state.manifests import stage_complete
 
         assert not stage_complete("/tmp/definitely-missing-xyz", "abc")
+
+
+class TestStaleRebuild:
+    def test_changed_config_clears_stale_files(self, ray_session, tmp_path):
+        """A rebuild under a different fingerprint must not leave the old
+        attempt's parquet files mixed into the stage dirs."""
+        import glob
+        import os
+
+        import ray.data
+
+        rows = [{"url": _url_for(i), "html": synthesize_html(f"alpha beta doc{i}").encode()}
+                for i in range(30)]
+        out = str(tmp_path / "idx")
+        ds = ray.data.from_items(rows)
+        build_index(ds, out, EngineConfig(chunk_size=4))
+        files_v1 = set(glob.glob(os.path.join(out, "postings", "*.parquet")))
+        # different config → different fingerprint → full rebuild
+        ds2 = ray.data.from_items(rows)
+        build_index(ds2, out, EngineConfig(chunk_size=8), resume=True)
+        files_v2 = set(glob.glob(os.path.join(out, "postings", "*.parquet")))
+        assert not (files_v1 & files_v2), "stale files survived the rebuild"
+        eng = SearchEngine(out, EngineConfig(chunk_size=8), build_bktree=False)
+        assert eng.boolean_and("alpha beta").tolist() == list(range(1, 31))
