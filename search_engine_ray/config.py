@@ -55,6 +55,10 @@ class EngineConfig:
     #: extra lemma file (reference format, tokenizer.rs:52-87); merged over
     #: the built-in lemma table when set.
     lemma_path: str | None = None
+    #: query-actor dictionary representation: "hash" (dict, fastest) or
+    #: "front_coded" (blocked length-prefixed string blob — several times
+    #: smaller; the reference's string_in_memory_dict.rs alternative).
+    dict_repr: str = "hash"
 
     def with_(self, **kw) -> "EngineConfig":
         from dataclasses import replace

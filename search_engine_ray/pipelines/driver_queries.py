@@ -252,6 +252,17 @@ def q_bm25_wand(sf_dir: str):
     return _ranked(scores, 4)
 
 
+def q_cosine_norms(sf_dir: str):
+    """A8 (the reference's commented-out cosine normalization,
+    helpers/mod.rs:191-218): sqrt of per-doc sum of (tf·idf)²."""
+    from search_engine_ray.pipelines.norms import cosine_norms
+
+    eng = engine_for(sf_dir)
+    out = cosine_norms(eng.paths.out_dir).to_pandas()
+    out["norm_r"] = out["norm"].round(6)
+    return out[["doc_id", "norm_r"]].astype({"doc_id": np.int64})
+
+
 def q_phrase(sf_dir: str):
     """Q6: phrase match via consecutive positions."""
     eng = engine_for(sf_dir)
@@ -448,6 +459,15 @@ def oracle_queries() -> dict[str, str]:
             """
         )),
         "bm25_wand": out_bm25,
+        "cosine_norms": _with(
+            f"""
+            , s AS (
+              SELECT p.doc_id, sum(pow(p.tf * log10({n_docs}::DOUBLE / t.df), 2)) AS ss
+              FROM postings p JOIN term_df t USING (term) GROUP BY p.doc_id
+            )
+            SELECT doc_id + 1 AS doc_id, round(sqrt(ss), 6) AS norm_r FROM s
+            """
+        ),
         "phrase": _with(
             f"""
             SELECT DISTINCT a.doc_id + 1 AS doc_id
@@ -527,6 +547,7 @@ RAY_QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "bm25_topk": q_bm25_topk,
     "bm25_wand": q_bm25_wand,
+    "cosine_norms": q_cosine_norms,
     "phrase": q_phrase,
     "proximity": q_proximity,
     "fuzzy": q_fuzzy,

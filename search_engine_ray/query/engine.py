@@ -42,18 +42,25 @@ class SearchEngine:
         self.avgdl: float = self.stats["avgdl"]
         self.tokenizer = Tokenizer(lemma_path=self.config.lemma_path)
 
-        # dictionary: term → (term_id, df, n_chunks)  (MapInMemoryDict
-        # equivalent, map_in_memory_dict.rs:4-22)
-        dic = pq.read_table(self.paths.dictionary)
-        self._dict: dict[str, tuple[int, int, int]] = {}
+        # dictionary: term → (term_id, df, n_chunks). Representation per
+        # config.dict_repr: "hash" = MapInMemoryDict equivalent
+        # (map_in_memory_dict.rs:4-22); "front_coded" = the reference's
+        # blocked string-dict alternative (string_in_memory_dict.rs, J2)
+        dic = pq.read_table(self.paths.dictionary).combine_chunks().sort_by("term")
         terms = dic["term"].to_pylist()
-        for t, tid, df, nc in zip(
-            terms,
-            dic["term_id"].to_pylist(),
-            dic["df"].to_pylist(),
-            dic["n_chunks"].to_pylist(),
-        ):
-            self._dict[t] = (tid, df, nc)
+        tids = dic["term_id"].to_pylist()
+        dfs = dic["df"].to_pylist()
+        ncs = dic["n_chunks"].to_pylist()
+        if self.config.dict_repr == "front_coded":
+            from search_engine_ray.query.string_dict import BlockedStringDict
+
+            self._sdict = BlockedStringDict(terms, tids, dfs)
+            self._sdict_ncs = np.asarray(ncs, np.int64)
+            self._dict = None
+        else:
+            self._sdict = None
+            self._dict = {t: (tid, df, nc) for t, tid, df, nc in zip(terms, tids, dfs, ncs)}
+        self._n_terms = len(terms)
 
         # doc lengths + urls indexed by doc_id (sorted arrays + searchsorted;
         # doc_ids are dense 1..N from zip_with_index but we stay robust)
@@ -72,11 +79,21 @@ class SearchEngine:
         self._cache_cap = 1024
 
     # ------------------------------------------------------------------ lookups
+    @property
+    def num_terms(self) -> int:
+        return self._n_terms
+
     def lookup(self, term: str):
         """term → (term_id, df, n_chunks) or None (no unwrap-panic — the
         reference's get_term_metadata panics on missing terms, SURVEY.md J1;
         we return None)."""
-        return self._dict.get(term)
+        if self._dict is not None:
+            return self._dict.get(term)
+        i = self._sdict.lookup(term)
+        if i < 0:
+            return None
+        return (int(self._sdict.term_ids[i]), int(self._sdict.dfs[i]),
+                int(self._sdict_ncs[i]))
 
     def doc_length(self, doc_ids: np.ndarray) -> np.ndarray:
         idx = np.searchsorted(self._dl_ids, doc_ids)
@@ -85,12 +102,12 @@ class SearchEngine:
     def get_chunks(self, term: str):
         """Raw chunk rows of a term (no posting decode) — WAND feeds on
         these; decoding happens lazily per chunk inside the cursor."""
-        if term not in self._dict:
+        if self.lookup(term) is None:
             return None
         return self._postings_ds.to_table(filter=pc.field("term") == term)
 
     def get_postings(self, term: str) -> TermPostings | None:
-        if term not in self._dict:
+        if self.lookup(term) is None:
             return None
         hit = self._cache.get(term)
         if hit is not None:

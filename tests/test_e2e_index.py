@@ -68,7 +68,7 @@ class TestDictionary:
         engine, oracle, _ = built
         assert engine.num_docs == oracle.num_docs == len(TEXTS)
         ids = oracle.term_ids()
-        assert len(engine._dict) == len(ids)
+        assert engine.num_terms == len(ids)
         for term, tid in ids.items():
             etid, edf, _ = engine.lookup(term)
             assert etid == tid, term
@@ -204,3 +204,25 @@ class TestStaleRebuild:
         assert not (files_v1 & files_v2), "stale files survived the rebuild"
         eng = SearchEngine(out, EngineConfig(chunk_size=8), build_bktree=False)
         assert eng.boolean_and("alpha beta").tolist() == list(range(1, 31))
+
+
+class TestCosineNorms:
+    def test_norms_match_oracle(self, built):
+        """A8: sqrt(sum (tf*idf)^2) per doc vs the brute-force oracle."""
+        import numpy as np
+
+        from search_engine_ray.pipelines.norms import cosine_norms
+
+        engine, oracle, paths = built
+        got = {r["doc_id"]: r["norm"] for r in cosine_norms(paths.out_dir).take_all()}
+        for doc_id, text in enumerate(TEXTS, start=1):
+            postings, _ = oracle.tokenizer.doc_postings(doc_id, text)
+            expect = 0.0
+            for term, positions in postings.items():
+                idf = np.log10(oracle.num_docs / oracle.df(term))
+                expect += (len(positions) * idf) ** 2
+            expect = float(np.sqrt(expect))
+            if expect == 0.0:
+                assert doc_id not in got or got[doc_id] == 0.0
+            else:
+                assert got[doc_id] == pytest.approx(expect, rel=1e-9), doc_id
