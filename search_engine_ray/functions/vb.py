@@ -176,23 +176,33 @@ def delta_decode_array(gaps: np.ndarray) -> np.ndarray:
 
 def binary_from_spans(data: np.ndarray, span_offsets: np.ndarray):
     """Zero-copy build of an Arrow binary column whose i-th value is
-    data[span_offsets[i]:span_offsets[i+1]]."""
+    data[span_offsets[i]:span_offsets[i+1]]. Falls back to large_binary
+    (int64 offsets) when the byte stream exceeds the int32 offset range —
+    a silent int32 wrap would corrupt the index."""
     import pyarrow as pa
 
+    n = len(span_offsets) - 1
+    if n >= 0 and len(span_offsets) and int(span_offsets[-1]) >= 2**31:
+        return pa.Array.from_buffers(
+            pa.large_binary(),
+            n,
+            [None, pa.py_buffer(np.ascontiguousarray(span_offsets, np.int64)), pa.py_buffer(data)],
+        )
     return pa.Array.from_buffers(
         pa.binary(),
-        len(span_offsets) - 1,
+        n,
         [None, pa.py_buffer(np.ascontiguousarray(span_offsets, np.int32)), pa.py_buffer(data)],
     )
 
 
 def binary_column_parts(arr) -> tuple[np.ndarray, np.ndarray]:
-    """(offsets int64[n+1], data uint8[]) of an Arrow BinaryArray, handling
-    array offsets (BinaryArray layout: int32 offsets buffer + data buffer)."""
+    """(offsets int64[n+1], data uint8[]) of an Arrow (Large)BinaryArray,
+    handling array offsets (layout: int32/int64 offsets buffer + data)."""
     import pyarrow as pa
 
     assert isinstance(arr, pa.Array)
-    offsets = np.frombuffer(arr.buffers()[1], np.int32)[arr.offset : arr.offset + len(arr) + 1]
+    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) or pa.types.is_large_string(arr.type) else np.int32
+    offsets = np.frombuffer(arr.buffers()[1], off_dtype)[arr.offset : arr.offset + len(arr) + 1]
     data = np.frombuffer(arr.buffers()[2], np.uint8) if arr.buffers()[2] is not None else np.zeros(0, np.uint8)
     return offsets.astype(np.int64), data
 

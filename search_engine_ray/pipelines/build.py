@@ -199,9 +199,12 @@ def build_index(
             g = batch.groupby("term", sort=False)["n_postings"].agg(["sum", "size"])
             return g.rename(columns={"sum": "df_part", "size": "nc_part"}).reset_index()
 
-        partials = chunks.map_batches(partial, batch_format="pandas", batch_size=None)
+        partials = chunks.map_batches(partial, batch_format="pandas", batch_size=None).materialize()
 
-        if _small_corpus(paths):
+        # gate on the MEASURED partial row count (≈ n_blocks × vocab), not
+        # doc count: a 10M-term vocab × hundreds of blocks would be GBs on
+        # the driver even for a "small" corpus.
+        if partials.count() <= 8_000_000:
             # small-side fast path: finish on the driver
             import pyarrow.parquet as pq
 
@@ -305,8 +308,17 @@ def build_index(
     if errors:
         raise errors[0]
 
-    # ---- stage 6: corpus stats (one aggregation pass) ---------------------
-    if not (resume and os.path.exists(paths.stats)):
+    # ---- stage 6: corpus stats (one aggregation pass). Resume must check
+    # the stored fingerprint, not just existence: a rebuild with different
+    # input/config regenerates every stage and would otherwise keep stale
+    # stats.json (wrong N/avgdl silently skews BM25). ----------------------
+    def _stats_current() -> bool:
+        try:
+            return load_stats(out_dir).get("fingerprint") == in_fp
+        except (FileNotFoundError, json.JSONDecodeError):
+            return False
+
+    if not (resume and _stats_current()):
         from ray.data.aggregate import Count, Sum
 
         lengths = ray.data.read_parquet(paths.doc_lengths)

@@ -338,7 +338,9 @@ def simhash_table(docs, id_col="doc_id", text_col="text"):
         for t in batch[text_col].to_pylist():
             th = _tok_hashes(t)
             uniq, counts = np.unique(th, return_counts=True) if len(th) else (np.zeros(0, _U64), np.zeros(0, np.int64))
-            out.append(np.int64(np.uint64(simhash64(uniq, counts))))
+            # view-reinterpret: numpy>=2 raises on out-of-range
+            # np.int64(np.uint64(x)) scalar conversion for bit-63 hashes
+            out.append(int(np.uint64(simhash64(uniq, counts)).view(np.int64)))
         return pa.table({id_col: batch[id_col], "simhash": pa.array(out, pa.int64())})
 
     return docs.map_batches(fn, batch_format="pyarrow")
@@ -464,6 +466,10 @@ def ann_brute_force(embeddings, query_matrix: np.ndarray, k: int = 10,
     qref = ray.put(np.ascontiguousarray(query_matrix, np.float64))
 
     def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # Ray Data can deliver empty blocks
+            return pa.table({"query_id": pa.array([], pa.int32()),
+                             id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
         q = _normalize(ray.get(qref))
         m = _normalize(_to_matrix(batch[emb_col]))
         ids = batch[id_col].to_numpy(zero_copy_only=False)

@@ -59,7 +59,12 @@ def zip_with_index(
         for ref, off in zip(block_refs, offsets)
     ]
     if not stamped:
-        # empty input: preserve schema plus the id column
-        empty = ds.schema().base_schema if hasattr(ds.schema(), "base_schema") else None
-        return ds
+        # empty input: preserve the input schema PLUS the id column (a bare
+        # `return ds` would drop the column downstream consumers rely on)
+        schema = ds.schema()
+        base = getattr(schema, "base_schema", None)
+        if base is not None and id_column not in base.names:
+            base = base.append(pa.field(id_column, pa.int64()))
+        return ray.data.from_arrow(base.empty_table() if base is not None
+                                   else pa.table({id_column: pa.array([], pa.int64())}))
     return ray.data.from_arrow_refs(stamped)

@@ -19,7 +19,17 @@ TAG_PATTERN = "<[^>]*>"
 def extract_batch(batch: pa.Table, html_col: str = "html", out_col: str = "text") -> pa.Table:
     html = batch[html_col]
     if pa.types.is_binary(html.type) or pa.types.is_large_binary(html.type):
-        html = pc.cast(html, pa.large_string() if pa.types.is_large_binary(html.type) else pa.string())
+        target = pa.large_string() if pa.types.is_large_binary(html.type) else pa.string()
+        try:
+            html = pc.cast(html, target)
+        except pa.ArrowInvalid:
+            # real crawl HTML routinely contains invalid UTF-8; match the
+            # scalar spec (textproc.extract_plaintext_bytes): lossy decode
+            html = pa.array(
+                [None if v is None else v.decode("utf-8", errors="replace")
+                 for v in html.to_pylist()],
+                type=target,
+            )
     text = pc.replace_substring_regex(html, pattern=TAG_PATTERN, replacement="")
     if out_col in batch.column_names:
         batch = batch.drop_columns([out_col])

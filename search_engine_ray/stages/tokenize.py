@@ -74,44 +74,71 @@ def tokenize_batch(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> pa.Table:
-    texts = batch[text_col].to_pylist()
-    doc_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    """Fully Arrow-vectorized tokenization: the raw split, token→unique
+    coding and position arithmetic never materialize Python objects — only
+    the (small, memoized) per-UNIQUE-token normalization runs in Python.
+    Semantics match Rust ``split_whitespace`` / Python ``str.split``:
+    Arrow's ``utf8_split_whitespace`` emits empty tokens at string edges, so
+    empties are masked out and positions are the rank among non-empty raw
+    tokens (bit-identical to the spec in functions/tokenizer.py —
+    pytest-enforced)."""
+    import pyarrow.compute as pc
 
-    raw_lists = [t.split() if t is not None else [] for t in texts]
-    counts = np.fromiter((len(r) for r in raw_lists), np.int64, len(raw_lists))
-    total = int(counts.sum())
+    batch = batch.combine_chunks()
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    doc_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_docs = len(doc_ids)
+
+    toks = pc.utf8_split_whitespace(texts)
+    counts_raw = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    total = len(flat)
 
     if total == 0:
         return _emit(tokenizer, np.array([], np.int64), np.array([], np.int64),
-                     np.array([], np.int64), [], counts, doc_ids)
+                     np.array([], np.int64), [], np.zeros(n_docs, np.int64), doc_ids)
 
-    flat = np.empty(total, dtype=object)
-    pos = np.empty(total, dtype=np.int64)
-    off = 0
-    for r in raw_lists:
-        n = len(r)
-        flat[off : off + n] = r
-        pos[off : off + n] = np.arange(n)
-        off += n
-    doc_idx = np.repeat(np.arange(len(raw_lists)), counts)
+    doc_idx = np.repeat(np.arange(n_docs), counts_raw)
+    keep_raw = pc.not_equal(flat, "").to_numpy(zero_copy_only=False).astype(bool)
 
-    # factorize raw tokens → normalize each unique once (memoized in actor)
-    codes, uniques = pd.factorize(flat, use_na_sentinel=False)
-    norm_unique = [tokenizer.normalize(u) for u in uniques]
+    # positions = rank among NON-EMPTY raw tokens within the doc
+    cum = np.cumsum(keep_raw, dtype=np.int64)
+    exc = np.empty(total, np.int64)
+    exc[0] = 0
+    exc[1:] = cum[:-1]
+    doc_starts = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(counts_raw, out=doc_starts[1:])
+    base = np.zeros(n_docs, np.int64)
+    np.take(np.append(exc, cum[-1]), doc_starts[:-1], out=base)
+    pos = exc - base[doc_idx]
+
+    # dictionary-encode raw tokens → normalize each UNIQUE once (memoized)
+    denc = flat.dictionary_encode()
+    codes = denc.indices.to_numpy(zero_copy_only=False)
+    norm_unique = [tokenizer.normalize(u) for u in denc.dictionary.to_pylist()]
     # factorize normalized forms so groupings use int codes, '' = dropped
     norm_codes_u, norm_terms = pd.factorize(np.asarray(norm_unique, dtype=object), use_na_sentinel=False)
     tok_norm_code = norm_codes_u[codes]
-    keep = np.asarray(norm_terms, dtype=object)[tok_norm_code] != ""
+    keep = keep_raw & (np.asarray(norm_terms, dtype=object)[tok_norm_code] != "")
 
     return _emit(tokenizer, doc_idx[keep], tok_norm_code[keep], pos[keep],
-                 norm_terms, counts, doc_ids)
+                 norm_terms, np.zeros(n_docs, np.int64), doc_ids)
 
 
 def _emit(tokenizer, doc_idx, term_code, positions, norm_terms, counts, doc_ids):
     """Group kept tokens by (doc, term) → postings rows (+ zero-doc sentinels)."""
     n = len(doc_idx)
     if n:
-        order = np.lexsort((positions, term_code, doc_idx))
+        # one stable argsort on a fused (doc, term) int64 key — positions
+        # arrive ascending per doc, so stability keeps them ordered (cheaper
+        # than a 3-key lexsort by ~2x)
+        n_u = np.int64(len(norm_terms) + 1)
+        order = np.argsort(doc_idx * n_u + term_code, kind="stable")
         doc_idx = doc_idx[order]
         term_code = term_code[order]
         positions = positions[order]
@@ -131,7 +158,12 @@ def _emit(tokenizer, doc_idx, term_code, positions, norm_terms, counts, doc_ids)
         run_len = np.array([], np.int64)
         doc_lengths_all = np.zeros(len(counts), np.int64)
 
-    terms_arr = pa.array(np.asarray(norm_terms, dtype=object)[run_term] if len(run_term) else [], type=pa.string())
+    if len(run_term):
+        # vectorized: take per-run term strings from the (small) unique set
+        norm_arr = pa.array(np.asarray(norm_terms, dtype=object), type=pa.string())
+        terms_arr = norm_arr.take(pa.array(run_term, type=pa.int64()))
+    else:
+        terms_arr = pa.array([], type=pa.string())
 
     # positions, delta-gap + VB encoded per posting right here (the postings
     # runs ARE VB-compressed, like the reference's spill files spimi.rs:148-179;
