@@ -25,15 +25,15 @@ class EngineConfig:
     #: Salt buckets of one term are disjoint ascending doc_id ranges, so
     #: concatenating them in salt order restores global doc_id order.
     salt_span: int = 1 << 20
-    #: number of range shards of the final postings index (by term_id).
+    #: number of hash shards of runs + postings: shard = poly_hash(term) %
+    #: index_shards. The ONE partitioning key reused across build (per-shard
+    #: int-keyed merges with per-shard resume manifests) and serving (the
+    #: engine maps term → shard and reads only that shard's row groups).
     index_shards: int = 32
-    #: posting-list payload codec: "vb" = delta-gap + variable-byte binary
-    #: (reference-style: vb_encode.rs, helper.rs), "arrow" = plain
-    #: list<int64>/list<int32> columns (parquet does the compression).
-    codec: str = "vb"
     #: on-disk chunk-row schema version; part of every stage fingerprint so
-    #: format changes invalidate cached/resumable indexes.
-    format_version: int = 2
+    #: format changes invalidate cached/resumable indexes. v3 = hash-sharded
+    #: runs/postings layout + dictionary (term, df, term_id, shard).
+    format_version: int = 3
 
     # --- scoring ------------------------------------------------------------
     #: BM25 parameters. The reference defines none (its live scoring is
@@ -55,10 +55,11 @@ class EngineConfig:
     #: extra lemma file (reference format, tokenizer.rs:52-87); merged over
     #: the built-in lemma table when set.
     lemma_path: str | None = None
-    #: query-actor dictionary representation: "hash" (dict, fastest) or
-    #: "front_coded" (blocked length-prefixed string blob — several times
-    #: smaller; the reference's string_in_memory_dict.rs alternative).
-    dict_repr: str = "hash"
+    #: query-actor dictionary representation: "front_coded" (blocked
+    #: length-prefixed string blob — several times smaller per actor, the
+    #: at-scale default; the reference's string_in_memory_dict.rs
+    #: alternative) or "hash" (plain dict, fastest lookups).
+    dict_repr: str = "front_coded"
 
     def with_(self, **kw) -> "EngineConfig":
         from dataclasses import replace

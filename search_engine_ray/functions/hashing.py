@@ -38,6 +38,67 @@ def mix64(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> _U64(31))
 
 
+_POLY_P = _U64(1099511628211)  # FNV-ish odd multiplier (mod 2^64)
+
+
+def poly_hash_str(s: str) -> int:
+    """Scalar spec of :func:`hash_strings_arrow`: polynomial hash of the
+    UTF-8 bytes with splitmix finalization. Deterministic across processes,
+    platforms and library versions (on-disk shard routing depends on it)."""
+    M = 0xFFFFFFFFFFFFFFFF
+    b = s.encode("utf-8")
+    acc = 0
+    for byte in b:
+        acc = (acc * int(_POLY_P) + byte) & M
+    acc ^= (len(b) * 0x9E3779B97F4A7C15) & M
+    # pure-int splitmix64 (mirrors mix64)
+    acc = (acc + 0x9E3779B97F4A7C15) & M
+    acc = ((acc ^ (acc >> 30)) * 0xBF58476D1CE4E5B9) & M
+    acc = ((acc ^ (acc >> 27)) * 0x94D049BB133111EB) & M
+    return acc ^ (acc >> 31)
+
+
+def hash_strings_arrow(arr) -> np.ndarray:
+    """Vectorized 64-bit hash of an Arrow string/binary array → uint64[n].
+
+    One pass over the shared byte buffer: per-byte contribution
+    ``byte * P^(len-1-pos)`` (uint64 wraparound) segment-summed via cumsum
+    differencing (robust to empty strings, unlike reduceat), then length-
+    mixed and splitmix-finalized. Bit-identical to :func:`poly_hash_str`
+    (property-tested). Nulls hash like empty strings."""
+    import pyarrow as pa
+
+    from search_engine_ray.functions.vb import binary_column_parts
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, _U64)
+    offsets, data = binary_column_parts(arr)
+    base = offsets[0]
+    offsets = offsets - base
+    data = data[base : base + offsets[-1]] if len(data) else data
+    lens = np.diff(offsets)
+    total = int(offsets[-1])
+    if total == 0:
+        acc = np.zeros(n, _U64)
+    else:
+        max_len = int(lens.max())
+        # P^k mod 2^64 via array accumulate (silent wraparound by design)
+        pows = np.full(max_len, _POLY_P, _U64)
+        pows[0] = _U64(1)
+        pows = np.multiply.accumulate(pows)
+        pos = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], lens)
+        exp = np.repeat(lens, lens) - 1 - pos
+        contrib = data.astype(_U64) * pows[exp]
+        csum = np.zeros(total + 1, _U64)
+        np.cumsum(contrib, out=csum[1:])
+        acc = csum[offsets[1:]] - csum[offsets[:-1]]
+    acc = acc ^ (lens.astype(_U64) * _U64(0x9E3779B97F4A7C15))
+    return mix64(acc)
+
+
 def shingle_hashes(token_hashes: np.ndarray, k: int) -> np.ndarray:
     """Hashes of k-token shingles from per-token 64-bit hashes (vectorized:
     combine a sliding window with distinct per-offset mixes)."""

@@ -16,14 +16,13 @@ process holds the whole (small) index and we document the sharding seam.
 from __future__ import annotations
 
 import numpy as np
-import pyarrow.compute as pc
-import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
 from search_engine_ray.config import EngineConfig
 from search_engine_ray.functions.tokenizer import Tokenizer
 from search_engine_ray.pipelines.build import IndexPaths, load_stats
 from search_engine_ray.query.bktree import BKTree
+from search_engine_ray.query.locator import PostingsLocator
 from search_engine_ray.query.postings_codec import TermPostings, decode_term_chunks
 from search_engine_ray.query.scoring import bm25_weights, tfidf_weights, topk_docs
 
@@ -42,24 +41,25 @@ class SearchEngine:
         self.avgdl: float = self.stats["avgdl"]
         self.tokenizer = Tokenizer(lemma_path=self.config.lemma_path)
 
-        # dictionary: term → (term_id, df, n_chunks). Representation per
-        # config.dict_repr: "hash" = MapInMemoryDict equivalent
-        # (map_in_memory_dict.rs:4-22); "front_coded" = the reference's
-        # blocked string-dict alternative (string_in_memory_dict.rs, J2)
-        dic = pq.read_table(self.paths.dictionary).combine_chunks().sort_by("term")
+        # dictionary: term → (term_id, df). Representation per
+        # config.dict_repr: "front_coded" = the reference's blocked
+        # string-dict (string_in_memory_dict.rs, J2 — several times smaller
+        # per serving actor, the at-scale default); "hash" = MapInMemoryDict
+        # equivalent (map_in_memory_dict.rs:4-22)
+        dic = pq.read_table(
+            self.paths.dictionary, columns=["term", "term_id", "df"]
+        ).combine_chunks().sort_by("term")
         terms = dic["term"].to_pylist()
         tids = dic["term_id"].to_pylist()
         dfs = dic["df"].to_pylist()
-        ncs = dic["n_chunks"].to_pylist()
         if self.config.dict_repr == "front_coded":
             from search_engine_ray.query.string_dict import BlockedStringDict
 
             self._sdict = BlockedStringDict(terms, tids, dfs)
-            self._sdict_ncs = np.asarray(ncs, np.int64)
             self._dict = None
         else:
             self._sdict = None
-            self._dict = {t: (tid, df, nc) for t, tid, df, nc in zip(terms, tids, dfs, ncs)}
+            self._dict = {t: (tid, df) for t, tid, df in zip(terms, tids, dfs)}
         self._n_terms = len(terms)
 
         # doc lengths + urls indexed by doc_id (sorted arrays + searchsorted;
@@ -72,9 +72,11 @@ class SearchEngine:
         # terms like index_metadata.rs:33-35)
         self.bktree = BKTree(terms) if build_bktree else None
 
-        # postings dataset handle (QueryProcessor.inverted_index_file
-        # equivalent) + small decoded-postings cache
-        self._postings_ds = pads.dataset(self.paths.postings, format="parquet")
+        # term-addressed postings access (the reference's term → block_ids
+        # map, index_metadata.rs:3-48, as shard hash + footer ranges) +
+        # small decoded-postings cache
+        n_shards = (self.stats.get("config") or {}).get("index_shards")
+        self.locator = PostingsLocator(self.paths.postings, n_shards)
         self._cache: dict[str, TermPostings] = {}
         self._cache_cap = 1024
 
@@ -84,27 +86,32 @@ class SearchEngine:
         return self._n_terms
 
     def lookup(self, term: str):
-        """term → (term_id, df, n_chunks) or None (no unwrap-panic — the
-        reference's get_term_metadata panics on missing terms, SURVEY.md J1;
-        we return None)."""
+        """term → (term_id, df) or None (no unwrap-panic — the reference's
+        get_term_metadata panics on missing terms, SURVEY.md J1; we return
+        None)."""
         if self._dict is not None:
             return self._dict.get(term)
         i = self._sdict.lookup(term)
         if i < 0:
             return None
-        return (int(self._sdict.term_ids[i]), int(self._sdict.dfs[i]),
-                int(self._sdict_ncs[i]))
+        return (int(self._sdict.term_ids[i]), int(self._sdict.dfs[i]))
 
     def doc_length(self, doc_ids: np.ndarray) -> np.ndarray:
         idx = np.searchsorted(self._dl_ids, doc_ids)
         return self._dl[np.clip(idx, 0, len(self._dl) - 1)]
 
+    #: WAND never touches positions — pos_gaps/pos_lens are often the
+    #: majority of index bytes, so the cursor feed prunes them at the read
+    WAND_COLUMNS = ["term", "salt", "chunk_seq", "n_postings", "max_tf",
+                    "first_doc_id", "max_doc_id", "doc_gaps", "tfs"]
+
     def get_chunks(self, term: str):
-        """Raw chunk rows of a term (no posting decode) — WAND feeds on
-        these; decoding happens lazily per chunk inside the cursor."""
+        """Raw chunk rows of a term (no posting decode, no position
+        columns) — WAND feeds on these; decoding happens lazily per chunk
+        inside the cursor."""
         if self.lookup(term) is None:
             return None
-        return self._postings_ds.to_table(filter=pc.field("term") == term)
+        return self.locator.read(term, columns=self.WAND_COLUMNS)
 
     def get_postings(self, term: str) -> TermPostings | None:
         if self.lookup(term) is None:
@@ -112,7 +119,7 @@ class SearchEngine:
         hit = self._cache.get(term)
         if hit is not None:
             return hit
-        table = self._postings_ds.to_table(filter=pc.field("term") == term)
+        table = self.locator.read(term)
         tp = decode_term_chunks(table)
         if len(self._cache) >= self._cache_cap:
             self._cache.pop(next(iter(self._cache)))

@@ -158,29 +158,48 @@ def _chunks_for_sorted_batch(batch: pa.Table, chunk_size: int,
     n = batch.num_rows
     if n == 0:
         return CHUNK_SCHEMA.empty_table()
-    terms = batch["term"]
+    # dictionary-encode terms for cheap comparison + chunk-start take
+    tenc = batch["term"].dictionary_encode().combine_chunks()
+    tcodes = tenc.indices.to_numpy(zero_copy_only=False)
+
+    def resolver(codes_at_starts: np.ndarray) -> pa.Array:
+        return tenc.dictionary.take(pa.array(codes_at_starts)).cast(pa.string())
+
+    if skip_edge_groups:
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        salts = doc_ids // salt_span
+        change = np.empty(n, bool)
+        change[0] = True
+        np.logical_or(tcodes[1:] != tcodes[:-1], salts[1:] != salts[:-1], out=change[1:])
+        group_starts = np.flatnonzero(change)
+        group_ids = np.cumsum(change) - 1  # per row
+        if len(group_starts) > 0:
+            keep_group = np.ones(len(group_starts), bool)
+            keep_group[0] = False
+            keep_group[-1] = False
+            row_keep = keep_group[group_ids]
+            if not row_keep.any():
+                return CHUNK_SCHEMA.empty_table()
+            sel = np.flatnonzero(row_keep)
+            batch = batch.take(pa.array(sel))
+        return _chunks_for_sorted_batch(batch, chunk_size, False, salt_span)
+    return _chunks_kernel(batch, chunk_size, salt_span, tcodes, resolver)
+
+
+def _chunks_kernel(batch: pa.Table, chunk_size: int, salt_span: int,
+                   tcodes: np.ndarray, term_resolver) -> pa.Table:
+    """Shared vectorized kernel: ``tcodes`` is any int array whose equal runs
+    delimit terms in the (already sorted) batch; ``term_resolver(codes)``
+    materializes the term strings for the chunk-start rows."""
+    n = batch.num_rows
+    if n == 0:
+        return CHUNK_SCHEMA.empty_table()
     doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     salts = doc_ids // salt_span
-
-    # group run detection (term or salt change); dictionary-encode terms for
-    # cheap comparison
-    tenc = terms.dictionary_encode().combine_chunks()
-    tcodes = tenc.indices.to_numpy(zero_copy_only=False)
     change = np.empty(n, bool)
     change[0] = True
     np.logical_or(tcodes[1:] != tcodes[:-1], salts[1:] != salts[:-1], out=change[1:])
     group_starts = np.flatnonzero(change)
-    group_ids = np.cumsum(change) - 1  # per row
-    if skip_edge_groups and len(group_starts) > 0:
-        keep_group = np.ones(len(group_starts), bool)
-        keep_group[0] = False
-        keep_group[-1] = False
-        row_keep = keep_group[group_ids]
-        if not row_keep.any():
-            return CHUNK_SCHEMA.empty_table()
-        sel = np.flatnonzero(row_keep)
-        batch = batch.take(pa.array(sel))
-        return _chunks_for_sorted_batch(batch, chunk_size, False, salt_span)
 
     # position within group → chunk index within group
     pos_in_group = np.arange(n) - np.repeat(group_starts, np.diff(np.append(group_starts, n)))
@@ -218,7 +237,7 @@ def _chunks_for_sorted_batch(batch: pa.Table, chunk_size: int,
     list_bounds = pa.array(np.append(chunk_starts, n), type=pa.int32())
     chunk_rows = pa.table(
         {
-            "term": tenc.dictionary.take(pa.array(tcodes[chunk_starts])).cast(pa.string()),
+            "term": term_resolver(tcodes[chunk_starts]),
             "salt": pa.array(salts[chunk_starts], pa.int64()),
             "chunk_seq": pa.array(chunk_seq, pa.int32()),
             "n_postings": pa.array((chunk_ends - chunk_starts).astype(np.int32), pa.int32()),
@@ -292,3 +311,72 @@ def merge_postings(postings_ds, config: EngineConfig | None = None):
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def merge_shard_postings(
+    runs_shard_ds,
+    shard_terms,
+    shard_tids,
+    config: EngineConfig | None = None,
+    n_sort_blocks: int = 4,
+):
+    """Int-keyed merge of ONE hash shard's runs → chunk-row Dataset.
+
+    The shuffle payload is (term_id:int64, doc_id:int64, pos_enc) — the term
+    STRING never moves through the sort (the measured merge bottleneck is
+    object-store bandwidth, and repeated UTF-8 terms were ~40% of the
+    payload; int64 keys also sort several times faster than strings). The
+    shard's (term → term_id) slice is broadcast once via ``ray.put`` —
+    per-shard slices keep the broadcast at vocab/n_shards entries however
+    large the corpus — and term strings are re-attached to the chunk rows
+    after the sort (term_id is the dense rank of the globally sorted term,
+    so (term_id, doc_id) order == (term, doc_id) order).
+
+    ``shard_terms`` must be sorted ascending (string order) with
+    ``shard_tids`` the matching dense term_ids (therefore also ascending).
+    """
+    config = config or EngineConfig()
+    chunk_size = config.chunk_size
+    salt_span = config.salt_span
+    shard_terms = np.asarray(shard_terms, dtype=object)
+    shard_tids = np.asarray(shard_tids, dtype=np.int64)
+    map_ref = ray.put((shard_terms, shard_tids))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        terms_np, tids_np = ray.get(map_ref)
+        tenc = batch["term"].dictionary_encode().combine_chunks()
+        uniq = np.asarray(tenc.dictionary.to_pylist(), dtype=object)
+        idx = np.searchsorted(terms_np, uniq)
+        # every run term exists in the dictionary (built from these runs)
+        tid_u = tids_np[np.clip(idx, 0, len(tids_np) - 1)]
+        tids = tid_u[tenc.indices.to_numpy(zero_copy_only=False)]
+        return pa.table(
+            {
+                "term_id": pa.array(tids, pa.int64()),
+                "doc_id": batch["doc_id"],
+                "pos_enc": batch["pos_enc"],
+            }
+        )
+
+    prepped = runs_shard_ds.map_batches(prep, batch_format="pyarrow")
+    # coalesce: a shard's runs arrive as many small per-task files; sorting
+    # n_blocks² exchange objects per shard × n_shards would be an object
+    # storm (same effect measured for the global sort)
+    prepped = prepped.repartition(max(2, n_sort_blocks))
+    sorted_ds = prepped.sort(["term_id", "doc_id"])
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return CHUNK_SCHEMA.empty_table()
+        terms_np, tids_np = ray.get(map_ref)
+        terms_pa = pa.array(terms_np, type=pa.string())
+        tcodes = batch["term_id"].to_numpy(zero_copy_only=False)
+
+        def resolver(codes_at_starts: np.ndarray) -> pa.Array:
+            return terms_pa.take(pa.array(np.searchsorted(tids_np, codes_at_starts)))
+
+        return _chunks_kernel(batch, chunk_size, salt_span, tcodes, resolver)
+
+    return sorted_ds.map_batches(kernel, batch_format="pyarrow", batch_size=None)

@@ -70,7 +70,7 @@ class TestDictionary:
         ids = oracle.term_ids()
         assert engine.num_terms == len(ids)
         for term, tid in ids.items():
-            etid, edf, _ = engine.lookup(term)
+            etid, edf = engine.lookup(term)
             assert etid == tid, term
             assert edf == oracle.df(term), term
 

@@ -67,3 +67,47 @@ def test_kill_mid_build_then_resume(tmp_path):
         m = json.load(open(os.path.join(out, stage, "_MANIFEST.json")))
         assert m["complete"] and m["num_rows"] > 0
         assert all("path" in e and "rows" in e for e in m["partitions"])
+
+
+@pytest.mark.slow
+def test_kill_mid_postings_shards_then_resume(tmp_path):
+    """Per-PARTITION resume: kill while some postings shards are complete
+    and others are not; the rerun must leave completed shards untouched
+    (their manifests keep their mtimes) and only rebuild the rest."""
+    import glob
+
+    out = str(tmp_path / "idx")
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+
+    p = subprocess.Popen([sys.executable, "-c", SCRIPT, out], env=env,
+                         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
+    pattern = os.path.join(out, "postings", "shard=*", "_MANIFEST.json")
+    deadline = time.time() + 180
+    killed = False
+    while time.time() < deadline:
+        done_shards = glob.glob(pattern)
+        if len(done_shards) >= 3 and not os.path.exists(os.path.join(out, "stats.json")):
+            p.send_signal(signal.SIGKILL)
+            killed = True
+            break
+        if p.poll() is not None:
+            break
+        time.sleep(0.02)
+    p.wait(timeout=60)
+    if not killed:
+        pytest.skip("build finished before a mid-postings kill window opened")
+
+    complete = sorted(glob.glob(pattern))
+    assert complete
+    mtimes = {m: os.path.getmtime(m) for m in complete}
+
+    done = subprocess.run([sys.executable, "-c", SCRIPT, out], env=env,
+                          capture_output=True, text=True, timeout=300)
+    assert "BUILD-COMPLETE" in done.stdout, done.stdout[-2000:]
+    for m, t0 in mtimes.items():
+        assert os.path.getmtime(m) == t0, f"completed shard rebuilt: {m}"
+    # and the index is whole: every shard manifest present + top-level one
+    n_shards = 32
+    assert len(glob.glob(pattern)) == n_shards
+    stats = json.load(open(os.path.join(out, "stats.json")))
+    assert stats["num_docs"] == 3000
