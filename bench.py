@@ -163,7 +163,13 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    lo, hi = 8, 32
+    """Fresh-process builds at two parallelism levels (the sandbox
+    substitute for N vs 4N nodes). Each level runs ``BENCH_SCALING_REPEATS``
+    times and the MINIMUM is kept: the box shares hardware with noisy
+    neighbours (load avg > 3 while idle was observed) and min-of-repeats
+    measures the engine, not the neighbour."""
+    lo, hi = (int(x) for x in os.environ.get("BENCH_SCALING_LEVELS", "8,32").split(","))
+    repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "2"))
     ensure_cached = dict(os.environ)
     # scaling needs a compute-bound build: amortize fixed per-stage costs
     # with a larger identical corpus at both levels, headline build only
@@ -178,17 +184,25 @@ def run_scaling() -> dict:
         )
         return json.loads(p.stdout.strip().splitlines()[-1])
 
-    r_lo, r_hi = one(lo), one(hi)
+    # interleave levels so neighbour noise hits both about equally
+    runs_lo, runs_hi = [], []
+    for _ in range(repeats):
+        runs_lo.append(one(lo))
+        runs_hi.append(one(hi))
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
-        "metric": "scaling efficiency (index build, 8 vs 32 cpus)",
+        "metric": f"scaling efficiency (index build, {lo} vs {hi} cpus, best of {repeats})",
         "value": round(eff, 3),
         "unit": "efficiency",
-        "sec_8": t_lo,
-        "sec_32": t_hi,
-        "docs_per_sec_8": r_lo["docs_per_sec"],
-        "docs_per_sec_32": r_hi["docs_per_sec"],
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
+        f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
+        "all_secs": {str(lo): [r["value"] for r in runs_lo],
+                     str(hi): [r["value"] for r in runs_hi]},
         "sf": SF_DIR,
     }
 

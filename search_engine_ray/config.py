@@ -25,11 +25,17 @@ class EngineConfig:
     #: Salt buckets of one term are disjoint ascending doc_id ranges, so
     #: concatenating them in salt order restores global doc_id order.
     salt_span: int = 1 << 20
-    #: number of hash shards of runs + postings: shard = poly_hash(term) %
-    #: index_shards. The ONE partitioning key reused across build (per-shard
-    #: int-keyed merges with per-shard resume manifests) and serving (the
-    #: engine maps term → shard and reads only that shard's row groups).
+    #: number of hash shards of the postings index: shard = poly_hash(term)
+    #: % index_shards. The ONE partitioning key reused across build (sharded
+    #: merges with per-shard resume manifests) and serving (the engine maps
+    #: term → shard and reads only that shard's row groups).
     index_shards: int = 32
+    #: number of independent merge jobs (resume units); runs are hive-
+    #: partitioned by poly_hash(term) % merge_units and each unit merges the
+    #: index_shards/merge_units output shards congruent to it. Must divide
+    #: index_shards. More units = finer resume + smaller sorts (raise on a
+    #: real cluster); fewer = less fixed per-job overhead on a small box.
+    merge_units: int = 8
     #: on-disk chunk-row schema version; part of every stage fingerprint so
     #: format changes invalidate cached/resumable indexes. v3 = hash-sharded
     #: runs/postings layout + dictionary (term, df, term_id, shard).

@@ -99,6 +99,70 @@ def hash_strings_arrow(arr) -> np.ndarray:
     return mix64(acc)
 
 
+def batch_token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-batch token hashing: Arrow string array of texts →
+    (offsets int64[n+1], hashes uint64[total]) where doc i's token hashes
+    are ``hashes[offsets[i]:offsets[i+1]]``.
+
+    Lowercase + whitespace-split + poly-hash entirely in Arrow/numpy — the
+    per-doc Python loop this replaces (blake2b per token) was the measured
+    CPU floor of the whole dedup pipeline. Per-doc output equals
+    ``[poly_hash_str(t) for t in text.lower().split()]`` (property-tested).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    toks = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+    counts = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    if len(flat) == 0:
+        return np.zeros(n + 1, np.int64), np.zeros(0, _U64)
+    # Arrow's split emits empty tokens at string edges; Python's drops them
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False).astype(bool)
+    h = hash_strings_arrow(flat)[keep]
+    doc_idx = np.repeat(np.arange(n), counts)[keep]
+    kept_counts = np.bincount(doc_idx, minlength=n)
+    offsets = np.zeros(n + 1, np.int64)
+    np.cumsum(kept_counts, out=offsets[1:])
+    return offsets, h
+
+
+def batch_shingle_hashes(offsets: np.ndarray, token_hashes: np.ndarray,
+                         k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-batch k-shingling over the flat token-hash layout of
+    :func:`batch_token_hashes` → (sh_offsets int64[n+1], shingle hashes).
+
+    One global rolling pass; windows that would cross a document boundary
+    are masked out. Per-doc output equals :func:`shingle_hashes` on that
+    doc's slice (property-tested)."""
+    n_docs = len(offsets) - 1
+    total = len(token_hashes)
+    counts = np.diff(offsets)
+    sh_counts = np.maximum(counts - k + 1, 0)
+    sh_offsets = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(sh_counts, out=sh_offsets[1:])
+    m = total - k + 1
+    if m <= 0 or sh_offsets[-1] == 0:
+        return sh_offsets, np.zeros(0, _U64)
+    t = token_hashes.astype(_U64)
+    acc = np.zeros(m, _U64)
+    for j in range(k):
+        acc = (acc * _U64(1099511628211) + mix64(t[j : m + j])) & _MASK64
+    sh_all = mix64(acc)
+    # window starting at i is valid iff tokens i..i+k-1 are in one doc:
+    # i.e. i >= doc_start and i + k <= doc_end for i's doc
+    doc_idx = np.repeat(np.arange(n_docs), counts)[:m]
+    doc_end = offsets[1:][doc_idx]
+    valid = (np.arange(m) + k) <= doc_end
+    return sh_offsets, sh_all[valid]
+
+
 def shingle_hashes(token_hashes: np.ndarray, k: int) -> np.ndarray:
     """Hashes of k-token shingles from per-token 64-bit hashes (vectorized:
     combine a sliding window with distinct per-offset mixes)."""

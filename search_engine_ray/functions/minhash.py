@@ -41,6 +41,33 @@ class MinHasher:
     def jaccard_estimate(self, sig_a: np.ndarray, sig_b: np.ndarray) -> float:
         return float(np.mean(sig_a == sig_b))
 
+    def signatures_batch(self, sh_offsets: np.ndarray, shingles: np.ndarray,
+                         perm_block: int = 32) -> np.ndarray:
+        """Whole-batch signatures: flat shingle layout (hashing.py
+        batch_shingle_hashes) → (n_docs, num_perm) uint64 matrix.
+
+        One (n_shingles × perm_block) matrix per permutation block with a
+        segmented min (reduceat) per doc — no per-doc Python. perm_block
+        bounds the temporary at n_shingles × perm_block × 8 bytes. Rows
+        equal :meth:`signature` per doc (property-tested); empty docs get
+        the all-max sentinel."""
+        n_docs = len(sh_offsets) - 1
+        out = np.full((n_docs, self.num_perm), _MASK_SENTINEL, dtype=np.uint64)
+        if len(shingles) == 0 or n_docs == 0:
+            return out
+        counts = np.diff(sh_offsets)
+        nonempty = counts > 0
+        starts = sh_offsets[:-1][nonempty]
+        x = (shingles.astype(_U64) % _MERSENNE61)[:, None]
+        for p0 in range(0, self.num_perm, perm_block):
+            p1 = min(p0 + perm_block, self.num_perm)
+            hm = mix64(x * self.a[None, p0:p1] + self.b[None, p0:p1])
+            # zero-width segments (empty docs) are excluded from `starts`,
+            # so reduceat's [starts[i], starts[i+1]) spans are exactly the
+            # non-empty docs' shingle runs
+            out[nonempty, p0:p1] = np.minimum.reduceat(hm, starts, axis=0)
+        return out
+
 
 _MASK_SENTINEL = (1 << 64) - 1
 

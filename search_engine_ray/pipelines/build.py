@@ -16,8 +16,8 @@ for Ray Data streaming execution; SURVEY.md §7.1):
       resumes by re-running ONLY the incomplete shards (per-partition
       lineage, the reference has nothing comparable). The term STRING never
       rides the merge shuffle (stages/merge.py:merge_shard_postings).
-    → doc_lengths/ (projected from docs)        ┐ concurrent with postings
-    → stats.json (N, total tokens, avgdl)
+    → stats.json (N, total tokens, avgdl); doc lengths are served from the
+      docs/ columns directly (no separate copy)
 
 Each stage writes parquet + a lineage manifest; ``build_index(resume=True)``
 skips stages (and individual postings shards) whose manifest is complete
@@ -41,15 +41,30 @@ from search_engine_ray.stages.extract import extract_stage
 from search_engine_ray.state import manifests
 
 
-@ray.remote(num_returns=2)
-def _stamp_and_tokenize(block, offset: int, lemma_path, n_shards: int):
+#: docs per tokenize sub-batch inside one task at HIGH concurrency. Whole
+#: ~8k-doc blocks were measured 3x SLOWER per task under 32-way concurrency
+#: than 2k slices: the large numpy temporaries of a big batch go through
+#: mmap and 32 processes contend on kernel page zeroing; small slices keep
+#: temporaries on the allocator free lists. At low concurrency the
+#: per-slice fixed costs dominate instead, so the build passes slice=0
+#: (whole block) below 16 CPUs.
+_TOKENIZE_SLICE = 2048
+
+
+@ray.remote(num_returns=3)
+def _stamp_and_tokenize(block, offset: int, lemma_path, n_units: int,
+                        slice_rows: int = _TOKENIZE_SLICE):
     """One fused task per sorted block: stamp doc_id = offset + row rank
     (zip_with_index semantics, stages/doc_ids.py), tokenize the block, and
-    return (runs_table, doc_meta_table).
+    return (runs_table, doc_meta_table, dict_partial_table).
 
-    runs rows are (term, doc_id, pos_enc, shard) — sentinel rows are dropped
-    here (doc_length now rides on doc_meta, so they carry no information)
-    and the hash shard is stamped so the write lands hive-partitioned."""
+    runs rows are (term, doc_id, pos_enc, sgroup) — sentinel rows are
+    dropped here (doc_length now rides on doc_meta, so they carry no
+    information) and the merge-unit group ``sgroup = poly_hash(term) %
+    merge_units`` is stamped so the write lands hive-partitioned per unit.
+    dict_partial is the per-block (term, df_part) combiner — emitting it
+    here means the dictionary stage never re-reads the runs (partial
+    aggregation fused into the wave that already holds the data)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -63,7 +78,17 @@ def _stamp_and_tokenize(block, offset: int, lemma_path, n_shards: int):
     if "doc_id" in block.column_names:
         block = block.drop_columns(["doc_id"])
     block = block.append_column("doc_id", ids)
-    postings = tokenize_batch(block, get_worker_tokenizer(lemma_path))
+    tok = get_worker_tokenizer(lemma_path)
+    step = slice_rows if slice_rows > 0 else max(1, block.num_rows)
+    parts = [
+        tokenize_batch(block.slice(s, step), tok)
+        for s in range(0, block.num_rows, step)
+    ]
+    postings = pa.concat_tables(parts).combine_chunks() if parts else None
+    if postings is None:  # pragma: no cover - empty block
+        from search_engine_ray.stages.tokenize import POSTINGS_SCHEMA
+
+        postings = POSTINGS_SCHEMA.empty_table()
 
     # doc metadata: every doc appears in postings (zero-token docs as
     # sentinel rows), so first-occurrence per doc_id recovers doc_length
@@ -78,9 +103,15 @@ def _stamp_and_tokenize(block, offset: int, lemma_path, n_shards: int):
     runs = postings.filter(pc.not_equal(postings["term"], "")).select(
         ["term", "doc_id", "pos_enc"]
     )
-    shard = (hash_strings_arrow(runs["term"]) % np.uint64(n_shards)).astype(np.int64)
-    runs = runs.append_column("shard", pa.array(shard, pa.int64()))
-    return runs, doc_meta
+    sgroup = (hash_strings_arrow(runs["term"]) % np.uint64(n_units)).astype(np.int64)
+    runs = runs.append_column("sgroup", pa.array(sgroup, pa.int64()))
+
+    # per-block combiner: df_part = posting rows per term in this block
+    vc = runs["term"].value_counts()
+    dict_partial = pa.table(
+        {"term": vc.field("values"), "df_part": pc.cast(vc.field("counts"), pa.int64())}
+    )
+    return runs, doc_meta, dict_partial
 
 
 class IndexPaths:
@@ -88,9 +119,12 @@ class IndexPaths:
         self.out_dir = out_dir
         self.docs = os.path.join(out_dir, "docs")
         self.runs = os.path.join(out_dir, "runs")
+        self.dict_partials = os.path.join(out_dir, "dict_partials")
         self.postings = os.path.join(out_dir, "postings")
         self.dictionary = os.path.join(out_dir, "dictionary")
-        self.doc_lengths = os.path.join(out_dir, "doc_lengths")
+        #: doc lengths live as a column of docs/ (read with columns=
+        #: ["doc_id", "doc_length"]) — not a separate stage artifact
+        self.doc_lengths = self.docs
         self.stats = os.path.join(out_dir, "stats.json")
 
     def postings_shard(self, k: int) -> str:
@@ -126,6 +160,9 @@ def build_index(
     """Build the full inverted index under ``out_dir``; returns its layout."""
     config = config or EngineConfig()
     n_shards = config.index_shards
+    n_units = config.merge_units
+    if n_shards % n_units:
+        raise ValueError("index_shards must be a multiple of merge_units")
     paths = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     cfg_fp = manifests.fingerprint(config)
@@ -148,6 +185,7 @@ def build_index(
 
         import numpy as np
 
+        t_s0 = time.perf_counter()
         if isinstance(input_path, str):
             pages = ray.data.read_parquet(input_path, columns=["url", "html"])
         else:
@@ -157,48 +195,59 @@ def build_index(
         # (same small-object storm as the merge sort — stages/merge.py)
         extracted = extracted.repartition(max(16, 2 * ncpu))
         sorted_ds = extracted.sort("url").materialize()
+        if os.environ.get("SE_RAY_TIMING"):
+            print(f"[ docs+runs/extract+sort] {time.perf_counter() - t_s0:.1f}s", flush=True)
+        t_s1 = time.perf_counter()
         block_refs, counts = [], []
         for bundle in sorted_ds.iter_internal_ref_bundles():
             for block_ref, meta in bundle.blocks:
                 block_refs.append(block_ref)
                 counts.append(meta.num_rows)
         offsets = 1 + np.concatenate([[0], np.cumsum(counts)[:-1]]) if counts else []
+        slice_rows = _TOKENIZE_SLICE if ncpu >= 16 else 0
         outs = [
-            _stamp_and_tokenize.remote(ref, int(off), config.lemma_path, n_shards)
+            _stamp_and_tokenize.remote(ref, int(off), config.lemma_path, n_units,
+                                       slice_rows)
             for ref, off in zip(block_refs, offsets)
         ]
         runs_ds = ray.data.from_arrow_refs([o[0] for o in outs]) if outs else None
         docs_ds = ray.data.from_arrow_refs([o[1] for o in outs]) if outs else None
+        partials_ds = ray.data.from_arrow_refs([o[2] for o in outs]) if outs else None
         import shutil
 
         # always start from empty dirs (stale/partial prior attempts)
-        shutil.rmtree(paths.runs, ignore_errors=True)
-        shutil.rmtree(paths.docs, ignore_errors=True)
-        os.makedirs(paths.runs, exist_ok=True)
-        os.makedirs(paths.docs, exist_ok=True)
+        for d in (paths.runs, paths.docs, paths.dict_partials):
+            shutil.rmtree(d, ignore_errors=True)
+            os.makedirs(d, exist_ok=True)
 
         def wdocs():
             if docs_ds is not None:
                 docs_ds.write_parquet(paths.docs, **write_kwargs)
+            if partials_ds is not None:
+                partials_ds.write_parquet(paths.dict_partials, **write_kwargs)
 
         t = threading.Thread(target=wdocs)
         t.start()
         if runs_ds is not None:
-            runs_ds.write_parquet(paths.runs, partition_cols=["shard"])
+            runs_ds.write_parquet(paths.runs, partition_cols=["sgroup"])
         t.join()
+        if os.environ.get("SE_RAY_TIMING"):
+            print(f"[ docs+runs/wave+write] {time.perf_counter() - t_s1:.1f}s", flush=True)
         manifests.write_manifest(paths.docs, "docs", in_fp)
+        manifests.write_manifest(paths.dict_partials, "dict_partials", in_fp)
         manifests.write_manifest(paths.runs, "runs", in_fp)
 
     if not (resume and manifests.stage_complete(paths.runs, in_fp)
-            and manifests.stage_complete(paths.docs, in_fp)):
+            and manifests.stage_complete(paths.docs, in_fp)
+            and manifests.stage_complete(paths.dict_partials, in_fp)):
         t0 = time.perf_counter()
         produce_docs_and_runs()
         if os.environ.get("SE_RAY_TIMING"):
             print(f"[stage docs+runs] {time.perf_counter() - t0:.1f}s", flush=True)
 
     # ---- stage 3: dictionary (df + dense 1-based term_id by sorted term +
-    # hash shard). Built BEFORE the merge from the runs' term column only
-    # (parquet column pruning makes this a small dictionary-encoded read):
+    # hash shard). Built BEFORE the merge from the per-block combiners the
+    # tokenize wave already emitted (dict_partials — no re-read of runs):
     # the merge then ships int64 term_ids instead of strings. -------------
     def produce_dictionary(d: str) -> None:
         import numpy as np
@@ -207,14 +256,7 @@ def build_index(
 
         from search_engine_ray.functions.hashing import hash_strings_arrow
 
-        terms = ray.data.read_parquet(paths.runs, columns=["term"])
-
-        def partial(batch: pa.Table) -> pa.Table:
-            batch = batch.combine_chunks()
-            vc = batch["term"].value_counts()
-            return pa.table({"term": vc.field("values"), "df_part": vc.field("counts")})
-
-        partials = terms.map_batches(partial, batch_format="pyarrow", batch_size=None).materialize()
+        partials = ray.data.read_parquet(paths.dict_partials).materialize()
 
         def _shard_col(term_arr: pa.Array) -> pa.Array:
             s = (hash_strings_arrow(term_arr) % np.uint64(n_shards)).astype(np.int64)
@@ -271,8 +313,8 @@ def build_index(
 
     _stage(paths.dictionary, "dictionary", in_fp, resume, produce_dictionary)
 
-    # ---- stage 4: postings — per-shard int-keyed merges with per-shard
-    # lineage manifests (resume re-runs ONLY incomplete shards) ------------
+    # ---- stage 4: postings — merge-unit jobs (int-keyed sorts) with
+    # per-shard lineage manifests; resume re-runs ONLY incomplete units ----
     def produce_postings_sharded() -> None:
         import shutil
         from concurrent.futures import ThreadPoolExecutor
@@ -283,14 +325,24 @@ def build_index(
         from search_engine_ray.stages.merge import merge_shard_postings
 
         os.makedirs(paths.postings, exist_ok=True)
-        todo = [
-            k for k in range(n_shards)
-            if not (resume and manifests.stage_complete(paths.postings_shard(k), in_fp))
-        ]
+
+        def unit_shards(u: int) -> list[int]:
+            # sgroup = hash % merge_units groups exactly the output shards
+            # congruent to u (index_shards is a multiple of merge_units)
+            return [k for k in range(n_shards) if k % n_units == u]
+
+        def unit_complete(u: int) -> bool:
+            return all(
+                manifests.stage_complete(paths.postings_shard(k), in_fp)
+                for k in unit_shards(u)
+            )
+
+        todo = [u for u in range(n_units) if not (resume and unit_complete(u))]
         # clean anything that is not a kept (resume, fingerprint-matching)
         # shard: stale flat files from an older layout or superseded shards
         # would otherwise be double-read by whole-dir consumers
-        keep = {f"shard={k}" for k in range(n_shards) if k not in set(todo)}
+        keep = {f"shard={k}" for u in range(n_units) if u not in set(todo)
+                for k in unit_shards(u)}
         for entry in os.listdir(paths.postings):
             if entry in keep:
                 continue
@@ -303,7 +355,7 @@ def build_index(
                 manifests.write_manifest(paths.postings, "postings", in_fp)
             return
 
-        # driver-side dictionary slices per shard (vocab-sized; the
+        # driver-side dictionary slices per unit (vocab-sized; the
         # extreme-vocab path would hive-partition the dictionary by shard
         # and read slices per job — documented seam, not needed here)
         dic = pq.read_table(paths.dictionary, columns=["term", "term_id", "shard"])
@@ -314,28 +366,37 @@ def build_index(
         terms_np, tids_np, shards_np = terms_np[order], tids_np[order], shards_np[order]
 
         n_workers = min(8, max(1, len(todo)))
-        n_sort_blocks = max(2, (2 * ncpu) // n_workers)
+        n_sort_blocks = max(4, (2 * ncpu) // n_workers)
 
-        def one_shard(k: int) -> None:
-            unit_dir = paths.postings_shard(k)
-            shutil.rmtree(unit_dir, ignore_errors=True)
-            os.makedirs(unit_dir, exist_ok=True)
-            shard_dir = os.path.join(paths.runs, f"shard={k}")
-            sel = shards_np == k
-            if os.path.isdir(shard_dir) and sel.any():
-                runs_k = ray.data.read_parquet(
-                    shard_dir, columns=["term", "doc_id", "pos_enc"]
+        def one_unit(u: int) -> None:
+            shards = unit_shards(u)
+            for k in shards:
+                shutil.rmtree(paths.postings_shard(k), ignore_errors=True)
+            group_dir = os.path.join(paths.runs, f"sgroup={u}")
+            sel = (shards_np % n_units) == u
+            if os.path.isdir(group_dir) and sel.any():
+                # coalesce AT the read (each read task takes several files)
+                # instead of a separate repartition pass after prep
+                runs_u = ray.data.read_parquet(
+                    group_dir, columns=["term", "doc_id", "pos_enc"],
+                    override_num_blocks=n_sort_blocks,
                 )
                 chunks = merge_shard_postings(
-                    runs_k, terms_np[sel], tids_np[sel], config,
-                    n_sort_blocks=n_sort_blocks,
+                    runs_u, terms_np[sel], tids_np[sel], config,
+                    n_sort_blocks=0, out_shards=shards_np[sel],
                 )
-                chunks.write_parquet(unit_dir, **write_kwargs)
-            manifests.write_manifest(unit_dir, f"postings/shard={k}", in_fp)
+                # one write fans chunk rows out to the unit's shard= dirs
+                chunks.write_parquet(paths.postings, partition_cols=["shard"],
+                                     **write_kwargs)
+            for k in shards:
+                os.makedirs(paths.postings_shard(k), exist_ok=True)
+                manifests.write_manifest(
+                    paths.postings_shard(k), f"postings/shard={k}", in_fp
+                )
 
         t0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=n_workers) as ex:
-            futures = [ex.submit(one_shard, k) for k in todo]
+            futures = [ex.submit(one_unit, u) for u in todo]
             for f in futures:
                 f.result()
         # stage-level manifest on top of the per-shard ones (written last:
@@ -343,19 +404,13 @@ def build_index(
         manifests.write_manifest(paths.postings, "postings", in_fp)
         if os.environ.get("SE_RAY_TIMING"):
             print(f"[stage postings] {time.perf_counter() - t0:.1f}s "
-                  f"({len(todo)}/{n_shards} shards)", flush=True)
+                  f"({len(todo)}/{n_units} units)", flush=True)
 
     produce_postings_sharded()
 
-    # ---- stage 5: doc lengths (projection of docs metadata; kept as its
-    # own artifact for the serving/oracle read paths) ----------------------
-    def produce_doc_lengths(d: str) -> None:
-        docs = ray.data.read_parquet(paths.docs, columns=["doc_id", "doc_length"])
-        docs.write_parquet(d, **write_kwargs)
-
-    _stage(paths.doc_lengths, "doc_lengths", in_fp, resume, produce_doc_lengths)
-
-    # ---- stage 6: corpus stats (one aggregation pass). Resume must check
+    # ---- stage 5: corpus stats (one aggregation pass over the doc
+    # metadata; doc_lengths are a column of docs/, not a separate copy —
+    # engine and oracles read them with column pruning). Resume must check
     # the stored fingerprint, not just existence: a rebuild with different
     # input/config regenerates every stage and would otherwise keep stale
     # stats.json (wrong N/avgdl silently skews BM25). ----------------------
@@ -368,7 +423,7 @@ def build_index(
     if not (resume and _stats_current()):
         from ray.data.aggregate import Count, Sum
 
-        lengths = ray.data.read_parquet(paths.doc_lengths)
+        lengths = ray.data.read_parquet(paths.docs, columns=["doc_length"])
         agg_row = lengths.aggregate(Count(alias_name="n"), Sum("doc_length", alias_name="s"))
         num_docs = int(agg_row["n"] or 0)
         total_tokens = int(agg_row["s"] or 0)

@@ -198,7 +198,7 @@ def q_doc_lengths(sf_dir: str):
     import pyarrow.parquet as pq
 
     eng = engine_for(sf_dir)
-    t = pq.read_table(eng.paths.doc_lengths)
+    t = pq.read_table(eng.paths.doc_lengths, columns=["doc_id", "doc_length"])
     return pa.table(
         {
             "doc_id": t["doc_id"].cast(pa.int64()),

@@ -44,21 +44,23 @@ _U64 = np.uint64
 
 
 def _tok_hashes(text: str) -> np.ndarray:
-    """Per-token 64-bit hashes (lowercased whitespace tokens)."""
+    """Per-token 64-bit hashes (lowercased whitespace tokens) — the scalar
+    SPEC of the vectorized :func:`batch_token_hashes` path (poly_hash per
+    token; the old per-token blake2b was the measured CPU floor of the
+    whole dedup pipeline)."""
+    from search_engine_ray.functions.hashing import poly_hash_str
+
     toks = (text or "").lower().split()
     if not toks:
         return np.zeros(0, _U64)
-    raw = np.frombuffer(
-        b"".join(int.to_bytes(hash_bytes(t), 8, "little") for t in toks), dtype=_U64
-    )
-    return raw
+    return np.array([poly_hash_str(t) for t in toks], dtype=_U64)
 
 
-@__import__("functools").lru_cache(maxsize=200_000)
-def hash_bytes(t: str) -> int:
-    import hashlib
+def _batch_tok_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets, flat token hashes) for a batch column — hot path."""
+    from search_engine_ray.functions.hashing import batch_token_hashes
 
-    return int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+    return batch_token_hashes(texts)
 
 
 # ---------------------------------------------------------------------------
@@ -144,7 +146,9 @@ def exact_dedup(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str 
 
 
 class _MinHashStage:
-    """Actor: permutations built once; per doc → signature row."""
+    """Actor: permutations built once; whole batch → signature rows in four
+    vectorized passes (token hash → shingle → per-doc segmented min → rows);
+    no per-doc Python (the old per-doc loop was the dedup CPU floor)."""
 
     def __init__(self, shingle_k: int, num_perm: int, seed: int,
                  id_col: str, text_col: str):
@@ -153,26 +157,45 @@ class _MinHashStage:
         self.id_col, self.text_col = id_col, text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
+        from search_engine_ray.functions.hashing import batch_shingle_hashes
+        from search_engine_ray.functions.vb import binary_from_spans
+
+        batch = batch.combine_chunks()
+        offsets, th = _batch_tok_hashes(batch[self.text_col])
+        sh_offsets, sh = batch_shingle_hashes(offsets, th, self.k)
+        sigs = self.h.signatures_batch(sh_offsets, sh)  # (n, num_perm)
         # sig stored as num_perm little-endian uint64s in one binary value —
         # binary payloads survive Ray's hash join (list columns do not)
-        sigs = []
-        for t in batch[self.text_col].to_pylist():
-            sh = shingle_hashes(_tok_hashes(t), self.k)
-            sigs.append(self.h.signature(sh).tobytes())
-        return pa.table(
-            {self.id_col: pa.array(ids, pa.int64()), "sig": pa.array(sigs, pa.binary())}
-        )
+        n = batch.num_rows
+        spans = np.arange(n + 1, dtype=np.int64) * (self.h.num_perm * 8)
+        sig_col = binary_from_spans(np.ascontiguousarray(sigs).view(np.uint8).reshape(-1), spans)
+        return pa.table({self.id_col: batch[self.id_col], "sig": sig_col})
+
+
+#: process-global MinHasher cache: signature tasks stay fully elastic (no
+#: actor-pool startup latency, no fixed pool size) while the permutation
+#: table still builds once per worker process.
+_MINHASHERS: dict[tuple[int, int], MinHasher] = {}
+
+
+def _get_minhasher(num_perm: int, seed: int) -> MinHasher:
+    h = _MINHASHERS.get((num_perm, seed))
+    if h is None:
+        h = MinHasher(num_perm, seed)
+        _MINHASHERS[(num_perm, seed)] = h
+    return h
 
 
 def minhash_signatures(docs, shingle_k=3, num_perm=128, seed=1,
                        id_col="doc_id", text_col="text"):
-    return docs.map_batches(
-        _MinHashStage,
-        fn_constructor_args=(shingle_k, num_perm, seed, id_col, text_col),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    )
+    def fn(batch: pa.Table) -> pa.Table:
+        stage = _MinHashStage.__new__(_MinHashStage)
+        stage.h = _get_minhasher(num_perm, seed)
+        stage.k = shingle_k
+        stage.id_col, stage.text_col = id_col, text_col
+        return stage(batch)
+
+    return docs.map_batches(fn, batch_format="pyarrow")
 
 
 _PAIR_TEMPLATES: dict[int, tuple[np.ndarray, np.ndarray]] = {}
@@ -208,14 +231,13 @@ def _group_pair_indices(gid: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarr
     return np.concatenate(a_parts), np.concatenate(b_parts)
 
 
-def _minhash_bucket_pairs_batch(batch: pa.Table, threshold: float, max_bucket: int,
-                                num_perm: int) -> pa.Table:
-    """Whole-bucket batch (sorted by band_key, doc_id) → verified pairs.
-    Vectorized across ALL buckets in the batch (no per-group Python)."""
-    empty = pa.table(
-        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-         "jaccard": pa.array([], pa.float64())}
-    )
+def _bucket_candidate_pairs_batch(batch: pa.Table, max_bucket: int) -> pa.Table:
+    """Whole-bucket batch (sorted by band_key, doc_id) → candidate (a, b)
+    pairs. Vectorized across ALL buckets in the batch (no per-group
+    Python). Buckets are capped at ``max_bucket`` docs (beyond the cap a
+    bucket is a near-clique of near-identical docs; its smallest ids
+    represent it)."""
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
     batch = batch.combine_chunks()
     if batch.num_rows < 2:
         return empty
@@ -224,75 +246,178 @@ def _minhash_bucket_pairs_batch(batch: pa.Table, threshold: float, max_bucket: i
     if len(ai) == 0:
         return empty
     ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-    from search_engine_ray.functions.vb import binary_column_parts
-
-    offs, data = binary_column_parts(batch["sig"].combine_chunks() if isinstance(batch["sig"], pa.ChunkedArray) else batch["sig"])
-    sig = data.view(_U64).reshape(batch.num_rows, num_perm)
-    est = (sig[ai] == sig[bi]).mean(axis=1)
-    keep = est >= threshold
-    if not keep.any():
-        return empty
     return pa.table(
-        {
-            "a": pa.array(ids[ai[keep]], pa.int64()),
-            "b": pa.array(ids[bi[keep]], pa.int64()),
-            "jaccard": pa.array(est[keep], pa.float64()),
-        }
+        {"a": pa.array(ids[ai], pa.int64()), "b": pa.array(ids[bi], pa.int64())}
     )
 
 
 def minhash_band_rows(sig_ds, bands=32):
-    """Signatures → (band_key, doc_id, sig) rows. Carrying the signature
-    through the shuffle lets buckets verify pairs locally — one groupby, no
-    joins (Ray's hash join is avoided by design here: verification needs
-    both signatures co-located anyway, and the band shuffle already does
-    that)."""
+    """Signatures → (band_key, doc_id) rows — 16 bytes/row. The signature
+    deliberately does NOT ride the band shuffle: carrying it in every band
+    row would amplify the shuffle payload ``bands``× (32 KB/doc at 32
+    bands); candidates are generated from keys alone and signatures are
+    fetched ONCE each during verification (broadcast or join —
+    minhash_verified_pairs)."""
 
     def explode(batch: pa.Table) -> pa.Table:
+        from search_engine_ray.functions.vb import binary_column_parts
+
+        batch = batch.combine_chunks()
+        n = batch.num_rows
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        sig_list = batch["sig"].combine_chunks() if isinstance(batch["sig"], pa.ChunkedArray) else batch["sig"]
-        sigs = sig_list.to_pylist()
-        out_ids, out_keys, out_sigs = [], [], []
-        for i, sig in zip(ids, sigs):
-            bk = band_hashes(np.frombuffer(sig, _U64), bands)
-            # combine band index into key so different bands never collide
-            keys = mix64(bk ^ (np.arange(bands, dtype=_U64) << _U64(56)))
-            out_ids.extend([int(i)] * bands)
-            out_keys.extend(keys.view(np.int64).tolist())
-            out_sigs.extend([sig] * bands)
+        sig_arr = batch["sig"]
+        if isinstance(sig_arr, pa.ChunkedArray):
+            sig_arr = sig_arr.combine_chunks()
+        offs, data = binary_column_parts(sig_arr)
+        if n == 0 or len(data) == 0:
+            return pa.table({"band_key": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        num_perm = (offs[1] - offs[0]) // 8
+        sig = data[offs[0]:].view(_U64).reshape(n, int(num_perm))
+        # vectorized banding across the whole batch: fold each band's rows
+        rows = int(num_perm) // bands
+        folded = np.zeros((n, bands), _U64)
+        view = sig[:, : bands * rows].reshape(n, bands, rows)
+        for j in range(rows):
+            folded = folded * _U64(1099511628211) + mix64(view[:, :, j])
+        keys = mix64(mix64(folded) ^ (np.arange(bands, dtype=_U64)[None, :] << _U64(56)))
         return pa.table(
             {
-                "band_key": pa.array(out_keys, pa.int64()),
-                "doc_id": pa.array(out_ids, pa.int64()),
-                "sig": pa.array(out_sigs, pa.binary()),
+                "band_key": pa.array(keys.reshape(-1).view(np.int64), pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
             }
         )
 
     return sig_ds.map_batches(explode, batch_format="pyarrow")
 
 
-def minhash_verified_pairs(sig_ds, bands=32, threshold=0.7, max_bucket=64, num_perm=128):
-    """LSH bucket → locally verified pairs → global max-estimate dedup.
-    Buckets are capped at ``max_bucket`` docs (beyond the cap a bucket is a
-    near-clique of near-identical docs; its smallest ids represent it).
+def minhash_verified_pairs(sig_ds, bands=32, threshold=0.7, max_bucket=64,
+                           num_perm=128, broadcast_cap=500_000):
+    """LSH candidates → signature verification → (a, b, jaccard) pairs.
+
+    Shuffle discipline (the 100-TB shape): band rows carry ONLY (band_key,
+    doc_id); candidate pairs are deduped BEFORE verification; each
+    signature is then fetched once — via a broadcast id-filtered gather
+    when the candidate set is small (one semi-join pass, no shuffle of the
+    big side), else via two hash joins against the signature Dataset.
 
     Bucket processing goes through stages/grouped.py::sorted_group_map — a
-    per-bucket map_groups measured 100-1000x slower on high-cardinality band
-    keys (one Python call per bucket)."""
+    per-bucket map_groups measured 100-1000x slower on high-cardinality
+    band keys (one Python call per bucket)."""
     from search_engine_ray.stages.grouped import sorted_group_map
 
+    sig_ds = sig_ds.materialize()  # consumed twice: banding + verification
     band_rows = minhash_band_rows(sig_ds, bands)
-    pairs = sorted_group_map(
+    cand_raw = sorted_group_map(
         band_rows,
         ["band_key"],
-        lambda b: _minhash_bucket_pairs_batch(b, threshold, max_bucket, num_perm),
+        lambda b: _bucket_candidate_pairs_batch(b, max_bucket),
         sort_cols=["band_key", "doc_id"],
-    )
-    # a pair can collide in many bands → dedup; estimates are identical, Max
-    # is a deterministic pick
-    from ray.data.aggregate import Max
+    ).materialize()
 
-    return pairs.groupby(["a", "b"]).aggregate(Max("jaccard", alias_name="jaccard"))
+    n_raw = cand_raw.count()
+    if n_raw == 0:
+        return ray.data.from_arrow(pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}))
+
+    # a pair collides in many bands → dedup before fetching any signature.
+    # Small side: pandas drop_duplicates on the driver (a Ray groupby costs
+    # a full extra shuffle execution for a few thousand rows); large side:
+    # distributed dedup + hash joins.
+    if n_raw <= broadcast_cap:
+        pdf = cand_raw.to_pandas().drop_duplicates(["a", "b"], ignore_index=True)
+        cand = ray.data.from_pandas(pdf)
+        return _verify_pairs_broadcast(cand, sig_ds, threshold, pdf=pdf)
+    cand = cand_raw.groupby(["a", "b"]).aggregate(Count(alias_name="_nb"))
+    cand = cand.drop_columns(["_nb"])
+    return _verify_pairs_join(cand, sig_ds, threshold)
+
+
+def _sig_matrix(sig_arr: pa.Array, n: int) -> np.ndarray:
+    from search_engine_ray.functions.vb import binary_column_parts
+
+    offs, data = binary_column_parts(sig_arr)
+    num_perm = (offs[1] - offs[0]) // 8 if n else 0
+    return data[offs[0] if n else 0:].view(_U64).reshape(n, int(num_perm))
+
+
+def _verify_pairs_broadcast(cand, sig_ds, threshold: float, pdf=None):
+    """Small-candidate-set path: broadcast the candidate id set, gather
+    exactly those signatures once (the big side never shuffles), broadcast
+    the gathered matrix, score pairs distributed."""
+    if pdf is None:
+        pdf = cand.to_pandas()  # bounded by broadcast_cap
+    ids = np.unique(np.concatenate([pdf["a"].to_numpy(), pdf["b"].to_numpy()])).astype(np.int64)
+    ids_ref = ray.put(ids)
+
+    def gather(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        wanted = ray.get(ids_ref)
+        got = batch["doc_id"].to_numpy(zero_copy_only=False)
+        mask = np.isin(got, wanted)
+        return batch.filter(pa.array(mask))
+
+    sub = sig_ds.map_batches(gather, batch_format="pyarrow").take_all()
+    sub_ids = np.array([r["doc_id"] for r in sub], np.int64)
+    order = np.argsort(sub_ids)
+    sub_ids = sub_ids[order]
+    mat = np.stack([np.frombuffer(sub[int(i)]["sig"], _U64) for i in order]) \
+        if len(sub) else np.zeros((0, 0), _U64)
+    mat_ref = ray.put((sub_ids, mat))
+
+    def score(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                          "jaccard": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        sids, smat = ray.get(mat_ref)
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        est = (smat[np.searchsorted(sids, a)] == smat[np.searchsorted(sids, b)]).mean(axis=1)
+        keep = est >= threshold
+        if not keep.any():
+            return empty
+        return pa.table({"a": pa.array(a[keep], pa.int64()),
+                         "b": pa.array(b[keep], pa.int64()),
+                         "jaccard": pa.array(est[keep], pa.float64())})
+
+    return cand.map_batches(score, batch_format="pyarrow")
+
+
+def _verify_pairs_join(cand, sig_ds, threshold: float):
+    """Scale path: two hash joins move each signature O(1) times however
+    large the candidate set (vs bands× in the old sig-carrying shuffle)."""
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:  # pragma: no cover
+        ncpu = 8
+    j1 = cand.join(sig_ds, join_type="inner", num_partitions=max(4, ncpu // 2),
+                   on=("a",), right_on=("doc_id",))
+    j2 = j1.join(sig_ds, join_type="inner", num_partitions=max(4, ncpu // 2),
+                 on=("b",), right_on=("doc_id",), right_suffix="_b")
+
+    def score(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                          "jaccard": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        n = batch.num_rows
+        sa = _sig_matrix(batch["sig"].combine_chunks() if isinstance(batch["sig"], pa.ChunkedArray) else batch["sig"], n)
+        sb = _sig_matrix(batch["sig_b"].combine_chunks() if isinstance(batch["sig_b"], pa.ChunkedArray) else batch["sig_b"], n)
+        est = (sa == sb).mean(axis=1)
+        keep = est >= threshold
+        if not keep.any():
+            return empty
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        return pa.table({"a": pa.array(a[keep], pa.int64()),
+                         "b": pa.array(b[keep], pa.int64()),
+                         "jaccard": pa.array(est[keep], pa.float64())})
+
+    return j2.map_batches(score, batch_format="pyarrow")
 
 
 def clusters_from_pairs(pairs, max_edges: int = 2_000_000) -> pd.DataFrame:

@@ -64,7 +64,9 @@ class SearchEngine:
 
         # doc lengths + urls indexed by doc_id (sorted arrays + searchsorted;
         # doc_ids are dense 1..N from zip_with_index but we stay robust)
-        dl = pq.read_table(self.paths.doc_lengths).combine_chunks().sort_by("doc_id")
+        dl = pq.read_table(
+            self.paths.doc_lengths, columns=["doc_id", "doc_length"]
+        ).combine_chunks().sort_by("doc_id")
         self._dl_ids = dl["doc_id"].to_numpy().astype(np.int64)
         self._dl = dl["doc_length"].to_numpy().astype(np.int64)
 

@@ -319,6 +319,7 @@ def merge_shard_postings(
     shard_tids,
     config: EngineConfig | None = None,
     n_sort_blocks: int = 4,
+    out_shards=None,
 ):
     """Int-keyed merge of ONE hash shard's runs → chunk-row Dataset.
 
@@ -334,17 +335,22 @@ def merge_shard_postings(
 
     ``shard_terms`` must be sorted ascending (string order) with
     ``shard_tids`` the matching dense term_ids (therefore also ascending).
+    When ``out_shards`` (per-term output shard ids, aligned with
+    ``shard_terms``) is given, chunk rows gain a ``shard`` column so one
+    ``write_parquet(partition_cols=["shard"])`` fans a merge unit's output
+    into its per-shard directories.
     """
     config = config or EngineConfig()
     chunk_size = config.chunk_size
     salt_span = config.salt_span
     shard_terms = np.asarray(shard_terms, dtype=object)
     shard_tids = np.asarray(shard_tids, dtype=np.int64)
-    map_ref = ray.put((shard_terms, shard_tids))
+    out_shards = None if out_shards is None else np.asarray(out_shards, np.int64)
+    map_ref = ray.put((shard_terms, shard_tids, out_shards))
 
     def prep(batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
-        terms_np, tids_np = ray.get(map_ref)
+        terms_np, tids_np, _ = ray.get(map_ref)
         tenc = batch["term"].dictionary_encode().combine_chunks()
         uniq = np.asarray(tenc.dictionary.to_pylist(), dtype=object)
         idx = np.searchsorted(terms_np, uniq)
@@ -360,23 +366,37 @@ def merge_shard_postings(
         )
 
     prepped = runs_shard_ds.map_batches(prep, batch_format="pyarrow")
-    # coalesce: a shard's runs arrive as many small per-task files; sorting
-    # n_blocks² exchange objects per shard × n_shards would be an object
-    # storm (same effect measured for the global sort)
-    prepped = prepped.repartition(max(2, n_sort_blocks))
+    if n_sort_blocks > 0:
+        # coalesce: a shard's runs arrive as many small per-task files;
+        # sorting n_blocks² exchange objects per shard × n_shards would be
+        # an object storm (same effect measured for the global sort). The
+        # caller can pass 0 when the read is already coalesced
+        # (override_num_blocks) — one less all-to-all pass.
+        prepped = prepped.repartition(max(2, n_sort_blocks))
     sorted_ds = prepped.sort(["term_id", "doc_id"])
 
     def kernel(batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
         if batch.num_rows == 0:
-            return CHUNK_SCHEMA.empty_table()
-        terms_np, tids_np = ray.get(map_ref)
+            empty = CHUNK_SCHEMA.empty_table()
+            if out_shards is not None:
+                empty = empty.append_column("shard", pa.array([], pa.int64()))
+            return empty
+        terms_np, tids_np, oshards = ray.get(map_ref)
         terms_pa = pa.array(terms_np, type=pa.string())
         tcodes = batch["term_id"].to_numpy(zero_copy_only=False)
+        start_slice_idx: list[np.ndarray] = []
 
         def resolver(codes_at_starts: np.ndarray) -> pa.Array:
-            return terms_pa.take(pa.array(np.searchsorted(tids_np, codes_at_starts)))
+            idx = np.searchsorted(tids_np, codes_at_starts)
+            start_slice_idx.append(idx)
+            return terms_pa.take(pa.array(idx))
 
-        return _chunks_kernel(batch, chunk_size, salt_span, tcodes, resolver)
+        out = _chunks_kernel(batch, chunk_size, salt_span, tcodes, resolver)
+        if oshards is not None:
+            out = out.append_column(
+                "shard", pa.array(oshards[start_slice_idx[0]], pa.int64())
+            )
+        return out
 
     return sorted_ds.map_batches(kernel, batch_format="pyarrow", batch_size=None)

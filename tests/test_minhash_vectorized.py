@@ -1,0 +1,119 @@
+"""Vectorized MinHash path: every batch kernel must equal its per-doc
+scalar spec, and the de-amplified pipeline (band rows WITHOUT signatures +
+single-fetch verification) must produce the same verified pairs as scoring
+every candidate directly."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from search_engine_ray.functions.hashing import (
+    batch_shingle_hashes,
+    batch_token_hashes,
+    shingle_hashes,
+)
+from search_engine_ray.functions.minhash import MinHasher
+from search_engine_ray.pipelines.training_data import _tok_hashes
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "",
+    "   ",
+    "The  Quick   Brown fox",
+    "one",
+    "a b c d e f g h i j k l m n o p",
+    "duplicate duplicate duplicate duplicate",
+    "Ünïcode tëxt with Áccents everywhere",
+    "x",
+    "the quick brown fox jumps over the lazy dog",  # exact dup of [0]
+]
+
+
+class TestBatchKernels:
+    def test_token_hashes_match_spec(self):
+        offsets, h = batch_token_hashes(pa.array(TEXTS, pa.string()))
+        assert len(offsets) == len(TEXTS) + 1
+        for i, t in enumerate(TEXTS):
+            want = _tok_hashes(t)
+            got = h[offsets[i]:offsets[i + 1]]
+            np.testing.assert_array_equal(got, want, err_msg=t)
+
+    @pytest.mark.parametrize("k", [1, 2, 3, 5])
+    def test_shingles_match_spec(self, k):
+        offsets, h = batch_token_hashes(pa.array(TEXTS, pa.string()))
+        sh_off, sh = batch_shingle_hashes(offsets, h, k)
+        for i, t in enumerate(TEXTS):
+            want = shingle_hashes(_tok_hashes(t), k)
+            got = sh[sh_off[i]:sh_off[i + 1]]
+            np.testing.assert_array_equal(got, want, err_msg=f"{t!r} k={k}")
+
+    def test_signatures_match_spec(self):
+        mh = MinHasher(num_perm=64, seed=3)
+        offsets, h = batch_token_hashes(pa.array(TEXTS, pa.string()))
+        sh_off, sh = batch_shingle_hashes(offsets, h, 2)
+        mat = mh.signatures_batch(sh_off, sh, perm_block=16)
+        assert mat.shape == (len(TEXTS), 64)
+        for i, t in enumerate(TEXTS):
+            want = mh.signature(shingle_hashes(_tok_hashes(t), 2))
+            np.testing.assert_array_equal(mat[i], want, err_msg=t)
+
+    def test_exact_dup_rows_equal(self):
+        mh = MinHasher(num_perm=32, seed=1)
+        offsets, h = batch_token_hashes(pa.array(TEXTS, pa.string()))
+        sh_off, sh = batch_shingle_hashes(offsets, h, 3)
+        mat = mh.signatures_batch(sh_off, sh)
+        np.testing.assert_array_equal(mat[0], mat[9])
+
+
+def _dup_corpus(n=300, seed=4):
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    for i in range(n):
+        words = list(rng.choice(vocab, 30))
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    # near-dups: copy with one word changed; plus one exact dup
+    for j, src in enumerate(range(0, 40, 2)):
+        words = rows[src]["text"].split()
+        words[5] = "CHANGED"
+        rows.append({"doc_id": n + j, "text": " ".join(words)})
+    rows.append({"doc_id": n + 100, "text": rows[0]["text"]})
+    return rows
+
+
+class TestDeamplifiedPipeline:
+    @pytest.fixture(scope="class")
+    def corpus(self, ray_session):
+        import ray.data
+
+        return ray.data.from_items(_dup_corpus()).materialize()
+
+    def _pairs(self, corpus, broadcast_cap):
+        from search_engine_ray.pipelines.training_data import (
+            minhash_signatures,
+            minhash_verified_pairs,
+        )
+
+        sigs = minhash_signatures(corpus, shingle_k=2, num_perm=64)
+        out = minhash_verified_pairs(
+            sigs, bands=16, threshold=0.5, num_perm=64, broadcast_cap=broadcast_cap
+        ).to_pandas()
+        return set(zip(out["a"].astype(int), out["b"].astype(int)))
+
+    def test_finds_planted_dups(self, corpus):
+        pairs = self._pairs(corpus, broadcast_cap=500_000)
+        assert (0, 400) in pairs  # exact dup scores 1.0
+        hits = sum((src, 300 + j) in pairs for j, src in enumerate(range(0, 40, 2)))
+        assert hits >= 15  # near-dups (29/30 shingle overlap) mostly found
+
+    def test_broadcast_and_join_paths_agree(self, corpus):
+        assert self._pairs(corpus, broadcast_cap=500_000) == self._pairs(corpus, broadcast_cap=0)
+
+    def test_band_rows_carry_no_signature(self, corpus):
+        from search_engine_ray.pipelines.training_data import (
+            minhash_band_rows,
+            minhash_signatures,
+        )
+
+        rows = minhash_band_rows(minhash_signatures(corpus, shingle_k=2, num_perm=64), bands=16)
+        assert set(rows.schema().names) == {"band_key", "doc_id"}
