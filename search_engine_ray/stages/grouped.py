@@ -61,11 +61,20 @@ def _edges(batch: pa.Table, key_cols: list[str]) -> pa.Table:
     return batch.take(pa.array(np.flatnonzero(sel)))
 
 
-def sorted_group_map(ds, group_cols: list[str], block_fn, sort_cols: list[str] | None = None):
+def sorted_group_map(ds, group_cols: list[str], block_fn, sort_cols: list[str] | None = None,
+                     repair_target_rows: int = 400_000):
     """Apply ``block_fn(batch)`` (pa.Table → pa.Table) to batches containing
     only COMPLETE (group_cols) groups, many groups per call. ``sort_cols``
     (default group_cols) may append extra keys for deterministic in-group
-    row order; it must start with group_cols."""
+    row order; it must start with group_cols.
+
+    Boundary repair is two-level: block-edge groups above
+    ``repair_target_rows`` get their own sort whose INTERIOR groups process
+    distributed — only the second sort's own 2×n_blocks boundary groups
+    serialize into one task (the old single-level ``repartition(1)``
+    funneled EVERY edge row through one task, and under Zipf skew block
+    boundaries land in hot groups — the inspection paradox made that ~30%
+    of all rows)."""
     sort_cols = sort_cols or group_cols
     assert sort_cols[: len(group_cols)] == group_cols
     srt = ds.sort(sort_cols).materialize()
@@ -74,10 +83,22 @@ def sorted_group_map(ds, group_cols: list[str], block_fn, sort_cols: list[str] |
     )
     edge_rows = srt.map_batches(
         lambda b: _edges(b, group_cols), batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    def _single_task(rows):
+        return (
+            rows.sort(sort_cols)
+            .repartition(1)
+            .map_batches(block_fn, batch_format="pyarrow", batch_size=None)
+        )
+
+    if edge_rows.count() <= repair_target_rows:
+        return interior.union(_single_task(edge_rows))
+    srt2 = edge_rows.sort(sort_cols).materialize()
+    interior2 = srt2.map_batches(
+        lambda b: block_fn(_interior(b, group_cols)), batch_format="pyarrow", batch_size=None
     )
-    repaired = (
-        edge_rows.sort(sort_cols)
-        .repartition(1)
-        .map_batches(block_fn, batch_format="pyarrow", batch_size=None)
+    final_edges = srt2.map_batches(
+        lambda b: _edges(b, group_cols), batch_format="pyarrow", batch_size=None
     )
-    return interior.union(repaired)
+    return interior.union(interior2).union(_single_task(final_edges))

@@ -54,3 +54,24 @@ def test_empty_dataset(ray_session):
     ds = ray.data.from_items([{"k": 1, "v": 2}]).filter(lambda r: False)
     out = sorted_group_map(ds, ["k"], make_group_sums()).to_pandas()
     assert len(out) == 0
+
+
+@pytest.mark.parametrize("repair_target_rows", [0, 100, 10**9])
+def test_two_level_repair_paths_agree(ray_session, repair_target_rows):
+    """Forcing the distributed second-level repair (repair_target_rows=0 /
+    tiny) must give identical results to the single-task path (huge)."""
+    import pandas as pd
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    keys = rng.zipf(1.2, size=8000) % 40   # hot keys straddle every boundary
+    vals = rng.integers(0, 100, size=8000)
+    rows = [{"k": int(a), "v": int(b)} for a, b in zip(keys, vals)]
+    ds = ray.data.from_items(rows, override_num_blocks=11)
+    out = sorted_group_map(ds, ["k"], make_group_sums(),
+                           repair_target_rows=repair_target_rows).to_pandas()
+    agg = out.groupby("k")[["s", "n"]].sum()
+    expect = pd.DataFrame({"k": keys, "v": vals}).groupby("k")["v"].agg(["sum", "size"])
+    assert len(out) == out["k"].nunique(), "a group was split across calls"
+    assert (agg["s"].sort_index().to_numpy() == expect["sum"].sort_index().to_numpy()).all()
+    assert (agg["n"].sort_index().to_numpy() == expect["size"].sort_index().to_numpy()).all()

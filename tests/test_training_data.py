@@ -81,9 +81,45 @@ class TestMinHashLSH:
 
     def test_exact_jaccard_verify(self, docs_ds):
         pairs = minhash_lsh_dedup(docs_ds, threshold=0.5)
-        exact = ngram_jaccard_verify(pairs, docs_ds, threshold=0.5)
+        exact = ngram_jaccard_verify(pairs, docs_ds, threshold=0.5).to_pandas()
         row = exact[(exact["a"] == 1) & (exact["b"] == 2)]
         assert float(row["jaccard_exact"].iloc[0]) == 1.0
+
+
+class TestDistributedClusters:
+    """clusters_distributed must equal union-find exactly — including dup
+    CHAINS whose edges cross partition boundaries (a-b, b-c, c-d ... where
+    no single partition sees the whole component)."""
+
+    def _check(self, edges, n_blocks=5):
+        import ray.data
+
+        from search_engine_ray.pipelines.training_data import clusters_distributed
+
+        pairs_pd = pd.DataFrame(edges, columns=["a", "b"]).astype(np.int64)
+        pairs = ray.data.from_pandas(pairs_pd).repartition(n_blocks)
+        got = clusters_distributed(pairs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        want = clusters_from_pairs(pairs_pd).sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype(np.int64), want.astype(np.int64), check_names=False
+        )
+
+    def test_chain_across_partitions(self, ray_session):
+        # one long chain 0-1-2-...-9 plus separate triangles and singleton pairs
+        edges = [(i, i + 1) for i in range(9)]
+        edges += [(100, 101), (101, 102), (100, 102)]
+        edges += [(200, 250), (300, 301)]
+        self._check(edges)
+
+    def test_random_components(self, ray_session):
+        rng = np.random.default_rng(9)
+        edges = []
+        for comp in range(12):
+            nodes = rng.choice(np.arange(comp * 50, comp * 50 + 30), 12, replace=False)
+            for i in range(len(nodes) - 1):
+                edges.append((int(nodes[i]), int(nodes[i + 1])))
+        rng.shuffle(edges)
+        self._check(edges, n_blocks=7)
 
 
 class TestSimHash:
