@@ -57,6 +57,14 @@ class EngineConfig:
     #: small (tiny files make every downstream sort latency-bound).
     min_rows_per_file: int | None = 250_000
 
+    #: also index bigram terms ("{prev} {cur}" of consecutive emitted
+    #: tokens, position = cur.position - 1 — the index-side mirror of the
+    #: reference's query-side bigrams, tokenizer.rs:150-160). Serves the
+    #: blended unigram+bigram top-k its dead handle_query intended
+    #: (search_engine/mod.rs:118-211). Off by default: it grows the index
+    #: and changes dictionary/df outputs.
+    index_bigrams: bool = False
+
     # --- tokenizer ----------------------------------------------------------
     #: extra lemma file (reference format, tokenizer.rs:52-87); merged over
     #: the built-in lemma table when set.

@@ -53,7 +53,7 @@ _TOKENIZE_SLICE = 2048
 
 @ray.remote(num_returns=3)
 def _stamp_and_tokenize(block, offset: int, lemma_path, n_units: int,
-                        slice_rows: int = _TOKENIZE_SLICE):
+                        slice_rows: int = _TOKENIZE_SLICE, bigrams: bool = False):
     """One fused task per sorted block: stamp doc_id = offset + row rank
     (zip_with_index semantics, stages/doc_ids.py), tokenize the block, and
     return (runs_table, doc_meta_table, dict_partial_table).
@@ -81,7 +81,7 @@ def _stamp_and_tokenize(block, offset: int, lemma_path, n_units: int,
     tok = get_worker_tokenizer(lemma_path)
     step = slice_rows if slice_rows > 0 else max(1, block.num_rows)
     parts = [
-        tokenize_batch(block.slice(s, step), tok)
+        tokenize_batch(block.slice(s, step), tok, bigrams=bigrams)
         for s in range(0, block.num_rows, step)
     ]
     postings = pa.concat_tables(parts).combine_chunks() if parts else None
@@ -207,7 +207,7 @@ def build_index(
         slice_rows = _TOKENIZE_SLICE if ncpu >= 16 else 0
         outs = [
             _stamp_and_tokenize.remote(ref, int(off), config.lemma_path, n_units,
-                                       slice_rows)
+                                       slice_rows, config.index_bigrams)
             for ref, off in zip(block_refs, offsets)
         ]
         runs_ds = ray.data.from_arrow_refs([o[0] for o in outs]) if outs else None

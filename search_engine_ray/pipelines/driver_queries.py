@@ -42,19 +42,21 @@ _ENGINES: dict[str, "object"] = {}
 CACHE_ROOT = "/tmp/se_ray_index_cache"
 
 
-def engine_for(sf_dir: str):
+def engine_for(sf_dir: str, config: EngineConfig | None = None):
     from search_engine_ray.pipelines.build import build_index
     from search_engine_ray.query.engine import SearchEngine
     from search_engine_ray.sources.webpages import webpages_from_documents
 
-    if sf_dir in _ENGINES:
-        return _ENGINES[sf_dir]
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    config = config or EngineConfig()
+    ck = (sf_dir, config)
+    if ck in _ENGINES:
+        return _ENGINES[ck]
+    key = hashlib.md5(f"{sf_dir}|{config}".encode()).hexdigest()[:12]
     out = os.path.join(CACHE_ROOT, key)
     pages = webpages_from_documents(sf_dir)
-    build_index(pages, out, EngineConfig(), resume=True)
-    eng = SearchEngine(out)
-    _ENGINES[sf_dir] = eng
+    build_index(pages, out, config, resume=True)
+    eng = SearchEngine(out, config)
+    _ENGINES[ck] = eng
     return eng
 
 
@@ -252,6 +254,15 @@ def q_bm25_wand(sf_dir: str):
     return _ranked(scores, 4)
 
 
+def q_bm25_blend(sf_dir: str):
+    """Unigram+bigram blended BM25 over a bigram-enabled index (the
+    completed design of the reference's dead handle_query,
+    search_engine/mod.rs:118-211)."""
+    eng = engine_for(sf_dir, EngineConfig(index_bigrams=True))
+    scores = eng.bm25_topk_blended(Q_TEXT, k=10_000_000)
+    return _ranked(scores, 4)
+
+
 def q_cosine_norms(sf_dir: str):
     """A8 (the reference's commented-out cosine normalization,
     helpers/mod.rs:191-218): sqrt of per-doc sum of (tf·idf)²."""
@@ -368,6 +379,35 @@ def q_langid(sf_dir: str):
     return lang_id_table(_read_docs(sf_dir))
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Connected components of the MinHash near-dup graph, computed by the
+    DISTRIBUTED min-label-propagation path (clusters_distributed — no
+    driver union-find, no edge cap)."""
+    from search_engine_ray.pipelines.training_data import (
+        clusters_distributed,
+        minhash_lsh_dedup,
+    )
+
+    pairs = minhash_lsh_dedup(_read_docs(sf_dir), shingle_k=2, threshold=0.4)
+    out = clusters_distributed(pairs).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype(np.int64)
+
+
+def q_jaccard_verify(sf_dir: str):
+    """Exact n-gram Jaccard re-verification of the MinHash candidate pairs
+    (distributed semi-join + hash joins; no driver scoring)."""
+    from search_engine_ray.pipelines.training_data import (
+        minhash_lsh_dedup,
+        ngram_jaccard_verify,
+    )
+
+    docs = _read_docs(sf_dir)
+    pairs = minhash_lsh_dedup(docs, shingle_k=2, threshold=0.4)
+    out = ngram_jaccard_verify(pairs, docs, shingle_k=2, threshold=0.3).to_pandas()
+    out["jaccard_exact"] = out["jaccard_exact"].round(6)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def q_ann_ivf(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -391,6 +431,9 @@ def q_ann_ivf(sf_dir: str):
 def oracle_queries() -> dict[str, str]:
     stop_list = ",".join(f"'{w}'" for w in sorted(STOPWORDS_EN))
     n_docs = "(SELECT count(*) FROM documents)"
+    qbigrams = ",".join(
+        f"'{a} {b}'" for a, b in zip(Q_TERMS, Q_TERMS[1:])
+    )
     doclen_cte = (
         "doclen AS (SELECT d.doc_id, coalesce(t.n, 0)::BIGINT AS doc_length "
         "FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS n FROM lem GROUP BY doc_id) t "
@@ -459,6 +502,55 @@ def oracle_queries() -> dict[str, str]:
             """
         )),
         "bm25_wand": out_bm25,
+        "bm25_blend": _with(
+            f"""
+            , {doclen_cte}
+            , stats AS (SELECT avg(doc_length) AS avgdl FROM doclen)
+            , lem_rn AS (
+              SELECT doc_id, term,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY position) AS rn
+              FROM lem
+            )
+            , big AS (
+              SELECT a.doc_id, a.term || ' ' || b.term AS term
+              FROM lem_rn a JOIN lem_rn b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+            )
+            , bpost AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM big GROUP BY term, doc_id)
+            , bdf AS (SELECT term, count(*)::BIGINT AS df FROM bpost GROUP BY term)
+            , uni_scores AS (
+              SELECT p.doc_id,
+                     sum( ln(({n_docs} - t.df + 0.5) / (t.df + 0.5) + 1.0)
+                          * p.tf * (1.2 + 1.0)
+                          / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_length / s.avgdl)) ) AS s
+              FROM postings p
+              JOIN term_df t USING (term)
+              JOIN doclen dl ON dl.doc_id = p.doc_id
+              CROSS JOIN stats s
+              WHERE p.term IN ({qterms})
+              GROUP BY p.doc_id
+            )
+            , bi_scores AS (
+              SELECT p.doc_id,
+                     sum( ln(({n_docs} - t.df + 0.5) / (t.df + 0.5) + 1.0)
+                          * p.tf * (1.2 + 1.0)
+                          / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_length / s.avgdl)) ) AS s
+              FROM bpost p
+              JOIN bdf t USING (term)
+              JOIN doclen dl ON dl.doc_id = p.doc_id
+              CROSS JOIN stats s
+              WHERE p.term IN ({qbigrams})
+              GROUP BY p.doc_id
+            )
+            , blended AS (
+              SELECT coalesce(u.doc_id, b.doc_id) AS doc_id,
+                     coalesce(u.s, 0) + coalesce(b.s, 0) AS s
+              FROM uni_scores u FULL OUTER JOIN bi_scores b ON u.doc_id = b.doc_id
+            )
+            SELECT ROW_NUMBER() OVER (ORDER BY round(s, 4) DESC, doc_id)::BIGINT AS rank,
+                   doc_id + 1 AS doc_id, round(s, 4) AS score_r
+            FROM blended ORDER BY round(s, 4) DESC, doc_id LIMIT {TOPK}
+            """
+        ),
         "cosine_norms": _with(
             f"""
             , s AS (
@@ -547,6 +639,7 @@ RAY_QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "bm25_topk": q_bm25_topk,
     "bm25_wand": q_bm25_wand,
+    "bm25_blend": q_bm25_blend,
     "cosine_norms": q_cosine_norms,
     "phrase": q_phrase,
     "proximity": q_proximity,
@@ -559,6 +652,8 @@ RAY_QUERIES = {
     # rows-only (no SQL oracle): stateful/approx/sketch operators
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "jaccard_verify": q_jaccard_verify,
     "fingerprints": q_fingerprints,
     "langid": q_langid,
     "ann_ivf_topk": q_ann_ivf,

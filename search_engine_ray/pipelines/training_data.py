@@ -24,13 +24,9 @@ from ray.data.aggregate import Count, Min
 from search_engine_ray.functions.hashing import (
     md5_hex_batch,
     mix64,
-    shingle_hashes,
-    winnow_fingerprint,
 )
 from search_engine_ray.functions.minhash import (
     MinHasher,
-    band_hashes,
-    simhash64,
     simhash_bands,
 )
 from search_engine_ray.functions.quality import (
@@ -109,15 +105,31 @@ def lang_id_table(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: st
 
 def fingerprints(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text",
                  k: int = 5, window: int = 4):
-    """Winnowing fingerprints: (doc_id, fingerprint:int64) exploded rows."""
+    """Winnowing fingerprints: (doc_id, fingerprint:int64) exploded rows.
+    Token+shingle hashing is whole-batch vectorized; only the per-doc
+    sliding-window min runs per doc (numpy stride tricks on each slice)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        ids_out, fps = [], []
-        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            f = winnow_fingerprint(_tok_hashes(t), k, window)
-            ids_out.extend([i] * len(f))
-            fps.extend(f.view(np.int64).tolist())
-        return pa.table({id_col: pa.array(ids_out, pa.int64()), "fingerprint": pa.array(fps, pa.int64())})
+        from search_engine_ray.functions.hashing import batch_shingle_hashes
+
+        batch = batch.combine_chunks()
+        offs, th = _batch_tok_hashes(batch[text_col])
+        sh_offs, sh = batch_shingle_hashes(offs, th, k)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        parts, counts = [], np.zeros(batch.num_rows, np.int64)
+        for i in range(batch.num_rows):
+            h = sh[sh_offs[i]:sh_offs[i + 1]]
+            if len(h) == 0:
+                continue
+            if len(h) <= window:
+                f = np.unique(h.min(keepdims=True))
+            else:
+                f = np.unique(np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1))
+            parts.append(f)
+            counts[i] = len(f)
+        flat = np.concatenate(parts) if parts else np.zeros(0, _U64)
+        return pa.table({id_col: pa.array(np.repeat(ids, counts), pa.int64()),
+                         "fingerprint": pa.array(flat.view(np.int64), pa.int64())})
 
     return docs.map_batches(fn, batch_format="pyarrow")
 
@@ -531,15 +543,31 @@ def minhash_lsh_dedup(docs, shingle_k=3, num_perm=128, bands=32, threshold=0.7,
 
 
 def simhash_table(docs, id_col="doc_id", text_col="text"):
+    """Per-doc 64-bit simhash, whole-batch vectorized: per-token sign bits
+    via unpackbits, per-doc bit sums via one segmented reduceat. Summing
+    ±1 over token INSTANCES equals the spec's (unique, count)-weighted sum
+    (simhash64 — the per-doc spec this is property-tested against)."""
+
     def fn(batch: pa.Table) -> pa.Table:
-        out = []
-        for t in batch[text_col].to_pylist():
-            th = _tok_hashes(t)
-            uniq, counts = np.unique(th, return_counts=True) if len(th) else (np.zeros(0, _U64), np.zeros(0, np.int64))
-            # view-reinterpret: numpy>=2 raises on out-of-range
-            # np.int64(np.uint64(x)) scalar conversion for bit-63 hashes
-            out.append(int(np.uint64(simhash64(uniq, counts)).view(np.int64)))
-        return pa.table({id_col: batch[id_col], "simhash": pa.array(out, pa.int64())})
+        batch = batch.combine_chunks()
+        n = batch.num_rows
+        offs, th = _batch_tok_hashes(batch[text_col])
+        counts = np.diff(offs)
+        sims = np.zeros(n, np.uint64)
+        nonempty = counts > 0
+        if nonempty.any():
+            # (total_tokens, 64) bit matrix, bit j of token = column j
+            bits = np.unpackbits(
+                th.view(np.uint8).reshape(len(th), 8), axis=1, bitorder="little"
+            ).astype(np.int32)
+            starts = offs[:-1][nonempty]
+            ones = np.add.reduceat(bits, starts, axis=0)  # per-doc 1-bit counts
+            acc = 2 * ones - counts[nonempty][:, None]     # Σ(2b-1) per bit
+            simv = ((acc > 0).astype(np.uint64)
+                    << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+            sims[nonempty] = simv
+        return pa.table({id_col: batch[id_col],
+                         "simhash": pa.array(sims.view(np.int64), pa.int64())})
 
     return docs.map_batches(fn, batch_format="pyarrow")
 

@@ -229,6 +229,40 @@ class SearchEngine:
             return []
         return wand_topk(cursors, k)
 
+    def bm25_topk_blended(self, query: str, k: int = 10,
+                          bigram_weight: float = 1.0) -> list[tuple[int, float]]:
+        """Unigram + bigram blended BM25 top-k — the serving path the
+        reference's dead handle_query intended (it retrieved and scored a
+        unigram list AND a bigram list and concatenated the top-k lists,
+        /root/reference/src/search_engine/mod.rs:118-211). Concatenation
+        gives no total order, so the completed design blends additively:
+        score(d) = bm25_uni(d) + bigram_weight · bm25_bi(d). Requires an
+        index built with ``index_bigrams=True`` (bigram terms missing from
+        the dictionary contribute nothing, so the call degrades gracefully
+        to plain BM25 on a unigram-only index)."""
+        unigrams, bigrams = self.tokenizer.tokenize_query(query)
+        seen: dict[str, float] = {}
+        for t in unigrams:
+            seen.setdefault(t.word, 1.0)
+        for t in bigrams:
+            seen.setdefault(t.word, bigram_weight)
+        doc_parts, score_parts = [], []
+        for term, w in seen.items():
+            tp = self.get_postings(term)
+            if tp is None or tp.df == 0:
+                continue
+            dl = self.doc_length(tp.doc_ids)
+            bw = bm25_weights(
+                tp.tfs, dl, tp.df, self.num_docs, self.avgdl,
+                self.config.bm25_k1, self.config.bm25_b,
+            )
+            doc_parts.append(tp.doc_ids)
+            score_parts.append(bw * w)
+        if not doc_parts:
+            return []
+        ids, scores = topk_docs(np.concatenate(doc_parts), np.concatenate(score_parts), k)
+        return [(int(d), float(s)) for d, s in zip(ids, scores)]
+
     # ------------------------------------------------------------------ phrase
     def phrase(self, query: str) -> np.ndarray:
         """Docs containing the query terms at consecutive positions

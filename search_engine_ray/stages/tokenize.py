@@ -48,9 +48,10 @@ class TokenizeStage:
     def __init__(self, config: EngineConfig | None = None):
         config = config or EngineConfig()
         self.tokenizer = Tokenizer(lemma_path=config.lemma_path)
+        self.bigrams = config.index_bigrams
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return tokenize_batch(batch, self.tokenizer)
+        return tokenize_batch(batch, self.tokenizer, bigrams=self.bigrams)
 
 
 #: process-global tokenizer per (lemma_path): lets plain *task*-based
@@ -73,6 +74,7 @@ def tokenize_batch(
     tokenizer: Tokenizer,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bigrams: bool = False,
 ) -> pa.Table:
     """Fully Arrow-vectorized tokenization: the raw split, token→unique
     coding and position arithmetic never materialize Python objects — only
@@ -126,11 +128,39 @@ def tokenize_batch(
     tok_norm_code = norm_codes_u[codes]
     keep = keep_raw & (np.asarray(norm_terms, dtype=object)[tok_norm_code] != "")
 
-    return _emit(tokenizer, doc_idx[keep], tok_norm_code[keep], pos[keep],
-                 norm_terms, np.zeros(n_docs, np.int64), doc_ids)
+    uni = _emit(tokenizer, doc_idx[keep], tok_norm_code[keep], pos[keep],
+                norm_terms, np.zeros(n_docs, np.int64), doc_ids)
+    if not bigrams:
+        return uni
+
+    # bigram rows (index-side mirror of tokenize_query, tokenizer.rs:150-160):
+    # consecutive EMITTED tokens of one doc pair up as "{prev} {cur}" at
+    # position cur.position - 1. Composite int codes keep the grouping
+    # vectorized; only the (small) unique set materializes strings.
+    d, c, p = doc_idx[keep], tok_norm_code[keep], pos[keep]
+    if len(d) >= 2:
+        adj = d[1:] == d[:-1]
+        bd = d[1:][adj]
+        n_u = np.int64(len(norm_terms) + 1)
+        bc = c[:-1][adj] * n_u + c[1:][adj]
+        bp = p[1:][adj] - 1
+        ucomp, binv = np.unique(bc, return_inverse=True)
+        nt = np.asarray(norm_terms, dtype=object)
+        bigram_terms = np.array(
+            [f"{nt[int(x // n_u)]} {nt[int(x % n_u)]}" for x in ucomp], dtype=object
+        )
+    else:
+        bd = np.zeros(0, np.int64)
+        binv = np.zeros(0, np.int64)
+        bp = np.zeros(0, np.int64)
+        bigram_terms = np.zeros(0, dtype=object)
+    bi = _emit(tokenizer, bd, binv, bp, bigram_terms,
+               np.zeros(n_docs, np.int64), doc_ids, sentinels=False)
+    return pa.concat_tables([uni, bi])
 
 
-def _emit(tokenizer, doc_idx, term_code, positions, norm_terms, counts, doc_ids):
+def _emit(tokenizer, doc_idx, term_code, positions, norm_terms, counts, doc_ids,
+          sentinels: bool = True):
     """Group kept tokens by (doc, term) → postings rows (+ zero-doc sentinels)."""
     n = len(doc_idx)
     if n:
@@ -186,7 +216,7 @@ def _emit(tokenizer, doc_idx, term_code, positions, norm_terms, counts, doc_ids)
     pos_enc = binary_from_spans(enc, spans)
 
     # sentinel rows for zero-token docs
-    empty_docs = np.flatnonzero(doc_lengths_all == 0)
+    empty_docs = np.flatnonzero(doc_lengths_all == 0) if sentinels else np.zeros(0, np.int64)
     if len(empty_docs):
         terms_arr = pa.concat_arrays([terms_arr, pa.array([""] * len(empty_docs), pa.string())])
         run_doc = np.concatenate([run_doc, empty_docs])
@@ -215,8 +245,9 @@ def tokenize_stage(ds, config: EngineConfig | None = None):
     # default: plain tasks + process-global tokenizer — elastic across any
     # CPU budget, no pool startup, cache still amortized per worker process
     lemma_path = config.lemma_path
+    bigrams = config.index_bigrams
 
     def fn(batch: pa.Table) -> pa.Table:
-        return tokenize_batch(batch, get_worker_tokenizer(lemma_path))
+        return tokenize_batch(batch, get_worker_tokenizer(lemma_path), bigrams=bigrams)
 
     return ds.map_batches(fn, **kwargs)

@@ -87,7 +87,7 @@ def test_query_and_oracle_keys_align(entry):
     [
         "extract_text", "doc_ids", "term_postings", "term_df", "dictionary",
         "doc_lengths", "top_terms", "boolean_and", "tfidf_topk", "bm25_topk", "bm25_wand",
-        "phrase", "proximity", "fuzzy", "exact_dedup", "lang_counts",
+        "bm25_blend", "phrase", "proximity", "fuzzy", "exact_dedup", "lang_counts",
         "text_stats", "ann_topk", "media_features", "cosine_norms",
     ],
 )

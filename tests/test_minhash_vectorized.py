@@ -117,3 +117,40 @@ class TestDeamplifiedPipeline:
 
         rows = minhash_band_rows(minhash_signatures(corpus, shingle_k=2, num_perm=64), bands=16)
         assert set(rows.schema().names) == {"band_key", "doc_id"}
+
+
+class TestSimhashFingerprintVectorized:
+    @pytest.fixture(scope="class")
+    def tiny(self, ray_session):
+        import ray.data
+
+        return ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in enumerate(TEXTS)],
+            override_num_blocks=2,
+        )
+
+    def test_simhash_matches_spec(self, tiny):
+        from search_engine_ray.functions.minhash import simhash64
+        from search_engine_ray.pipelines.training_data import simhash_table
+
+        got = simhash_table(tiny).to_pandas().set_index("doc_id")["simhash"].to_dict()
+        for i, t in enumerate(TEXTS):
+            th = _tok_hashes(t)
+            if len(th):
+                uniq, counts = np.unique(th, return_counts=True)
+                want = int(np.uint64(simhash64(uniq, counts)).view(np.int64))
+            else:
+                want = 0
+            assert got[i] == want, t
+
+    def test_fingerprints_match_spec(self, tiny):
+        from search_engine_ray.functions.hashing import winnow_fingerprint
+        from search_engine_ray.pipelines.training_data import fingerprints
+
+        out = fingerprints(tiny, k=3, window=4).to_pandas()
+        by_doc = out.groupby("doc_id")["fingerprint"].apply(
+            lambda s: np.sort(s.to_numpy().view(np.uint64)))
+        for i, t in enumerate(TEXTS):
+            want = np.sort(winnow_fingerprint(_tok_hashes(t), 3, 4))
+            got = by_doc.get(i, np.zeros(0, np.uint64))
+            np.testing.assert_array_equal(np.asarray(got), want, err_msg=t)
