@@ -349,6 +349,26 @@ def q_media_features(sf_dir: str):
     return out[["doc_id", "n_bytes", "payload_md5"]]
 
 
+def q_media_resize(sf_dir: str):
+    """Aspect-preserving resize planning over binary payloads (real
+    geometry, stubbed pixel seam)."""
+    from search_engine_ray.pipelines.multimodal import media_from_documents, media_resize
+
+    out = media_resize(media_from_documents(sf_dir)).to_pandas()
+    return out.astype({c: np.int64 for c in ["doc_id", "src_w", "src_h", "out_w", "out_h"]})
+
+
+def q_media_frames(sf_dir: str):
+    """Evenly-strided frame sampling: payload → exploded per-frame rows."""
+    from search_engine_ray.pipelines.multimodal import (
+        media_frame_sample,
+        media_from_documents,
+    )
+
+    out = media_frame_sample(media_from_documents(sf_dir)).to_pandas()
+    return out.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+
+
 # rows-only (non-SQL-expressible) ------------------------------------------
 
 
@@ -624,6 +644,30 @@ def oracle_queries() -> dict[str, str]:
             SELECT doc_id, length({HTML_SQL})::BIGINT AS n_bytes, md5({HTML_SQL}) AS payload_md5
             FROM documents
         """,
+        "media_resize": f"""
+            WITH h AS (SELECT doc_id, {HTML_SQL} AS p FROM documents),
+            d AS (
+              SELECT doc_id,
+                     (16 + length(p) % 1023)::BIGINT AS src_w,
+                     (16 + (length(p) // 7) % 1023)::BIGINT AS src_h
+              FROM h
+            )
+            SELECT doc_id, src_w, src_h,
+                   greatest(1, floor(src_w * least(224.0 / src_w, 224.0 / src_h)))::BIGINT AS out_w,
+                   greatest(1, floor(src_h * least(224.0 / src_w, 224.0 / src_h)))::BIGINT AS out_h
+            FROM d
+        """,
+        "media_frames": f"""
+            WITH h AS (SELECT doc_id, {HTML_SQL} AS p FROM documents),
+            f AS (SELECT doc_id, p,
+                         greatest(1, CAST(ceil(length(p) / 1024.0) AS BIGINT)) AS n
+                  FROM h),
+            s AS (SELECT doc_id, p, n, least(8, n) AS k FROM f),
+            j AS (SELECT doc_id, p, n, k, unnest(range(k)) AS jj FROM s)
+            SELECT doc_id, ((jj * n) // k)::BIGINT AS frame_idx,
+                   md5(substr(p, (((jj * n) // k) * 1024 + 1)::INTEGER, 1024)) AS frame_md5
+            FROM j
+        """,
     }
 
 
@@ -649,6 +693,8 @@ RAY_QUERIES = {
     "text_stats": q_text_stats,
     "ann_topk": q_ann_topk,
     "media_features": q_media_features,
+    "media_resize": q_media_resize,
+    "media_frames": q_media_frames,
     # rows-only (no SQL oracle): stateful/approx/sketch operators
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,

@@ -104,3 +104,90 @@ def media_features(media_ds, concurrency=(1, 8), batch_size: int = 64):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class MediaResizeStage:
+    """Aspect-preserving resize planning. The geometry (source dims →
+    fit-in-box output dims) is REAL and oracle-checked; only the pixel
+    work sits behind the stubbed decoder seam (``MediaFeatureStage
+    .decode_real``). Source dims are fake-derived deterministically from
+    the payload byte length so the whole stage is reproducible without
+    codecs."""
+
+    def __init__(self, target_w: int = 224, target_h: int = 224):
+        self.tw, self.th = target_w, target_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        lens = pa.compute.binary_length(batch["payload"]).to_numpy(zero_copy_only=False)
+        w0 = 16 + lens % 1023
+        h0 = 16 + (lens // 7) % 1023
+        scale = np.minimum(self.tw / w0, self.th / h0)
+        out_w = np.maximum(1, np.floor(w0 * scale)).astype(np.int64)
+        out_h = np.maximum(1, np.floor(h0 * scale)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "src_w": pa.array(w0.astype("int64"), pa.int64()),
+                "src_h": pa.array(h0.astype("int64"), pa.int64()),
+                "out_w": pa.array(out_w, pa.int64()),
+                "out_h": pa.array(out_h, pa.int64()),
+            }
+        )
+
+
+def media_resize(media_ds, target_w: int = 224, target_h: int = 224,
+                 concurrency=(1, 8), batch_size: int = 64):
+    return media_ds.map_batches(
+        MediaResizeStage,
+        fn_constructor_args=(target_w, target_h),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class FrameSampleStage:
+    """Video-style frame sampling: the payload is treated as consecutive
+    ``frame_chars``-sized frames (characters of the decoded text payload —
+    deterministic stand-in for decoded video frames); at most
+    ``max_frames`` evenly-strided frames explode into one output row each
+    (doc_id, frame_idx, frame_md5). Row explosion, stride arithmetic and
+    per-frame hashing are the REAL plumbing; actual video decode sits
+    behind the stubbed seam."""
+
+    def __init__(self, frame_chars: int = 1024, max_frames: int = 8):
+        self.fc, self.mf = frame_chars, max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out, idx_out, md5_out = [], [], []
+        for doc_id, payload in zip(batch["doc_id"].to_pylist(),
+                                   batch["payload"].to_pylist()):
+            text = (payload or b"").decode("utf-8", errors="replace")
+            n = max(1, -(-len(text) // self.fc))
+            k = min(self.mf, n)
+            for j in range(k):
+                fi = (j * n) // k
+                frame = text[fi * self.fc : (fi + 1) * self.fc]
+                ids_out.append(doc_id)
+                idx_out.append(fi)
+                md5_out.append(hashlib.md5(frame.encode("utf-8")).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "frame_idx": pa.array(idx_out, pa.int64()),
+                "frame_md5": pa.array(md5_out, pa.string()),
+            }
+        )
+
+
+def media_frame_sample(media_ds, frame_chars: int = 1024, max_frames: int = 8,
+                       concurrency=(1, 8), batch_size: int = 64):
+    return media_ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_args=(frame_chars, max_frames),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

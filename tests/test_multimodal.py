@@ -1,0 +1,84 @@
+"""Multimodal plumbing: binary payload schema, actor-pool stages, resize
+geometry, frame-sample explosion. The codec seam stays stubbed (libs absent
+in this container by design) — these tests pin the REAL parts."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from search_engine_ray.pipelines.multimodal import (
+    FrameSampleStage,
+    MediaFeatureStage,
+    MediaResizeStage,
+    media_frame_sample,
+    media_from_documents,
+    media_resize,
+)
+
+
+def _batch(payloads):
+    return pa.table(
+        {
+            "doc_id": pa.array(range(len(payloads)), pa.int64()),
+            "media_type": pa.array(["application/octet-stream"] * len(payloads)),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+class TestResizeGeometry:
+    def test_aspect_fit(self):
+        out = MediaResizeStage(224, 224)(_batch([b"x" * 5000, b"y" * 123, b""]))
+        df = out.to_pandas()
+        for _, r in df.iterrows():
+            # fits in the box, aspect preserved to floor rounding, nonzero
+            assert 1 <= r["out_w"] <= 224 and 1 <= r["out_h"] <= 224
+            scale = min(224 / r["src_w"], 224 / r["src_h"])
+            assert r["out_w"] == max(1, int(np.floor(r["src_w"] * scale)))
+            assert r["out_h"] == max(1, int(np.floor(r["src_h"] * scale)))
+        # at least one dimension touches the box for large sources
+        big = df.iloc[0]
+        assert big["out_w"] == 224 or big["out_h"] == 224
+
+    def test_source_dims_deterministic(self):
+        a = MediaResizeStage()(_batch([b"z" * 777])).to_pandas()
+        b = MediaResizeStage()(_batch([b"q" * 777])).to_pandas()  # same length
+        assert a["src_w"][0] == b["src_w"][0] and a["src_h"][0] == b["src_h"][0]
+
+
+class TestFrameSample:
+    def test_explodes_and_strides(self):
+        text = "abcd" * 1000  # 4000 chars → 4 frames of 1024 (last short)
+        out = FrameSampleStage(1024, 8)(_batch([text.encode()])).to_pandas()
+        assert list(out["frame_idx"]) == [0, 1, 2, 3]
+        want0 = hashlib.md5(text[:1024].encode()).hexdigest()
+        assert out["frame_md5"][0] == want0
+
+    def test_max_frames_cap(self):
+        text = "x" * (1024 * 100)
+        out = FrameSampleStage(1024, 8)(_batch([text.encode()])).to_pandas()
+        assert len(out) == 8
+        idx = out["frame_idx"].to_numpy()
+        assert (np.diff(idx) > 0).all() and idx[0] == 0  # strictly strided
+
+    def test_empty_payload_one_frame(self):
+        out = FrameSampleStage()(_batch([b""])).to_pandas()
+        assert len(out) == 1 and out["frame_idx"][0] == 0
+
+
+class TestStubSeam:
+    def test_real_decode_raises(self):
+        with pytest.raises(NotImplementedError):
+            MediaFeatureStage().decode_real(b"abc")
+
+
+class TestPipelines:
+    def test_end_to_end_over_testdata(self, ray_session):
+        media = media_from_documents("/root/testdata/sf0.001")
+        rs = media_resize(media).to_pandas()
+        fs = media_frame_sample(media).to_pandas()
+        assert len(rs) == 500
+        assert fs["doc_id"].nunique() == 500
+        assert (fs.groupby("doc_id").size() <= 8).all()
