@@ -118,6 +118,15 @@ def run_bench() -> dict:
     results["build_sf"] = timed_build(pages, sf_out, cfg)
 
     # --- query serving -----------------------------------------------------
+    # cache-COLD first queries on a fresh engine: exercises the locator's
+    # term→shard→row-group addressing (round 2; previously a predicate
+    # scan over the whole postings dataset)
+    cold_eng = SearchEngine(zipf_out, build_bktree=False)
+    t0 = time.perf_counter()
+    for q in QUERIES:
+        cold_eng.bm25_topk(q, 10)
+    results["bm25_cold_batch"] = time.perf_counter() - t0
+
     eng = SearchEngine(zipf_out)
     for q in QUERIES:  # warm postings cache (first-read I/O, untimed)
         eng.bm25_topk(q, 10)
@@ -157,6 +166,7 @@ def run_bench() -> dict:
         "zipf_docs": num_docs,
         "docs_per_sec": round(num_docs / results["build_zipf"], 1),
         "bm25_qps": round(qps, 1),
+        "bm25_cold_ms_per_q": round(results["bm25_cold_batch"] * 1000 / len(QUERIES), 3),
     }
     ray.shutdown()
     return out

@@ -365,7 +365,9 @@ def build_index(
         order = np.argsort(tids_np)  # term_id rank == term sort order
         terms_np, tids_np, shards_np = terms_np[order], tids_np[order], shards_np[order]
 
-        n_workers = min(8, max(1, len(todo)))
+        # concurrent unit jobs: more than the CPU budget just thrashes the
+        # scheduler at low parallelism
+        n_workers = min(8, max(1, ncpu), max(1, len(todo)))
         n_sort_blocks = max(4, (2 * ncpu) // n_workers)
 
         def one_unit(u: int) -> None:

@@ -428,6 +428,18 @@ def q_jaccard_verify(sf_dir: str):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def q_cosine_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (hyperplane-LSH buckets, exact
+    cosine verify, MinHash-style de-amplified shuffle)."""
+    import ray.data
+    from search_engine_ray.pipelines.training_data import cosine_neardup_pairs
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = cosine_neardup_pairs(emb, threshold=0.8, bands=8).to_pandas()
+    out["cos"] = out["cos"].round(6)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def q_ann_ivf(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -700,6 +712,7 @@ RAY_QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "dedup_clusters": q_dedup_clusters,
     "jaccard_verify": q_jaccard_verify,
+    "cosine_neardup": q_cosine_neardup,
     "fingerprints": q_fingerprints,
     "langid": q_langid,
     "ann_ivf_topk": q_ann_ivf,

@@ -243,8 +243,9 @@ def _group_pair_indices(gid: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarr
     return np.concatenate(a_parts), np.concatenate(b_parts)
 
 
-def _bucket_candidate_pairs_batch(batch: pa.Table, max_bucket: int) -> pa.Table:
-    """Whole-bucket batch (sorted by band_key, doc_id) → candidate (a, b)
+def _bucket_candidate_pairs_batch(batch: pa.Table, max_bucket: int,
+                                  id_col: str = "doc_id") -> pa.Table:
+    """Whole-bucket batch (sorted by band_key, id) → candidate (a, b)
     pairs. Vectorized across ALL buckets in the batch (no per-group
     Python). Buckets are capped at ``max_bucket`` docs (beyond the cap a
     bucket is a near-clique of near-identical docs; its smallest ids
@@ -257,7 +258,7 @@ def _bucket_candidate_pairs_batch(batch: pa.Table, max_bucket: int) -> pa.Table:
     ai, bi = _group_pair_indices(keys, max_bucket)
     if len(ai) == 0:
         return empty
-    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
     return pa.table(
         {"a": pa.array(ids[ai], pa.int64()), "b": pa.array(ids[bi], pa.int64())}
     )
@@ -712,6 +713,105 @@ def ngram_jaccard_verify(pairs_ds, docs, shingle_k=3, threshold=0.5,
                          "jaccard_exact": pa.array(jac[keep], pa.float64())})
 
     return j2.map_batches(score, batch_format="pyarrow")
+
+
+def cosine_neardup_pairs(embeddings, threshold: float = 0.9, n_planes: int = 16,
+                         bands: int = 4, max_bucket: int = 256, seed: int = 11,
+                         id_col: str = "vec_id", emb_col: str = "embedding",
+                         broadcast_cap: int = 500_000):
+    """Embedding-cosine near-duplicates → (a, b, cos) pairs Dataset.
+
+    Random-hyperplane LSH (Charikar'02): sign(R·v) gives an ``n_planes``-bit
+    sketch; ``bands`` bit groups become bucket keys. Same shuffle
+    discipline as the MinHash pipeline: band rows carry ONLY (band_key,
+    vec_id) — embeddings never ride the band shuffle — candidate pairs
+    dedup first, then each candidate vector is fetched once (broadcast
+    gather) and pairs verify by exact cosine, vectorized. Deterministic
+    via ``seed``."""
+    from search_engine_ray.stages.grouped import sorted_group_map
+
+    embeddings = embeddings.materialize()  # banding + verification
+
+    def explode(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return pa.table({"band_key": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64())})
+        m = _normalize(_to_matrix(batch[emb_col]))
+        planes = np.random.default_rng(seed).standard_normal((m.shape[1], n_planes))
+        bits = (m @ planes) > 0  # (n, n_planes)
+        width = n_planes // bands
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        keys = np.zeros((len(ids), bands), _U64)
+        for b in range(bands):
+            chunk = bits[:, b * width:(b + 1) * width]
+            keys[:, b] = mix64(
+                chunk.dot(1 << np.arange(width)).astype(_U64) ^ (_U64(b) << _U64(56))
+            )
+        return pa.table(
+            {
+                "band_key": pa.array(keys.reshape(-1).view(np.int64), pa.int64()),
+                id_col: pa.array(np.repeat(ids, bands), pa.int64()),
+            }
+        )
+
+    band_rows = embeddings.map_batches(explode, batch_format="pyarrow")
+    cand_raw = sorted_group_map(
+        band_rows, ["band_key"],
+        lambda b: _bucket_candidate_pairs_batch(b, max_bucket, id_col),
+        sort_cols=["band_key", id_col],
+    ).materialize()
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                      "cos": pa.array([], pa.float64())})
+    if cand_raw.count() == 0:
+        return ray.data.from_arrow(empty)
+    if cand_raw.count() > broadcast_cap:  # pragma: no cover - scale path
+        raise NotImplementedError(
+            "candidate set exceeds broadcast_cap; use the hash-join verify "
+            "(same shape as _verify_pairs_join with a cosine kernel)"
+        )
+    pdf = cand_raw.to_pandas().drop_duplicates(["a", "b"], ignore_index=True)
+    ids = np.unique(np.concatenate([pdf["a"].to_numpy(), pdf["b"].to_numpy()])).astype(np.int64)
+    ids_ref = ray.put(ids)
+
+    def gather(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        wanted = ray.get(ids_ref)
+        got = batch[id_col].to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array(np.isin(got, wanted)))
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "emb": pa.array([], pa.binary())})
+        m = _normalize(_to_matrix(batch[emb_col]))
+        return pa.table({id_col: batch[id_col],
+                         "emb": pa.array([m[i].tobytes() for i in range(len(m))], pa.binary())})
+
+    sub = embeddings.map_batches(gather, batch_format="pyarrow").take_all()
+    sub_ids = np.array([r[id_col] for r in sub], np.int64)
+    order = np.argsort(sub_ids)
+    sub_ids = sub_ids[order]
+    mat = (np.stack([np.frombuffer(sub[int(i)]["emb"], np.float64) for i in order])
+           if len(sub) else np.zeros((0, 1), np.float64))
+    mat_ref = ray.put((sub_ids, mat))
+    cand = ray.data.from_pandas(pdf)
+
+    def score(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return empty
+        sids, smat = ray.get(mat_ref)
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        cos = np.einsum("ij,ij->i", smat[np.searchsorted(sids, a)],
+                        smat[np.searchsorted(sids, b)])
+        keep = cos >= threshold
+        if not keep.any():
+            return empty
+        return pa.table({"a": pa.array(a[keep], pa.int64()),
+                         "b": pa.array(b[keep], pa.int64()),
+                         "cos": pa.array(cos[keep], pa.float64())})
+
+    return cand.map_batches(score, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -60,6 +60,12 @@ class SearchEngine:
         else:
             self._sdict = None
             self._dict = {t: (tid, df) for t, tid, df in zip(terms, tids, dfs)}
+        # bounded memo over front-coded lookups: the blocked dict is ~8x
+        # smaller but each probe pays a block binary-search + decode
+        # (measured 12x slower on the cache-hot query path); Zipfian query
+        # terms make a small plain-dict cache recover hash-dict speed
+        self._lookup_memo: dict[str, tuple | None] = {}
+        self._lookup_memo_cap = 65536
         self._n_terms = len(terms)
 
         # doc lengths + urls indexed by doc_id (sorted arrays + searchsorted;
@@ -93,10 +99,15 @@ class SearchEngine:
         None)."""
         if self._dict is not None:
             return self._dict.get(term)
+        try:
+            return self._lookup_memo[term]
+        except KeyError:
+            pass
         i = self._sdict.lookup(term)
-        if i < 0:
-            return None
-        return (int(self._sdict.term_ids[i]), int(self._sdict.dfs[i]))
+        out = None if i < 0 else (int(self._sdict.term_ids[i]), int(self._sdict.dfs[i]))
+        if len(self._lookup_memo) < self._lookup_memo_cap:
+            self._lookup_memo[term] = out
+        return out
 
     def doc_length(self, doc_ids: np.ndarray) -> np.ndarray:
         idx = np.searchsorted(self._dl_ids, doc_ids)

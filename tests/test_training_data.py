@@ -192,3 +192,26 @@ class TestANN:
         for qi, vid in enumerate([3, 11]):
             top = out[(out["query_id"] == qi) & (out["rank"] == 1)]["vec_id"].iloc[0]
             assert top == vid
+
+
+class TestCosineNearDup:
+    def test_planted_neardups(self, ray_session):
+        import ray.data
+
+        from search_engine_ray.pipelines.training_data import cosine_neardup_pairs
+
+        rng = np.random.default_rng(5)
+        base = rng.standard_normal((40, 32))
+        rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(40)]
+        # planted near-dups: tiny perturbations of vectors 0..4
+        for j in range(5):
+            v = base[j] + 0.01 * rng.standard_normal(32)
+            rows.append({"vec_id": 100 + j, "embedding": v.tolist()})
+        emb = ray.data.from_items(rows, override_num_blocks=3)
+        out = cosine_neardup_pairs(emb, threshold=0.95, bands=8).to_pandas()
+        got = set(zip(out["a"].astype(int), out["b"].astype(int)))
+        for j in range(5):
+            assert (j, 100 + j) in got, f"missed planted near-dup {j}"
+        # random 32-dim gaussians are nowhere near cos >= 0.95
+        assert all(a >= 100 or b >= 100 for a, b in got)
+        assert (out["cos"] >= 0.95).all()
