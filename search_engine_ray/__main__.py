@@ -47,7 +47,8 @@ def main(argv: list[str] | None = None) -> int:
     q = sub.add_parser("query", help="query a built index")
     q.add_argument("--index", required=True)
     q.add_argument("--mode", default="bm25",
-                   choices=["bm25", "bm25_wand", "tfidf", "boolean", "phrase", "proximity", "fuzzy"])
+                   choices=["bm25", "bm25_wand", "bm25_blend", "tfidf", "boolean",
+                            "phrase", "proximity", "fuzzy"])
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--prox-k", type=int, default=3)
     q.add_argument("--edit-dist", type=int, default=1)
@@ -57,6 +58,8 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--sf-dir", required=True)
     d.add_argument("--threshold", type=float, default=0.7)
     d.add_argument("--shingle-k", type=int, default=3)
+    d.add_argument("--clusters", action="store_true",
+                   help="emit connected components (distributed label propagation)")
 
     bq = sub.add_parser("bench-queries", help="run the deterministic query set via the actor pool")
     bq.add_argument("--index", required=True)
@@ -81,6 +84,8 @@ def main(argv: list[str] | None = None) -> int:
                 out = eng.bm25_topk(text, args.k)
             elif args.mode == "bm25_wand":
                 out = eng.bm25_topk_wand(text, args.k)
+            elif args.mode == "bm25_blend":
+                out = eng.bm25_topk_blended(text, args.k)
             elif args.mode == "tfidf":
                 out = eng.tfidf_topk(text, args.k)
             elif args.mode == "boolean":
@@ -100,9 +105,16 @@ def main(argv: list[str] | None = None) -> int:
 
             docs = ray.data.read_parquet(f"{args.sf_dir}/documents.parquet",
                                          columns=["doc_id", "text"])
-            pairs = minhash_lsh_dedup(docs, shingle_k=args.shingle_k,
-                                      threshold=args.threshold).to_pandas()
-            print(pairs.sort_values(["a", "b"]).to_json(orient="records"))
+            pairs_ds = minhash_lsh_dedup(docs, shingle_k=args.shingle_k,
+                                         threshold=args.threshold)
+            if args.clusters:
+                from search_engine_ray.pipelines.training_data import clusters_distributed
+
+                out = clusters_distributed(pairs_ds).to_pandas().sort_values("doc_id")
+                print(out.to_json(orient="records"))
+            else:
+                pairs = pairs_ds.to_pandas()
+                print(pairs.sort_values(["a", "b"]).to_json(orient="records"))
         elif args.cmd == "bench-queries":
             import ray.data
 

@@ -223,14 +223,18 @@ def build_index(
         def wdocs():
             if docs_ds is not None:
                 docs_ds.write_parquet(paths.docs, **write_kwargs)
+
+        def wpartials():
             if partials_ds is not None:
                 partials_ds.write_parquet(paths.dict_partials, **write_kwargs)
 
-        t = threading.Thread(target=wdocs)
-        t.start()
+        threads = [threading.Thread(target=wdocs), threading.Thread(target=wpartials)]
+        for t in threads:
+            t.start()
         if runs_ds is not None:
             runs_ds.write_parquet(paths.runs, partition_cols=["sgroup"])
-        t.join()
+        for t in threads:
+            t.join()
         if os.environ.get("SE_RAY_TIMING"):
             print(f"[ docs+runs/wave+write] {time.perf_counter() - t_s1:.1f}s", flush=True)
         manifests.write_manifest(paths.docs, "docs", in_fp)
@@ -256,19 +260,21 @@ def build_index(
 
         from search_engine_ray.functions.hashing import hash_strings_arrow
 
-        partials = ray.data.read_parquet(paths.dict_partials).materialize()
-
         def _shard_col(term_arr: pa.Array) -> pa.Array:
             s = (hash_strings_arrow(term_arr) % np.uint64(n_shards)).astype(np.int64)
             return pa.array(s, pa.int64())
 
-        # gate on the MEASURED partial row count (≈ n_blocks × vocab), not
-        # doc count: a 10M-term vocab × hundreds of blocks would be GBs on
-        # the driver even for a "small" corpus.
-        if partials.count() <= 8_000_000:
+        # gate on the MEASURED partial row count from the manifest
+        # (≈ n_blocks × vocab), not doc count: a 10M-term vocab × hundreds
+        # of blocks would be GBs on the driver even for a "small" corpus.
+        m = manifests.read_manifest(paths.dict_partials) or {}
+        n_partial_rows = m.get("num_rows") or 0
+        if 0 < n_partial_rows <= 8_000_000:
+            # small side: plain parquet read + pandas finish — a Ray
+            # execution here is pure fixed overhead
             import pyarrow.parquet as pq
 
-            pdf = partials.to_pandas()
+            pdf = pq.read_table(paths.dict_partials).to_pandas()
             g = (pdf.groupby("term", sort=True)["df_part"].sum()
                  .reset_index().rename(columns={"df_part": "df"}))
             g["term_id"] = np.arange(1, len(g) + 1, dtype=np.int64)
@@ -281,6 +287,8 @@ def build_index(
         # distributed path: vectorized per-term sums over the sorted stream
         from search_engine_ray.stages.doc_ids import zip_with_index
         from search_engine_ray.stages.grouped import sorted_group_map
+
+        partials = ray.data.read_parquet(paths.dict_partials)
 
         def sum_per_term(batch: pa.Table) -> pa.Table:
             batch = batch.combine_chunks()
@@ -423,12 +431,23 @@ def build_index(
             return False
 
     if not (resume and _stats_current()):
-        from ray.data.aggregate import Count, Sum
+        docs_rows = (manifests.read_manifest(paths.docs) or {}).get("num_rows") or 0
+        if 0 < docs_rows <= 50_000_000:
+            # small side: one column read, no Ray execution (8 B/doc)
+            import pyarrow.parquet as pq
 
-        lengths = ray.data.read_parquet(paths.docs, columns=["doc_length"])
-        agg_row = lengths.aggregate(Count(alias_name="n"), Sum("doc_length", alias_name="s"))
-        num_docs = int(agg_row["n"] or 0)
-        total_tokens = int(agg_row["s"] or 0)
+            dl_col = pq.read_table(paths.docs, columns=["doc_length"])["doc_length"]
+            import pyarrow.compute as pc
+
+            num_docs = len(dl_col)
+            total_tokens = int(pc.sum(dl_col).as_py() or 0)
+        else:
+            from ray.data.aggregate import Count, Sum
+
+            lengths = ray.data.read_parquet(paths.docs, columns=["doc_length"])
+            agg_row = lengths.aggregate(Count(alias_name="n"), Sum("doc_length", alias_name="s"))
+            num_docs = int(agg_row["n"] or 0)
+            total_tokens = int(agg_row["s"] or 0)
         stats = {
             "num_docs": num_docs,
             "total_tokens": total_tokens,
