@@ -435,7 +435,11 @@ def q_cosine_neardup(sf_dir: str):
     from search_engine_ray.pipelines.training_data import cosine_neardup_pairs
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    out = cosine_neardup_pairs(emb, threshold=0.8, bands=8).to_pandas()
+    out = cosine_neardup_pairs(emb, threshold=0.5, bands=8).to_pandas()
+    if out.empty:  # all-empty blocks lose their schema through to_pandas
+        out = pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                            "b": pd.Series(dtype=np.int64),
+                            "cos": pd.Series(dtype=np.float64)})
     out["cos"] = out["cos"].round(6)
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 

@@ -99,7 +99,8 @@ def test_sql_parity(entry, con, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["minhash_pairs", "simhash_pairs", "fingerprints", "langid", "ann_ivf_topk"]
+    "name", ["minhash_pairs", "simhash_pairs", "fingerprints", "langid", "ann_ivf_topk",
+             "dedup_clusters", "jaccard_verify", "cosine_neardup"]
 )
 def test_rows_only_queries_run(entry, name):
     out = _to_pandas(entry.queries()[name](SF))
