@@ -349,6 +349,32 @@ def q_media_features(sf_dir: str):
     return out[["doc_id", "n_bytes", "payload_md5"]]
 
 
+def q_event_windows(sf_dir: str):
+    """Tumbling 1-hour windows over the events table: count + sum(value)
+    per (window, event_type); partial aggregation inside map_batches."""
+    import ray.data
+    from search_engine_ray.pipelines.events import tumbling_window_agg
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+    out = tumbling_window_agg(ev).to_pandas()
+    out["sum_value_r"] = out["sum_value"].round(6)
+    return (out[["window_start_us", "event_type", "n_events", "sum_value_r"]]
+            .sort_values(["window_start_us", "event_type"]).reset_index(drop=True))
+
+
+def q_event_sessions(sf_dir: str):
+    """Gap-based sessionization (30-min gap) of the events table."""
+    import ray.data
+    from search_engine_ray.pipelines.events import sessionize
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id"])
+    out = sessionize(ev).to_pandas()
+    return (out.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+            .astype({c: np.int64 for c in out.columns}))
+
+
 def q_media_resize(sf_dir: str):
     """Aspect-preserving resize planning over binary payloads (real
     geometry, stubbed pixel seam)."""
@@ -660,6 +686,33 @@ def oracle_queries() -> dict[str, str]:
             SELECT doc_id, length({HTML_SQL})::BIGINT AS n_bytes, md5({HTML_SQL}) AS payload_md5
             FROM documents
         """,
+        "event_windows": """
+            SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+                   event_type,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value), 6) AS sum_value_r
+            FROM events GROUP BY 1, 2
+        """,
+        "event_sessions": """
+            WITH l AS (
+              SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT user_id, ts_us,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sess
+              FROM l
+            )
+            SELECT user_id, sess::BIGINT AS session_idx, count(*)::BIGINT AS n_events,
+                   min(ts_us)::BIGINT AS session_start_us,
+                   max(ts_us)::BIGINT AS session_end_us
+            FROM s GROUP BY user_id, sess
+        """,
         "media_resize": f"""
             WITH h AS (SELECT doc_id, {HTML_SQL} AS p FROM documents),
             d AS (
@@ -711,6 +764,8 @@ RAY_QUERIES = {
     "media_features": q_media_features,
     "media_resize": q_media_resize,
     "media_frames": q_media_frames,
+    "event_windows": q_event_windows,
+    "event_sessions": q_event_sessions,
     # rows-only (no SQL oracle): stateful/approx/sketch operators
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,

@@ -1,0 +1,148 @@
+"""Event-stream operators over the events table (event_id, ts, user_id,
+event_type, value, props): tumbling-window aggregation and gap-based
+sessionization — the windowed/streaming-aggregate operator family a
+training-data pipeline needs for behavioural data, expressed batch-first
+(a windowed aggregate over a bounded table ≡ the replay of the streaming
+computation; the partitioning key — user_id for sessions, window bucket
+for tumbling windows — is exactly what a streaming shard would key on).
+
+Both operators are SQL-expressible and oracle-checked by the driver
+(event_windows, event_sessions).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+US_PER_HOUR = 3_600_000_000
+US_PER_MIN = 60_000_000
+
+
+def _ts_us(col) -> np.ndarray:
+    """Timestamp column → epoch MICROseconds, whatever the storage unit
+    (parquet testdata is timestamp[us], pandas-sourced data timestamp[ns] —
+    a raw int64 cast would silently scale gaps 1000x)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_timestamp(arr.type) and arr.type.unit != "us":
+        arr = arr.cast(pa.timestamp("us"))
+    return arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def tumbling_window_agg(events: "ray.data.Dataset", window_us: int = US_PER_HOUR):
+    """Tumbling windows per (window_start, event_type) → n_events +
+    sum_value. Partial aggregation happens inside map_batches (vectorized
+    bucket arithmetic); the final groupby only moves ~n_windows ×
+    n_event_types rows however large the input."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        ts = _ts_us(batch["ts"])
+        win = (ts // window_us) * window_us
+        etype = batch["event_type"]
+        # composite grouping via dictionary codes + window bucket
+        enc = (etype.combine_chunks() if isinstance(etype, pa.ChunkedArray) else etype).dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uw, inv = np.unique(win * np.int64(len(enc.dictionary) + 1) + codes,
+                            return_inverse=True)
+        n = np.bincount(inv)
+        sv = np.bincount(inv, weights=batch["value"].to_numpy(zero_copy_only=False))
+        k = np.int64(len(enc.dictionary) + 1)
+        return pa.table(
+            {
+                "window_start_us": pa.array((uw // k) * 1, pa.int64()),
+                "event_type": enc.dictionary.take(pa.array((uw % k).astype(np.int64))).cast(pa.string()),
+                "n_part": pa.array(n.astype(np.int64), pa.int64()),
+                "v_part": pa.array(sv, pa.float64()),
+            }
+        )
+
+    partials = events.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(["window_start_us", "event_type"]).aggregate(
+        Sum("n_part", alias_name="n_events"), Sum("v_part", alias_name="sum_value")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start_us": batch["window_start_us"],
+                "event_type": batch["event_type"],
+                "n_events": batch["n_events"].cast(pa.int64()),
+                "sum_value": batch["sum_value"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sessionize(events: "ray.data.Dataset", gap_us: int = 30 * US_PER_MIN):
+    """Gap-based sessionization: a user's events sorted by (ts, event_id)
+    start a new session when the gap to the previous event exceeds
+    ``gap_us``. → (user_id, session_idx 1-based, n_events,
+    session_start_us, session_end_us).
+
+    One sorted pass: sorted_group_map guarantees whole-user groups per
+    batch and the kernel detects session breaks + aggregates sessions for
+    MANY users at once, fully vectorized (the hot path has no per-user
+    Python). The sort key (user_id) is the partition key a streaming
+    deployment would shard on."""
+    from search_engine_ray.stages.grouped import sorted_group_map
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts_us": pa.array(_ts_us(batch["ts"]), pa.int64()),
+                "event_id": batch["event_id"],
+            }
+        )
+
+    slim = events.map_batches(prep, batch_format="pyarrow")
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        empty = pa.table(
+            {"user_id": pa.array([], pa.int64()),
+             "session_idx": pa.array([], pa.int64()),
+             "n_events": pa.array([], pa.int64()),
+             "session_start_us": pa.array([], pa.int64()),
+             "session_end_us": pa.array([], pa.int64())}
+        )
+        n = batch.num_rows
+        if n == 0:
+            return empty
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts_us"].to_numpy(zero_copy_only=False)
+        new_user = np.empty(n, bool)
+        new_user[0] = True
+        np.not_equal(uid[1:], uid[:-1], out=new_user[1:])
+        gap = np.empty(n, bool)
+        gap[0] = True
+        gap[1:] = (ts[1:] - ts[:-1]) > gap_us
+        new_sess = new_user | gap
+        sess_starts = np.flatnonzero(new_sess)
+        sess_len = np.diff(np.append(sess_starts, n))
+        # 1-based session index within each user
+        sess_user = uid[sess_starts]
+        user_change = np.empty(len(sess_starts), bool)
+        user_change[0] = True
+        np.not_equal(sess_user[1:], sess_user[:-1], out=user_change[1:])
+        user_first_sess = np.maximum.accumulate(
+            np.where(user_change, np.arange(len(sess_starts)), 0)
+        )
+        sess_idx = np.arange(len(sess_starts)) - user_first_sess + 1
+        return pa.table(
+            {
+                "user_id": pa.array(sess_user, pa.int64()),
+                "session_idx": pa.array(sess_idx.astype(np.int64), pa.int64()),
+                "n_events": pa.array(sess_len.astype(np.int64), pa.int64()),
+                "session_start_us": pa.array(ts[sess_starts], pa.int64()),
+                "session_end_us": pa.array(ts[np.append(sess_starts[1:], n) - 1], pa.int64()),
+            }
+        )
+
+    return sorted_group_map(slim, ["user_id"], kernel,
+                            sort_cols=["user_id", "ts_us", "event_id"])

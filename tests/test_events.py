@@ -1,0 +1,98 @@
+"""Event windowing + sessionization: vectorized multi-user kernel vs a
+per-user reference, gap boundaries, users straddling partitions."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from search_engine_ray.pipelines.events import US_PER_MIN, sessionize, tumbling_window_agg
+
+BASE_US = 1_700_000_000_000_000 - (1_700_000_000_000_000 % 3_600_000_000)  # hour-aligned
+
+
+def _events(rows):
+    """rows: (event_id, user_id, minutes_offset, value)."""
+    return pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "user_id": [r[1] for r in rows],
+            "ts": pd.to_datetime([BASE_US + r[2] * US_PER_MIN for r in rows], unit="us"),
+            "event_type": ["click"] * len(rows),
+            "value": [float(r[3]) for r in rows],
+        }
+    )
+
+
+def _sessions_reference(df, gap_min=30):
+    out = []
+    for uid, g in df.sort_values(["user_id", "ts", "event_id"]).groupby("user_id"):
+        ts = g["ts"].astype("int64").to_numpy() // 1000  # ns → us
+        sess = 0
+        start = None
+        prev = None
+        rows = []
+        for t in ts:
+            if prev is None or t - prev > gap_min * US_PER_MIN:
+                if start is not None:
+                    rows.append((sess, n, start, prev))
+                sess += 1
+                start = t
+                n = 0
+            n += 1
+            prev = t
+        rows.append((sess, n, start, prev))
+        for s, n_, a, b in rows:
+            out.append({"user_id": uid, "session_idx": s, "n_events": n_,
+                        "session_start_us": a, "session_end_us": b})
+    return pd.DataFrame(out)
+
+
+class TestSessionize:
+    @pytest.mark.parametrize("n_blocks", [1, 4])
+    def test_matches_reference_with_gap_boundaries(self, ray_session, n_blocks):
+        import ray.data
+
+        rows = []
+        eid = 0
+        # user 1: exactly-30min gaps (NOT a break; break is strictly >)
+        for off in [0, 30, 60, 91, 121]:   # break before 91 (31min gap)
+            rows.append((eid, 1, off, 1.0)); eid += 1
+        # user 2: single event
+        rows.append((eid, 2, 10, 2.0)); eid += 1
+        # user 3: many sessions, interleaved arrival order
+        for off in [0, 5, 100, 105, 200]:
+            rows.append((eid, 3, off, 3.0)); eid += 1
+        np.random.default_rng(1).shuffle(rows)
+        df = _events(rows)
+        ds = ray.data.from_pandas(df).repartition(n_blocks)
+        got = (sessionize(ds).to_pandas()
+               .sort_values(["user_id", "session_idx"]).reset_index(drop=True))
+        want = (_sessions_reference(df)
+                .sort_values(["user_id", "session_idx"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+        # user 1: the 30-min gaps do NOT split; only the 31-min gap does
+        assert got[got["user_id"] == 1]["session_idx"].max() == 2
+
+    def test_user_straddling_blocks(self, ray_session):
+        import ray.data
+
+        # one user, events spread over many blocks — complete-group
+        # guarantee must still produce ONE session row
+        rows = [(i, 7, i, 1.0) for i in range(40)]  # 1-min apart → 1 session
+        ds = ray.data.from_pandas(_events(rows)).repartition(8)
+        got = sessionize(ds).to_pandas()
+        assert len(got) == 1
+        assert got.iloc[0]["n_events"] == 40
+
+
+class TestTumblingWindows:
+    def test_counts_and_sums(self, ray_session):
+        import ray.data
+
+        rows = [(0, 1, 0, 1.5), (1, 1, 59, 2.5), (2, 2, 60, 4.0), (3, 2, 121, 8.0)]
+        ds = ray.data.from_pandas(_events(rows))
+        out = tumbling_window_agg(ds).to_pandas().sort_values("window_start_us")
+        assert list(out["n_events"]) == [2, 1, 1]
+        assert list(out["sum_value"]) == [4.0, 4.0, 8.0]
+        ws = out["window_start_us"].to_numpy()
+        assert ((ws % 3_600_000_000) == 0).all()
