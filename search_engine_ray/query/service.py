@@ -1,0 +1,177 @@
+"""Distributed query serving: per-shard actors + term fan-out.
+
+``SearchEngine`` (engine.py) is the single-process serving path; this module
+is its cluster shape: N ``ShardServingActor``s each own a disjoint subset of
+the postings hash shards — the SAME ``poly_hash(term) % index_shards`` key
+the build partitioned by — and load ONLY their shards' dictionary slice and
+postings. A query fans out once per involved actor (terms grouped by owner),
+each actor returns its terms' per-posting BM25 weights, and the coordinator
+merges with the identical top-k contract as the local engine
+(pytest-enforced equality).
+
+Per-actor memory = vocab/n_actors dictionary entries + its shard files'
+footers + the doc_length array (num_docs × 16 B — at 10^12 docs this one
+table would also shard by doc range; documented seam, not needed below
+~10^10 docs per node).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import ray
+
+from search_engine_ray.config import EngineConfig
+from search_engine_ray.functions.tokenizer import Tokenizer
+from search_engine_ray.pipelines.build import IndexPaths, load_stats
+from search_engine_ray.query.locator import PostingsLocator
+from search_engine_ray.query.postings_codec import decode_term_chunks
+from search_engine_ray.query.scoring import bm25_weights, topk_docs
+
+
+class ShardServingActor:
+    """Owns a subset of hash shards: dictionary slice + postings access +
+    scoring state, all loaded once in ``__init__`` (actor-pool contract)."""
+
+    def __init__(self, index_dir: str, shard_ids: list[int],
+                 config: EngineConfig | None = None):
+        self.config = config or EngineConfig()
+        self.paths = IndexPaths(index_dir)
+        stats = load_stats(index_dir)
+        self.num_docs = stats["num_docs"]
+        self.avgdl = stats["avgdl"]
+        self.shard_ids = set(shard_ids)
+        n_shards = (stats.get("config") or {}).get("index_shards")
+        self.locator = PostingsLocator(self.paths.postings, n_shards)
+
+        # dictionary slice: only this actor's shards' terms
+        dic = pq.read_table(self.paths.dictionary,
+                            columns=["term", "term_id", "df", "shard"])
+        mask = np.isin(dic["shard"].to_numpy(zero_copy_only=False), list(self.shard_ids))
+        idx = np.flatnonzero(mask)
+        terms = dic["term"].take(idx).to_pylist()
+        dfs = dic["df"].take(idx).to_numpy(zero_copy_only=False)
+        self._dict = {t: int(d) for t, d in zip(terms, dfs)}
+
+        dl = pq.read_table(self.paths.doc_lengths,
+                           columns=["doc_id", "doc_length"]).combine_chunks().sort_by("doc_id")
+        self._dl_ids = dl["doc_id"].to_numpy().astype(np.int64)
+        self._dl = dl["doc_length"].to_numpy().astype(np.int64)
+        # decoded-postings LRU (same policy as SearchEngine._cache)
+        self._cache: dict = {}
+        self._cache_cap = 1024
+
+    def n_terms(self) -> int:
+        return len(self._dict)
+
+    def term_scores(self, terms: list[str]) -> dict:
+        """For each OWNED term present in the dictionary: (doc_ids int64[],
+        bm25 weights float64[]). Unknown/foreign terms are absent from the
+        result (the coordinator treats them as empty)."""
+        out = {}
+        for t in terms:
+            df = self._dict.get(t)
+            if df is None:
+                continue
+            tp = self._postings(t)
+            dl_idx = np.searchsorted(self._dl_ids, tp.doc_ids)
+            dl = self._dl[np.clip(dl_idx, 0, len(self._dl) - 1)]
+            w = bm25_weights(tp.tfs, dl, df, self.num_docs, self.avgdl,
+                             self.config.bm25_k1, self.config.bm25_b)
+            out[t] = (tp.doc_ids, w)
+        return out
+
+    def _postings(self, term: str):
+        tp = self._cache.get(term)
+        if tp is None:
+            tp = decode_term_chunks(self.locator.read(term))
+            if len(self._cache) >= self._cache_cap:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[term] = tp
+        return tp
+
+    def term_doc_ids(self, terms: list[str]) -> dict:
+        return {t: self._postings(t).doc_ids for t in terms if t in self._dict}
+
+
+class DistributedSearchEngine:
+    """Coordinator: routes each query term to the actor owning its shard
+    (one message per involved actor per query), merges per-term results
+    with the exact same (score desc, doc_id asc) top-k contract as
+    ``SearchEngine`` — results are pytest-identical."""
+
+    def __init__(self, index_dir: str, n_actors: int = 4,
+                 config: EngineConfig | None = None):
+        self.config = config or EngineConfig()
+        stats = load_stats(index_dir)
+        n_shards = (stats.get("config") or {}).get("index_shards") or self.config.index_shards
+        self.n_shards = n_shards
+        self.tokenizer = Tokenizer(lemma_path=self.config.lemma_path)
+        remote_cls = ray.remote(ShardServingActor)
+        self.actors = []
+        for a in range(n_actors):
+            owned = [k for k in range(n_shards) if k % n_actors == a]
+            self.actors.append(remote_cls.remote(index_dir, owned, self.config))
+        self.n_actors = n_actors
+        # same shard hash as build + locator
+        from search_engine_ray.functions.hashing import poly_hash_str
+
+        self._hash = poly_hash_str
+
+    def _actor_of(self, term: str):
+        return self.actors[(self._hash(term) % self.n_shards) % self.n_actors]
+
+    def _fan_out(self, terms: list[str], method: str) -> dict:
+        by_actor: dict[int, list[str]] = {}
+        for t in terms:
+            i = (self._hash(t) % self.n_shards) % self.n_actors
+            by_actor.setdefault(i, []).append(t)
+        futures = [getattr(self.actors[i], method).remote(ts)
+                   for i, ts in by_actor.items()]
+        merged: dict = {}
+        for part in ray.get(futures):
+            merged.update(part)
+        return merged
+
+    def query_terms(self, query: str) -> list[str]:
+        seen: dict[str, None] = {}
+        for tok in self.tokenizer.tokenize(query):
+            seen.setdefault(tok.word, None)
+        return list(seen)
+
+    def bm25_topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        terms = self.query_terms(query)
+        if not terms:
+            return []
+        per_term = self._fan_out(terms, "term_scores")
+        doc_parts, score_parts = [], []
+        for t in terms:
+            got = per_term.get(t)
+            if got is None:
+                continue
+            doc_parts.append(np.asarray(got[0], np.int64))
+            score_parts.append(np.asarray(got[1], np.float64))
+        if not doc_parts:
+            return []
+        ids, scores = topk_docs(np.concatenate(doc_parts), np.concatenate(score_parts), k)
+        return [(int(d), float(s)) for d, s in zip(ids, scores)]
+
+    def boolean_and(self, query: str) -> np.ndarray:
+        terms = self.query_terms(query)
+        if not terms:
+            return np.zeros(0, np.int64)
+        per_term = self._fan_out(terms, "term_doc_ids")
+        if len(per_term) < len(terms):  # a term missing anywhere → empty
+            return np.zeros(0, np.int64)
+        lists = sorted(per_term.values(), key=len)
+        docs = np.asarray(lists[0], np.int64)
+        for nxt in lists[1:]:
+            if len(docs) == 0:
+                break
+            docs = np.intersect1d(docs, np.asarray(nxt, np.int64), assume_unique=True)
+        return docs
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

@@ -1,0 +1,52 @@
+"""Distributed serving (query/service.py): per-shard actors + term fan-out
+must return results IDENTICAL to the single-process SearchEngine."""
+
+import numpy as np
+import pytest
+
+from search_engine_ray.config import EngineConfig
+from search_engine_ray.pipelines.build import build_index
+from search_engine_ray.query.engine import SearchEngine
+from search_engine_ray.query.service import DistributedSearchEngine
+from search_engine_ray.sources.webpages import generate_webpages
+
+QUERIES = [
+    "bababa cababa dababa",
+    "bababa",
+    "fababa gababa",
+    "nosuchterm bababa",
+    "nosuchterm othermissing",
+    "",
+]
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("svc") / "idx")
+    corpus = generate_webpages(2500, vocab_size=2000, tokens_per_doc=70, seed=13)
+    cfg = EngineConfig(index_shards=8, min_rows_per_file=None)
+    build_index(corpus, out, cfg)
+    local = SearchEngine(out, cfg, build_bktree=False)
+    dist = DistributedSearchEngine(out, n_actors=3, config=cfg)
+    yield local, dist
+    dist.shutdown()
+
+
+class TestDistributedServing:
+    def test_actors_partition_the_dictionary(self, built):
+        import ray
+
+        local, dist = built
+        counts = ray.get([a.n_terms.remote() for a in dist.actors])
+        assert sum(counts) == local.num_terms
+        assert all(c > 0 for c in counts)  # every actor owns real terms
+
+    @pytest.mark.parametrize("q", QUERIES)
+    def test_bm25_identical_to_local(self, built, q):
+        local, dist = built
+        assert dist.bm25_topk(q, 10) == local.bm25_topk(q, 10)
+
+    @pytest.mark.parametrize("q", QUERIES)
+    def test_boolean_identical_to_local(self, built, q):
+        local, dist = built
+        np.testing.assert_array_equal(dist.boolean_and(q), local.boolean_and(q))
