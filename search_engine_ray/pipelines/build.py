@@ -74,6 +74,19 @@ def _stamp_and_tokenize(block, offset: int, lemma_path, n_units: int,
 
     if not isinstance(block, pa.Table):
         block = pa.Table.from_pandas(block, preserve_index=False)
+    if block.num_rows == 0:
+        # empty split blocks can arrive schema-less (e.g. after repartition
+        # of a small read) — emit properly-typed empties
+        from search_engine_ray.stages.tokenize import POSTINGS_SCHEMA
+
+        runs = POSTINGS_SCHEMA.empty_table().select(["term", "doc_id", "pos_enc"])
+        runs = runs.append_column("sgroup", pa.array([], pa.int64()))
+        doc_meta = pa.table({"doc_id": pa.array([], pa.int64()),
+                             "url": pa.array([], pa.string()),
+                             "doc_length": pa.array([], pa.int64())})
+        dict_partial = pa.table({"term": pa.array([], pa.string()),
+                                 "df_part": pa.array([], pa.int64())})
+        return runs, doc_meta, dict_partial
     ids = pa.array(np.arange(offset, offset + block.num_rows, dtype=np.int64), type=pa.int64())
     if "doc_id" in block.column_names:
         block = block.drop_columns(["doc_id"])
