@@ -9,8 +9,9 @@ each actor loads the index once (dictionary + BK-tree + doc lengths) in
 Query row schema (FIXTURES.md §2):
     query_id:int64, query_text:string, mode:string, k:int32,
     prox_k:int32, edit_dist:int32
-modes: boolean_and | tfidf_topk | bm25_topk | phrase | proximity | fuzzy
-(proximity takes the first two query tokens; fuzzy takes the first token).
+modes: boolean_and | tfidf_topk | bm25_topk | bm25_wand | bm25_blend |
+phrase | proximity | fuzzy (proximity takes the first two query tokens;
+fuzzy takes the first token).
 
 Result rows: (query_id, mode, rank, doc_id, score).
 """
@@ -37,6 +38,10 @@ class QueryActor:
             return eng.tfidf_topk(text, k)
         if mode == "bm25_topk":
             return eng.bm25_topk(text, k)
+        if mode == "bm25_wand":
+            return eng.bm25_topk_wand(text, k)
+        if mode == "bm25_blend":
+            return eng.bm25_topk_blended(text, k)
         if mode == "phrase":
             return [(d, 0.0) for d in eng.phrase(text).tolist()[:k]]
         if mode == "proximity":
@@ -105,7 +110,8 @@ def make_query_set(num: int = 40, seed: int = 7) -> list[dict]:
     vocab = ["fast", "table", "merge", "spark", "query", "scan", "slow", "window",
              "sort", "key", "value", "hash", "stream", "batch", "line", "the",
              "group", "order", "filter", "big", "small", "row", "nonexistentzz"]
-    modes = ["boolean_and", "tfidf_topk", "bm25_topk", "phrase", "proximity", "fuzzy"]
+    modes = ["boolean_and", "tfidf_topk", "bm25_topk", "bm25_wand",
+             "phrase", "proximity", "fuzzy"]
     out = []
     for i in range(num):
         mode = modes[i % len(modes)]

@@ -42,7 +42,8 @@ def test_batch_matches_direct(index_dir, ray_session):
 def test_query_set_covers_modes():
     qs = make_query_set(40)
     modes = {q["mode"] for q in qs}
-    assert modes == {"boolean_and", "tfidf_topk", "bm25_topk", "phrase", "proximity", "fuzzy"}
+    assert modes == {"boolean_and", "tfidf_topk", "bm25_topk", "bm25_wand",
+                     "phrase", "proximity", "fuzzy"}
     assert any(q["k"] == 2 for q in qs)
     # deterministic
     assert make_query_set(40) == qs
