@@ -349,6 +349,20 @@ def q_media_features(sf_dir: str):
     return out[["doc_id", "n_bytes", "payload_md5"]]
 
 
+def q_clean_corpus(sf_dir: str):
+    """Composite cleaning pipeline: exact-dedup keep-list + token/quality
+    thresholds + language filter in ONE corpus pass (broadcast keep-list,
+    no big-side shuffle). Uses the metadata lang column so the whole
+    pipeline is SQL-checkable."""
+    from search_engine_ray.pipelines.corpus_clean import clean_corpus
+
+    docs = _read_docs(sf_dir, ("doc_id", "text", "lang"))
+    out = clean_corpus(docs, lang_from_col="lang").to_pandas()
+    return (out[["doc_id", "lang_pred", "n_tokens"]]
+            .sort_values("doc_id").reset_index(drop=True)
+            .astype({"doc_id": np.int64, "n_tokens": np.int64}))
+
+
 def q_event_windows(sf_dir: str):
     """Tumbling 1-hour windows over the events table: count + sum(value)
     per (window, event_type); partial aggregation inside map_batches."""
@@ -686,6 +700,27 @@ def oracle_queries() -> dict[str, str]:
             SELECT doc_id, length({HTML_SQL})::BIGINT AS n_bytes, md5({HTML_SQL}) AS payload_md5
             FROM documents
         """,
+        "clean_corpus": f"""
+            WITH raw AS (
+              SELECT doc_id, text, lang,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            st AS (
+              SELECT doc_id, lang,
+                     len(toks)::BIGINT AS n_tokens,
+                     CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE len(list_filter(toks, t -> lower(t) IN ({stop_list})))::DOUBLE / len(toks) END AS stopr,
+                     CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE len(list_filter(toks, t -> regexp_matches(t, '^[A-Za-z]+$')))::DOUBLE / len(toks) END AS alphar
+              FROM raw
+            ),
+            keep AS (SELECT min(doc_id) AS kid FROM documents GROUP BY md5(text))
+            SELECT s.doc_id, s.lang AS lang_pred, s.n_tokens
+            FROM st s JOIN keep k ON s.doc_id = k.kid
+            WHERE s.n_tokens >= 10 AND s.stopr <= 0.7 AND s.alphar >= 0.3
+              AND s.lang = 'en'
+        """,
         "event_windows": """
             SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
                    event_type,
@@ -766,6 +801,7 @@ RAY_QUERIES = {
     "media_frames": q_media_frames,
     "event_windows": q_event_windows,
     "event_sessions": q_event_sessions,
+    "clean_corpus": q_clean_corpus,
     # rows-only (no SQL oracle): stateful/approx/sketch operators
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,

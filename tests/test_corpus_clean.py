@@ -1,0 +1,58 @@
+"""Composite corpus-cleaning pipeline (pipelines/corpus_clean.py)."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from search_engine_ray.pipelines.corpus_clean import clean_corpus, write_clean_corpus
+
+GOOD = ("the quick brown fox jumps over the lazy dog and then the dog sleeps "
+        "while the fox runs through the green forest near the old mill")
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session):
+    import ray.data
+
+    rows = [
+        {"doc_id": 1, "text": GOOD, "lang": "en"},
+        {"doc_id": 2, "text": GOOD, "lang": "en"},            # exact dup of 1
+        {"doc_id": 3, "text": GOOD + " extra tail words here", "lang": "en"},  # near dup
+        {"doc_id": 4, "text": "too short", "lang": "en"},
+        {"doc_id": 5, "text": "der hund und die katze sind im garten mit der maus heute wieder da", "lang": "de"},
+        {"doc_id": 6, "text": " ".join(["1234"] * 40), "lang": "en"},  # all-digit → alpha 0
+        {"doc_id": 7, "text": " ".join(["the"] * 40), "lang": "en"},   # stopwords 1.0
+        {"doc_id": 8, "text": "completely different unique content about rust compilers "
+                              "and incremental builds shipping fast binaries today", "lang": "en"},
+    ]
+    return ray.data.from_items(rows, override_num_blocks=3).materialize()
+
+
+class TestCleanCorpus:
+    def test_filters_compose(self, corpus):
+        out = clean_corpus(corpus, lang_from_col="lang").to_pandas()
+        kept = set(out["doc_id"])
+        assert 1 in kept          # keeper of the exact-dup group
+        assert 2 not in kept      # exact dup dropped
+        assert 3 in kept          # near dup kept without near_dup=True
+        assert 4 not in kept      # too short
+        assert 5 not in kept      # wrong lang
+        assert 6 not in kept      # alpha ratio 0
+        assert 7 not in kept      # stopword ratio 1.0
+        assert 8 in kept
+
+    def test_near_dup_mode_drops_cluster_members(self, corpus):
+        out = clean_corpus(corpus, lang_from_col="lang", near_dup=True,
+                           ).to_pandas()
+        kept = set(out["doc_id"])
+        assert 1 in kept
+        assert 3 not in kept      # near-dup cluster member of 1 now dropped
+        assert 8 in kept
+
+    def test_partitioned_write(self, corpus, tmp_path):
+        out_dir = str(tmp_path / "clean")
+        write_clean_corpus(corpus, out_dir, langs=("en", "de"), lang_from_col="lang")
+        parts = glob.glob(os.path.join(out_dir, "lang_pred=*"))
+        assert {os.path.basename(p) for p in parts} == {"lang_pred=en", "lang_pred=de"}

@@ -89,7 +89,8 @@ def test_query_and_oracle_keys_align(entry):
         "doc_lengths", "top_terms", "boolean_and", "tfidf_topk", "bm25_topk", "bm25_wand",
         "bm25_blend", "phrase", "proximity", "fuzzy", "exact_dedup", "lang_counts",
         "text_stats", "ann_topk", "media_features", "media_resize",
-        "media_frames", "event_windows", "event_sessions", "cosine_norms",
+        "media_frames", "event_windows", "event_sessions", "clean_corpus",
+        "cosine_norms",
     ],
 )
 def test_sql_parity(entry, con, name):
