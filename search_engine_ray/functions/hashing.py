@@ -119,6 +119,9 @@ def batch_token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
     counts = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
         zero_copy_only=False).astype(np.int64)
     flat = pc.list_flatten(toks)
+    # trim: workaround for the nondeterministic split_whitespace kernel bug
+    # (see stages/tokenize.py — trailing whitespace glued onto last token)
+    flat = pc.utf8_trim_whitespace(flat)
     if isinstance(flat, pa.ChunkedArray):
         flat = flat.combine_chunks()
     if len(flat) == 0:

@@ -97,6 +97,14 @@ def tokenize_batch(
     counts_raw = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
         zero_copy_only=False).astype(np.int64)
     flat = pc.list_flatten(toks)
+    # WORKAROUND for a nondeterministic pyarrow kernel bug (observed on
+    # 17.x-era kernels, reproduced via hypothesis): utf8_split_whitespace
+    # sometimes glues a trailing whitespace char onto the final token
+    # (e.g. '9\x8a\x1d' instead of '9\x8a' + '') depending on prior kernel
+    # calls. Trimming is a no-op on correct tokens and canonicalizes the
+    # buggy variant; the kept-token positions are unaffected either way
+    # (the phantom difference is only a trailing EMPTY token).
+    flat = pc.utf8_trim_whitespace(flat)
     if isinstance(flat, pa.ChunkedArray):
         flat = flat.combine_chunks()
     total = len(flat)
