@@ -93,6 +93,17 @@ class ShardServingActor:
     def term_doc_ids(self, terms: list[str]) -> dict:
         return {t: self._postings(t).doc_ids for t in terms if t in self._dict}
 
+    def term_postings_full(self, terms: list[str]) -> dict:
+        """Positions included (phrase/proximity): {term: (doc_ids,
+        pos_offsets, pos_values)} — numpy arrays, zero-copy through Ray."""
+        out = {}
+        for t in terms:
+            if t not in self._dict:
+                continue
+            tp = self._postings(t)
+            out[t] = (tp.doc_ids, tp.pos_offsets, tp.pos_values)
+        return out
+
 
 class DistributedSearchEngine:
     """Coordinator: routes each query term to the actor owning its shard
@@ -170,6 +181,73 @@ class DistributedSearchEngine:
                 break
             docs = np.intersect1d(docs, np.asarray(nxt, np.int64), assume_unique=True)
         return docs
+
+    def phrase(self, query: str) -> np.ndarray:
+        """Distributed phrase match: per-term postings (with positions) fan
+        out once, the consecutive-position intersection runs on the
+        coordinator with the local engine's exact semantics."""
+        from search_engine_ray.query.postings_codec import TermPostings
+
+        words = [t.word for t in self.tokenizer.tokenize(query)]
+        if not words:
+            return np.zeros(0, np.int64)
+        per_term = self._fan_out(list(dict.fromkeys(words)), "term_postings_full")
+        tps = []
+        for w in words:
+            got = per_term.get(w)
+            if got is None:
+                return np.zeros(0, np.int64)
+            tps.append(TermPostings(np.asarray(got[0], np.int64),
+                                    np.zeros(len(got[0]), np.int64),
+                                    np.asarray(got[1], np.int64),
+                                    np.asarray(got[2], np.int64)))
+        if len(tps) == 1:
+            return tps[0].doc_ids
+        candidates = tps[0].doc_ids
+        for tp in tps[1:]:
+            candidates = np.intersect1d(candidates, tp.doc_ids, assume_unique=True)
+        out = []
+        for doc in candidates:
+            doc = int(doc)
+            starts = tps[0].positions_for_doc(doc)
+            hit = np.ones(len(starts), bool)
+            for i in range(1, len(tps)):
+                pos = tps[i].positions_for_doc(doc)
+                idx = np.searchsorted(pos, starts + i)
+                hit &= (idx < len(pos)) & (pos[np.minimum(idx, len(pos) - 1)] == starts + i)
+                if not hit.any():
+                    break
+            if hit.any():
+                out.append(doc)
+        return np.asarray(out, np.int64)
+
+    def proximity(self, term1: str, term2: str, k: int) -> list[tuple[int, int, int]]:
+        """Distributed proximity (one-directional window), identical
+        semantics to SearchEngine.proximity."""
+        from search_engine_ray.query.postings_codec import TermPostings
+
+        t1 = self.tokenizer.normalize(term1)
+        t2 = self.tokenizer.normalize(term2)
+        per_term = self._fan_out(list(dict.fromkeys([t1, t2])), "term_postings_full")
+        if t1 not in per_term or t2 not in per_term:
+            return []
+
+        def mk(t):
+            d, o, v = per_term[t]
+            return TermPostings(np.asarray(d, np.int64), np.zeros(len(d), np.int64),
+                                np.asarray(o, np.int64), np.asarray(v, np.int64))
+
+        tp1, tp2 = mk(t1), mk(t2)
+        common = np.intersect1d(tp1.doc_ids, tp2.doc_ids, assume_unique=True)
+        out = []
+        for doc in common:
+            pp1 = tp1.positions_for_doc(int(doc))
+            pp2 = tp2.positions_for_doc(int(doc))
+            for p1 in pp1:
+                for p2 in pp2:
+                    if p2 > p1 and p2 - p1 <= k:
+                        out.append((int(doc), int(p1), int(p2)))
+        return out
 
     def shutdown(self) -> None:
         for a in self.actors:

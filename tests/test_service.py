@@ -50,3 +50,15 @@ class TestDistributedServing:
     def test_boolean_identical_to_local(self, built, q):
         local, dist = built
         np.testing.assert_array_equal(dist.boolean_and(q), local.boolean_and(q))
+
+
+class TestDistributedPhraseProximity:
+    @pytest.mark.parametrize("q", ["bababa cababa", "dababa fababa", "bababa"])
+    def test_phrase_identical_to_local(self, built, q):
+        local, dist = built
+        np.testing.assert_array_equal(dist.phrase(q), local.phrase(q))
+
+    def test_proximity_identical_to_local(self, built):
+        local, dist = built
+        assert dist.proximity("bababa", "cababa", 3) == local.proximity("bababa", "cababa", 3)
+        assert dist.proximity("bababa", "nosuch", 3) == local.proximity("bababa", "nosuch", 3)
