@@ -97,7 +97,10 @@ def main(argv: list[str] | None = None) -> int:
                 out = eng.proximity(words[0], words[1], args.prox_k)[: args.k]
             else:
                 out = eng.fuzzy(text.split()[0], args.edit_dist)
-            print(json.dumps({"mode": args.mode, "query": text, "results": out}))
+            doc = {"mode": args.mode, "query": text, "results": out}
+            if out and isinstance(out[0], (tuple, list)) and args.mode != "proximity":
+                doc["urls"] = eng.doc_urls([d for d, _s in out])
+            print(json.dumps(doc))
         elif args.cmd == "dedup":
             import ray.data
 

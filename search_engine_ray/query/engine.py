@@ -113,6 +113,24 @@ class SearchEngine:
         idx = np.searchsorted(self._dl_ids, doc_ids)
         return self._dl[np.clip(idx, 0, len(self._dl) - 1)]
 
+    def doc_urls(self, doc_ids) -> list[str]:
+        """doc_id → url (the reference's DocumentMetadata.doc_url,
+        indexer.rs:46-50). The url column loads lazily on first use —
+        ranked retrieval never needs it, so the serving hot path stays
+        url-free."""
+        if not hasattr(self, "_url_ids"):
+            t = pq.read_table(self.paths.docs, columns=["doc_id", "url"]) \
+                  .combine_chunks().sort_by("doc_id")
+            self._url_ids = t["doc_id"].to_numpy().astype(np.int64)
+            self._urls = t["url"].to_pylist()
+        ids = np.asarray(doc_ids, np.int64)
+        idx = np.searchsorted(self._url_ids, ids)
+        out = []
+        for i, want in zip(idx, ids):
+            i = int(min(i, len(self._urls) - 1))
+            out.append(self._urls[i] if self._url_ids[i] == want else None)
+        return out
+
     #: WAND never touches positions — pos_gaps/pos_lens are often the
     #: majority of index bytes, so the cursor feed prunes them at the read
     WAND_COLUMNS = ["term", "salt", "chunk_seq", "n_postings", "max_tf",

@@ -226,3 +226,18 @@ class TestCosineNorms:
                 assert doc_id not in got or got[doc_id] == 0.0
             else:
                 assert got[doc_id] == pytest.approx(expect, rel=1e-9), doc_id
+
+
+class TestDocUrls:
+    def test_doc_urls_roundtrip(self, built):
+        engine, oracle, _ = built
+        tp = None
+        for term in ["the", "quick", "fox"]:
+            tp = engine.get_postings(term)
+            if tp is not None:
+                break
+        assert tp is not None
+        urls = engine.doc_urls(tp.doc_ids[:5])
+        assert all(u and u.startswith("http") for u in urls)
+        # unknown doc_id → None
+        assert engine.doc_urls([99999999])[0] is None
