@@ -241,3 +241,35 @@ class TestDocUrls:
         assert all(u and u.startswith("http") for u in urls)
         # unknown doc_id → None
         assert engine.doc_urls([99999999])[0] is None
+
+
+class TestConfigFlipInvalidatesResume:
+    def test_bigram_flag_rebuilds_and_extends_dictionary(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from search_engine_ray.sources.webpages import _url_for
+
+        rows = [{"url": _url_for(i), "html": synthesize_html(t).encode()}
+                for i, t in enumerate(["alpha beta gamma", "beta gamma delta",
+                                       "gamma delta alpha"])]
+        ds = ray.data.from_items(rows).materialize()
+        out = str(tmp_path / "idx")
+        build_index(ds, out, EngineConfig(min_rows_per_file=None), resume=True)
+        base_terms = set(pq.read_table(f"{out}/dictionary", columns=["term"])["term"].to_pylist())
+        assert "alpha beta" not in base_terms
+
+        # same input, flipped config → fingerprint differs → full rebuild
+        # even with resume=True, and bigram terms appear
+        build_index(ds, out, EngineConfig(min_rows_per_file=None, index_bigrams=True),
+                    resume=True)
+        bi_terms = set(pq.read_table(f"{out}/dictionary", columns=["term"])["term"].to_pylist())
+        assert base_terms < bi_terms
+        assert "alpha beta" in bi_terms and "beta gamma" in bi_terms
+
+        eng = SearchEngine(out, EngineConfig(index_bigrams=True), build_bktree=False)
+        blended = eng.bm25_topk_blended("alpha beta", 3)
+        plain = eng.bm25_topk("alpha beta", 3)
+        assert blended and plain
+        # doc 1 ("alpha beta gamma") contains the bigram → boosted to rank 1
+        assert blended[0][0] == 1
