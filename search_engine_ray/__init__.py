@@ -7,14 +7,20 @@ the structural analysis with file:line citations into /root/reference).
 
 Layout:
   functions/  pure kernels: text extraction/cleaning, VB + delta codecs,
-              hashing/minhash/simhash, text quality metrics
-  sources/    corpus synthesis + parquet readers (column-pruned)
-  stages/     Dataset stage builders: extract, tokenize (actor pool),
-              deterministic id assignment, postings merge, index write
-  pipelines/  end-to-end build pipeline + training-data pipelines
-              (dedup, ANN, text analysis)
-  query/      query engine (boolean/phrase/proximity/fuzzy/tf-idf/BM25)
-              + brute-force oracle
+              vectorized string/minhash/simhash/shingle hashing (scalar
+              specs included), text quality metrics
+  sources/    corpus synthesis, parquet readers (column-pruned), literal
+              bz2+JSON article ingest
+  stages/     Dataset stage builders: extract, tokenize (optionally with
+              bigrams), deterministic id assignment, hash-sharded
+              int-keyed postings merge, sorted whole-group mapping
+  pipelines/  end-to-end build (per-unit resumable merges) + training-data
+              pipelines (dedup exact/MinHash/SimHash/cosine, clustering,
+              ANN, text analysis, events windows/sessions, multimodal,
+              composite corpus cleaning)
+  query/      query engine (boolean/phrase/proximity/fuzzy/tf-idf/BM25/
+              WAND/blended), term-addressed locator, distributed per-shard
+              serving actors, batch retrieval, brute-force oracle
   state/      per-partition lineage manifests for checkpoint/resume
 """
 
