@@ -36,7 +36,10 @@ def doc_stats(text: str) -> dict:
     n = len(toks)
     n_chars = len(text)
     alpha = sum(t.isalpha() for t in toks)
-    digit = sum(t.isdigit() for t in toks)
+    # isdecimal (not isdigit): matches Arrow's utf8_is_decimal exactly so
+    # the batch twin is bit-identical ('²'.isdigit() is True but it is not
+    # a decimal digit; for ASCII corpora the two agree)
+    digit = sum(t.isdecimal() for t in toks)
     stop = sum(t.lower() in STOPWORDS_EN for t in toks)
     mean_len = (sum(len(t) for t in toks) / n) if n else 0.0
     return {
@@ -69,3 +72,122 @@ def lang_id(text: str) -> tuple[str, float]:
         if hits > best_hits:
             best_lang, best_hits = lang, hits
     return best_lang, best_hits / len(toks)
+
+
+# ---------------------------------------------------------------------------
+# whole-batch vectorized twins (property-tested ≡ the scalar specs above;
+# the per-doc Python loops were the remaining hot-path cost of text_stats /
+# langid at corpus scale)
+# ---------------------------------------------------------------------------
+
+
+def _flat_tokens(texts):
+    """(counts int64[n], flat tokens StringArray, doc_idx int64[total]) for
+    a batch column — Python-split semantics (empty edge tokens removed;
+    includes the split-kernel glue workaround, see stages/tokenize.py)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    toks = pc.utf8_split_whitespace(texts)
+    counts_raw = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.utf8_trim_whitespace(pc.list_flatten(toks))
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    if len(flat) == 0:
+        return np.zeros(n, np.int64), flat, np.zeros(0, np.int64)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False).astype(bool)
+    doc_idx = np.repeat(np.arange(n), counts_raw)[keep]
+    flat = flat.filter(pa.array(keep))
+    counts = np.bincount(doc_idx, minlength=n).astype(np.int64)
+    return counts, flat, doc_idx
+
+
+def batch_doc_stats(texts) -> dict:
+    """Vectorized :func:`doc_stats` over a batch column → dict of numpy
+    arrays (n_tokens, n_chars, mean_token_len, alpha_ratio, digit_ratio,
+    stopword_ratio)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    counts, flat, doc_idx = _flat_tokens(texts)
+    n_chars = pc.fill_null(pc.utf8_length(texts), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+
+    def per_doc(mask_arr) -> "np.ndarray":
+        m = mask_arr.to_numpy(zero_copy_only=False).astype(bool)
+        return np.bincount(doc_idx[m], minlength=n).astype(np.float64)
+
+    if len(flat):
+        alpha = per_doc(pc.utf8_is_alpha(flat))
+        digit = per_doc(pc.utf8_is_decimal(flat))
+        stop = per_doc(pc.is_in(pc.utf8_lower(flat),
+                                value_set=pa.array(sorted(STOPWORDS_EN))))
+        tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        len_sum = np.bincount(doc_idx, weights=tok_lens, minlength=n)
+    else:
+        alpha = digit = stop = len_sum = np.zeros(n, np.float64)
+    denom = np.maximum(counts, 1).astype(np.float64)
+    nz = counts > 0
+    return {
+        "n_tokens": counts,
+        "n_chars": n_chars,
+        "mean_token_len": np.where(nz, len_sum / denom, 0.0),
+        "alpha_ratio": np.where(nz, alpha / denom, 0.0),
+        "digit_ratio": np.where(nz, digit / denom, 0.0),
+        "stopword_ratio": np.where(nz, stop / denom, 0.0),
+    }
+
+
+def batch_quality_score(stats: dict):
+    """Vectorized :func:`quality_score` over :func:`batch_doc_stats` output."""
+    import numpy as np
+
+    nt = stats["n_tokens"].astype(np.float64)
+    length_term = np.minimum(nt / 50.0, 1.0) * np.where(nt <= 10_000, 1.0, 0.5)
+    return np.round(0.5 * length_term + 0.4 * stats["alpha_ratio"]
+                    + 0.1 * (1.0 - stats["digit_ratio"]), 6)
+
+
+def batch_lang_id(texts):
+    """Vectorized :func:`lang_id` → (langs object array, confidences).
+    Only the first 200 tokens per doc vote, like the scalar spec."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    counts, flat, doc_idx = _flat_tokens(texts)
+    langs = np.full(n, "und", dtype=object)
+    confs = np.zeros(n, np.float64)
+    if len(flat) == 0:
+        return langs, confs
+    # rank within doc; only ranks < 200 vote
+    starts = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    rank = np.arange(len(doc_idx)) - starts[doc_idx]
+    voting = rank < 200
+    low = pc.utf8_lower(flat)
+    profiles = list(_LANG_PROFILES.items())
+    hits = np.zeros((len(profiles), n), np.int64)
+    for i, (_lang, prof) in enumerate(profiles):
+        m = pc.is_in(low, value_set=pa.array(sorted(prof))).to_numpy(
+            zero_copy_only=False).astype(bool) & voting
+        hits[i] = np.bincount(doc_idx[m], minlength=n)
+    denom = np.minimum(np.maximum(counts, 1), 200).astype(np.float64)
+    best = hits.argmax(axis=0)         # first profile wins ties (spec order)
+    best_hits = hits[best, np.arange(n)]
+    has = best_hits > 0
+    langs[has] = np.array([profiles[i][0] for i in best[has]], dtype=object)
+    confs[has] = best_hits[has] / denom[has]
+    return langs, confs

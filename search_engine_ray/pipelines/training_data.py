@@ -65,40 +65,44 @@ def _batch_tok_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
 
 
 def text_stats(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"):
-    """Per-doc quality metrics + composite score + BPE-ish token count."""
+    """Per-doc quality metrics + composite score + BPE-ish token count.
+    Stats/score run whole-batch vectorized (functions/quality.py batch
+    twins, property-tested ≡ the scalar specs); only the BPE-ish regex
+    count stays per-doc (Python re.findall — its unicode classes have no
+    exact RE2 equivalent)."""
+    from search_engine_ray.functions.quality import batch_doc_stats, batch_quality_score
 
     def fn(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col]
-        rows = {
-            "n_tokens": [], "n_chars": [], "mean_token_len": [], "alpha_ratio": [],
-            "digit_ratio": [], "stopword_ratio": [], "quality": [], "bpe_tokens": [],
-        }
-        for t in batch[text_col].to_pylist():
-            t = t or ""
-            s = doc_stats(t)
-            rows["n_tokens"].append(s["n_tokens"])
-            rows["n_chars"].append(s["n_chars"])
-            rows["mean_token_len"].append(s["mean_token_len"])
-            rows["alpha_ratio"].append(s["alpha_ratio"])
-            rows["digit_ratio"].append(s["digit_ratio"])
-            rows["stopword_ratio"].append(s["stopword_ratio"])
-            rows["quality"].append(quality_score(s))
-            rows["bpe_tokens"].append(bpe_ish_token_count(t))
-        out = {id_col: ids}
-        out.update({k: pa.array(v) for k, v in rows.items()})
-        return pa.table(out)
+        batch = batch.combine_chunks()
+        s = batch_doc_stats(batch[text_col])
+        q = batch_quality_score(s)
+        bpe = [bpe_ish_token_count(t or "") for t in batch[text_col].to_pylist()]
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": pa.array(s["n_tokens"], pa.int64()),
+                "n_chars": pa.array(s["n_chars"], pa.int64()),
+                "mean_token_len": pa.array(s["mean_token_len"], pa.float64()),
+                "alpha_ratio": pa.array(s["alpha_ratio"], pa.float64()),
+                "digit_ratio": pa.array(s["digit_ratio"], pa.float64()),
+                "stopword_ratio": pa.array(s["stopword_ratio"], pa.float64()),
+                "quality": pa.array(q, pa.float64()),
+                "bpe_tokens": pa.array(bpe, pa.int64()),
+            }
+        )
 
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
 def lang_id_table(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"):
+    from search_engine_ray.functions.quality import batch_lang_id
+
     def fn(batch: pa.Table) -> pa.Table:
-        preds, confs = [], []
-        for t in batch[text_col].to_pylist():
-            lang, conf = lang_id(t or "")
-            preds.append(lang)
-            confs.append(round(conf, 6))
-        return pa.table({id_col: batch[id_col], "lang_pred": pa.array(preds), "confidence": pa.array(confs)})
+        batch = batch.combine_chunks()
+        langs, confs = batch_lang_id(batch[text_col])
+        return pa.table({id_col: batch[id_col],
+                         "lang_pred": pa.array(langs.tolist(), pa.string()),
+                         "confidence": pa.array(np.round(confs, 6), pa.float64())})
 
     return docs.map_batches(fn, batch_format="pyarrow")
 

@@ -3,6 +3,7 @@ adversarial inputs (the hand-written cases in test_vb/test_tokenize cover
 known edges; these search for unknown ones)."""
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -109,3 +110,32 @@ class TestTokenizeProperty:
             postings, _dl = tok.doc_postings(i, t)
             want = {w: len(ps) for w, ps in postings.items()}
             assert got.get(i, {}) == want, repr(t)
+
+
+class TestQualityBatchTwins:
+    @given(st.lists(texts, min_size=1, max_size=12))
+    @settings(max_examples=100, deadline=None)
+    def test_batch_doc_stats_matches_spec(self, docs):
+        import pyarrow as pa
+
+        from search_engine_ray.functions.quality import batch_doc_stats, doc_stats
+
+        s = batch_doc_stats(pa.array(docs, pa.string()))
+        for i, t in enumerate(docs):
+            want = doc_stats(t)
+            for k in want:
+                got = s[k][i]
+                assert got == pytest.approx(want[k]), (k, repr(t))
+
+    @given(st.lists(texts, min_size=1, max_size=12))
+    @settings(max_examples=60, deadline=None)
+    def test_batch_lang_id_matches_spec(self, docs):
+        import pyarrow as pa
+
+        from search_engine_ray.functions.quality import batch_lang_id, lang_id
+
+        langs, confs = batch_lang_id(pa.array(docs, pa.string()))
+        for i, t in enumerate(docs):
+            wl, wc = lang_id(t)
+            assert langs[i] == wl, repr(t)
+            assert confs[i] == pytest.approx(wc), repr(t)
