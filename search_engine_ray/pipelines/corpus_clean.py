@@ -22,7 +22,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from search_engine_ray.functions.quality import doc_stats, lang_id
+from search_engine_ray.functions.quality import batch_doc_stats, batch_lang_id
 from search_engine_ray.pipelines.training_data import exact_dedup, minhash_lsh_dedup
 
 
@@ -75,19 +75,14 @@ def clean_corpus(
         mask = np.isin(ids, keep_list)
         if len(drop_list):
             mask &= ~np.isin(ids, drop_list)
-        texts = batch[text_col].to_pylist()
-        n_tok = np.empty(len(texts), np.int64)
-        stopr = np.empty(len(texts), np.float64)
-        alpha = np.empty(len(texts), np.float64)
-        for i, t in enumerate(texts):
-            s = doc_stats(t or "")
-            n_tok[i] = s["n_tokens"]
-            stopr[i] = s["stopword_ratio"]
-            alpha[i] = s["alpha_ratio"]
+        s = batch_doc_stats(batch[text_col])
+        n_tok = s["n_tokens"]
+        stopr = s["stopword_ratio"]
+        alpha = s["alpha_ratio"]
         if lang_from_col is not None:
             lang_arr = np.array(batch[lang_from_col].to_pylist(), dtype=object)
         else:
-            lang_arr = np.array([lang_id(t or "")[0] for t in texts], dtype=object)
+            lang_arr = batch_lang_id(batch[text_col])[0]
         mask &= n_tok >= min_tokens
         mask &= stopr <= max_stopword_ratio
         mask &= alpha >= min_alpha_ratio

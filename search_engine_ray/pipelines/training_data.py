@@ -29,12 +29,7 @@ from search_engine_ray.functions.minhash import (
     MinHasher,
     simhash_bands,
 )
-from search_engine_ray.functions.quality import (
-    bpe_ish_token_count,
-    doc_stats,
-    lang_id,
-    quality_score,
-)
+from search_engine_ray.functions.quality import bpe_ish_token_count
 
 _U64 = np.uint64
 
