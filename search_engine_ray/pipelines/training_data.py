@@ -1,14 +1,17 @@
 """Training-data pipeline operators over the documents/embeddings tables:
-deduplication (exact, MinHash+LSH, SimHash, exact n-gram Jaccard verify),
-similarity search (brute-force cosine top-k + IVF variant), text analysis
-(quality stats, language-ID, token counting, winnowing fingerprints).
+deduplication (exact, MinHash+LSH, SimHash, embedding-cosine, exact n-gram
+Jaccard verify), near-dup clustering (distributed min-label propagation +
+union-find shortcut), similarity search (brute-force cosine top-k + IVF
+variant), text analysis (vectorized quality stats, language-ID, token
+counting, winnowing fingerprints).
 
 All operators are Dataset → Dataset (streaming, no driver-side loops over
-full data); small lookup sides are broadcast with ``ray.put``. Candidate
-near-dup edge sets are reduced to clusters with driver union-find behind an
-explicit cap (the edge set after LSH banding + verification is orders of
-magnitude smaller than the corpus; the documented scale-out path is
-iterative min-label propagation via groupby rounds).
+full data); small lookup sides are broadcast with ``ray.put``. LSH band
+shuffles carry ONLY (band_key, id) — sketch/vector payloads are fetched
+once during verification (broadcast semi-join below ``broadcast_cap``,
+hash joins above it). Per-batch kernels are whole-batch vectorized with
+scalar specs property-tested in tests/test_minhash_vectorized.py and
+tests/test_property_kernels.py.
 """
 
 from __future__ import annotations
