@@ -233,13 +233,32 @@ def build_index(
             shutil.rmtree(d, ignore_errors=True)
             os.makedirs(d, exist_ok=True)
 
+        def _ensure_nonempty(d: str, schema_table) -> None:
+            """Ray's parquet sink writes NO file for 0 rows; typed empty
+            artifacts keep every downstream reader schema-stable."""
+            import glob as _glob
+
+            import pyarrow.parquet as _pq
+
+            if not _glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True):
+                _pq.write_table(schema_table, os.path.join(d, "empty.parquet"))
+
+        import pyarrow as pa
+
         def wdocs():
             if docs_ds is not None:
                 docs_ds.write_parquet(paths.docs, **write_kwargs)
+            _ensure_nonempty(paths.docs, pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "url": pa.array([], pa.string()),
+                 "doc_length": pa.array([], pa.int64())}))
 
         def wpartials():
             if partials_ds is not None:
                 partials_ds.write_parquet(paths.dict_partials, **write_kwargs)
+            _ensure_nonempty(paths.dict_partials, pa.table(
+                {"term": pa.array([], pa.string()),
+                 "df_part": pa.array([], pa.int64())}))
 
         threads = [threading.Thread(target=wdocs), threading.Thread(target=wpartials)]
         for t in threads:
@@ -282,12 +301,15 @@ def build_index(
         # of blocks would be GBs on the driver even for a "small" corpus.
         m = manifests.read_manifest(paths.dict_partials) or {}
         n_partial_rows = m.get("num_rows") or 0
-        if 0 < n_partial_rows <= 8_000_000:
+        if n_partial_rows <= 8_000_000:
             # small side: plain parquet read + pandas finish — a Ray
             # execution here is pure fixed overhead
             import pyarrow.parquet as pq
 
             pdf = pq.read_table(paths.dict_partials).to_pandas()
+            if "term" not in pdf.columns:  # empty corpus: schema-less dir
+                pdf = pd.DataFrame({"term": pd.Series(dtype=object),
+                                    "df_part": pd.Series(dtype=np.int64)})
             g = (pdf.groupby("term", sort=True)["df_part"].sum()
                  .reset_index().rename(columns={"df_part": "df"}))
             g["term_id"] = np.arange(1, len(g) + 1, dtype=np.int64)
@@ -445,11 +467,15 @@ def build_index(
 
     if not (resume and _stats_current()):
         docs_rows = (manifests.read_manifest(paths.docs) or {}).get("num_rows") or 0
-        if 0 < docs_rows <= 50_000_000:
+        if docs_rows <= 50_000_000:
             # small side: one column read, no Ray execution (8 B/doc)
+            import pyarrow as pa
             import pyarrow.parquet as pq
 
-            dl_col = pq.read_table(paths.docs, columns=["doc_length"])["doc_length"]
+            try:
+                dl_col = pq.read_table(paths.docs, columns=["doc_length"])["doc_length"]
+            except (pa.ArrowInvalid, KeyError):  # schema-less empty dir
+                dl_col = pa.chunked_array([pa.array([], pa.int64())])
             import pyarrow.compute as pc
 
             num_docs = len(dl_col)

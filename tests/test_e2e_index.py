@@ -273,3 +273,20 @@ class TestConfigFlipInvalidatesResume:
         assert blended and plain
         # doc 1 ("alpha beta gamma") contains the bigram → boosted to rank 1
         assert blended[0][0] == 1
+
+
+class TestEmptyCorpus:
+    def test_build_and_query_empty_input(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray.data
+
+        empty = ray.data.from_arrow(pa.table({"url": pa.array([], pa.string()),
+                                              "html": pa.array([], pa.binary())}))
+        out = str(tmp_path / "idx")
+        build_index(empty, out, EngineConfig(min_rows_per_file=None))
+        st = load_stats(out)
+        assert st["num_docs"] == 0 and st["avgdl"] == 0.0
+        eng = SearchEngine(out, build_bktree=False)
+        assert eng.num_terms == 0
+        assert eng.bm25_topk("anything at all", 5) == []
+        assert eng.boolean_and("anything").tolist() == []
