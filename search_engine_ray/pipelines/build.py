@@ -19,6 +19,12 @@ for Ray Data streaming execution; SURVEY.md §7.1):
     → stats.json (N, total tokens, avgdl); doc lengths are served from the
       docs/ columns directly (no separate copy)
 
+Determinism precondition: ``url`` values must be unique — doc_id is the
+dense rank of the url sort and duplicate keys would make their relative
+order partition-dependent (the reference's single-threaded read order has
+the same ambiguity for duplicate files). Crawl pipelines should dedupe by
+url upstream (exact_dedup on url works).
+
 Each stage writes parquet + a lineage manifest; ``build_index(resume=True)``
 skips stages (and individual postings shards) whose manifest is complete
 with a matching fingerprint (state/manifests.py). The hash-shard key is the
