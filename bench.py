@@ -139,6 +139,18 @@ def run_bench() -> dict:
     results["bm25_queries"] = time.perf_counter() - t0
     qps = n_q / results["bm25_queries"] if results["bm25_queries"] else 0.0
 
+    # block-max WAND (north-star serving path; exact same top-k)
+    for q in QUERIES:
+        eng.bm25_topk_wand(q, 10)
+    t0 = time.perf_counter()
+    n_w = 0
+    for _ in range(50):
+        for q in QUERIES:
+            eng.bm25_topk_wand(q, 10)
+            n_w += 1
+    results["bm25_wand_queries"] = time.perf_counter() - t0
+    wand_qps = n_w / results["bm25_wand_queries"] if results["bm25_wand_queries"] else 0.0
+
     # --- training-data ops over the sf dir ---------------------------------
     docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
     t0 = time.perf_counter()
@@ -166,6 +178,7 @@ def run_bench() -> dict:
         "zipf_docs": num_docs,
         "docs_per_sec": round(num_docs / results["build_zipf"], 1),
         "bm25_qps": round(qps, 1),
+        "bm25_wand_qps": round(wand_qps, 1),
         "bm25_cold_ms_per_q": round(results["bm25_cold_batch"] * 1000 / len(QUERIES), 3),
     }
     ray.shutdown()
