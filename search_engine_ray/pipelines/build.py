@@ -8,8 +8,9 @@ for Ray Data streaming execution; SURVEY.md §7.1):
       → runs/shard=K/ hash-sharded postings rows (term, doc_id, pos_enc);
         shard = poly_hash(term) % index_shards                 [checkpoint]
       → docs/  (doc_id, url, doc_length)                       [checkpoint]
-    → dictionary/ (term, term_id = dense rank, df, shard) from the runs'
-      term column (column-pruned read, partial+final count)    [checkpoint]
+    → dictionary/ugroup=U/ (term, term_id = dense rank, df, shard),
+      hive-partitioned by merge unit so each merge job's workers read only
+      their own vocab slice (nothing vocab-sized on the driver) [checkpoint]
     → postings/shard=K/: PER-SHARD int-keyed merge — sort(term_id, doc_id)
       + vectorized multi-group kernel → ≤128-posting VB chunks. Each shard
       is an independent job with its own lineage manifest: a killed build
@@ -290,7 +291,12 @@ def build_index(
     # ---- stage 3: dictionary (df + dense 1-based term_id by sorted term +
     # hash shard). Built BEFORE the merge from the per-block combiners the
     # tokenize wave already emitted (dict_partials — no re-read of runs):
-    # the merge then ships int64 term_ids instead of strings. -------------
+    # the merge then ships int64 term_ids instead of strings. The layout is
+    # HIVE-PARTITIONED by merge unit (ugroup = shard % merge_units): each
+    # merge unit job reads ONLY dictionary/ugroup=U — vocab/merge_units
+    # entries per worker, nothing vocabulary-sized on the driver, however
+    # large the vocabulary. Whole-dir readers (engine, oracles) see the
+    # same table via ordinary dataset discovery. ---------------------------
     def produce_dictionary(d: str) -> None:
         import numpy as np
         import pandas as pd
@@ -321,8 +327,20 @@ def build_index(
             g["term_id"] = np.arange(1, len(g) + 1, dtype=np.int64)
             g = g.astype({"df": np.int64})
             t = pa.Table.from_pandas(g, preserve_index=False)
-            t = t.append_column("shard", _shard_col(t["term"].combine_chunks()))
-            pq.write_table(t, os.path.join(d, "dictionary.parquet"))
+            shard_arr = _shard_col(t["term"].combine_chunks())
+            t = t.append_column("shard", shard_arr)
+            if t.num_rows == 0:
+                # empty vocab writes one typed empty file at the top level:
+                # whole-dir readers (engine, oracles) stay schema-stable
+                pq.write_table(t, os.path.join(d, "dictionary.parquet"))
+                return
+            ug = shard_arr.to_numpy(zero_copy_only=False) % n_units
+            for u in np.unique(ug):
+                os.makedirs(os.path.join(d, f"ugroup={u}"), exist_ok=True)
+                pq.write_table(
+                    t.filter(pa.array(ug == u)),
+                    os.path.join(d, f"ugroup={u}", "dictionary.parquet"),
+                )
             return
 
         # distributed path: vectorized per-term sums over the sorted stream
@@ -356,9 +374,13 @@ def build_index(
 
         def add_shard(batch: pa.Table) -> pa.Table:
             batch = batch.combine_chunks()
-            return batch.append_column("shard", _shard_col(batch["term"]))
+            shard_arr = _shard_col(batch["term"])
+            batch = batch.append_column("shard", shard_arr)
+            ug = shard_arr.to_numpy(zero_copy_only=False) % n_units
+            return batch.append_column("ugroup", pa.array(ug, pa.int64()))
 
-        with_ids.map_batches(add_shard, batch_format="pyarrow").write_parquet(d, **write_kwargs)
+        (with_ids.map_batches(add_shard, batch_format="pyarrow")
+         .write_parquet(d, partition_cols=["ugroup"], **write_kwargs))
 
     _stage(paths.dictionary, "dictionary", in_fp, resume, produce_dictionary)
 
@@ -367,9 +389,6 @@ def build_index(
     def produce_postings_sharded() -> None:
         import shutil
         from concurrent.futures import ThreadPoolExecutor
-
-        import numpy as np
-        import pyarrow.parquet as pq
 
         from search_engine_ray.stages.merge import merge_shard_postings
 
@@ -404,15 +423,11 @@ def build_index(
                 manifests.write_manifest(paths.postings, "postings", in_fp)
             return
 
-        # driver-side dictionary slices per unit (vocab-sized; the
-        # extreme-vocab path would hive-partition the dictionary by shard
-        # and read slices per job — documented seam, not needed here)
-        dic = pq.read_table(paths.dictionary, columns=["term", "term_id", "shard"])
-        terms_np = np.asarray(dic["term"].to_pylist(), dtype=object)
-        tids_np = dic["term_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        shards_np = dic["shard"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(tids_np)  # term_id rank == term sort order
-        terms_np, tids_np, shards_np = terms_np[order], tids_np[order], shards_np[order]
+        # The dictionary is hive-partitioned by merge unit (ugroup =
+        # shard % merge_units): each unit job points its workers at
+        # dictionary/ugroup=U and they load the slice once per process
+        # (stages/merge.py:load_dict_slice). NOTHING vocabulary-sized is
+        # materialized on the driver.
 
         # concurrent unit jobs: more than the CPU budget just thrashes the
         # scheduler at low parallelism
@@ -424,8 +439,8 @@ def build_index(
             for k in shards:
                 shutil.rmtree(paths.postings_shard(k), ignore_errors=True)
             group_dir = os.path.join(paths.runs, f"sgroup={u}")
-            sel = (shards_np % n_units) == u
-            if os.path.isdir(group_dir) and sel.any():
+            unit_dict_dir = os.path.join(paths.dictionary, f"ugroup={u}")
+            if os.path.isdir(group_dir) and os.path.isdir(unit_dict_dir):
                 # coalesce AT the read (each read task takes several files)
                 # instead of a separate repartition pass after prep
                 runs_u = ray.data.read_parquet(
@@ -433,8 +448,8 @@ def build_index(
                     override_num_blocks=n_sort_blocks,
                 )
                 chunks = merge_shard_postings(
-                    runs_u, terms_np[sel], tids_np[sel], config,
-                    n_sort_blocks=0, out_shards=shards_np[sel],
+                    runs_u, config=config, n_sort_blocks=0,
+                    dict_slice_dir=unit_dict_dir, dict_slice_tag=in_fp,
                 )
                 # one write fans chunk rows out to the unit's shard= dirs
                 chunks.write_parquet(paths.postings, partition_cols=["shard"],

@@ -42,17 +42,20 @@ def tumbling_window_agg(events: "ray.data.Dataset", window_us: int = US_PER_HOUR
         ts = _ts_us(batch["ts"])
         win = (ts // window_us) * window_us
         etype = batch["event_type"]
-        # composite grouping via dictionary codes + window bucket
+        # composite grouping via dictionary codes + window bucket. Window
+        # starts are factorized to DENSE codes first: win is an epoch-µs
+        # value (~1.8e15), so `win * k + code` would silently overflow int64
+        # once k (distinct event types per batch) passes ~5000.
         enc = (etype.combine_chunks() if isinstance(etype, pa.ChunkedArray) else etype).dictionary_encode()
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        uw, inv = np.unique(win * np.int64(len(enc.dictionary) + 1) + codes,
-                            return_inverse=True)
+        uw_win, wcodes = np.unique(win, return_inverse=True)
+        k = np.int64(len(enc.dictionary) + 1)
+        uw, inv = np.unique(wcodes * k + codes, return_inverse=True)
         n = np.bincount(inv)
         sv = np.bincount(inv, weights=batch["value"].to_numpy(zero_copy_only=False))
-        k = np.int64(len(enc.dictionary) + 1)
         return pa.table(
             {
-                "window_start_us": pa.array((uw // k) * 1, pa.int64()),
+                "window_start_us": pa.array(uw_win[(uw // k).astype(np.int64)], pa.int64()),
                 "event_type": enc.dictionary.take(pa.array((uw % k).astype(np.int64))).cast(pa.string()),
                 "n_part": pa.array(n.astype(np.int64), pa.int64()),
                 "v_part": pa.array(sv, pa.float64()),

@@ -64,20 +64,30 @@ class _ShardIndex:
         self.tmaxs = [e[1] for e in entries]
         self.paths = [e[2] for e in entries]
         self.rgs = [e[3] for e in entries]
+        # prefix max of tmaxs: pmax[i] = max(tmaxs[0..i]). The backward scan
+        # in row_groups_for stops exactly when NO interval at or before i can
+        # still cover the probe — provably safe whatever the layout (a wide
+        # straddling row group behind many narrow ones is found), instead of
+        # a fixed scan margin resting on an unchecked near-disjointness
+        # invariant.
+        self.pmax: list[str] = []
+        run = ""
+        for t in self.tmaxs:
+            run = t if t > run else run
+            self.pmax.append(run)
 
     def row_groups_for(self, term: str) -> list[tuple[str, int]]:
         out = []
         if not self.tmins:
             return out
-        # candidates: intervals with tmin <= term; sorted tmins are mostly
-        # disjoint (global sort), so scan back while tmax can still cover
+        # candidates: intervals with tmin <= term; scan back while some
+        # interval can still cover (prefix-max bound — exact, no over-break)
         hi = bisect.bisect_right(self.tmins, term)
         for i in range(hi - 1, -1, -1):
+            if self.pmax[i] < term:
+                break
             if self.tmaxs[i] >= term:
                 out.append((self.paths[i], self.rgs[i]))
-            elif self.ordered and i < hi - 8:
-                # well past any straddling interval on an ordered layout
-                break
         out.reverse()
         return out
 

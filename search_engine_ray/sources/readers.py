@@ -77,10 +77,20 @@ def read_wiki_bz2(path: str) -> "ray.data.Dataset":
                 # Arrow's filesystem layer auto-decompresses by extension;
                 # bytes may already be plain JSON
                 raw = payload
-            for i, art in enumerate(parse_article_stream(raw)):
-                url = str(art.get("url") or art.get("id") or f"article-{i}")
-                body = article_body(art)
+            for art in parse_article_stream(raw):
                 from search_engine_ray.functions.hashing import poly_hash_str
+
+                body = article_body(art)
+                url = art.get("url")
+                if not url:
+                    # `is not None`, not truthiness: id 0 is a legitimate id.
+                    # Last resort derives from CONTENT, not a per-file
+                    # enumeration index — same body ⇒ same url across files,
+                    # distinct bodies never collide on "article-<i>" (the
+                    # build's url-uniqueness determinism precondition).
+                    aid = art.get("id")
+                    url = str(aid) if aid is not None else f"article-{poly_hash_str(body):016x}"
+                url = str(url)
 
                 urls.append(url)
                 # deterministic pseudo-timestamp (hash() is seed-dependent)

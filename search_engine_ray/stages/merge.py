@@ -234,6 +234,19 @@ def _chunks_kernel(batch: pa.Table, chunk_size: int, salt_span: int,
     np.cumsum((pos_data >= 128).astype(np.int64), out=term_csum[1:])
     tfs = term_csum[pos_bounds[1:]] - term_csum[pos_bounds[:-1]]
 
+    # binary_from_spans falls back to large_binary past the int32 offset
+    # range; a block that flips type would mix schemas within one shard's
+    # parquet files and fail far away at read/concat time. Validate HERE so
+    # an oversized sorted block fails at write with an actionable error.
+    doc_gaps_col = binary_from_spans(doc_enc, doc_spans)
+    pos_gaps_col = binary_from_spans(pos_enc, pos_spans)
+    if not (doc_gaps_col.type == pa.binary() and pos_gaps_col.type == pa.binary()):
+        raise ValueError(
+            "sorted merge block exceeds the int32 binary-offset range "
+            "(>2 GiB of encoded bytes in one block); lower "
+            "DataContext.target_max_block_size so chunk tables keep the "
+            "uniform CHUNK_SCHEMA binary type"
+        )
     list_bounds = pa.array(np.append(chunk_starts, n), type=pa.int32())
     chunk_rows = pa.table(
         {
@@ -244,12 +257,12 @@ def _chunks_kernel(batch: pa.Table, chunk_size: int, salt_span: int,
             "max_tf": pa.array(np.maximum.reduceat(tfs, chunk_starts).astype(np.int32), pa.int32()),
             "first_doc_id": pa.array(doc_ids[chunk_starts], pa.int64()),
             "max_doc_id": pa.array(doc_ids[chunk_ends - 1], pa.int64()),
-            "doc_gaps": binary_from_spans(doc_enc, doc_spans),
+            "doc_gaps": doc_gaps_col,
             "tfs": pa.ListArray.from_arrays(list_bounds, pa.array(tfs, type=pa.int32())),
             "pos_lens": pa.ListArray.from_arrays(
                 list_bounds, pa.array(per_posting_bytes, type=pa.int32())
             ),
-            "pos_gaps": binary_from_spans(pos_enc, pos_spans),
+            "pos_gaps": pos_gaps_col,
         }
     )
     return chunk_rows
@@ -313,13 +326,49 @@ def merge_postings(postings_ds, config: EngineConfig | None = None):
     )
 
 
+#: process-global (term, term_id, shard) slice cache, keyed by the unit's
+#: hive dir — each WORKER process reads its merge unit's dictionary slice
+#: once from shared storage (vocab/merge_units entries), instead of the
+#: driver materializing the whole vocabulary and ray.put-ing per-unit
+#: copies. This is the extreme-vocab seam as code: nothing driver-side
+#: scales with vocabulary size.
+_DICT_SLICE_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def load_dict_slice(unit_dir: str, tag: str = "") -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(terms object[], term_ids int64[], shards int64[]) of one merge
+    unit's dictionary slice, sorted by term_id (== term string order).
+
+    ``tag`` must change whenever the dictionary is regenerated in place
+    (the build passes its input fingerprint) — a rebuild into the same
+    out_dir would otherwise serve a stale slice from this cache and the
+    prep lookup guard below would fire on phantom "missing" terms."""
+    key = (unit_dir, tag)
+    ent = _DICT_SLICE_CACHE.get(key)
+    if ent is None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(unit_dir, columns=["term", "term_id", "shard"])
+        terms = np.asarray(t["term"].to_pylist(), dtype=object)
+        tids = t["term_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        shards = t["shard"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(tids)
+        ent = (terms[order], tids[order], shards[order])
+        if len(_DICT_SLICE_CACHE) >= 4:  # a worker serves few units at a time
+            _DICT_SLICE_CACHE.clear()
+        _DICT_SLICE_CACHE[key] = ent
+    return ent
+
+
 def merge_shard_postings(
     runs_shard_ds,
-    shard_terms,
-    shard_tids,
+    shard_terms=None,
+    shard_tids=None,
     config: EngineConfig | None = None,
     n_sort_blocks: int = 4,
     out_shards=None,
+    dict_slice_dir: str | None = None,
+    dict_slice_tag: str = "",
 ):
     """Int-keyed merge of ONE hash shard's runs → chunk-row Dataset.
 
@@ -333,29 +382,57 @@ def merge_shard_postings(
     after the sort (term_id is the dense rank of the globally sorted term,
     so (term_id, doc_id) order == (term, doc_id) order).
 
-    ``shard_terms`` must be sorted ascending (string order) with
-    ``shard_tids`` the matching dense term_ids (therefore also ascending).
-    When ``out_shards`` (per-term output shard ids, aligned with
-    ``shard_terms``) is given, chunk rows gain a ``shard`` column so one
-    ``write_parquet(partition_cols=["shard"])`` fans a merge unit's output
-    into its per-shard directories.
+    The (term → term_id) slice arrives one of two ways:
+
+    * ``dict_slice_dir`` — the unit's hive dir under ``dictionary/`` (the
+      at-scale path): each WORKER loads the slice once per process from
+      shared storage (load_dict_slice); the driver never touches the
+      vocabulary and the ``shard`` output column comes from the slice.
+    * ``shard_terms``/``shard_tids`` (+ optional ``out_shards``) — explicit
+      arrays, broadcast once via ``ray.put`` (small-vocab/test path).
+      ``shard_terms`` must be sorted ascending (string order) with
+      ``shard_tids`` the matching dense term_ids (therefore also ascending).
+
+    When shard ids are available (either way), chunk rows gain a ``shard``
+    column so one ``write_parquet(partition_cols=["shard"])`` fans a merge
+    unit's output into its per-shard directories.
     """
     config = config or EngineConfig()
     chunk_size = config.chunk_size
     salt_span = config.salt_span
-    shard_terms = np.asarray(shard_terms, dtype=object)
-    shard_tids = np.asarray(shard_tids, dtype=np.int64)
-    out_shards = None if out_shards is None else np.asarray(out_shards, np.int64)
-    map_ref = ray.put((shard_terms, shard_tids, out_shards))
+    if dict_slice_dir is not None:
+        map_ref = None
+        with_shard_col = True
+    else:
+        shard_terms = np.asarray(shard_terms, dtype=object)
+        shard_tids = np.asarray(shard_tids, dtype=np.int64)
+        out_shards = None if out_shards is None else np.asarray(out_shards, np.int64)
+        map_ref = ray.put((shard_terms, shard_tids, out_shards))
+        with_shard_col = out_shards is not None
+
+    def _slice() -> tuple:
+        if dict_slice_dir is not None:
+            return load_dict_slice(dict_slice_dir, dict_slice_tag)
+        return ray.get(map_ref)
 
     def prep(batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
-        terms_np, tids_np, _ = ray.get(map_ref)
+        terms_np, tids_np, _ = _slice()
         tenc = batch["term"].dictionary_encode().combine_chunks()
         uniq = np.asarray(tenc.dictionary.to_pylist(), dtype=object)
         idx = np.searchsorted(terms_np, uniq)
-        # every run term exists in the dictionary (built from these runs)
-        tid_u = tids_np[np.clip(idx, 0, len(tids_np) - 1)]
+        # every run term must exist in the dictionary slice (built from these
+        # runs). Verify the lookup HIT: a stale resume artifact or slice
+        # mixup would otherwise silently merge postings into a neighboring
+        # term's list via the clamped index.
+        if len(uniq):
+            bad = (idx >= len(terms_np)) | (terms_np[np.minimum(idx, len(terms_np) - 1)] != uniq)
+            if bad.any():
+                raise ValueError(
+                    f"run term(s) missing from shard dictionary slice: "
+                    f"{uniq[bad][:5].tolist()} (stale runs or wrong slice?)"
+                )
+        tid_u = tids_np[idx] if len(uniq) else tids_np[:0]
         tids = tid_u[tenc.indices.to_numpy(zero_copy_only=False)]
         return pa.table(
             {
@@ -379,10 +456,10 @@ def merge_shard_postings(
         batch = batch.combine_chunks()
         if batch.num_rows == 0:
             empty = CHUNK_SCHEMA.empty_table()
-            if out_shards is not None:
+            if with_shard_col:
                 empty = empty.append_column("shard", pa.array([], pa.int64()))
             return empty
-        terms_np, tids_np, oshards = ray.get(map_ref)
+        terms_np, tids_np, oshards = _slice()
         terms_pa = pa.array(terms_np, type=pa.string())
         tcodes = batch["term_id"].to_numpy(zero_copy_only=False)
         start_slice_idx: list[np.ndarray] = []
