@@ -343,14 +343,14 @@ class SearchEngine:
         if tp1 is None or tp2 is None:
             return []
         common = np.intersect1d(tp1.doc_ids, tp2.doc_ids, assume_unique=True)
+        from search_engine_ray.query.postings_codec import proximity_window_pairs
+
         out = []
         for doc in common:
             pp1 = tp1.positions_for_doc(int(doc))
             pp2 = tp2.positions_for_doc(int(doc))
-            for p1 in pp1:
-                for p2 in pp2:
-                    if p2 > p1 and p2 - p1 <= k:
-                        out.append((int(doc), int(p1), int(p2)))
+            w1, w2 = proximity_window_pairs(pp1, pp2, k)
+            out.extend((int(doc), int(p1), int(p2)) for p1, p2 in zip(w1, w2))
         return out
 
     # ------------------------------------------------------------------ fuzzy

@@ -40,6 +40,31 @@ class TermPostings:
         return None
 
 
+def proximity_window_pairs(pp1: np.ndarray, pp2: np.ndarray, k: int
+                           ) -> tuple[np.ndarray, np.ndarray]:
+    """All (p1, p2) with p2 > p1 and p2 - p1 <= k over two ASCENDING
+    position arrays — the reference's one-directional window
+    (positional_intersect/mod.rs:322-343) as two ``searchsorted`` passes +
+    one gather instead of the O(n·m) nested Python loop (round-2 VERDICT
+    #8). Output order equals the nested loop's: p1-major, p2 ascending."""
+    pp1 = np.asarray(pp1, np.int64)
+    pp2 = np.asarray(pp2, np.int64)
+    if not len(pp1) or not len(pp2):
+        z = np.zeros(0, np.int64)
+        return z, z
+    lo = np.searchsorted(pp2, pp1, side="right")          # first p2 > p1
+    hi = np.searchsorted(pp2, pp1 + k, side="right")      # last p2 <= p1+k
+    counts = hi - lo
+    total = int(counts.sum())
+    if total == 0:
+        z = np.zeros(0, np.int64)
+        return z, z
+    bounds = np.zeros(len(counts) + 1, np.int64)
+    np.cumsum(counts, out=bounds[1:])
+    within = np.arange(total, dtype=np.int64) - np.repeat(bounds[:-1], counts)
+    return np.repeat(pp1, counts), pp2[np.repeat(lo, counts) + within]
+
+
 def decode_chunk_doc_ids(doc_gaps: bytes) -> np.ndarray:
     return decode_ascending(doc_gaps)
 

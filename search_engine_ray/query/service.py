@@ -239,14 +239,14 @@ class DistributedSearchEngine:
 
         tp1, tp2 = mk(t1), mk(t2)
         common = np.intersect1d(tp1.doc_ids, tp2.doc_ids, assume_unique=True)
+        from search_engine_ray.query.postings_codec import proximity_window_pairs
+
         out = []
         for doc in common:
             pp1 = tp1.positions_for_doc(int(doc))
             pp2 = tp2.positions_for_doc(int(doc))
-            for p1 in pp1:
-                for p2 in pp2:
-                    if p2 > p1 and p2 - p1 <= k:
-                        out.append((int(doc), int(p1), int(p2)))
+            w1, w2 = proximity_window_pairs(pp1, pp2, k)
+            out.extend((int(doc), int(p1), int(p2)) for p1, p2 in zip(w1, w2))
         return out
 
     def shutdown(self) -> None:

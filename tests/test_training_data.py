@@ -215,3 +215,85 @@ class TestCosineNearDup:
         # random 32-dim gaussians are nowhere near cos >= 0.95
         assert all(a >= 100 or b >= 100 for a, b in got)
         assert (out["cos"] >= 0.95).all()
+
+    def test_join_path_equals_broadcast_path(self, ray_session):
+        """Past broadcast_cap the hash-join verify (VERDICT r2 #4) must
+        produce EXACTLY the broadcast path's pairs."""
+        import ray.data
+
+        from search_engine_ray.pipelines.training_data import cosine_neardup_pairs
+
+        rng = np.random.default_rng(9)
+        base = rng.standard_normal((30, 16))
+        rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(30)]
+        for j in range(8):
+            v = base[j] + 0.02 * rng.standard_normal(16)
+            rows.append({"vec_id": 200 + j, "embedding": v.tolist()})
+        emb = ray.data.from_items(rows, override_num_blocks=3)
+
+        kw = dict(threshold=0.9, bands=8)
+        bc = cosine_neardup_pairs(emb, broadcast_cap=500_000, **kw).to_pandas()
+        jn = cosine_neardup_pairs(emb, broadcast_cap=1, **kw).to_pandas()
+        key = ["a", "b"]
+        bc = bc.sort_values(key).reset_index(drop=True)
+        jn = jn.sort_values(key).reset_index(drop=True)
+        assert bc[key].values.tolist() == jn[key].values.tolist()
+        assert np.allclose(bc["cos"], jn["cos"])
+        assert len(bc) >= 8
+
+
+class TestBatchPairJaccard:
+    def test_matches_per_pair_spec(self, ray_session):
+        import pyarrow as pa
+
+        from search_engine_ray.pipelines.training_data import batch_pair_jaccard
+
+        rng = np.random.default_rng(3)
+        sh_a, sh_b, expect = [], [], []
+        for i in range(500):
+            sx = np.unique(rng.integers(0, 200, rng.integers(0, 30), dtype=np.uint64))
+            sy = np.unique(rng.integers(0, 200, rng.integers(0, 30), dtype=np.uint64))
+            sh_a.append(sx.tobytes())
+            sh_b.append(sy.tobytes())
+            if not len(sx) and not len(sy):
+                expect.append(1.0)
+            else:
+                inter = len(np.intersect1d(sx, sy, assume_unique=True))
+                expect.append(inter / (len(sx) + len(sy) - inter))
+        got = batch_pair_jaccard(pa.array(sh_a, pa.binary()), pa.array(sh_b, pa.binary()))
+        assert np.allclose(got, np.asarray(expect))
+
+    def test_empty_batch(self, ray_session):
+        import pyarrow as pa
+
+        from search_engine_ray.pipelines.training_data import batch_pair_jaccard
+
+        got = batch_pair_jaccard(pa.array([], pa.binary()), pa.array([], pa.binary()))
+        assert len(got) == 0
+
+
+class TestIVFSampleUniform:
+    def test_centroids_cover_sorted_table(self, ray_session):
+        """On a SORTED table whose first sample_size rows are one cluster,
+        centroids must still be drawn from the full range (round-2 VERDICT
+        #7: limit() sampled only the head)."""
+        import ray.data
+
+        from search_engine_ray.pipelines.training_data import ivf_index
+
+        rng = np.random.default_rng(2)
+        rows = []
+        for i in range(3000):
+            base = np.zeros(8)
+            base[0 if i < 1500 else 1] = 1.0  # head cluster A, tail cluster B
+            v = base + 0.01 * rng.standard_normal(8)
+            rows.append({"vec_id": i, "embedding": v.tolist()})
+        emb = ray.data.from_items(rows, override_num_blocks=4)
+        assigned, cents = ivf_index(emb, n_centroids=4, sample_size=256)
+        # at least one centroid points at each cluster direction
+        assert (cents[:, 0] > 0.9).any(), "no centroid near head cluster"
+        assert (cents[:, 1] > 0.9).any(), "no centroid near tail cluster (head-biased sample)"
+        df = assigned.to_pandas()
+        head = set(df.loc[df["vec_id"] < 1500, "centroid"])
+        tail = set(df.loc[df["vec_id"] >= 1500, "centroid"])
+        assert head.isdisjoint(tail)
