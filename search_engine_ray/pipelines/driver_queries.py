@@ -439,31 +439,51 @@ def q_langid(sf_dir: str):
     return lang_id_table(_read_docs(sf_dir))
 
 
+# deterministic SQL-expressible candidate universe for the exact-Jaccard /
+# clustering oracles: all (a, b) with 1 <= b - a <= JWIN over documents.doc_id
+# (the MinHash candidate generator is sketch-based and stays rows-only as
+# minhash_pairs; the verify/cluster OPERATORS get full oracles here)
+JWIN = 50
+JTHRESH = 0.3
+
+
+def _window_pairs(sf_dir: str):
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = np.repeat(ids, JWIN)
+        d = np.tile(np.arange(1, JWIN + 1, dtype=np.int64), len(ids))
+        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(a + d, pa.int64())})
+
+    # ids referencing absent docs drop in ngram_jaccard_verify's inner joins
+    return _read_docs(sf_dir, ["doc_id"]).map_batches(gen, batch_format="pyarrow")
+
+
 def q_dedup_clusters(sf_dir: str):
-    """Connected components of the MinHash near-dup graph, computed by the
-    DISTRIBUTED min-label-propagation path (clusters_distributed — no
-    driver union-find, no edge cap)."""
+    """Connected components of the exact-Jaccard near-dup graph over the
+    deterministic pair window, computed by the DISTRIBUTED
+    min-label-propagation path (clusters_distributed — no driver
+    union-find, no edge cap). Oracle: recursive-CTE transitive closure."""
     from search_engine_ray.pipelines.training_data import (
         clusters_distributed,
-        minhash_lsh_dedup,
+        ngram_jaccard_verify,
     )
 
-    pairs = minhash_lsh_dedup(_read_docs(sf_dir), shingle_k=2, threshold=0.4)
+    docs = _read_docs(sf_dir)
+    pairs = ngram_jaccard_verify(_window_pairs(sf_dir), docs,
+                                 shingle_k=2, threshold=JTHRESH)
     out = clusters_distributed(pairs).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True).astype(np.int64)
 
 
 def q_jaccard_verify(sf_dir: str):
-    """Exact n-gram Jaccard re-verification of the MinHash candidate pairs
-    (distributed semi-join + hash joins; no driver scoring)."""
-    from search_engine_ray.pipelines.training_data import (
-        minhash_lsh_dedup,
-        ngram_jaccard_verify,
-    )
+    """Exact token-2-gram Jaccard over the deterministic pair window
+    (distributed semi-join + hash joins + segmented lexsort scoring; no
+    driver scoring). Oracle: DuckDB list_intersect over distinct 2-grams."""
+    from search_engine_ray.pipelines.training_data import ngram_jaccard_verify
 
     docs = _read_docs(sf_dir)
-    pairs = minhash_lsh_dedup(docs, shingle_k=2, threshold=0.4)
-    out = ngram_jaccard_verify(pairs, docs, shingle_k=2, threshold=0.3).to_pandas()
+    out = ngram_jaccard_verify(_window_pairs(sf_dir), docs,
+                               shingle_k=2, threshold=JTHRESH).to_pandas()
     out["jaccard_exact"] = out["jaccard_exact"].round(6)
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
@@ -761,6 +781,45 @@ def oracle_queries() -> dict[str, str]:
                    greatest(1, floor(src_h * least(224.0 / src_w, 224.0 / src_h)))::BIGINT AS out_h
             FROM d
         """,
+        "jaccard_verify": (jaccard_cte := rf"""
+            WITH jraw AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS g
+              FROM jraw
+            ),
+            jpairs AS (
+              SELECT a.doc_id AS a, b.doc_id AS b, a.g AS ga, b.g AS gb
+              FROM grams a JOIN grams b
+                ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + {JWIN}
+            ),
+            scored AS (
+              SELECT a, b,
+                     CASE WHEN len(ga) = 0 AND len(gb) = 0 THEN 1.0
+                          ELSE len(list_intersect(ga, gb))::DOUBLE /
+                               (len(ga) + len(gb) - len(list_intersect(ga, gb))) END AS j
+              FROM jpairs
+            ),
+            jkeep AS (SELECT a, b, j FROM scored WHERE j >= {JTHRESH})
+        """) + """
+            SELECT a, b, round(j, 6) AS jaccard_exact FROM jkeep
+        """,
+        "dedup_clusters": "WITH RECURSIVE " + jaccard_cte.split("WITH", 1)[1] + """
+            , edges AS (
+              SELECT a AS src, b AS dst FROM jkeep
+              UNION ALL SELECT b, a FROM jkeep
+            ),
+            reach(node, lbl) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+            )
+            SELECT node::BIGINT AS doc_id, min(lbl)::BIGINT AS cluster_id
+            FROM reach GROUP BY node
+        """,
         "media_frames": f"""
             WITH h AS (SELECT doc_id, {HTML_SQL} AS p FROM documents),
             f AS (SELECT doc_id, p,
@@ -802,11 +861,11 @@ RAY_QUERIES = {
     "event_windows": q_event_windows,
     "event_sessions": q_event_sessions,
     "clean_corpus": q_clean_corpus,
+    "dedup_clusters": q_dedup_clusters,
+    "jaccard_verify": q_jaccard_verify,
     # rows-only (no SQL oracle): stateful/approx/sketch operators
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
-    "dedup_clusters": q_dedup_clusters,
-    "jaccard_verify": q_jaccard_verify,
     "cosine_neardup": q_cosine_neardup,
     "fingerprints": q_fingerprints,
     "langid": q_langid,

@@ -90,7 +90,7 @@ def test_query_and_oracle_keys_align(entry):
         "bm25_blend", "phrase", "proximity", "fuzzy", "exact_dedup", "lang_counts",
         "text_stats", "ann_topk", "media_features", "media_resize",
         "media_frames", "event_windows", "event_sessions", "clean_corpus",
-        "cosine_norms",
+        "cosine_norms", "jaccard_verify", "dedup_clusters",
     ],
 )
 def test_sql_parity(entry, con, name):
@@ -101,7 +101,7 @@ def test_sql_parity(entry, con, name):
 
 @pytest.mark.parametrize(
     "name", ["minhash_pairs", "simhash_pairs", "fingerprints", "langid", "ann_ivf_topk",
-             "dedup_clusters", "jaccard_verify", "cosine_neardup"]
+             "cosine_neardup"]
 )
 def test_rows_only_queries_run(entry, name):
     out = _to_pandas(entry.queries()[name](SF))
