@@ -428,6 +428,18 @@ def build_index(
         # dictionary/ugroup=U and they load the slice once per process
         # (stages/merge.py:load_dict_slice). NOTHING vocabulary-sized is
         # materialized on the driver.
+        #
+        # The slice-cache tag must change whenever the dictionary FILES
+        # change, not just when in_fp does: for in-memory Dataset inputs
+        # in_fp is content-blind ("<dataset>"), so an in-place rebuild
+        # would reuse it and long-lived workers would serve build-1 slices
+        # to build-2 runs. The dictionary manifest's partition listing
+        # (paths carry Ray's per-execution write UUID) is fresh per
+        # production and stable across resume skips — fingerprint that.
+        dict_manifest = manifests.read_manifest(paths.dictionary) or {}
+        slice_tag = manifests.fingerprint(
+            in_fp, json.dumps(dict_manifest.get("partitions", []), sort_keys=True)
+        )
 
         # concurrent unit jobs: more than the CPU budget just thrashes the
         # scheduler at low parallelism
@@ -449,7 +461,7 @@ def build_index(
                 )
                 chunks = merge_shard_postings(
                     runs_u, config=config, n_sort_blocks=0,
-                    dict_slice_dir=unit_dict_dir, dict_slice_tag=in_fp,
+                    dict_slice_dir=unit_dict_dir, dict_slice_tag=slice_tag,
                 )
                 # one write fans chunk rows out to the unit's shard= dirs
                 chunks.write_parquet(paths.postings, partition_cols=["shard"],
