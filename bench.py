@@ -190,7 +190,16 @@ def run_scaling() -> dict:
     substitute for N vs 4N nodes). Each level runs ``BENCH_SCALING_REPEATS``
     times and the MINIMUM is kept: the box shares hardware with noisy
     neighbours (load avg > 3 while idle was observed) and min-of-repeats
-    measures the engine, not the neighbour."""
+    measures the engine, not the neighbour.
+
+    Each level is HARDWARE-PINNED (``taskset -c 0..n-1``) — Ray's logical
+    ``num_cpus`` only caps concurrent task SLOTS; the driver, raylet,
+    object store, and Arrow I/O threads otherwise borrow idle cores, which
+    was measured to nearly double an unpinned "8-CPU" run's effective
+    compute (54.8s unpinned vs 102s pinned before round-3 tuning). Pinning
+    makes an n-CPU level mean n CPUs total — the honest analog of an
+    n-core cluster slice, where a node's daemons share the node's own
+    cores."""
     lo, hi = (int(x) for x in os.environ.get("BENCH_SCALING_LEVELS", "8,32").split(","))
     repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "2"))
     ensure_cached = dict(os.environ)
@@ -198,13 +207,14 @@ def run_scaling() -> dict:
     # with a larger identical corpus at both levels, headline build only
     ensure_cached.setdefault("BENCH_ZIPF_DOCS", "480000")
     ensure_cached["BENCH_BUILD_ONLY"] = "1"
+    n_host = os.cpu_count() or 32
 
     def one(ncpu: int) -> dict:
         env = dict(ensure_cached, RAY_GRAFT_CPUS=str(ncpu))
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-        )
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        if ncpu < n_host and shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}", *cmd]
+        p = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
         return json.loads(p.stdout.strip().splitlines()[-1])
 
     # interleave levels so neighbour noise hits both about equally

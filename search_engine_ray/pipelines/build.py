@@ -48,22 +48,32 @@ from search_engine_ray.stages.extract import extract_stage
 from search_engine_ray.state import manifests
 
 
-#: docs per tokenize sub-batch inside one task at HIGH concurrency. Whole
-#: ~8k-doc blocks were measured 3x SLOWER per task under 32-way concurrency
-#: than 2k slices: the large numpy temporaries of a big batch go through
-#: mmap and 32 processes contend on kernel page zeroing; small slices keep
-#: temporaries on the allocator free lists. At low concurrency the
-#: per-slice fixed costs dominate instead, so the build passes slice=0
-#: (whole block) below 16 CPUs.
+#: docs per tokenize sub-batch inside one task. Whole ~30k-doc blocks were
+#: measured ~3x SLOWER per task at EVERY concurrency level (re-measured on
+#: pinned 2- and 8-core runs, round 3): the large numpy temporaries of a
+#: big batch go through mmap and tasks contend on kernel page zeroing;
+#: 2k-doc slices keep temporaries on the allocator free lists. Always
+#: slice — the former "whole block below 16 CPUs" special case cost a
+#: pinned 8-core 480k-doc build 102s vs 37s.
 _TOKENIZE_SLICE = 2048
+
+#: target docs per tokenize TASK. Task granularity is decoupled from sort
+#: block granularity (a task takes a row range of one sorted block): the
+#: sort can produce few large blocks while the wave still load-balances
+#: across slots with no straggler tail. 4096 ≈ two internal slices per
+#: task; ~120 tasks per 480k docs keeps per-task overhead ≪ 1%.
+_TOKENIZE_TASK_ROWS = 4096
 
 
 @ray.remote(num_returns=3)
 def _stamp_and_tokenize(block, offset: int, lemma_path, n_units: int,
-                        slice_rows: int = _TOKENIZE_SLICE, bigrams: bool = False):
-    """One fused task per sorted block: stamp doc_id = offset + row rank
-    (zip_with_index semantics, stages/doc_ids.py), tokenize the block, and
-    return (runs_table, doc_meta_table, dict_partial_table).
+                        slice_rows: int = _TOKENIZE_SLICE, bigrams: bool = False,
+                        start: int = 0, length: int | None = None):
+    """One fused task per sorted-block ROW RANGE: stamp doc_id = offset +
+    row rank (zip_with_index semantics, stages/doc_ids.py), tokenize the
+    range, and return (runs_table, doc_meta_table, dict_partial_table).
+    ``start``/``length`` select the range (plasma reads are zero-copy, so
+    several tasks slicing one block share its buffer).
 
     runs rows are (term, doc_id, pos_enc, sgroup) — sentinel rows are
     dropped here (doc_length now rides on doc_meta, so they carry no
@@ -81,6 +91,8 @@ def _stamp_and_tokenize(block, offset: int, lemma_path, n_units: int,
 
     if not isinstance(block, pa.Table):
         block = pa.Table.from_pandas(block, preserve_index=False)
+    if length is not None:
+        block = block.slice(start, length)
     if block.num_rows == 0:
         # empty split blocks can arrive schema-less (e.g. after repartition
         # of a small read) — emit properly-typed empties
@@ -224,12 +236,17 @@ def build_index(
                 block_refs.append(block_ref)
                 counts.append(meta.num_rows)
         offsets = 1 + np.concatenate([[0], np.cumsum(counts)[:-1]]) if counts else []
-        slice_rows = _TOKENIZE_SLICE if ncpu >= 16 else 0
-        outs = [
-            _stamp_and_tokenize.remote(ref, int(off), config.lemma_path, n_units,
-                                       slice_rows, config.index_bigrams)
-            for ref, off in zip(block_refs, offsets)
-        ]
+        slice_rows = int(os.environ.get("SE_RAY_TOKENIZE_SLICE", _TOKENIZE_SLICE))
+        task_rows = int(os.environ.get("SE_RAY_TOKENIZE_TASK_ROWS", _TOKENIZE_TASK_ROWS))
+        outs = []
+        for ref, off, n in zip(block_refs, offsets, counts):
+            for s in range(0, max(int(n), 1), task_rows):
+                ln = min(task_rows, int(n) - s)
+                if int(n) == 0:
+                    ln = 0  # keep one empty task so empty inputs stay schema-stable
+                outs.append(_stamp_and_tokenize.remote(
+                    ref, int(off) + s, config.lemma_path, n_units,
+                    slice_rows, config.index_bigrams, s, ln))
         runs_ds = ray.data.from_arrow_refs([o[0] for o in outs]) if outs else None
         docs_ds = ray.data.from_arrow_refs([o[1] for o in outs]) if outs else None
         partials_ds = ray.data.from_arrow_refs([o[2] for o in outs]) if outs else None
@@ -443,7 +460,9 @@ def build_index(
 
         # concurrent unit jobs: more than the CPU budget just thrashes the
         # scheduler at low parallelism
-        n_workers = min(8, max(1, ncpu), max(1, len(todo)))
+        env_mw = os.environ.get("SE_RAY_MERGE_WORKERS")
+        n_workers = (int(env_mw) if env_mw else
+                     min(8, max(1, ncpu), max(1, len(todo))))
         n_sort_blocks = max(4, (2 * ncpu) // n_workers)
 
         def one_unit(u: int) -> None:
