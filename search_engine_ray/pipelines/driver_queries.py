@@ -445,6 +445,8 @@ def q_langid(sf_dir: str):
 # minhash_pairs; the verify/cluster OPERATORS get full oracles here)
 JWIN = 50
 JTHRESH = 0.3
+#: cosine_verify keep-threshold (see q_cosine_verify docstring)
+COS_VERIFY_T = 0.3
 
 
 def _window_pairs(sf_dir: str):
@@ -517,6 +519,61 @@ def q_ann_ivf(sf_dir: str):
     assigned = assigned.materialize()
     out = ann_ivf(assigned, cents, qm, k=TOPK, nprobe=4).to_pandas()
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def q_ann_ivf_full(sf_dir: str):
+    """IVF with nprobe == n_centroids: every cluster probed, so the result
+    is EXACT brute-force cosine top-k — the mode where the whole IVF
+    machinery (k-means quantizer, centroid assignment, per-batch partial
+    top-k with rounded-score + id-asc tie-break, groupby merge) is
+    oracle-checkable against float64 SQL."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from search_engine_ray.pipelines.training_data import ann_ivf, ivf_index
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    order = np.argsort(t["vec_id"].to_numpy())
+    qm = np.stack([np.asarray(t["embedding"][int(i)].as_py(), np.float64)
+                   for i in order[:3]])
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, cents = ivf_index(emb, n_centroids=16)
+    assigned = assigned.materialize()
+    out = ann_ivf(assigned, cents, qm, k=TOPK, nprobe=len(cents),
+                  round_digits=6).to_pandas()
+    out["query_id"] = out["query_id"].astype(np.int64)
+    out["rank"] = out["rank"].astype(np.int64)
+    out = out[["query_id", "rank", "vec_id", "score_r"]]
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def q_cosine_verify(sf_dir: str):
+    """Exact-cosine verification over the deterministic (a, a+1..a+JWIN)
+    pair window on embeddings — the distributed hash-join verify path
+    (vectors move O(1) times), full float64 oracle via DuckDB
+    list_cosine_similarity over ::DOUBLE[] casts. Threshold 0.3 keeps a
+    few hundred pairs at every sf with ≥2e-5 margin to the cut (float64
+    summation-order noise is ~1e-15)."""
+    import ray.data
+    from search_engine_ray.pipelines.training_data import cosine_verify
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = np.repeat(ids, JWIN)
+        d = np.tile(np.arange(1, JWIN + 1, dtype=np.int64), len(ids))
+        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(a + d, pa.int64())})
+
+    pairs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"]) \
+        .map_batches(gen, batch_format="pyarrow")
+    out = cosine_verify(pairs, emb, threshold=COS_VERIFY_T).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                            "b": pd.Series(dtype=np.int64),
+                            "cos": pd.Series(dtype=np.float64)})
+    out["cos"] = out["cos"].round(6)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -807,6 +864,34 @@ def oracle_queries() -> dict[str, str]:
         """) + """
             SELECT a, b, round(j, 6) AS jaccard_exact FROM jkeep
         """,
+        "cosine_verify": f"""
+            SELECT e1.vec_id AS a, e2.vec_id AS b,
+                   round(list_cosine_similarity(e1.embedding::DOUBLE[],
+                                                e2.embedding::DOUBLE[]), 6) AS cos
+            FROM embeddings e1 JOIN embeddings e2
+              ON e2.vec_id > e1.vec_id AND e2.vec_id <= e1.vec_id + {JWIN}
+            WHERE list_cosine_similarity(e1.embedding::DOUBLE[],
+                                         e2.embedding::DOUBLE[]) >= {COS_VERIFY_T}
+        """,
+        "ann_ivf_full": f"""
+            WITH q AS (
+              SELECT vec_id::BIGINT AS query_idx, embedding FROM embeddings
+              WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3)
+            ),
+            qn AS (SELECT ROW_NUMBER() OVER (ORDER BY query_idx) - 1 AS query_id, embedding FROM q),
+            s AS (
+              SELECT qn.query_id::BIGINT AS query_id, e.vec_id,
+                     round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                  qn.embedding::DOUBLE[]), 6) AS score_r
+              FROM embeddings e CROSS JOIN qn
+            ),
+            r AS (
+              SELECT query_id, vec_id, score_r,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_r DESC, vec_id)::BIGINT AS rank
+              FROM s
+            )
+            SELECT query_id, rank, vec_id, score_r FROM r WHERE rank <= {TOPK}
+        """,
         "dedup_clusters": "WITH RECURSIVE " + jaccard_cte.split("WITH", 1)[1] + """
             , edges AS (
               SELECT a AS src, b AS dst FROM jkeep
@@ -863,6 +948,8 @@ RAY_QUERIES = {
     "clean_corpus": q_clean_corpus,
     "dedup_clusters": q_dedup_clusters,
     "jaccard_verify": q_jaccard_verify,
+    "cosine_verify": q_cosine_verify,
+    "ann_ivf_full": q_ann_ivf_full,
     # rows-only (no SQL oracle): stateful/approx/sketch operators
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,

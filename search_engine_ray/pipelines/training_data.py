@@ -1026,10 +1026,18 @@ def ivf_index(embeddings, n_centroids: int = 16, id_col="vec_id", emb_col="embed
 
 
 def ann_ivf(embeddings_with_centroid, centroids: np.ndarray, query_matrix: np.ndarray,
-            k: int = 10, nprobe: int = 4, id_col="vec_id", emb_col="embedding"):
+            k: int = 10, nprobe: int = 4, id_col="vec_id", emb_col="embedding",
+            round_digits: int = 6):
     """IVF search: per query probe the nprobe nearest centroids only —
     row-filter pushdown inside map_batches (each batch drops rows whose
-    centroid no query probes)."""
+    centroid no query probes).
+
+    Scores are rounded to ``round_digits`` BEFORE the per-batch partial
+    top-k (with id asc as the tie-break), so per-batch selection and the
+    final merge rank by the SAME key — a rounding tie at the k-th place
+    can never keep a larger-id row in one batch while an equal-score
+    smaller-id row is dropped in another. With ``nprobe == len(centroids)``
+    the result is exact brute-force top-k (an oracle-checkable mode)."""
     q = _normalize(np.ascontiguousarray(query_matrix, np.float64))
     probe = np.argsort(-(q @ _normalize(centroids).T), axis=1)[:, :nprobe]  # (nq, nprobe)
     probe_ref = ray.put(probe)
@@ -1054,10 +1062,11 @@ def ann_ivf(embeddings_with_centroid, centroids: np.ndarray, query_matrix: np.nd
             mask = np.isin(cent, probes[qi])
             if not mask.any():
                 continue
-            s = sims[mask, qi]
-            idx = np.argsort(-s)[: min(k, len(s))]
+            s = np.round(sims[mask, qi], round_digits)
+            mids = ids[mask]
+            idx = np.lexsort((mids, -s))[: min(k, len(s))]
             out_q.extend([qi] * len(idx))
-            out_v.extend(ids[mask][idx].tolist())
+            out_v.extend(mids[idx].tolist())
             out_s.extend(s[idx].tolist())
         return pa.table(
             {
@@ -1071,9 +1080,21 @@ def ann_ivf(embeddings_with_centroid, centroids: np.ndarray, query_matrix: np.nd
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.copy()
-        g["score_r"] = g["score"].round(6)
+        g["score_r"] = g["score"]  # already rounded at selection time
         g = g.sort_values(["score_r", id_col], ascending=[False, True]).head(k)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
         return g[["query_id", "rank", id_col, "score_r"]]
 
     return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def cosine_verify(pairs, embeddings, threshold: float = 0.5,
+                  id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Exact-cosine verification of an EXPLICIT candidate-pair table
+    (columns ``a``, ``b``) → (a, b, cos) pairs Dataset, keeping pairs with
+    cosine ≥ ``threshold``. Pairs referencing absent ids drop in the inner
+    joins. This is the distributed hash-join scale path shared with
+    cosine_neardup_pairs: each vector moves O(1) times however large the
+    pair table (never per-pair), cosines computed vectorized per batch in
+    float64 over L2-normalized rows."""
+    return _verify_pairs_cosine_join(pairs, embeddings, threshold, id_col, emb_col)

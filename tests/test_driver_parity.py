@@ -90,7 +90,8 @@ def test_query_and_oracle_keys_align(entry):
         "bm25_blend", "phrase", "proximity", "fuzzy", "exact_dedup", "lang_counts",
         "text_stats", "ann_topk", "media_features", "media_resize",
         "media_frames", "event_windows", "event_sessions", "clean_corpus",
-        "cosine_norms", "jaccard_verify", "dedup_clusters",
+        "cosine_norms", "jaccard_verify", "dedup_clusters", "cosine_verify",
+        "ann_ivf_full",
     ],
 )
 def test_sql_parity(entry, con, name):

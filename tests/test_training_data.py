@@ -193,6 +193,43 @@ class TestANN:
             top = out[(out["query_id"] == qi) & (out["rank"] == 1)]["vec_id"].iloc[0]
             assert top == vid
 
+    def test_ivf_exhaustive_equals_brute_force(self, emb_ds):
+        """nprobe == n_centroids probes every cluster: IVF must return
+        EXACTLY the brute-force top-k (same rounded scores, same id-asc
+        tie-break) — the oracle-checkable mode driver query ann_ivf_full
+        relies on."""
+        ds, base = emb_ds
+        q = base[[3, 11, 20]]
+        assigned, cents = ivf_index(ds, n_centroids=4, sample_size=40)
+        assigned = assigned.materialize()
+        ivf = ann_ivf(assigned, cents, q, k=5, nprobe=len(cents)).to_pandas()
+        bf = ann_brute_force(ds, q, k=5, round_digits=6).to_pandas()
+        cols = ["query_id", "rank", "vec_id", "score_r"]
+        ivf = ivf[cols].sort_values(["query_id", "rank"]).reset_index(drop=True)
+        bf = bf[cols].sort_values(["query_id", "rank"]).reset_index(drop=True)
+        assert ivf["vec_id"].tolist() == bf["vec_id"].tolist()
+        np.testing.assert_array_equal(ivf["score_r"].to_numpy(), bf["score_r"].to_numpy())
+
+    def test_cosine_verify_matches_numpy(self, emb_ds):
+        """cosine_verify over an explicit pair table == naive float64 cosine
+        per pair; pairs referencing absent ids drop."""
+        import ray.data
+
+        from search_engine_ray.pipelines.training_data import cosine_verify
+
+        ds, base = emb_ds
+        pairs = [{"a": a, "b": b} for a in range(0, 40, 3) for b in range(a + 1, min(a + 6, 43))]
+        out = cosine_verify(ray.data.from_items(pairs), ds, threshold=0.1).to_pandas()
+        stored = np.stack(ds.to_pandas().sort_values("vec_id")["embedding"].to_numpy()).astype(np.float64)
+        sn = stored / np.linalg.norm(stored, axis=1, keepdims=True)
+        expect = {(p["a"], p["b"]): float(sn[p["a"]] @ sn[p["b"]])
+                  for p in pairs if p["b"] < 40}
+        expect = {k: v for k, v in expect.items() if v >= 0.1}
+        got = {(int(r.a), int(r.b)): float(r.cos) for r in out.itertuples()}
+        assert set(got) == set(expect)
+        for k in expect:
+            assert abs(got[k] - expect[k]) < 1e-12
+
 
 class TestCosineNearDup:
     def test_planted_neardups(self, ray_session):
