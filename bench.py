@@ -93,7 +93,11 @@ def run_bench() -> dict:
     corpus = ensure_zipf_corpus()
     # warm page cache (untimed read)
     ray.data.read_parquet(corpus, columns=["url"]).count()
-    zipf_out = "/tmp/se_ray_bench/index_zipf"
+    # BENCH_INDEX_DIR: where the timed build writes. Pointing it at a tmpfs
+    # (/dev/shm/...) isolates compute scaling from the box's single shared
+    # disk — the per-node-local-storage analog of a real cluster, where
+    # disks scale with node count.
+    zipf_out = os.environ.get("BENCH_INDEX_DIR", "/tmp/se_ray_bench/index_zipf")
     results["build_zipf"] = timed_build(corpus, zipf_out, cfg)
 
     build_only = os.environ.get("BENCH_BUILD_ONLY") == "1"
