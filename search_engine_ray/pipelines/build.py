@@ -330,7 +330,8 @@ def build_index(
         # of blocks would be GBs on the driver even for a "small" corpus.
         m = manifests.read_manifest(paths.dict_partials) or {}
         n_partial_rows = m.get("num_rows") or 0
-        if n_partial_rows <= 8_000_000:
+        small_cap = int(os.environ.get("SE_RAY_DICT_SMALL_ROWS", 8_000_000))
+        if n_partial_rows <= small_cap:
             # small side: plain parquet read + pandas finish — a Ray
             # execution here is pure fixed overhead
             import pyarrow.parquet as pq
@@ -364,7 +365,17 @@ def build_index(
         from search_engine_ray.stages.doc_ids import zip_with_index
         from search_engine_ray.stages.grouped import sorted_group_map
 
-        partials = ray.data.read_parquet(paths.dict_partials)
+        # Coalesce at the read: the partials are SMALL per row (term,
+        # df_part ≈ 16–40 B) but arrive as hundreds of ~vocab-row combiner
+        # outputs; a global sort over hundreds of sub-MB blocks is pure
+        # all-to-all overhead (measured: 8.4 s to sort 46 MB at 32 CPUs in
+        # 200 blocks). Target ~2M rows per read block, then combine AGAIN
+        # per coalesced block (partial+final aggregation) so the global
+        # sort only moves ≤ n_blocks × vocab rows.
+        n_read_blocks = int(min(4 * max(1, ncpu), max(1, n_partial_rows // 2_000_000)))
+        partials = ray.data.read_parquet(
+            paths.dict_partials, override_num_blocks=n_read_blocks
+        )
 
         def sum_per_term(batch: pa.Table) -> pa.Table:
             batch = batch.combine_chunks()
@@ -386,7 +397,21 @@ def build_index(
                 }
             )
 
-        agg = sorted_group_map(partials, ["term"], sum_per_term)
+        def local_combine(batch: pa.Table) -> pa.Table:
+            # per-coalesced-block combine: sort within the block, sum runs.
+            # Output is ≤ vocab rows per block whatever the input size.
+            batch = batch.combine_chunks()
+            if batch.num_rows == 0:
+                return pa.table(
+                    {"term": pa.array([], pa.string()), "df_part": pa.array([], pa.int64())}
+                )
+            idx = pa.compute.sort_indices(batch["term"])
+            return sum_per_term(batch.take(idx)).rename_columns(["term", "df_part"])
+
+        combined = partials.map_batches(
+            local_combine, batch_format="pyarrow", batch_size=None
+        )
+        agg = sorted_group_map(combined, ["term"], sum_per_term)
         with_ids = zip_with_index(agg, "term", "term_id", start=1)
 
         def add_shard(batch: pa.Table) -> pa.Table:

@@ -48,6 +48,24 @@ def test_dictionary_hive_partitioned_by_merge_unit(ray_session, tmp_path):
     assert seen == full.num_rows
 
 
+def test_distributed_dictionary_path_matches_pandas(ray_session, tmp_path, monkeypatch):
+    """Force the distributed dictionary branch (sorted_group_map over coalesced
+    combiner partials) on a small corpus and check it produces byte-identical
+    (term, df, term_id, shard) rows to the small-side pandas branch."""
+    pages = generate_webpages(300, vocab_size=800, tokens_per_doc=50, seed=11)
+
+    paths_small = build_index(pages, str(tmp_path / "idx_small"), EngineConfig())
+    monkeypatch.setenv("SE_RAY_DICT_SMALL_ROWS", "0")
+    paths_dist = build_index(pages, str(tmp_path / "idx_dist"), EngineConfig())
+
+    cols = ["term", "df", "term_id", "shard"]
+    a = pq.read_table(paths_small.dictionary, columns=cols).to_pandas()
+    b = pq.read_table(paths_dist.dictionary, columns=cols).to_pandas()
+    a = a.sort_values("term_id").reset_index(drop=True)
+    b = b.sort_values("term_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_stale_slice_cache_invalidated_by_tag(ray_session, tmp_path):
     """A rebuild into the same out_dir must not serve a stale cached slice
     (the cache key includes the build fingerprint tag)."""
