@@ -135,13 +135,21 @@ def _stamp_and_tokenize(block, offset: int, lemma_path, n_units: int,
     runs = postings.filter(pc.not_equal(postings["term"], "")).select(
         ["term", "doc_id", "pos_enc"]
     )
-    sgroup = (hash_strings_arrow(runs["term"]) % np.uint64(n_units)).astype(np.int64)
-    runs = runs.append_column("sgroup", pa.array(sgroup, pa.int64()))
+    # hash UNIQUE terms only: one dictionary_encode gives (a) the per-row
+    # codes to scatter sgroup, (b) the per-block df combiner as a bincount.
+    # Hashing every posting row was 80% of the task's CPU at 32-way
+    # concurrency (the ~row_bytes×8 uint64 temporaries of the vectorized
+    # poly-hash contend on page zeroing); unique terms are ~12x fewer rows.
+    enc = runs["term"].combine_chunks().dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    uniq_terms = enc.dictionary.cast(pa.string())
+    sg_u = (hash_strings_arrow(uniq_terms) % np.uint64(n_units)).astype(np.int64)
+    runs = runs.append_column("sgroup", pa.array(sg_u[codes], pa.int64()))
 
     # per-block combiner: df_part = posting rows per term in this block
-    vc = runs["term"].value_counts()
+    cnt = np.bincount(codes, minlength=len(uniq_terms)) if len(codes) else np.zeros(len(uniq_terms), np.int64)
     dict_partial = pa.table(
-        {"term": vc.field("values"), "df_part": pc.cast(vc.field("counts"), pa.int64())}
+        {"term": uniq_terms, "df_part": pa.array(cnt.astype(np.int64), pa.int64())}
     )
     return runs, doc_meta, dict_partial
 
@@ -482,6 +490,40 @@ def build_index(
         slice_tag = manifests.fingerprint(
             in_fp, json.dumps(dict_manifest.get("partitions", []), sort_keys=True)
         )
+
+        # FRESH build (every unit to do): ONE Ray Data execution merges all
+        # units at once — concurrent per-unit executions serialize on the
+        # driver's streaming-executor coordination (measured: 8 concurrent
+        # unit jobs ~2.2s of work each took 17-19s wall at 32 CPUs; halving
+        # the concurrency made the stage faster). See merge_units_postings.
+        # The per-unit path below remains for partial RESUME, where only
+        # incomplete units re-run.
+        if len(todo) == n_units and os.environ.get("SE_RAY_MERGE_PER_UNIT") != "1":
+            from search_engine_ray.stages.merge import merge_units_postings
+
+            t0 = time.perf_counter()
+            for u in todo:
+                for k in unit_shards(u):
+                    shutil.rmtree(paths.postings_shard(k), ignore_errors=True)
+            have_units = [u for u in todo
+                          if os.path.isdir(os.path.join(paths.runs, f"sgroup={u}"))
+                          and os.path.isdir(os.path.join(paths.dictionary, f"ugroup={u}"))]
+            if have_units:
+                chunks = merge_units_postings(
+                    paths.runs, paths.dictionary, n_units, config=config,
+                    n_sort_blocks=2 * ncpu, dict_slice_tag=slice_tag,
+                )
+                chunks.write_parquet(paths.postings, partition_cols=["shard"],
+                                     **write_kwargs)
+            for k in range(n_shards):
+                os.makedirs(paths.postings_shard(k), exist_ok=True)
+                manifests.write_manifest(
+                    paths.postings_shard(k), f"postings/shard={k}", in_fp)
+            manifests.write_manifest(paths.postings, "postings", in_fp)
+            if os.environ.get("SE_RAY_TIMING"):
+                print(f"[stage postings] {time.perf_counter() - t0:.1f}s "
+                      f"(global, {n_units} units)", flush=True)
+            return
 
         # concurrent unit jobs: more than the CPU budget just thrashes the
         # scheduler at low parallelism

@@ -360,6 +360,127 @@ def load_dict_slice(unit_dir: str, tag: str = "") -> tuple[np.ndarray, np.ndarra
     return ent
 
 
+#: bits of the unit-major composite sort key reserved for term_id
+#: (skey = sgroup << _SKEY_TID_BITS | term_id): vocab up to 2^44 terms,
+#: up to 2^19 merge units, skey stays a positive int64.
+_SKEY_TID_BITS = 44
+
+
+def merge_units_postings(
+    runs_dir: str,
+    dictionary_dir: str,
+    n_units: int,
+    config: EngineConfig | None = None,
+    n_sort_blocks: int = 0,
+    dict_slice_tag: str = "",
+):
+    """Single-execution int-keyed merge of ALL merge units at once (the
+    fresh-build path) → chunk-row Dataset with a ``shard`` column.
+
+    ``merge_units`` concurrent per-unit executions (one Ray Data job per
+    unit in driver threads) serialize on the driver's streaming-executor
+    coordination: at 32 CPUs, 8 concurrent unit jobs ran ~2.2s of work each
+    in 17s wall, and halving the concurrency made the stage FASTER. One
+    global sort keyed by ``skey = (sgroup << 44) | term_id`` does the same
+    merge in a single execution at full parallelism: unit-major key order
+    means each sorted block is a contiguous key range touching at most a
+    couple of units, so a kernel worker still loads only those units'
+    dictionary slices (load_dict_slice) — nothing vocabulary-sized per
+    worker, exactly like the per-unit path (which remains for partial
+    resume, where only incomplete units re-run).
+
+    Reads each ``runs_dir/sgroup=U`` hive dir as its own dataset and unions
+    them, so prep batches stay unit-pure and load ONE slice each; the union
+    is a no-op operator and the sort is the only all-to-all.
+    """
+    import os
+
+    config = config or EngineConfig()
+    chunk_size = config.chunk_size
+    salt_span = config.salt_span
+    if n_units >= (1 << (63 - _SKEY_TID_BITS)):
+        raise ValueError(f"merge_units {n_units} overflows the skey unit bits")
+
+    def make_prep(u: int):
+        unit_dir = os.path.join(dictionary_dir, f"ugroup={u}")
+        base = np.int64(u << _SKEY_TID_BITS)
+
+        def prep(batch: pa.Table) -> pa.Table:
+            batch = batch.combine_chunks()
+            terms_np, tids_np, _ = load_dict_slice(unit_dir, dict_slice_tag)
+            if len(tids_np) and int(tids_np[-1]) >= (1 << _SKEY_TID_BITS):
+                raise ValueError("term_id overflows the skey term bits")
+            tenc = batch["term"].dictionary_encode().combine_chunks()
+            uniq = np.asarray(tenc.dictionary.to_pylist(), dtype=object)
+            idx = np.searchsorted(terms_np, uniq)
+            if len(uniq):
+                bad = (idx >= len(terms_np)) | (
+                    terms_np[np.minimum(idx, len(terms_np) - 1)] != uniq)
+                if bad.any():
+                    raise ValueError(
+                        f"run term(s) missing from unit {u} dictionary slice: "
+                        f"{uniq[bad][:5].tolist()} (stale runs or wrong slice?)")
+            skey_u = (base | tids_np[idx]) if len(uniq) else tids_np[:0]
+            skeys = skey_u[tenc.indices.to_numpy(zero_copy_only=False)]
+            return pa.table(
+                {
+                    "skey": pa.array(skeys, pa.int64()),
+                    "doc_id": batch["doc_id"],
+                    "pos_enc": batch["pos_enc"],
+                }
+            )
+
+        return prep
+
+    per_unit = []
+    for u in range(n_units):
+        group_dir = os.path.join(runs_dir, f"sgroup={u}")
+        if not os.path.isdir(group_dir):
+            continue
+        kw = {}
+        if n_sort_blocks > 0:
+            # coalesce at the read, split across units
+            kw["override_num_blocks"] = max(2, n_sort_blocks // n_units)
+        ds_u = ray.data.read_parquet(
+            group_dir, columns=["term", "doc_id", "pos_enc"], **kw)
+        per_unit.append(ds_u.map_batches(make_prep(u), batch_format="pyarrow"))
+    if not per_unit:
+        empty = CHUNK_SCHEMA.empty_table().append_column(
+            "shard", pa.array([], pa.int64()))
+        return ray.data.from_arrow(empty)
+    prepped = per_unit[0].union(*per_unit[1:]) if len(per_unit) > 1 else per_unit[0]
+    sorted_ds = prepped.sort(["skey", "doc_id"])
+
+    tid_mask = np.int64((1 << _SKEY_TID_BITS) - 1)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return CHUNK_SCHEMA.empty_table().append_column(
+                "shard", pa.array([], pa.int64()))
+        skeys = batch["skey"].to_numpy(zero_copy_only=False)
+
+        def resolver(codes_at_starts: np.ndarray) -> pa.Array:
+            gs = codes_at_starts >> _SKEY_TID_BITS
+            tids = codes_at_starts & tid_mask
+            terms = np.empty(len(codes_at_starts), dtype=object)
+            shards = np.empty(len(codes_at_starts), np.int64)
+            for g in np.unique(gs):
+                m = gs == g
+                terms_np, tids_np, oshards = load_dict_slice(
+                    os.path.join(dictionary_dir, f"ugroup={g}"), dict_slice_tag)
+                idx = np.searchsorted(tids_np, tids[m])
+                terms[m] = terms_np[idx]
+                shards[m] = oshards[idx]
+            resolver.shards = shards  # picked up after the kernel call
+            return pa.array(terms, type=pa.string())
+
+        out = _chunks_kernel(batch, chunk_size, salt_span, skeys, resolver)
+        return out.append_column("shard", pa.array(resolver.shards, pa.int64()))
+
+    return sorted_ds.map_batches(kernel, batch_format="pyarrow", batch_size=None)
+
+
 def merge_shard_postings(
     runs_shard_ds,
     shard_terms=None,
