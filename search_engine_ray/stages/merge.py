@@ -123,6 +123,17 @@ def chunk_rows_from_postings(
         pa.array(per_posting_bytes, type=pa.int32()),
     )
 
+    doc_gaps_col = binary_from_spans(doc_enc, doc_spans)
+    pos_gaps_col = binary_from_spans(pos_enc, pos_spans)
+    if not (doc_gaps_col.type == pa.binary() and pos_gaps_col.type == pa.binary()):
+        # same loud failure as _chunks_for_sorted_batch: a silent
+        # large_binary flip would mix schemas within one shard's parquet
+        raise ValueError(
+            f"term {term!r} salt {salt}: encoded postings exceed the int32 "
+            "offset range for one group; raise salt_span so no single "
+            "(term, salt) group encodes >2 GiB, keeping the uniform "
+            "CHUNK_SCHEMA binary type"
+        )
     return pa.table(
         {
             "term": pa.array([term] * n_chunks, pa.string()),
@@ -132,10 +143,10 @@ def chunk_rows_from_postings(
             "max_tf": pa.array(np.maximum.reduceat(np.asarray(tfs, np.int64), chunk_starts).astype(np.int32), pa.int32()),
             "first_doc_id": pa.array(doc_ids[chunk_starts], pa.int64()),
             "max_doc_id": pa.array(doc_ids[chunk_ends - 1], pa.int64()),
-            "doc_gaps": binary_from_spans(doc_enc, doc_spans),
+            "doc_gaps": doc_gaps_col,
             "tfs": tf_list,
             "pos_lens": pos_lens_list,
-            "pos_gaps": binary_from_spans(pos_enc, pos_spans),
+            "pos_gaps": pos_gaps_col,
         }
     )
 
