@@ -213,11 +213,27 @@ def run_scaling() -> dict:
     ensure_cached["BENCH_BUILD_ONLY"] = "1"
     n_host = os.cpu_count() or 32
 
+    def settle() -> None:
+        """Wait out the previous sample's tail before timing the next.
+
+        Back-to-back samples measured 30-70% slow: a finished build leaves
+        dirty page-cache writeback (the index just written to /tmp) plus Ray
+        shutdown work, and the NEXT pinned sample pays for it (observed:
+        8-CPU level 32 s after a quiet gap vs 44-54 s straight after a 2-CPU
+        build). Force the writeback now (sync) and wait for load1 to drain,
+        bounded so a noisy neighbour can't stall the bench forever.
+        """
+        os.sync()
+        deadline = time.time() + int(os.environ.get("BENCH_SETTLE_MAX_S", "240"))
+        while os.getloadavg()[0] >= 1.0 and time.time() < deadline:
+            time.sleep(10)
+
     def one(ncpu: int) -> dict:
         env = dict(ensure_cached, RAY_GRAFT_CPUS=str(ncpu))
         cmd = [sys.executable, os.path.abspath(__file__)]
         if ncpu < n_host and shutil.which("taskset"):
             cmd = ["taskset", "-c", f"0-{ncpu - 1}", *cmd]
+        settle()
         p = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
         return json.loads(p.stdout.strip().splitlines()[-1])
 
