@@ -48,6 +48,35 @@ from search_engine_ray.stages.extract import extract_stage
 from search_engine_ray.state import manifests
 
 
+def _push_based_shuffle():
+    """Scope Ray Data's push-based sort shuffle over a build stage.
+
+    The build's two big all-to-alls (url sort, postings merge sort) move
+    multi-GB payloads; the default pull-based exchange left the 2M-doc merge
+    sort at ~4.6x effective parallelism on 32 CPUs (160 s of sort CPU in
+    35 s wall) while push-based pipelines the partition pushes and measured
+    22% faster end-to-end on that stage. Context is captured at DATASET
+    CREATION, so the whole producer (read → sort → consume) runs inside."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def scope():
+        ctx = ray.data.DataContext.get_current()
+        prev = ctx.shuffle_strategy
+        try:
+            from ray.data.context import ShuffleStrategy
+
+            ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+        except ImportError:  # pragma: no cover - older/newer ray
+            pass
+        try:
+            yield
+        finally:
+            ctx.shuffle_strategy = prev
+
+    return scope()
+
+
 #: docs per tokenize sub-batch inside one task. Whole ~30k-doc blocks were
 #: measured ~3x SLOWER per task at EVERY concurrency level (re-measured on
 #: pinned 2- and 8-core runs, round 3): the large numpy temporaries of a
@@ -232,8 +261,17 @@ def build_index(
             pages = input_path.select_columns(["url", "html"])
         extracted = extract_stage(pages, html_col="html").drop_columns(["html"])
         # coalesce before the sort: n_blocks² exchange objects otherwise
-        # (same small-object storm as the merge sort — stages/merge.py)
-        extracted = extracted.repartition(max(16, 2 * ncpu))
+        # (same small-object storm as the merge sort — stages/merge.py).
+        # The count also grows with input SIZE so one block never exceeds
+        # ~100 MB of text: oversized sort blocks blow the streaming
+        # executor's per-operator memory budget and serialize the DAG
+        # (measured in the postings merge — stages/merge.py).
+        from search_engine_ray.stages.merge import dir_parquet_bytes, size_aware_blocks
+
+        floor = max(16, 2 * ncpu)
+        in_bytes = dir_parquet_bytes(input_path) if isinstance(input_path, str) else 0
+        extracted = extracted.repartition(
+            size_aware_blocks(in_bytes, floor) if in_bytes else floor)
         sorted_ds = extracted.sort("url").materialize()
         if os.environ.get("SE_RAY_TIMING"):
             print(f"[ docs+runs/extract+sort] {time.perf_counter() - t_s0:.1f}s", flush=True)
@@ -309,7 +347,8 @@ def build_index(
             and manifests.stage_complete(paths.docs, in_fp)
             and manifests.stage_complete(paths.dict_partials, in_fp)):
         t0 = time.perf_counter()
-        produce_docs_and_runs()
+        with _push_based_shuffle():
+            produce_docs_and_runs()
         if os.environ.get("SE_RAY_TIMING"):
             print(f"[stage docs+runs] {time.perf_counter() - t0:.1f}s", flush=True)
 
@@ -377,10 +416,13 @@ def build_index(
         # df_part ≈ 16–40 B) but arrive as hundreds of ~vocab-row combiner
         # outputs; a global sort over hundreds of sub-MB blocks is pure
         # all-to-all overhead (measured: 8.4 s to sort 46 MB at 32 CPUs in
-        # 200 blocks). Target ~2M rows per read block, then combine AGAIN
-        # per coalesced block (partial+final aggregation) so the global
-        # sort only moves ≤ n_blocks × vocab rows.
-        n_read_blocks = int(min(4 * max(1, ncpu), max(1, n_partial_rows // 2_000_000)))
+        # 200 blocks). Target ~500k rows per read block — few enough blocks
+        # that the global sort moves ≤ n_blocks × vocab combiner rows, and
+        # enough that local_combine parallelism tracks the CPU budget (a
+        # 2M-row target gave 6 blocks at 2M docs and pinned this stage at
+        # ~7.7 s regardless of CPU count — a pure scaling residue).
+        n_read_blocks = int(min(4 * max(1, ncpu),
+                                max(max(1, ncpu), n_partial_rows // 500_000)))
         partials = ray.data.read_parquet(
             paths.dict_partials, override_num_blocks=n_read_blocks
         )
@@ -432,6 +474,9 @@ def build_index(
         (with_ids.map_batches(add_shard, batch_format="pyarrow")
          .write_parquet(d, partition_cols=["ugroup"], **write_kwargs))
 
+    # NOT push-based: the dictionary sort moves ≤ n_blocks x vocab combiner
+    # rows (tens of MB) — push-based scheduling overhead measured slower
+    # (10.1 s vs 6.1 s pull-based at 2M docs)
     _stage(paths.dictionary, "dictionary", in_fp, resume, produce_dictionary)
 
     # ---- stage 4: postings — merge-unit jobs (int-keyed sorts) with
@@ -511,7 +556,7 @@ def build_index(
             if have_units:
                 chunks = merge_units_postings(
                     paths.runs, paths.dictionary, n_units, config=config,
-                    n_sort_blocks=2 * ncpu, dict_slice_tag=slice_tag,
+                    n_sort_blocks=4 * ncpu, dict_slice_tag=slice_tag,
                 )
                 chunks.write_parquet(paths.postings, partition_cols=["shard"],
                                      **write_kwargs)
@@ -533,6 +578,8 @@ def build_index(
         n_sort_blocks = max(4, (2 * ncpu) // n_workers)
 
         def one_unit(u: int) -> None:
+            from search_engine_ray.stages.merge import dir_parquet_bytes, size_aware_blocks
+
             shards = unit_shards(u)
             for k in shards:
                 shutil.rmtree(paths.postings_shard(k), ignore_errors=True)
@@ -540,10 +587,13 @@ def build_index(
             unit_dict_dir = os.path.join(paths.dictionary, f"ugroup={u}")
             if os.path.isdir(group_dir) and os.path.isdir(unit_dict_dir):
                 # coalesce AT the read (each read task takes several files)
-                # instead of a separate repartition pass after prep
+                # instead of a separate repartition pass after prep; block
+                # count grows with the unit's data so no block exceeds the
+                # streaming executor's comfortable size (stages/merge.py)
                 runs_u = ray.data.read_parquet(
                     group_dir, columns=["term", "doc_id", "pos_enc"],
-                    override_num_blocks=n_sort_blocks,
+                    override_num_blocks=size_aware_blocks(
+                        dir_parquet_bytes(group_dir), floor=n_sort_blocks),
                 )
                 chunks = merge_shard_postings(
                     runs_u, config=config, n_sort_blocks=0,
@@ -570,7 +620,8 @@ def build_index(
             print(f"[stage postings] {time.perf_counter() - t0:.1f}s "
                   f"({len(todo)}/{n_units} units)", flush=True)
 
-    produce_postings_sharded()
+    with _push_based_shuffle():
+        produce_postings_sharded()
 
     # ---- stage 5: corpus stats (one aggregation pass over the doc
     # metadata; doc_lengths are a column of docs/, not a separate copy —

@@ -346,6 +346,29 @@ def merge_postings(postings_ds, config: EngineConfig | None = None):
 _DICT_SLICE_CACHE: dict[tuple[str, str], tuple] = {}
 
 
+def _dict_slice_entry(unit_dir: str, tag: str) -> tuple:
+    """Cached (terms object[], term_ids int64[], shards int64[], terms_pa
+    StringArray) of one merge unit's dictionary slice, sorted by term_id
+    (== term string order)."""
+    key = (unit_dir, tag)
+    ent = _DICT_SLICE_CACHE.get(key)
+    if ent is None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(unit_dir, columns=["term", "term_id", "shard"])
+        tids = t["term_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        shards = t["shard"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(tids)
+        terms_pa = (t["term"].combine_chunks().cast(pa.string())
+                    .take(pa.array(order)))
+        terms = np.asarray(terms_pa.to_pylist(), dtype=object)
+        ent = (terms, tids[order], shards[order], terms_pa)
+        if len(_DICT_SLICE_CACHE) >= 4:  # a worker serves few units at a time
+            _DICT_SLICE_CACHE.clear()
+        _DICT_SLICE_CACHE[key] = ent
+    return ent
+
+
 def load_dict_slice(unit_dir: str, tag: str = "") -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(terms object[], term_ids int64[], shards int64[]) of one merge
     unit's dictionary slice, sorted by term_id (== term string order).
@@ -354,27 +377,64 @@ def load_dict_slice(unit_dir: str, tag: str = "") -> tuple[np.ndarray, np.ndarra
     (the build passes its input fingerprint) — a rebuild into the same
     out_dir would otherwise serve a stale slice from this cache and the
     prep lookup guard below would fire on phantom "missing" terms."""
-    key = (unit_dir, tag)
-    ent = _DICT_SLICE_CACHE.get(key)
-    if ent is None:
-        import pyarrow.parquet as pq
+    return _dict_slice_entry(unit_dir, tag)[:3]
 
-        t = pq.read_table(unit_dir, columns=["term", "term_id", "shard"])
-        terms = np.asarray(t["term"].to_pylist(), dtype=object)
-        tids = t["term_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        shards = t["shard"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(tids)
-        ent = (terms[order], tids[order], shards[order])
-        if len(_DICT_SLICE_CACHE) >= 4:  # a worker serves few units at a time
-            _DICT_SLICE_CACHE.clear()
-        _DICT_SLICE_CACHE[key] = ent
-    return ent
+
+def load_dict_slice_pa(unit_dir: str, tag: str = "") -> tuple[pa.StringArray, np.ndarray, np.ndarray]:
+    """(terms StringArray, term_ids int64[], shards int64[]) — the Arrow
+    view of the same cached slice, for hash-based ``pc.index_in`` lookups
+    (several times faster than np.searchsorted over object arrays)."""
+    ent = _dict_slice_entry(unit_dir, tag)
+    return ent[3], ent[1], ent[2]
 
 
 #: bits of the unit-major composite sort key reserved for term_id
 #: (skey = sgroup << _SKEY_TID_BITS | term_id): vocab up to 2^44 terms,
 #: up to 2^19 merge units, skey stays a positive int64.
 _SKEY_TID_BITS = 44
+
+#: target PARQUET bytes per sort-input block (Arrow in memory is ~3x). The
+#: sort-block count must scale with DATA, not only with CPUs: two ~250 MB
+#: prep blocks per merge unit put ~3.4 GB per operator into the streaming
+#: executor's per-op memory budget and it throttled the whole DAG to ONE
+#: running task (measured on a 2M-doc corpus at 8 CPUs: >20 min, load ~1,
+#: `task_output_backpressure_time` 950 s — vs ~35 s for the same stage at
+#: 480k docs where the blocks were 4x smaller).
+_SORT_BLOCK_PARQUET_BYTES = 32 << 20
+
+
+def dir_parquet_bytes(d: str) -> int:
+    """Total bytes of .parquet files under ``d`` (recursive); ``d`` may
+    also be a single file."""
+    import os
+
+    if os.path.isfile(d):
+        return os.path.getsize(d)
+    total = 0
+    for dp, _dirs, files in os.walk(d):
+        for f in files:
+            if f.endswith(".parquet"):
+                try:
+                    total += os.path.getsize(os.path.join(dp, f))
+                except OSError:  # pragma: no cover - racing writer
+                    pass
+    return total
+
+
+def size_aware_blocks(parquet_bytes: int, floor: int) -> int:
+    """Sort-input block count bounded by DATA on both sides: no block over
+    ``target`` bytes (oversized blocks blow the streaming executor's per-op
+    budget), and the CPU-driven ``floor`` is capped so tiny inputs don't
+    shatter into a small-block storm (each block ≥ ~target/8)."""
+    import math
+    import os
+
+    target = int(os.environ.get(
+        "SE_RAY_SORT_BLOCK_PARQUET_BYTES", _SORT_BLOCK_PARQUET_BYTES))
+    parquet_bytes = max(0, parquet_bytes)
+    by_size = math.ceil(parquet_bytes / max(1, target))
+    cpu_floor = min(floor, max(2, math.ceil(parquet_bytes / max(1, target // 8))))
+    return max(cpu_floor, by_size, 2)
 
 
 def merge_units_postings(
@@ -400,9 +460,13 @@ def merge_units_postings(
     worker, exactly like the per-unit path (which remains for partial
     resume, where only incomplete units re-run).
 
-    Reads each ``runs_dir/sgroup=U`` hive dir as its own dataset and unions
-    them, so prep batches stay unit-pure and load ONE slice each; the union
-    is a no-op operator and the sort is the only all-to-all.
+    ONE hive read over ``runs_dir`` (sgroup is the partition column) feeds
+    ONE prep operator — the DAG is read → prep → sort → kernel+write, four
+    operators total. The earlier shape (one read+prep branch per unit
+    union-ed together) was 2·n_units+3 operators; the streaming executor
+    reserves memory per operator, and at 2M docs the per-op slivers
+    backpressured the whole pipeline to ~1 concurrent task. Block count is
+    size-aware (size_aware_blocks) for the same reason.
     """
     import os
 
@@ -412,54 +476,64 @@ def merge_units_postings(
     if n_units >= (1 << (63 - _SKEY_TID_BITS)):
         raise ValueError(f"merge_units {n_units} overflows the skey unit bits")
 
-    def make_prep(u: int):
-        unit_dir = os.path.join(dictionary_dir, f"ugroup={u}")
-        base = np.int64(u << _SKEY_TID_BITS)
-
-        def prep(batch: pa.Table) -> pa.Table:
-            batch = batch.combine_chunks()
-            terms_np, tids_np, _ = load_dict_slice(unit_dir, dict_slice_tag)
-            if len(tids_np) and int(tids_np[-1]) >= (1 << _SKEY_TID_BITS):
-                raise ValueError("term_id overflows the skey term bits")
-            tenc = batch["term"].dictionary_encode().combine_chunks()
-            uniq = np.asarray(tenc.dictionary.to_pylist(), dtype=object)
-            idx = np.searchsorted(terms_np, uniq)
-            if len(uniq):
-                bad = (idx >= len(terms_np)) | (
-                    terms_np[np.minimum(idx, len(terms_np) - 1)] != uniq)
-                if bad.any():
-                    raise ValueError(
-                        f"run term(s) missing from unit {u} dictionary slice: "
-                        f"{uniq[bad][:5].tolist()} (stale runs or wrong slice?)")
-            skey_u = (base | tids_np[idx]) if len(uniq) else tids_np[:0]
-            skeys = skey_u[tenc.indices.to_numpy(zero_copy_only=False)]
-            return pa.table(
-                {
-                    "skey": pa.array(skeys, pa.int64()),
-                    "doc_id": batch["doc_id"],
-                    "pos_enc": batch["pos_enc"],
-                }
-            )
-
-        return prep
-
-    per_unit = []
-    for u in range(n_units):
-        group_dir = os.path.join(runs_dir, f"sgroup={u}")
-        if not os.path.isdir(group_dir):
-            continue
-        kw = {}
-        if n_sort_blocks > 0:
-            # coalesce at the read, split across units
-            kw["override_num_blocks"] = max(2, n_sort_blocks // n_units)
-        ds_u = ray.data.read_parquet(
-            group_dir, columns=["term", "doc_id", "pos_enc"], **kw)
-        per_unit.append(ds_u.map_batches(make_prep(u), batch_format="pyarrow"))
-    if not per_unit:
+    unit_dirs = [u for u in range(n_units)
+                 if os.path.isdir(os.path.join(runs_dir, f"sgroup={u}"))]
+    if not unit_dirs:
         empty = CHUNK_SCHEMA.empty_table().append_column(
             "shard", pa.array([], pa.int64()))
         return ray.data.from_arrow(empty)
-    prepped = per_unit[0].union(*per_unit[1:]) if len(per_unit) > 1 else per_unit[0]
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        sg_col = batch["sgroup"]
+        if pa.types.is_dictionary(sg_col.type):
+            sg_col = sg_col.cast(sg_col.type.value_type)
+        if not pa.types.is_integer(sg_col.type):
+            sg_col = pc.cast(sg_col, pa.int64())  # hive values parse as strings
+        sg = sg_col.to_numpy(zero_copy_only=False).astype(np.int64)
+        units = np.unique(sg)
+        parts = []
+        for u in units:
+            # read tasks pack whole files, so most batches are unit-pure —
+            # the filter only copies when a block straddles hive dirs
+            sub = batch if len(units) == 1 else batch.filter(pa.array(sg == u))
+            unit_dir = os.path.join(dictionary_dir, f"ugroup={u}")
+            terms_pa, tids_np, _ = load_dict_slice_pa(unit_dir, dict_slice_tag)
+            if len(tids_np) and int(tids_np[-1]) >= (1 << _SKEY_TID_BITS):
+                raise ValueError("term_id overflows the skey term bits")
+            base = np.int64(int(u) << _SKEY_TID_BITS)
+            # hash-based Arrow lookup term → slice position (null = missing);
+            # a stale resume artifact or slice mixup must fail loudly, never
+            # merge postings into a neighboring term's list
+            pos = pc.index_in(sub["term"].combine_chunks(), value_set=terms_pa)
+            if pos.null_count:
+                missing = pc.unique(
+                    sub["term"].combine_chunks().filter(pc.is_null(pos)))
+                raise ValueError(
+                    f"run term(s) missing from unit {u} dictionary slice: "
+                    f"{missing.to_pylist()[:5]} (stale runs or wrong slice?)")
+            idx = pos.to_numpy(zero_copy_only=False).astype(np.int64)
+            skeys = base | tids_np[idx]
+            parts.append(pa.table(
+                {
+                    "skey": pa.array(skeys, pa.int64()),
+                    "doc_id": sub["doc_id"],
+                    "pos_enc": sub["pos_enc"],
+                }
+            ))
+        return pa.concat_tables(parts)
+
+    n_blocks = size_aware_blocks(
+        dir_parquet_bytes(runs_dir), floor=max(2, n_sort_blocks))
+    # read the hive ROOT so sgroup materializes as a partition column
+    # (reading the sgroup= subdirs directly would lose it); _MANIFEST.json
+    # is skipped by dataset discovery (underscore prefix)
+    runs_ds = ray.data.read_parquet(
+        runs_dir,
+        columns=["term", "doc_id", "pos_enc", "sgroup"],
+        override_num_blocks=n_blocks,
+    )
+    prepped = runs_ds.map_batches(prep, batch_format="pyarrow")
     sorted_ds = prepped.sort(["skey", "doc_id"])
 
     tid_mask = np.int64((1 << _SKEY_TID_BITS) - 1)
