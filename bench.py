@@ -228,6 +228,10 @@ def run_scaling() -> dict:
         while os.getloadavg()[0] >= 1.0 and time.time() < deadline:
             time.sleep(10)
 
+    log_dir = os.environ.get("BENCH_SCALING_LOG_DIR", "/tmp/se_ray_bench/scaling_logs")
+    os.makedirs(log_dir, exist_ok=True)
+    seq = [0]
+
     def one(ncpu: int) -> dict:
         env = dict(ensure_cached, RAY_GRAFT_CPUS=str(ncpu))
         cmd = [sys.executable, os.path.abspath(__file__)]
@@ -235,6 +239,9 @@ def run_scaling() -> dict:
             cmd = ["taskset", "-c", f"0-{ncpu - 1}", *cmd]
         settle()
         p = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
+        seq[0] += 1
+        with open(os.path.join(log_dir, f"sample{seq[0]:02d}_cpu{ncpu}.log"), "w") as f:
+            f.write(p.stdout)  # per-stage timings when SE_RAY_TIMING is set
         return json.loads(p.stdout.strip().splitlines()[-1])
 
     # interleave levels so neighbour noise hits both about equally

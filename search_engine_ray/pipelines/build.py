@@ -183,6 +183,90 @@ def _stamp_and_tokenize(block, offset: int, lemma_path, n_units: int,
     return runs, doc_meta, dict_partial
 
 
+@ray.remote(num_returns=3)
+def _dict_finish_block(block):
+    """Wave A of the fused dictionary finish (see produce_dictionary): one
+    sorted block of (term, df_part) combiner rows → (interior_final,
+    edge_rows, meta).
+
+    interior_final: (term, df) for terms whose rows are ENTIRELY inside this
+    block (every term except the block's first and last) — stays in the
+    object store, never driver-side. edge_rows: the raw partial rows of the
+    block's first/last terms (≤ 2 terms × ≤ n_read_blocks rows — tiny; a
+    term spanning blocks is an edge term of every block it touches, so
+    summing edge rows across blocks yields its complete df). meta: first/
+    last interior term + interior term count, for driver-side dense-rank
+    offsets (O(n_blocks) strings on the driver, never O(vocab))."""
+    import numpy as np
+    import pyarrow as pa
+
+    empty_int = pa.table({"term": pa.array([], pa.string()),
+                          "df": pa.array([], pa.int64())})
+    empty_edge = pa.table({"term": pa.array([], pa.string()),
+                           "df_part": pa.array([], pa.int64())})
+    if not isinstance(block, pa.Table):
+        block = pa.Table.from_pandas(block, preserve_index=False)
+    block = block.combine_chunks()
+    if block.num_rows == 0:
+        return empty_int, empty_edge, {"first": None, "last": None, "count": 0}
+    enc = block["term"].dictionary_encode().combine_chunks()
+    # block is term-sorted, so first-appearance dictionary order == term order
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    change = np.empty(len(codes), bool)
+    change[0] = True
+    np.not_equal(codes[1:], codes[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    dfs = np.add.reduceat(
+        block["df_part"].to_numpy(zero_copy_only=False), starts).astype(np.int64)
+    terms = enc.dictionary.take(pa.array(codes[starts])).cast(pa.string())
+    keep = np.ones(len(starts), bool)
+    keep[0] = False
+    keep[-1] = False
+    gid = np.cumsum(change) - 1
+    edge_rows = block.filter(pa.array(~keep[gid]))
+    edge_rows = pa.table({"term": edge_rows["term"].cast(pa.string()),
+                          "df_part": edge_rows["df_part"]})
+    if not keep.any():
+        return empty_int, edge_rows, {"first": None, "last": None, "count": 0}
+    kidx = np.flatnonzero(keep)
+    int_terms = terms.take(pa.array(kidx))
+    interior = pa.table({"term": int_terms,
+                         "df": pa.array(dfs[kidx], pa.int64())})
+    meta = {"first": int_terms[0].as_py(), "last": int_terms[-1].as_py(),
+            "count": len(kidx)}
+    return interior, edge_rows, meta
+
+
+@ray.remote
+def _dict_emit_block(interior, tid_offset: int, n_shards: int, n_units: int,
+                     out_dir: str, block_id: int) -> int:
+    """Wave B: stamp dense term_ids (= tid_offset + local rank), derive
+    shard/ugroup, and write this block's dictionary rows DIRECTLY as one
+    parquet file per ugroup present — no Ray Data sink execution."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.functions.hashing import hash_strings_arrow
+
+    n = interior.num_rows
+    if n == 0:
+        return 0
+    tids = np.arange(tid_offset, tid_offset + n, dtype=np.int64)
+    shards = (hash_strings_arrow(interior["term"].combine_chunks())
+              % np.uint64(n_shards)).astype(np.int64)
+    ug = shards % n_units
+    t = pa.table({"term": interior["term"], "df": interior["df"],
+                  "term_id": pa.array(tids, pa.int64()),
+                  "shard": pa.array(shards, pa.int64())})
+    for u in np.unique(ug):
+        d = os.path.join(out_dir, f"ugroup={u}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(t.filter(pa.array(ug == u)),
+                       os.path.join(d, f"part-{block_id:05d}.parquet"))
+    return n
+
+
 class IndexPaths:
     def __init__(self, out_dir: str):
         self.out_dir = out_dir
@@ -408,44 +492,23 @@ def build_index(
                 )
             return
 
-        # distributed path: vectorized per-term sums over the sorted stream
-        from search_engine_ray.stages.doc_ids import zip_with_index
-        from search_engine_ray.stages.grouped import sorted_group_map
-
+        # distributed path: ONE sort execution + two raw-task waves. The
+        # previous shape (sorted_group_map + zip_with_index + sink) ran ~5
+        # sequential Dataset executions whose fixed startup made the stage
+        # a flat ~7–8 s at ANY cpu count — a pure scaling residue.
+        #
         # Coalesce at the read: the partials are SMALL per row (term,
         # df_part ≈ 16–40 B) but arrive as hundreds of ~vocab-row combiner
         # outputs; a global sort over hundreds of sub-MB blocks is pure
         # all-to-all overhead (measured: 8.4 s to sort 46 MB at 32 CPUs in
         # 200 blocks). Target ~500k rows per read block — few enough blocks
         # that the global sort moves ≤ n_blocks × vocab combiner rows, and
-        # enough that local_combine parallelism tracks the CPU budget (a
-        # 2M-row target gave 6 blocks at 2M docs and pinned this stage at
-        # ~7.7 s regardless of CPU count — a pure scaling residue).
+        # enough that local_combine parallelism tracks the CPU budget.
         n_read_blocks = int(min(4 * max(1, ncpu),
                                 max(max(1, ncpu), n_partial_rows // 500_000)))
         partials = ray.data.read_parquet(
             paths.dict_partials, override_num_blocks=n_read_blocks
         )
-
-        def sum_per_term(batch: pa.Table) -> pa.Table:
-            batch = batch.combine_chunks()
-            if batch.num_rows == 0:
-                return pa.table(
-                    {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
-                )
-            enc = batch["term"].dictionary_encode().combine_chunks()
-            codes = enc.indices.to_numpy(zero_copy_only=False)
-            change = np.empty(len(codes), bool)
-            change[0] = True
-            np.not_equal(codes[1:], codes[:-1], out=change[1:])
-            starts = np.flatnonzero(change)
-            df = np.add.reduceat(batch["df_part"].to_numpy(zero_copy_only=False), starts)
-            return pa.table(
-                {
-                    "term": enc.dictionary.take(pa.array(codes[starts])).cast(pa.string()),
-                    "df": pa.array(df.astype(np.int64), pa.int64()),
-                }
-            )
 
         def local_combine(batch: pa.Table) -> pa.Table:
             # per-coalesced-block combine: sort within the block, sum runs.
@@ -456,23 +519,84 @@ def build_index(
                     {"term": pa.array([], pa.string()), "df_part": pa.array([], pa.int64())}
                 )
             idx = pa.compute.sort_indices(batch["term"])
-            return sum_per_term(batch.take(idx)).rename_columns(["term", "df_part"])
+            batch = batch.take(idx)
+            enc = batch["term"].dictionary_encode().combine_chunks()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            change = np.empty(len(codes), bool)
+            change[0] = True
+            np.not_equal(codes[1:], codes[:-1], out=change[1:])
+            starts = np.flatnonzero(change)
+            df = np.add.reduceat(batch["df_part"].to_numpy(zero_copy_only=False), starts)
+            return pa.table(
+                {
+                    "term": enc.dictionary.take(pa.array(codes[starts])).cast(pa.string()),
+                    "df_part": pa.array(df.astype(np.int64), pa.int64()),
+                }
+            )
 
         combined = partials.map_batches(
             local_combine, batch_format="pyarrow", batch_size=None
         )
-        agg = sorted_group_map(combined, ["term"], sum_per_term)
-        with_ids = zip_with_index(agg, "term", "term_id", start=1)
-
-        def add_shard(batch: pa.Table) -> pa.Table:
-            batch = batch.combine_chunks()
-            shard_arr = _shard_col(batch["term"])
-            batch = batch.append_column("shard", shard_arr)
+        # the ONLY Dataset execution of the stage: global sort by term.
+        # Block ranges come out ordered (same invariant the doc_id stamp
+        # relies on), so dense term_ids are block offset + local rank.
+        srt = combined.sort("term").materialize()
+        block_refs = []
+        for bundle in srt.iter_internal_ref_bundles():
+            for block_ref, _meta in bundle.blocks:
+                block_refs.append(block_ref)
+        waves = [_dict_finish_block.remote(ref) for ref in block_refs]
+        metas = ray.get([w[2] for w in waves])
+        edge_tbls = [t for t in ray.get([w[1] for w in waves]) if t.num_rows]
+        # resolve edge terms driver-side: ≤ 2 terms per block — O(n_blocks),
+        # never O(vocab)
+        edge_terms: list[str] = []
+        edge_dfs: list[int] = []
+        if edge_tbls:
+            et = pa.concat_tables(edge_tbls)
+            pdf = et.to_pandas().groupby("term", sort=True)["df_part"].sum()
+            edge_terms = list(pdf.index)
+            edge_dfs = [int(v) for v in pdf.values]
+        # dense-rank offsets over the merged order of interior ranges
+        # (atomic: no edge term can fall strictly inside one) + edge terms
+        items: list[tuple[str, str, int]] = []
+        for b, m in enumerate(metas):
+            if m["count"]:
+                items.append((m["first"], "b", b))
+        for i, e in enumerate(edge_terms):
+            items.append((e, "e", i))
+        items.sort(key=lambda x: x[0])
+        cursor = 1
+        block_off = {}
+        edge_off = {}
+        for _term, kind, i in items:
+            if kind == "b":
+                block_off[i] = cursor
+                cursor += metas[i]["count"]
+            else:
+                edge_off[i] = cursor
+                cursor += 1
+        emits = [
+            _dict_emit_block.remote(waves[b][0], block_off[b], n_shards,
+                                    n_units, d, b)
+            for b in range(len(waves)) if metas[b]["count"]
+        ]
+        if edge_terms:
+            et_tbl = pa.table({"term": pa.array(edge_terms, pa.string()),
+                               "df": pa.array(edge_dfs, pa.int64())})
+            tid = pa.array([edge_off[i] for i in range(len(edge_terms))], pa.int64())
+            shard_arr = _shard_col(et_tbl["term"].combine_chunks())
+            et_tbl = (et_tbl.append_column("term_id", tid)
+                      .append_column("shard", shard_arr))
             ug = shard_arr.to_numpy(zero_copy_only=False) % n_units
-            return batch.append_column("ugroup", pa.array(ug, pa.int64()))
+            import pyarrow.parquet as pq
 
-        (with_ids.map_batches(add_shard, batch_format="pyarrow")
-         .write_parquet(d, partition_cols=["ugroup"], **write_kwargs))
+            for u in np.unique(ug):
+                ud = os.path.join(d, f"ugroup={u}")
+                os.makedirs(ud, exist_ok=True)
+                pq.write_table(et_tbl.filter(pa.array(ug == u)),
+                               os.path.join(ud, "edges.parquet"))
+        ray.get(emits)
 
     # NOT push-based: the dictionary sort moves ≤ n_blocks x vocab combiner
     # rows (tens of MB) — push-based scheduling overhead measured slower
