@@ -339,24 +339,40 @@ def build_index(
         import numpy as np
 
         t_s0 = time.perf_counter()
+        # Block/task counts below are DATA-SIZE-driven with a fixed floor,
+        # never CPU-count-driven: the execution plan must be identical at
+        # every cluster size or a scaling comparison measures two different
+        # jobs (fewer, bigger blocks at low parallelism amortize per-block
+        # overhead and bias the ratio). 32 covers the node sizes we test;
+        # at real scale the size term dominates anyway.
+        from search_engine_ray.stages.merge import dir_parquet_bytes, size_aware_blocks
+
+        floor = int(os.environ.get("SE_RAY_BLOCK_FLOOR", "32"))
+        in_bytes = dir_parquet_bytes(input_path) if isinstance(input_path, str) else 0
+        n_blocks = size_aware_blocks(in_bytes, floor) if in_bytes else floor
         if isinstance(input_path, str):
-            pages = ray.data.read_parquet(input_path, columns=["url", "html"])
+            # coarse read tasks: the default plan makes one task per file
+            # (200 × ~20 ms tasks at 480k docs — half scheduling overhead);
+            # bundling files to the sort block count cuts the dispatch cost
+            # at every level equally
+            pages = ray.data.read_parquet(
+                input_path, columns=["url", "html"], override_num_blocks=n_blocks)
         else:
             pages = input_path.select_columns(["url", "html"])
         extracted = extract_stage(pages, html_col="html").drop_columns(["html"])
-        # coalesce before the sort: n_blocks² exchange objects otherwise
-        # (same small-object storm as the merge sort — stages/merge.py).
-        # The count also grows with input SIZE so one block never exceeds
-        # ~100 MB of text: oversized sort blocks blow the streaming
-        # executor's per-operator memory budget and serialize the DAG
-        # (measured in the postings merge — stages/merge.py).
-        from search_engine_ray.stages.merge import dir_parquet_bytes, size_aware_blocks
-
-        floor = max(16, 2 * ncpu)
-        in_bytes = dir_parquet_bytes(input_path) if isinstance(input_path, str) else 0
-        extracted = extracted.repartition(
-            size_aware_blocks(in_bytes, floor) if in_bytes else floor)
-        sorted_ds = extracted.sort("url").materialize()
+        if not isinstance(input_path, str):
+            # unknown upstream block structure: coalesce before the sort
+            # (n_blocks² exchange objects otherwise) and bound block size
+            # (oversized sort blocks blow the streaming executor's per-op
+            # memory budget — stages/merge.py). Path inputs already read in
+            # n_blocks size-aware blocks, so no repartition is needed.
+            extracted = extracted.repartition(n_blocks)
+        # materialize BEFORE the sort: the fused read→extract→sort DAG runs
+        # 1.4–2 s slower at every CPU level than the two executions — the
+        # streaming executor splits its memory budget across the co-running
+        # operators and throttles both (same mechanism as the 2M-doc merge
+        # backpressure collapse, stages/merge.py).
+        sorted_ds = extracted.materialize().sort("url").materialize()
         if os.environ.get("SE_RAY_TIMING"):
             print(f"[ docs+runs/extract+sort] {time.perf_counter() - t_s0:.1f}s", flush=True)
         t_s1 = time.perf_counter()
@@ -504,8 +520,10 @@ def build_index(
         # 200 blocks). Target ~500k rows per read block — few enough blocks
         # that the global sort moves ≤ n_blocks × vocab combiner rows, and
         # enough that local_combine parallelism tracks the CPU budget.
-        n_read_blocks = int(min(4 * max(1, ncpu),
-                                max(max(1, ncpu), n_partial_rows // 500_000)))
+        # data-driven block count (not ncpu-driven): identical plan at
+        # every cluster size — see the docs+runs stage note
+        n_read_blocks = int(min(int(os.environ.get("SE_RAY_BLOCK_FLOOR", "32")),
+                                max(2, n_partial_rows // 500_000)))
         partials = ray.data.read_parquet(
             paths.dict_partials, override_num_blocks=n_read_blocks
         )
@@ -678,12 +696,30 @@ def build_index(
                           if os.path.isdir(os.path.join(paths.runs, f"sgroup={u}"))
                           and os.path.isdir(os.path.join(paths.dictionary, f"ugroup={u}"))]
             if have_units:
-                chunks = merge_units_postings(
-                    paths.runs, paths.dictionary, n_units, config=config,
-                    n_sort_blocks=4 * ncpu, dict_slice_tag=slice_tag,
-                )
-                chunks.write_parquet(paths.postings, partition_cols=["shard"],
-                                     **write_kwargs)
+                from search_engine_ray.stages.merge import (
+                    dir_parquet_bytes, merge_units_task_path,
+                    unit_task_threshold_bytes)
+
+                unit_bytes = [dir_parquet_bytes(
+                    os.path.join(paths.runs, f"sgroup={u}")) for u in have_units]
+                if (max(unit_bytes) <= unit_task_threshold_bytes()
+                        and os.environ.get("SE_RAY_MERGE_UNIT_TASK") != "0"):
+                    # every unit fits one worker: one raw task per unit
+                    # (in-memory sort, no shuffle) — see merge.py
+                    merge_units_task_path(
+                        paths.runs, paths.dictionary, have_units,
+                        paths.postings, config=config, dict_slice_tag=slice_tag,
+                    )
+                else:
+                    # fixed floor (not 4*ncpu): identical sort-block plan at
+                    # every cluster size — see the docs+runs stage note
+                    chunks = merge_units_postings(
+                        paths.runs, paths.dictionary, n_units, config=config,
+                        n_sort_blocks=int(os.environ.get("SE_RAY_BLOCK_FLOOR", "32")),
+                        dict_slice_tag=slice_tag,
+                    )
+                    chunks.write_parquet(paths.postings, partition_cols=["shard"],
+                                         **write_kwargs)
             for k in range(n_shards):
                 os.makedirs(paths.postings_shard(k), exist_ok=True)
                 manifests.write_manifest(

@@ -355,14 +355,17 @@ def _dict_slice_entry(unit_dir: str, tag: str) -> tuple:
     if ent is None:
         import pyarrow.parquet as pq
 
-        t = pq.read_table(unit_dir, columns=["term", "term_id", "shard"])
+        t = pq.read_table(unit_dir, columns=["term", "term_id", "shard"],
+                          use_threads=False)
         tids = t["term_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         shards = t["shard"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(tids)
         terms_pa = (t["term"].combine_chunks().cast(pa.string())
                     .take(pa.array(order)))
-        terms = np.asarray(terms_pa.to_pylist(), dtype=object)
-        ent = (terms, tids[order], shards[order], terms_pa)
+        # the object-array view (np path) is built LAZILY on first use: the
+        # Arrow-path consumers (unit-task merge, prep) never pay the
+        # to_pylist of the whole slice
+        ent = [None, tids[order], shards[order], terms_pa]
         if len(_DICT_SLICE_CACHE) >= 4:  # a worker serves few units at a time
             _DICT_SLICE_CACHE.clear()
         _DICT_SLICE_CACHE[key] = ent
@@ -377,7 +380,10 @@ def load_dict_slice(unit_dir: str, tag: str = "") -> tuple[np.ndarray, np.ndarra
     (the build passes its input fingerprint) — a rebuild into the same
     out_dir would otherwise serve a stale slice from this cache and the
     prep lookup guard below would fire on phantom "missing" terms."""
-    return _dict_slice_entry(unit_dir, tag)[:3]
+    ent = _dict_slice_entry(unit_dir, tag)
+    if ent[0] is None:
+        ent[0] = np.asarray(ent[3].to_pylist(), dtype=object)
+    return ent[0], ent[1], ent[2]
 
 
 def load_dict_slice_pa(unit_dir: str, tag: str = "") -> tuple[pa.StringArray, np.ndarray, np.ndarray]:
@@ -435,6 +441,122 @@ def size_aware_blocks(parquet_bytes: int, floor: int) -> int:
     by_size = math.ceil(parquet_bytes / max(1, target))
     cpu_floor = min(floor, max(2, math.ceil(parquet_bytes / max(1, target // 8))))
     return max(cpu_floor, by_size, 2)
+
+
+#: per-unit parquet-bytes ceiling for the single-task merge path: a unit at
+#: this size is ~3x in Arrow plus one sort copy — comfortably inside one
+#: worker's heap. Units larger than this take the global sort-shuffle path.
+_UNIT_TASK_PARQUET_BYTES = 160 << 20
+
+#: row-group size for unit-task shard files — keeps the locator's footer
+#: pruning granularity comparable to the sorted-block files the global path
+#: writes (a few thousand chunk rows per row group).
+_UNIT_TASK_ROW_GROUP = 2048
+
+
+@ray.remote
+def _merge_unit_to_shards(
+    runs_unit_dir: str,
+    dict_unit_dir: str,
+    tag: str,
+    chunk_size: int,
+    salt_span: int,
+    postings_dir: str,
+) -> int:
+    """ONE merge unit in ONE task: read the unit's runs, map terms to
+    term_ids, sort (term_id, doc_id) in memory, run the chunk kernel, write
+    one parquet file per output shard (shard % merge_units == unit, so a
+    shard's rows come from exactly one unit — each shard dir gets exactly
+    one file, sorted by term: optimal for the locator's footer ranges).
+
+    This is the fresh-build fast path when every unit fits one worker's
+    heap (``_UNIT_TASK_PARQUET_BYTES``): no shuffle, no sort exchange, no
+    barrier — n_units embarrassingly parallel tasks, which is also the
+    shape that scales cleanly with cluster size. Larger units fall back to
+    the global sort-shuffle (merge_units_postings). At real scale the
+    per-node analog is the same: a unit that fits a node merges locally;
+    only oversized units pay the exchange."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    # single-threaded read: n_units of these tasks run concurrently, one
+    # core each — Arrow's default pool (os.cpu_count() threads PER task)
+    # oversubscribes the node ~measured 3x slower wall for the wave
+    t = pq.read_table(
+        runs_unit_dir, columns=["term", "doc_id", "pos_enc"], use_threads=False)
+    try:
+        unit = int(os.path.basename(runs_unit_dir.rstrip("/")).split("=", 1)[1])
+    except (IndexError, ValueError):  # pragma: no cover - layout is ours
+        unit = 0
+    if t.num_rows == 0:
+        return 0
+    terms_pa, tids_np, shards_np = load_dict_slice_pa(dict_unit_dir, tag)
+    tcol = t["term"].combine_chunks()
+    pos = pc.index_in(tcol, value_set=terms_pa)
+    if pos.null_count:
+        missing = pc.unique(tcol.filter(pc.is_null(pos)))
+        raise ValueError(
+            f"run term(s) missing from unit {unit} dictionary slice: "
+            f"{missing.to_pylist()[:5]} (stale runs or wrong slice?)"
+        )
+    idx = pos.to_numpy(zero_copy_only=False).astype(np.int64)
+    tids = tids_np[idx]
+    doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc_ids, tids))
+    batch = t.take(pa.array(order))
+    tcodes = tids[order]
+
+    def resolver(codes_at_starts: np.ndarray) -> pa.Array:
+        i = np.searchsorted(tids_np, codes_at_starts)
+        resolver.shards = shards_np[i]
+        return terms_pa.take(pa.array(i))
+
+    out = _chunks_kernel(batch, chunk_size, salt_span, tcodes, resolver)
+    shards_at = resolver.shards
+    written = 0
+    for s in np.unique(shards_at):
+        sub = out.filter(pa.array(shards_at == s))
+        d = os.path.join(postings_dir, f"shard={int(s)}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            sub, os.path.join(d, f"unit_{unit}.parquet"),
+            row_group_size=_UNIT_TASK_ROW_GROUP,
+        )
+        written += sub.num_rows
+    return written
+
+
+def merge_units_task_path(
+    runs_dir: str,
+    dictionary_dir: str,
+    units: list[int],
+    postings_dir: str,
+    config: EngineConfig | None = None,
+    dict_slice_tag: str = "",
+) -> list[int]:
+    """Launch one ``_merge_unit_to_shards`` task per unit; returns per-unit
+    chunk-row counts. Caller is responsible for choosing this path only when
+    every unit is under ``unit_task_threshold_bytes()``."""
+    import os
+
+    config = config or EngineConfig()
+    refs = [
+        _merge_unit_to_shards.remote(
+            os.path.join(runs_dir, f"sgroup={u}"),
+            os.path.join(dictionary_dir, f"ugroup={u}"),
+            dict_slice_tag, config.chunk_size, config.salt_span, postings_dir,
+        )
+        for u in units
+    ]
+    return ray.get(refs)
+
+
+def unit_task_threshold_bytes() -> int:
+    import os
+
+    return int(os.environ.get(
+        "SE_RAY_UNIT_TASK_PARQUET_BYTES", _UNIT_TASK_PARQUET_BYTES))
 
 
 def merge_units_postings(

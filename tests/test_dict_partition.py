@@ -124,3 +124,42 @@ def test_global_merge_path_matches_per_unit(ray_session, tmp_path, monkeypatch):
     eg, eu = SearchEngine(out_g), SearchEngine(out_u)
     for q in ("alpha beta", "the quick", "zzz nothing"):
         assert eg.bm25_topk(q, 10) == eu.bm25_topk(q, 10)
+
+
+def test_unit_task_merge_matches_global_sort_path(ray_session, tmp_path, monkeypatch):
+    """The single-task-per-unit merge (merge.py::_merge_unit_to_shards — the
+    fresh-build fast path when every unit fits one worker) must produce the
+    same decoded postings and query results as the global sort-shuffle path,
+    and exactly one file per shard dir."""
+    from search_engine_ray.query.engine import SearchEngine
+    from search_engine_ray.query.postings_codec import decode_term_chunks
+    import pyarrow.compute as pc
+
+    pages = generate_webpages(400, vocab_size=900, tokens_per_doc=60, seed=29)
+    out_t = str(tmp_path / "idx_task")
+    build_index(pages, out_t, EngineConfig())  # small units -> task path
+    monkeypatch.setenv("SE_RAY_MERGE_UNIT_TASK", "0")
+    out_g = str(tmp_path / "idx_global")
+    build_index(pages, out_g, EngineConfig())
+
+    pt = IndexPaths(out_t)
+    # task path: each shard dir holds exactly one file, from its one unit
+    for d in os.listdir(pt.postings):
+        if d.startswith("shard="):
+            files = [f for f in os.listdir(os.path.join(pt.postings, d))
+                     if f.endswith(".parquet")]
+            assert len(files) == 1, (d, files)
+
+    def decoded(out):
+        t = pq.read_table(IndexPaths(out).postings)
+        return {
+            term: (lambda tp: (tp.doc_ids.tolist(), tp.tfs.tolist(),
+                               tp.pos_offsets.tolist(), tp.pos_values.tolist()))(
+                decode_term_chunks(t.filter(pc.equal(t["term"], term))))
+            for term in set(t["term"].to_pylist())
+        }
+
+    assert decoded(out_t) == decoded(out_g)
+    et, eg = SearchEngine(out_t), SearchEngine(out_g)
+    for q in ("alpha beta", "the quick", "zzz nothing"):
+        assert et.bm25_topk(q, 10) == eg.bm25_topk(q, 10)
