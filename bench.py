@@ -26,6 +26,12 @@ import subprocess
 import sys
 import time
 
+# worker malloc tuning must be in the env BEFORE ray.init spawns the raylet
+# (see search_engine_ray.__init__._tune_worker_malloc — bench imports the
+# package only after ray.init, so set it here too)
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(512 << 20))
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(512 << 20))
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 ZIPF_DOCS = int(os.environ.get("BENCH_ZIPF_DOCS", "40000"))

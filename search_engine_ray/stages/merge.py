@@ -240,9 +240,15 @@ def _chunks_kernel(batch: pa.Table, chunk_size: int, salt_span: int,
     pos_enc = pos_data
     pos_spans = pos_bounds[np.append(chunk_starts, n)]
 
-    # tf per posting = number of VB terminator bytes in its pos_enc span
-    term_csum = np.zeros(len(pos_data) + 1, np.int64)
-    np.cumsum((pos_data >= 128).astype(np.int64), out=term_csum[1:])
+    # tf per posting = number of VB terminator bytes in its pos_enc span.
+    # int32 + fused-dtype cumsum: the int64 version allocated ~16 bytes per
+    # pos byte in temporaries (astype temp + csum), and at 8+ concurrent
+    # merge tasks that mmap/munmap churn dominated the wave (page zeroing +
+    # TLB shootdowns — same mechanism as the tokenize sub-batching note in
+    # pipelines/build.py). Safe: pos byte counts per block are < 2^31 by
+    # the binary-offset constraint validated below.
+    term_csum = np.zeros(len(pos_data) + 1, np.int32)
+    np.cumsum(pos_data >= 128, dtype=np.int32, out=term_csum[1:])
     tfs = term_csum[pos_bounds[1:]] - term_csum[pos_bounds[:-1]]
 
     # binary_from_spans falls back to large_binary past the int32 offset

@@ -1,4 +1,11 @@
+import os
+
 import pytest
+
+# must be in the env before ray.init spawns the raylet so worker processes
+# inherit it (see search_engine_ray.__init__._tune_worker_malloc)
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(512 << 20))
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(512 << 20))
 
 
 @pytest.fixture(scope="session")
