@@ -31,6 +31,9 @@ import time
 # package only after ray.init, so set it here too)
 os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(512 << 20))
 os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(512 << 20))
+# numpy's THP madvise + defrag=madvise = direct compaction per hugepage
+# fault; see search_engine_ray.__init__._tune_worker_malloc
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))

@@ -43,6 +43,17 @@ def _tune_worker_malloc() -> None:
         return
     os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(512 << 20))
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(512 << 20))
+    # numpy madvise(MADV_HUGEPAGE)s every allocation ≥4 MB; with THP
+    # defrag=madvise (this box's setting) each hugepage FAULT then does
+    # direct compaction, so a worker's first big-kernel task pays a
+    # multi-second cold-heap tax that also contends across workers.
+    # Measured (5.6M-row grp-phase microbenchmark): 1.08 s solo / 1.74 s
+    # at 8 concurrent with madvise, flat 0.43 s either way without —
+    # and per-task time becomes independent of how many tasks a worker
+    # has already run, which is what makes N vs 4N scaling comparable.
+    # Steady-state THP wins (~1.5x on warm heaps) don't offset that here
+    # because Ray workers are many and short-lived relative to the waves.
+    os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
 
 
 def _guard_fsspec_http() -> None:

@@ -313,7 +313,9 @@ def build_index(
     """Build the full inverted index under ``out_dir``; returns its layout."""
     config = config or EngineConfig()
     n_shards = config.index_shards
-    n_units = config.merge_units
+    # a unit can't own less than one shard: small-shard configs (tests,
+    # tiny corpora) clamp the default 32 units down to one unit per shard
+    n_units = min(config.merge_units, n_shards)
     if n_shards % n_units:
         raise ValueError("index_shards must be a multiple of merge_units")
     paths = IndexPaths(out_dir)
@@ -479,19 +481,27 @@ def build_index(
         n_partial_rows = m.get("num_rows") or 0
         small_cap = int(os.environ.get("SE_RAY_DICT_SMALL_ROWS", 8_000_000))
         if n_partial_rows <= small_cap:
-            # small side: plain parquet read + pandas finish — a Ray
-            # execution here is pure fixed overhead
+            # small side: plain parquet read + an Arrow group_by finish — a
+            # Ray execution here is pure fixed overhead, and the C++
+            # hash-aggregate is multithreaded in the driver process (the
+            # pandas version of this finish was a flat ~0.6 s at ANY cpu
+            # count — a pure scaling residue at small corpora)
             import pyarrow.parquet as pq
 
-            pdf = pq.read_table(paths.dict_partials).to_pandas()
-            if "term" not in pdf.columns:  # empty corpus: schema-less dir
-                pdf = pd.DataFrame({"term": pd.Series(dtype=object),
-                                    "df_part": pd.Series(dtype=np.int64)})
-            g = (pdf.groupby("term", sort=True)["df_part"].sum()
-                 .reset_index().rename(columns={"df_part": "df"}))
-            g["term_id"] = np.arange(1, len(g) + 1, dtype=np.int64)
-            g = g.astype({"df": np.int64})
-            t = pa.Table.from_pandas(g, preserve_index=False)
+            raw = pq.read_table(paths.dict_partials)
+            if "term" not in raw.column_names:  # empty corpus: schema-less dir
+                raw = pa.table({"term": pa.array([], pa.string()),
+                                "df_part": pa.array([], pa.int64())})
+            g = raw.group_by("term").aggregate([("df_part", "sum")])
+            # UTF-8 byte order == code-point order: same rank the reference's
+            # BTreeMap iteration produces (spimi.rs:60,76,95)
+            g = g.take(pa.compute.sort_indices(g["term"]))
+            t = pa.table({
+                "term": g["term"],
+                "df": g["df_part_sum"].cast(pa.int64()),
+                "term_id": pa.array(
+                    np.arange(1, g.num_rows + 1, dtype=np.int64), pa.int64()),
+            })
             shard_arr = _shard_col(t["term"].combine_chunks())
             t = t.append_column("shard", shard_arr)
             if t.num_rows == 0:

@@ -198,10 +198,15 @@ def _chunks_for_sorted_batch(batch: pa.Table, chunk_size: int,
 
 
 def _chunks_kernel(batch: pa.Table, chunk_size: int, salt_span: int,
-                   tcodes: np.ndarray, term_resolver) -> pa.Table:
+                   tcodes: np.ndarray, term_resolver,
+                   timings: dict | None = None) -> pa.Table:
     """Shared vectorized kernel: ``tcodes`` is any int array whose equal runs
     delimit terms in the (already sorted) batch; ``term_resolver(codes)``
     materializes the term strings for the chunk-start rows."""
+    import time
+
+    _t = time.perf_counter
+    t0 = _t()
     n = batch.num_rows
     if n == 0:
         return CHUNK_SCHEMA.empty_table()
@@ -219,6 +224,9 @@ def _chunks_kernel(batch: pa.Table, chunk_size: int, salt_span: int,
     n_chunks = len(chunk_starts)
     chunk_ends = np.append(chunk_starts[1:], n)
     chunk_seq = (pos_in_group[chunk_starts] // chunk_size).astype(np.int32)
+    if timings is not None:
+        timings["k_grp"] = _t() - t0
+        t0 = _t()
 
     # --- doc stream: gaps, absolute at chunk starts -----------------------
     doc_gaps = np.empty(n, np.int64)
@@ -229,6 +237,9 @@ def _chunks_kernel(batch: pa.Table, chunk_size: int, salt_span: int,
     doc_bounds = np.zeros(n + 1, np.int64)
     np.cumsum(doc_bytelens, out=doc_bounds[1:])
     doc_spans = doc_bounds[np.append(chunk_starts, n)]
+    if timings is not None:
+        timings["k_vb"] = _t() - t0
+        t0 = _t()
 
     # --- position stream: already VB-encoded per posting by the tokenize
     # stage (pos_enc binary); chunks just slice the shared byte buffer ------
@@ -250,6 +261,9 @@ def _chunks_kernel(batch: pa.Table, chunk_size: int, salt_span: int,
     term_csum = np.zeros(len(pos_data) + 1, np.int32)
     np.cumsum(pos_data >= 128, dtype=np.int32, out=term_csum[1:])
     tfs = term_csum[pos_bounds[1:]] - term_csum[pos_bounds[:-1]]
+    if timings is not None:
+        timings["k_tf"] = _t() - t0
+        t0 = _t()
 
     # binary_from_spans falls back to large_binary past the int32 offset
     # range; a block that flips type would mix schemas within one shard's
@@ -282,6 +296,8 @@ def _chunks_kernel(batch: pa.Table, chunk_size: int, salt_span: int,
             "pos_gaps": pos_gaps_col,
         }
     )
+    if timings is not None:
+        timings["k_tbl"] = _t() - t0
     return chunk_rows
 
 
@@ -468,7 +484,7 @@ def _merge_unit_to_shards(
     chunk_size: int,
     salt_span: int,
     postings_dir: str,
-) -> int:
+) -> dict:
     """ONE merge unit in ONE task: read the unit's runs, map terms to
     term_ids, sort (term_id, doc_id) in memory, run the chunk kernel, write
     one parquet file per output shard (shard % merge_units == unit, so a
@@ -483,20 +499,25 @@ def _merge_unit_to_shards(
     per-node analog is the same: a unit that fits a node merges locally;
     only oversized units pay the exchange."""
     import os
+    import time
 
     import pyarrow.parquet as pq
 
+    ph = {"t_start": time.time()}
+    t0 = time.perf_counter()
     # single-threaded read: n_units of these tasks run concurrently, one
     # core each — Arrow's default pool (os.cpu_count() threads PER task)
     # oversubscribes the node ~measured 3x slower wall for the wave
     t = pq.read_table(
         runs_unit_dir, columns=["term", "doc_id", "pos_enc"], use_threads=False)
+    ph["read"] = time.perf_counter() - t0
     try:
         unit = int(os.path.basename(runs_unit_dir.rstrip("/")).split("=", 1)[1])
     except (IndexError, ValueError):  # pragma: no cover - layout is ours
         unit = 0
     if t.num_rows == 0:
-        return 0
+        ph.update(rows=0, unit=unit)
+        return ph
     terms_pa, tids_np, shards_np = load_dict_slice_pa(dict_unit_dir, tag)
     tcol = t["term"].combine_chunks()
     pos = pc.index_in(tcol, value_set=terms_pa)
@@ -509,18 +530,25 @@ def _merge_unit_to_shards(
     idx = pos.to_numpy(zero_copy_only=False).astype(np.int64)
     tids = tids_np[idx]
     doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    t1 = time.perf_counter()
     order = np.lexsort((doc_ids, tids))
+    ph["sort"] = time.perf_counter() - t1
+    t1 = time.perf_counter()
     batch = t.take(pa.array(order))
     tcodes = tids[order]
+    ph["take"] = time.perf_counter() - t1
 
     def resolver(codes_at_starts: np.ndarray) -> pa.Array:
         i = np.searchsorted(tids_np, codes_at_starts)
         resolver.shards = shards_np[i]
         return terms_pa.take(pa.array(i))
 
-    out = _chunks_kernel(batch, chunk_size, salt_span, tcodes, resolver)
+    t2 = time.perf_counter()
+    out = _chunks_kernel(batch, chunk_size, salt_span, tcodes, resolver, timings=ph)
+    ph["kernel"] = time.perf_counter() - t2
     shards_at = resolver.shards
     written = 0
+    t3 = time.perf_counter()
     for s in np.unique(shards_at):
         sub = out.filter(pa.array(shards_at == s))
         d = os.path.join(postings_dir, f"shard={int(s)}")
@@ -530,7 +558,10 @@ def _merge_unit_to_shards(
             row_group_size=_UNIT_TASK_ROW_GROUP,
         )
         written += sub.num_rows
-    return written
+    ph["write"] = time.perf_counter() - t3
+    ph.update(rows=written, unit=unit, total=time.perf_counter() - t0,
+              t_end=time.time())
+    return ph
 
 
 def merge_units_task_path(
@@ -555,7 +586,21 @@ def merge_units_task_path(
         )
         for u in units
     ]
-    return ray.get(refs)
+    phases = ray.get(refs)
+    if os.environ.get("SE_RAY_TIMING"):
+        base = min(p["t_start"] for p in phases)
+        for p in phases:
+            print(
+                f"[ unit {p.get('unit')}] start+{p['t_start'] - base:.1f}s "
+                f"read={p.get('read', 0):.1f} sort={p.get('sort', 0):.1f} "
+                f"take={p.get('take', 0):.1f} "
+                f"kernel={p.get('kernel', 0):.1f} "
+                f"(grp={p.get('k_grp', 0):.1f} vb={p.get('k_vb', 0):.1f} "
+                f"tf={p.get('k_tf', 0):.1f} tbl={p.get('k_tbl', 0):.1f}) "
+                f"write={p.get('write', 0):.1f} total={p.get('total', 0):.1f}",
+                flush=True,
+            )
+    return [p.get("rows", 0) for p in phases]
 
 
 def unit_task_threshold_bytes() -> int:

@@ -6,6 +6,7 @@ import pytest
 # inherit it (see search_engine_ray.__init__._tune_worker_malloc)
 os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(512 << 20))
 os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(512 << 20))
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
 
 
 @pytest.fixture(scope="session")
