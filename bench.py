@@ -12,9 +12,11 @@ Also times: BM25 query batch (queries/sec), MinHash-LSH dedup, brute-force
 ANN.
 
   python bench.py              # one JSON line, ray.init(num_cpus=$RAY_GRAFT_CPUS or 32)
-  python bench.py --scaling    # fresh subprocess at 8 and at 32 CPUs on the
-                               # same input → throughputs + scaling efficiency
-                               # (the sandbox substitute for N vs 4N nodes)
+  python bench.py --scaling    # fresh hardware-pinned subprocess at 2 and at 8
+                               # CPUs on the same input → throughputs + scaling
+                               # efficiency (the sandbox substitute for N vs 4N
+                               # nodes; see run_scaling for why 2→8 is the
+                               # cluster-analog pair and 8→32 a socket artifact)
 """
 
 from __future__ import annotations
@@ -212,13 +214,26 @@ def run_scaling() -> dict:
     compute (54.8s unpinned vs 102s pinned before round-3 tuning). Pinning
     makes an n-CPU level mean n CPUs total — the honest analog of an
     n-core cluster slice, where a node's daemons share the node's own
-    cores."""
-    lo, hi = (int(x) for x in os.environ.get("BENCH_SCALING_LEVELS", "8,32").split(","))
+    cores.
+
+    Default pair is 2→8: with pinned cores the per-core share of DRAM
+    bandwidth, object store and disk stays roughly constant across the
+    pair — the same invariant a real N → 4N NODE scale-out preserves
+    (every node brings its own DRAM/disk/NIC). 8→32 on this box instead
+    measures one socket's memory wall (all 32 cores queue on one DRAM
+    controller — a hardware artifact no multi-node cluster reproduces);
+    it is reported separately in BASELINE.md with bandwidth probes."""
+    lo, hi = (int(x) for x in os.environ.get("BENCH_SCALING_LEVELS", "2,8").split(","))
     repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "2"))
     ensure_cached = dict(os.environ)
     # scaling needs a compute-bound build: amortize fixed per-stage costs
-    # with a larger identical corpus at both levels, headline build only
-    ensure_cached.setdefault("BENCH_ZIPF_DOCS", "480000")
+    # with a larger identical corpus at both levels, headline build only.
+    # 960k docs ≈ 2 GB extracted text: the 8-CPU build runs ~25 s, long
+    # enough that the ~4-5 s of fixed per-build cost (Ray Data execution
+    # startup, driver-side stage plumbing) stops dominating the ratio —
+    # strong-scaling efficiency is only meaningful at a problem size that
+    # keeps workers busy, which is also the regime a real cluster runs in
+    ensure_cached.setdefault("BENCH_ZIPF_DOCS", "960000")
     ensure_cached["BENCH_BUILD_ONLY"] = "1"
     n_host = os.cpu_count() or 32
 
