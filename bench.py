@@ -246,11 +246,30 @@ def run_scaling() -> dict:
         8-CPU level 32 s after a quiet gap vs 44-54 s straight after a 2-CPU
         build). Force the writeback now (sync) and wait for load1 to drain,
         bounded so a noisy neighbour can't stall the bench forever.
+
+        Guest load1 cannot see HOST overcommit (a KVM neighbour eating the
+        physical cores shows up only as every guest op running slow —
+        observed: single-process memcpy at 3.0 GB/s vs 7.4 quiet, and the
+        same build 25x slower), so also gate on a 1-second single-process
+        bandwidth probe when BENCH_SETTLE_MIN_GBPS is set (same deadline).
         """
         os.sync()
         deadline = time.time() + int(os.environ.get("BENCH_SETTLE_MAX_S", "240"))
         while os.getloadavg()[0] >= 1.0 and time.time() < deadline:
             time.sleep(10)
+        min_gbps = float(os.environ.get("BENCH_SETTLE_MIN_GBPS", "0"))
+        if min_gbps <= 0:
+            return
+        import numpy as np
+        buf = np.zeros(1 << 27, np.uint8)
+        buf[:] = 1
+        while time.time() < deadline:
+            t0 = time.perf_counter()
+            _ = buf.copy()
+            gbps = 0.25 / (time.perf_counter() - t0)  # 128 MB read + write
+            if gbps >= min_gbps:
+                return
+            time.sleep(15)
 
     log_dir = os.environ.get("BENCH_SCALING_LOG_DIR", "/tmp/se_ray_bench/scaling_logs")
     os.makedirs(log_dir, exist_ok=True)
