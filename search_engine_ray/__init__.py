@@ -104,9 +104,34 @@ def _patch_ray_http_probe() -> None:
     path_util._is_http_filesystem = safe
 
 
+def _tune_arrow_pool() -> None:
+    """Stretch Arrow-jemalloc's dirty-page decay (Arrow default 1 s) so
+    arenas stay warm across a task wave: per-slice Arrow buffers freed
+    mid-task were purged and re-faulted, and at 32 concurrent fresh
+    workers that page churn contended the kernel allocator hard enough
+    that identical merge tasks ran 6-20x slower (the 2M-doc postings wave
+    measured 60-80 s; 12 s with decay stretched and the sliced kernel).
+    15 s covers within-wave and wave-to-wave reuse while still returning
+    memory between pipeline stages; retained dirty pages are bounded by
+    each worker's own peak (~hundreds of MB), not the dataset. Override
+    with SE_RAY_JEMALLOC_DECAY_MS; "off" keeps Arrow's default."""
+    import os
+
+    ms = os.environ.get("SE_RAY_JEMALLOC_DECAY_MS", "15000")
+    if not ms or ms == "off":
+        return
+    try:
+        import pyarrow as pa
+
+        pa.jemalloc_set_decay_ms(int(ms))
+    except Exception:  # pragma: no cover - non-jemalloc builds
+        pass
+
+
 _tune_worker_malloc()
 _guard_fsspec_http()
 _patch_ray_http_probe()
+_tune_arrow_pool()
 
 from search_engine_ray.config import EngineConfig  # noqa: E402
 

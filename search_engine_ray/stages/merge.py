@@ -503,7 +503,7 @@ def _merge_unit_to_shards(
 
     import pyarrow.parquet as pq
 
-    ph = {"t_start": time.time()}
+    ph = {"t_start": time.time(), "cpu0": time.process_time()}
     t0 = time.perf_counter()
     # single-threaded read: n_units of these tasks run concurrently, one
     # core each — Arrow's default pool (os.cpu_count() threads PER task)
@@ -533,20 +533,62 @@ def _merge_unit_to_shards(
     t1 = time.perf_counter()
     order = np.lexsort((doc_ids, tids))
     ph["sort"] = time.perf_counter() - t1
-    t1 = time.perf_counter()
-    batch = t.take(pa.array(order))
-    tcodes = tids[order]
-    ph["take"] = time.perf_counter() - t1
 
     def resolver(codes_at_starts: np.ndarray) -> pa.Array:
         i = np.searchsorted(tids_np, codes_at_starts)
-        resolver.shards = shards_np[i]
+        resolver.shards = (shards_np[i] if not hasattr(resolver, "shards")
+                           else np.concatenate([resolver.shards, shards_np[i]]))
         return terms_pa.take(pa.array(i))
 
+    # Take + kernel run over GROUP-ALIGNED SLICES of the sorted order, not
+    # the whole unit at once. Every (term, salt) group lies entirely inside
+    # one slice (cuts advance to the next group start), so chunk_seq and
+    # chunk alignment are byte-identical to a whole-unit kernel; what
+    # changes is peak fresh heap per task: whole-unit processing faulted
+    # ~2 GB of first-touch temporaries per task, and 32 fresh workers
+    # doing that simultaneously contended the kernel page allocator hard
+    # enough that identical tasks ran 6-20x slower (measured: per-phase
+    # minor-fault counts; a no-Arrow 32-process numpy control showed no
+    # such collapse). Slices reuse the same glibc arenas task-over-task,
+    # so fault volume tracks the ~200 MB slice, not the unit.
     t2 = time.perf_counter()
-    out = _chunks_kernel(batch, chunk_size, salt_span, tcodes, resolver, timings=ph)
-    ph["kernel"] = time.perf_counter() - t2
-    shards_at = resolver.shards
+    tids_sorted = tids[order]
+    docs_sorted = doc_ids[order].astype(np.int64, copy=False)
+    n = len(order)
+    change = np.empty(n, bool)
+    change[0] = True
+    np.logical_or(tids_sorted[1:] != tids_sorted[:-1],
+                  (docs_sorted[1:] // salt_span) != (docs_sorted[:-1] // salt_span),
+                  out=change[1:])
+    group_starts = np.flatnonzero(change)
+    slice_rows = int(os.environ.get("SE_RAY_MERGE_SLICE", 1_500_000))
+    cuts = [0]
+    while cuts[-1] < n:
+        target = cuts[-1] + slice_rows
+        if target >= n:
+            cuts.append(n)
+            break
+        gi = np.searchsorted(group_starts, target)
+        nxt = int(group_starts[gi]) if gi < len(group_starts) else n
+        cuts.append(nxt if nxt > cuts[-1] else n)
+    ph["grp_scan"] = time.perf_counter() - t2
+
+    t2 = time.perf_counter()
+    outs = []
+    take_s = kern_s = 0.0
+    for s0, s1 in zip(cuts[:-1], cuts[1:]):
+        tk0 = time.perf_counter()
+        batch = t.take(pa.array(order[s0:s1]))
+        take_s += time.perf_counter() - tk0
+        tk0 = time.perf_counter()
+        outs.append(_chunks_kernel(
+            batch, chunk_size, salt_span, tids_sorted[s0:s1], resolver,
+            timings=ph))
+        kern_s += time.perf_counter() - tk0
+    ph["take"] = take_s
+    ph["kernel"] = kern_s
+    out = pa.concat_tables(outs) if len(outs) != 1 else outs[0]
+    shards_at = resolver.shards if outs else np.zeros(0, np.int64)
     written = 0
     t3 = time.perf_counter()
     for s in np.unique(shards_at):
@@ -560,7 +602,7 @@ def _merge_unit_to_shards(
         written += sub.num_rows
     ph["write"] = time.perf_counter() - t3
     ph.update(rows=written, unit=unit, total=time.perf_counter() - t0,
-              t_end=time.time())
+              cpu=time.process_time() - ph.pop("cpu0"), t_end=time.time())
     return ph
 
 
@@ -597,7 +639,8 @@ def merge_units_task_path(
                 f"kernel={p.get('kernel', 0):.1f} "
                 f"(grp={p.get('k_grp', 0):.1f} vb={p.get('k_vb', 0):.1f} "
                 f"tf={p.get('k_tf', 0):.1f} tbl={p.get('k_tbl', 0):.1f}) "
-                f"write={p.get('write', 0):.1f} total={p.get('total', 0):.1f}",
+                f"write={p.get('write', 0):.1f} total={p.get('total', 0):.1f} "
+                f"cpu={p.get('cpu', 0):.1f}",
                 flush=True,
             )
     return [p.get("rows", 0) for p in phases]

@@ -99,7 +99,9 @@ def test_kill_mid_postings_shards_then_resume(tmp_path):
 
     # resume granularity is the merge UNIT (shards congruent mod merge_units):
     # only units whose EVERY shard manifest existed at kill time must be kept
-    n_shards, n_units = 32, 8
+    # (default config: one unit per shard, so any present manifest is a
+    # complete unit — keeps the kill window from skipping this test)
+    n_shards, n_units = 32, 32
     complete = sorted(glob.glob(pattern))
     assert complete
 
