@@ -105,19 +105,24 @@ def _patch_ray_http_probe() -> None:
 
 
 def _tune_arrow_pool() -> None:
-    """Stretch Arrow-jemalloc's dirty-page decay (Arrow default 1 s) so
-    arenas stay warm across a task wave: per-slice Arrow buffers freed
-    mid-task were purged and re-faulted, and at 32 concurrent fresh
-    workers that page churn contended the kernel allocator hard enough
-    that identical merge tasks ran 6-20x slower (the 2M-doc postings wave
-    measured 60-80 s; 12 s with decay stretched and the sliced kernel).
-    15 s covers within-wave and wave-to-wave reuse while still returning
-    memory between pipeline stages; retained dirty pages are bounded by
-    each worker's own peak (~hundreds of MB), not the dataset. Override
-    with SE_RAY_JEMALLOC_DECAY_MS; "off" keeps Arrow's default."""
+    """Optional override of Arrow-jemalloc's dirty-page decay (Arrow
+    default 1 s) via SE_RAY_JEMALLOC_DECAY_MS — measured BOTH ways, so
+    the default stays Arrow's:
+
+    * An ISOLATED 32-task merge wave ran ~25% faster with decay 60 s
+      (per-slice Arrow buffers freed mid-task stop being purged and
+      re-faulted every slice).
+    * But IN the full build, stretching decay to 15 s made the 2M-doc
+      32-CPU postings stage 2.5x SLOWER (88 s vs 35 s): the previous
+      stage's 32 workers then purge their retained arenas exactly while
+      the next wave's 32 fresh workers fault theirs in, and the combined
+      page free+zero storm contends the kernel allocator. With the 1 s
+      default the purges complete during the (cheap) dictionary stage
+      instead. Delaying memory reclaim shifts WHERE the churn lands, so
+      it must drain inside the stage that caused it, not the next one."""
     import os
 
-    ms = os.environ.get("SE_RAY_JEMALLOC_DECAY_MS", "15000")
+    ms = os.environ.get("SE_RAY_JEMALLOC_DECAY_MS")
     if not ms or ms == "off":
         return
     try:
