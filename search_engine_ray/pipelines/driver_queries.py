@@ -25,7 +25,7 @@ import pyarrow as pa
 
 from search_engine_ray.config import EngineConfig
 from search_engine_ray.functions.lemmas import builtin_lemmas
-from search_engine_ray.functions.quality import STOPWORDS_EN
+from search_engine_ray.functions.quality import _LANG_PROFILES, STOPWORDS_EN
 from search_engine_ray.functions.textproc import (
     HTML_PARA_SEP,
     HTML_PREFIX,
@@ -434,6 +434,8 @@ def q_fingerprints(sf_dir: str):
 
 
 def q_langid(sf_dir: str):
+    # SQL-oracled since round 3: the stopword-profile vote + strict-tie
+    # cascade is expressed in DuckDB list functions (see oracle_queries)
     from search_engine_ray.pipelines.training_data import lang_id_table
 
     return lang_id_table(_read_docs(sf_dir))
@@ -593,6 +595,23 @@ def oracle_queries() -> dict[str, str]:
         "ON d.doc_id = t.doc_id)"
     )
     qterms = ",".join(f"'{t}'" for t in Q_TERMS)
+
+    # langid oracle: profile hit counts + first-wins-strict-ties cascade.
+    # Iteration order of _LANG_PROFILES IS the tie-break order (the scalar
+    # spec keeps the first profile unless a later one is strictly greater,
+    # so each language's branch requires >= every LATER language only).
+    langid_langs = list(_LANG_PROFILES)
+    langid_hits = ",\n                   ".join(
+        "len(list_filter(tk, t -> t IN ({lst}))) AS h_{l}".format(
+            lst=",".join(f"'{w}'" for w in sorted(prof)), l=l)
+        for l, prof in _LANG_PROFILES.items()
+    )
+    langid_best = "greatest(" + ", ".join(f"h_{l}" for l in langid_langs) + ")"
+    langid_case = " ".join(
+        "WHEN " + " AND ".join(f"h_{l} >= h_{m}" for m in langid_langs[i + 1:])
+        + f" THEN '{l}'"
+        for i, l in enumerate(langid_langs[:-1])
+    )
 
     return {
         "extract_text": f"""
@@ -754,6 +773,26 @@ def oracle_queries() -> dict[str, str]:
                          ELSE len(list_filter(toks, t -> lower(t) IN ({stop_list})))::DOUBLE / len(toks) END, 6) AS stopword_ratio_r,
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9_\\s]'))::BIGINT AS bpe_tokens
             FROM raw
+        """,
+        "langid": f"""
+            WITH raw AS (
+              SELECT doc_id,
+                     list_transform(
+                       (list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))[1:200],
+                       t -> lower(t)) AS tk
+              FROM documents
+            ),
+            h AS (
+              SELECT doc_id, len(tk) AS n,
+                   {langid_hits}
+              FROM raw
+            )
+            SELECT doc_id,
+                   CASE WHEN {langid_best} = 0 THEN 'und' {langid_case}
+                        ELSE '{langid_langs[-1]}' END AS lang_pred,
+                   CASE WHEN {langid_best} = 0 THEN 0.0
+                        ELSE {langid_best}::DOUBLE / n END AS confidence
+            FROM h
         """,
         "ann_topk": f"""
             WITH q AS (

@@ -98,9 +98,12 @@ def lang_id_table(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: st
     def fn(batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
         langs, confs = batch_lang_id(batch[text_col])
+        # confidence is the raw hits/denom quotient of two small ints — IEEE
+        # division is bit-identical in DuckDB, so the oracle can compare
+        # exactly without a lossy round
         return pa.table({id_col: batch[id_col],
                          "lang_pred": pa.array(langs.tolist(), pa.string()),
-                         "confidence": pa.array(np.round(confs, 6), pa.float64())})
+                         "confidence": pa.array(confs, pa.float64())})
 
     return docs.map_batches(fn, batch_format="pyarrow")
 

@@ -91,7 +91,7 @@ def test_query_and_oracle_keys_align(entry):
         "text_stats", "ann_topk", "media_features", "media_resize",
         "media_frames", "event_windows", "event_sessions", "clean_corpus",
         "cosine_norms", "jaccard_verify", "dedup_clusters", "cosine_verify",
-        "ann_ivf_full",
+        "ann_ivf_full", "langid",
     ],
 )
 def test_sql_parity(entry, con, name):
@@ -101,7 +101,7 @@ def test_sql_parity(entry, con, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["minhash_pairs", "simhash_pairs", "fingerprints", "langid", "ann_ivf_topk",
+    "name", ["minhash_pairs", "simhash_pairs", "fingerprints", "ann_ivf_topk",
              "cosine_neardup"]
 )
 def test_rows_only_queries_run(entry, name):
