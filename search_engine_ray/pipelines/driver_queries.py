@@ -25,7 +25,7 @@ import pyarrow as pa
 
 from search_engine_ray.config import EngineConfig
 from search_engine_ray.functions.lemmas import builtin_lemmas
-from search_engine_ray.functions.quality import _LANG_PROFILES, STOPWORDS_EN
+from search_engine_ray.functions.quality import _LANG_PROFILES, PII_RULES, STOPWORDS_EN
 from search_engine_ray.functions.textproc import (
     HTML_PARA_SEP,
     HTML_PREFIX,
@@ -433,6 +433,18 @@ def q_fingerprints(sf_dir: str):
     return fingerprints(_read_docs(sf_dir))
 
 
+def q_pii_scrub(sf_dir: str):
+    from search_engine_ray.pipelines.training_data import pii_scrub_table
+
+    return pii_scrub_table(_read_docs(sf_dir))
+
+
+def q_repetition(sf_dir: str):
+    from search_engine_ray.pipelines.training_data import repetition_table
+
+    return repetition_table(_read_docs(sf_dir))
+
+
 def q_langid(sf_dir: str):
     # SQL-oracled since round 3: the stopword-profile vote + strict-tie
     # cascade is expressed in DuckDB list functions (see oracle_queries)
@@ -613,6 +625,16 @@ def oracle_queries() -> dict[str, str]:
         for i, l in enumerate(langid_langs[:-1])
     )
 
+    # pii_scrub oracle: nested regexp_replace in PII_RULES order, each count
+    # taken on the text as it stands when that rule runs (sequential spec)
+    pii_clean = "text"
+    pii_counts = []
+    for _name, _pat, _repl in PII_RULES:
+        pii_counts.append(
+            f"len(regexp_extract_all({pii_clean}, '{_pat}'))::BIGINT AS n_{_name}")
+        pii_clean = f"regexp_replace({pii_clean}, '{_pat}', '{_repl}', 'g')"
+    pii_count_cols = ",\n                   ".join(pii_counts)
+
     return {
         "extract_text": f"""
             WITH h AS (SELECT doc_id, {HTML_SQL} AS html FROM documents)
@@ -773,6 +795,52 @@ def oracle_queries() -> dict[str, str]:
                          ELSE len(list_filter(toks, t -> lower(t) IN ({stop_list})))::DOUBLE / len(toks) END, 6) AS stopword_ratio_r,
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9_\\s]'))::BIGINT AS bpe_tokens
             FROM raw
+        """,
+        "pii_scrub": f"""
+            SELECT doc_id,
+                   {pii_clean} AS text_clean,
+                   {pii_count_cols}
+            FROM documents
+        """,
+        "repetition": f"""
+            WITH l AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(text, chr(10)), x -> x <> '')) AS line
+              FROM documents
+            ),
+            lg AS (SELECT doc_id, line, count(*) AS cnt FROM l GROUP BY doc_id, line),
+            la AS (SELECT doc_id,
+                     sum(cnt)::BIGINT AS n_lines,
+                     sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::BIGINT AS dup_occ,
+                     sum(cnt * length(line))::BIGINT AS line_chars,
+                     sum(CASE WHEN cnt > 1 THEN cnt * length(line) ELSE 0 END)::BIGINT AS dup_chars
+                   FROM lg GROUP BY doc_id),
+            g AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+              FROM documents
+            ),
+            ga AS (
+              SELECT doc_id,
+                     greatest(len(tk) - 4, 0)::BIGINT AS n_5grams,
+                     (CASE WHEN len(tk) >= 5 THEN
+                        len(list_distinct(list_transform(generate_series(1, len(tk) - 4),
+                            i -> array_to_string(tk[i:i+4], ' '))))
+                      ELSE 0 END)::BIGINT AS distinct_5grams
+              FROM g
+            )
+            SELECT d.doc_id,
+                   coalesce(la.n_lines, 0)::BIGINT AS n_lines,
+                   CASE WHEN coalesce(la.n_lines, 0) = 0 THEN 0.0
+                        ELSE la.dup_occ::DOUBLE / la.n_lines END AS dup_line_frac,
+                   CASE WHEN coalesce(la.line_chars, 0) = 0 THEN 0.0
+                        ELSE la.dup_chars::DOUBLE / la.line_chars END AS dup_line_char_frac,
+                   ga.n_5grams,
+                   CASE WHEN ga.n_5grams = 0 THEN 0.0
+                        ELSE 1.0 - (ga.distinct_5grams::DOUBLE / ga.n_5grams) END AS dup_5gram_frac
+            FROM documents d
+            LEFT JOIN la ON d.doc_id = la.doc_id
+            JOIN ga ON d.doc_id = ga.doc_id
         """,
         "langid": f"""
             WITH raw AS (
@@ -995,5 +1063,7 @@ RAY_QUERIES = {
     "cosine_neardup": q_cosine_neardup,
     "fingerprints": q_fingerprints,
     "langid": q_langid,
+    "pii_scrub": q_pii_scrub,
+    "repetition": q_repetition,
     "ann_ivf_topk": q_ann_ivf,
 }

@@ -108,6 +108,38 @@ def lang_id_table(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: st
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
+def pii_scrub_table(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"):
+    """(doc_id, text_clean, n_email, n_phone, n_ipv4) — sequential RE2
+    redaction of the PII_RULES patterns; map-only, no shuffle."""
+    from search_engine_ray.functions.quality import batch_pii_scrub
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        clean, counts = batch_pii_scrub(batch[text_col])
+        cols = {id_col: batch[id_col], "text_clean": clean}
+        for name, cnt in counts.items():
+            cols[f"n_{name}"] = cnt.cast(pa.int64())
+        return pa.table(cols)
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def repetition_table(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"):
+    """(doc_id, n_lines, dup_line_frac, dup_line_char_frac, n_5grams,
+    dup_5gram_frac) — Gopher-style repetition signals; map-only."""
+    from search_engine_ray.functions.quality import batch_repetition_stats
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        st = batch_repetition_stats(batch[text_col])
+        cols = {id_col: batch[id_col]}
+        for k, v in st.items():
+            cols[k] = pa.array(v, pa.int64() if v.dtype == np.int64 else pa.float64())
+        return pa.table(cols)
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
 def fingerprints(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text",
                  k: int = 5, window: int = 4):
     """Winnowing fingerprints: (doc_id, fingerprint:int64) exploded rows.

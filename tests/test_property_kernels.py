@@ -139,3 +139,69 @@ class TestQualityBatchTwins:
             wl, wc = lang_id(t)
             assert langs[i] == wl, repr(t)
             assert confs[i] == pytest.approx(wc), repr(t)
+
+
+class TestPiiRepetitionBatchTwins:
+    @given(st.lists(texts, min_size=1, max_size=12))
+    @settings(max_examples=100, deadline=None)
+    def test_batch_pii_scrub_matches_spec(self, docs):
+        import pyarrow as pa
+
+        from search_engine_ray.functions.quality import batch_pii_scrub, pii_scrub
+
+        clean, counts = batch_pii_scrub(pa.array(docs, pa.string()))
+        for i, t in enumerate(docs):
+            wc, wn = pii_scrub(t)
+            assert clean[i].as_py() == wc, repr(t)
+            for name in wn:
+                assert counts[name][i].as_py() == wn[name], (name, repr(t))
+
+    @given(st.lists(texts, min_size=1, max_size=12))
+    @settings(max_examples=100, deadline=None)
+    def test_batch_repetition_matches_spec(self, docs):
+        import pyarrow as pa
+
+        from search_engine_ray.functions.quality import (
+            batch_repetition_stats,
+            repetition_stats,
+        )
+
+        s = batch_repetition_stats(pa.array(docs, pa.string()))
+        for i, t in enumerate(docs):
+            want = repetition_stats(t)
+            for k in want:
+                assert s[k][i] == pytest.approx(want[k]), (k, repr(t))
+
+    # the sf corpora contain no PII / repeated lines, so the driver oracle
+    # check is degenerate there; pin DuckDB == scalar spec on crafted docs
+    def test_duckdb_oracle_semantics_on_planted_docs(self):
+        import duckdb
+        import pandas as pd
+
+        from search_engine_ray.functions.quality import pii_scrub, repetition_stats
+        from search_engine_ray.pipelines.driver_queries import oracle_queries
+
+        rows = [
+            (1, "reach a.b+spam@ex-ample.org or (555) 123 4567 now"),
+            (2, "server at 10.0.0.1 and 999.999.999.999 but not 1.2.3.4.5"),
+            (3, "dup line\ndup line\nunique\n\ndup line tail"),
+            (4, "w x y z q w x y z q w x y z q"),
+            (5, ""),
+            (6, "+44 800-555-0199 mails c@d.io c@d.io"),
+        ]
+        docs = pd.DataFrame(rows, columns=["doc_id", "text"])
+        con = duckdb.connect()
+        con.register("documents", docs)
+        oq = oracle_queries()
+        pii = con.execute(oq["pii_scrub"]).df().set_index("doc_id")
+        rep = con.execute(oq["repetition"]).df().set_index("doc_id")
+        for doc_id, text in rows:
+            wc, wn = pii_scrub(text)
+            assert pii.loc[doc_id, "text_clean"] == wc, (doc_id, text)
+            for name, v in wn.items():
+                assert pii.loc[doc_id, f"n_{name}"] == v, (doc_id, name)
+            for k, v in repetition_stats(text).items():
+                assert rep.loc[doc_id, k] == v, (doc_id, k)
+        assert int(pii["n_email"].sum()) == 3 and int(pii["n_phone"].sum()) == 2
+        assert rep.loc[3, "dup_line_frac"] == 0.5
+        assert rep.loc[4, "dup_5gram_frac"] > 0

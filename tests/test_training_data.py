@@ -334,3 +334,33 @@ class TestIVFSampleUniform:
         head = set(df.loc[df["vec_id"] < 1500, "centroid"])
         tail = set(df.loc[df["vec_id"] >= 1500, "centroid"])
         assert head.isdisjoint(tail)
+
+
+class TestPiiAndRepetitionTables:
+    @pytest.fixture(scope="class")
+    def pii_ds(self, ray_session):
+        import ray.data
+
+        return ray.data.from_items([
+            {"doc_id": 1, "text": "email a@b.co and ip 10.0.0.1 and +1 555-123-4567"},
+            {"doc_id": 2, "text": "clean text\nclean text\nclean text\ntail"},
+            {"doc_id": 3, "text": ""},
+        ], override_num_blocks=2)
+
+    def test_pii_scrub_table(self, pii_ds):
+        from search_engine_ray.pipelines.training_data import pii_scrub_table
+
+        out = pii_scrub_table(pii_ds).to_pandas().set_index("doc_id").sort_index()
+        assert out.loc[1, "text_clean"] == "email <EMAIL> and ip <IP> and <PHONE>"
+        assert (out.loc[1, ["n_email", "n_phone", "n_ipv4"]] == 1).all()
+        assert out.loc[2, "text_clean"] == "clean text\nclean text\nclean text\ntail"
+        assert (out.loc[[2, 3], ["n_email", "n_phone", "n_ipv4"]] == 0).all().all()
+
+    def test_repetition_table(self, pii_ds):
+        from search_engine_ray.pipelines.training_data import repetition_table
+
+        out = repetition_table(pii_ds).to_pandas().set_index("doc_id").sort_index()
+        assert out.loc[2, "n_lines"] == 4
+        assert out.loc[2, "dup_line_frac"] == 0.75
+        assert out.loc[1, "dup_line_frac"] == 0.0
+        assert out.loc[3, "n_lines"] == 0 and out.loc[3, "dup_5gram_frac"] == 0.0
