@@ -433,6 +433,12 @@ def q_fingerprints(sf_dir: str):
     return fingerprints(_read_docs(sf_dir))
 
 
+def q_decontaminate(sf_dir: str):
+    from search_engine_ray.pipelines.training_data import decontaminate
+
+    return decontaminate(_read_docs(sf_dir))
+
+
 def q_pii_scrub(sf_dir: str):
     from search_engine_ray.pipelines.training_data import pii_scrub_table
 
@@ -796,6 +802,33 @@ def oracle_queries() -> dict[str, str]:
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9_\\s]'))::BIGINT AS bpe_tokens
             FROM raw
         """,
+        "decontaminate": """
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(tk) - 7),
+                            i -> array_to_string(tk[i:i+7], ' '))) AS gram
+              FROM tk WHERE len(tk) >= 8
+            ),
+            eg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 23 = 0),
+            tg AS (
+              SELECT g.doc_id, count(*)::BIGINT AS n, count(e.gram)::BIGINT AS hit
+              FROM grams g LEFT JOIN eg e ON g.gram = e.gram
+              WHERE g.doc_id % 23 <> 0
+              GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(tg.n, 0)::BIGINT AS n_8grams,
+                   coalesce(tg.hit, 0)::BIGINT AS n_contaminated,
+                   CASE WHEN coalesce(tg.n, 0) = 0 THEN 0.0
+                        ELSE tg.hit::DOUBLE / tg.n END AS contam_frac
+            FROM documents d LEFT JOIN tg ON d.doc_id = tg.doc_id
+            WHERE d.doc_id % 23 <> 0
+        """,
         "pii_scrub": f"""
             SELECT doc_id,
                    {pii_clean} AS text_clean,
@@ -1064,6 +1097,7 @@ RAY_QUERIES = {
     "fingerprints": q_fingerprints,
     "langid": q_langid,
     "pii_scrub": q_pii_scrub,
+    "decontaminate": q_decontaminate,
     "repetition": q_repetition,
     "ann_ivf_topk": q_ann_ivf,
 }

@@ -108,6 +108,69 @@ def lang_id_table(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: st
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
+def decontaminate(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text",
+                  k: int = 8, eval_modulus: int = 23):
+    """Benchmark decontamination: flag training docs sharing any word k-gram
+    with the eval split (``doc_id % eval_modulus == 0``).
+
+    Output (training docs only): (doc_id, n_{k}grams, n_contaminated,
+    contam_frac) where n_contaminated counts gram OCCURRENCES whose gram
+    appears anywhere in the eval split, and contam_frac is the raw IEEE
+    quotient (bit-identical in the SQL oracle).
+
+    Scale shape: the eval-gram universe is collected and broadcast via
+    ``ray.put`` — an eval/benchmark set is small BY DEFINITION (a fixed
+    holdout, not a corpus-sized side), the same broadcast-small-side pattern
+    as ANN queries. Membership per batch is one searchsorted against the
+    sorted u64 gram-hash array; grams are 64-bit shingle hashes of
+    :mod:`functions.hashing` (collision odds ~n·m/2⁶⁴; the oracle uses the
+    string grams — property/oracle-tested equal on real corpora)."""
+    from search_engine_ray.functions.hashing import batch_shingle_hashes
+
+    def eval_grams(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sel = (ids % eval_modulus) == 0
+        if not sel.any():
+            return pa.table({"gram": pa.array(np.zeros(0, np.int64), pa.int64())})
+        texts = batch[text_col].filter(pa.array(sel))
+        offs, th = _batch_tok_hashes(texts)
+        _, sh = batch_shingle_hashes(offs, th, k)
+        return pa.table({"gram": pa.array(np.unique(sh).view(np.int64), pa.int64())})
+
+    # small-side collect: one int64 per DISTINCT eval gram (per-batch uniq'd)
+    parts = docs.map_batches(eval_grams, batch_format="pyarrow").take_all()
+    uniq = np.asarray([r["gram"] for r in parts], np.int64).view(_U64)
+    ref = ray.put(np.unique(uniq))  # unique == sorted, in u64 order
+
+    def score(batch: pa.Table) -> pa.Table:
+        grams = ray.get(ref)
+        batch = batch.combine_chunks()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sel = (ids % eval_modulus) != 0
+        ids = ids[sel]
+        texts = batch[text_col].filter(pa.array(sel))
+        offs, th = _batch_tok_hashes(texts)
+        sh_offs, sh = batch_shingle_hashes(offs, th, k)
+        n = np.diff(sh_offs)
+        if len(sh) and len(grams):
+            pos = np.searchsorted(grams, sh)
+            hit = (pos < len(grams)) & (grams[np.clip(pos, 0, len(grams) - 1)] == sh)
+            doc_of = np.repeat(np.arange(len(ids)), n)
+            n_hit = np.bincount(doc_of[hit], minlength=len(ids)).astype(np.int64)
+        else:
+            n_hit = np.zeros(len(ids), np.int64)
+        frac = np.zeros(len(ids), np.float64)
+        nz = n > 0
+        frac[nz] = n_hit[nz] / n[nz]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         f"n_{k}grams": pa.array(n, pa.int64()),
+                         "n_contaminated": pa.array(n_hit, pa.int64()),
+                         "contam_frac": pa.array(frac, pa.float64())})
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
 def pii_scrub_table(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"):
     """(doc_id, text_clean, n_email, n_phone, n_ipv4) — sequential RE2
     redaction of the PII_RULES patterns; map-only, no shuffle."""

@@ -91,7 +91,7 @@ def test_query_and_oracle_keys_align(entry):
         "text_stats", "ann_topk", "media_features", "media_resize",
         "media_frames", "event_windows", "event_sessions", "clean_corpus",
         "cosine_norms", "jaccard_verify", "dedup_clusters", "cosine_verify",
-        "ann_ivf_full", "langid", "pii_scrub", "repetition",
+        "ann_ivf_full", "langid", "pii_scrub", "repetition", "decontaminate",
     ],
 )
 def test_sql_parity(entry, con, name):

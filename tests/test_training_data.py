@@ -364,3 +364,37 @@ class TestPiiAndRepetitionTables:
         assert out.loc[2, "dup_line_frac"] == 0.75
         assert out.loc[1, "dup_line_frac"] == 0.0
         assert out.loc[3, "n_lines"] == 0 and out.loc[3, "dup_5gram_frac"] == 0.0
+
+
+class TestDecontaminate:
+    def test_planted_overlap(self, ray_session):
+        import ray.data
+
+        from search_engine_ray.pipelines.training_data import decontaminate
+
+        rows = [
+            {"doc_id": 23, "text": "alpha beta gamma delta epsilon zeta eta theta iota"},
+            # shares the 8-gram "alpha..theta" with eval doc 23
+            {"doc_id": 7, "text": "pre alpha beta gamma delta epsilon zeta eta theta post"},
+            {"doc_id": 8, "text": "entirely different words with no overlap at all here ok"},
+            {"doc_id": 9, "text": "short text"},                 # < 8 tokens → 0 grams
+            {"doc_id": 46, "text": "second eval doc something"},  # 46 % 23 == 0
+        ]
+        out = decontaminate(ray.data.from_items(rows, override_num_blocks=2)) \
+            .to_pandas().set_index("doc_id").sort_index()
+        assert sorted(out.index) == [7, 8, 9]      # eval docs excluded
+        assert out.loc[7, "n_8grams"] == 3 and out.loc[7, "n_contaminated"] == 1
+        assert out.loc[7, "contam_frac"] == 1 / 3
+        assert out.loc[8, "n_contaminated"] == 0
+        assert out.loc[9, "n_8grams"] == 0 and out.loc[9, "contam_frac"] == 0.0
+
+    def test_empty_eval_split(self, ray_session):
+        import ray.data
+
+        from search_engine_ray.pipelines.training_data import decontaminate
+
+        rows = [{"doc_id": i, "text": "one two three four five six seven eight nine"}
+                for i in (1, 2)]
+        out = decontaminate(ray.data.from_items(rows)).to_pandas()
+        assert len(out) == 2 and (out["n_contaminated"] == 0).all()
+        assert (out["n_8grams"] == 2).all()
