@@ -182,6 +182,16 @@ def run_bench() -> dict:
     ann_brute_force(ray.data.read_parquet(emb_path), qm, k=10).count()
     results["ann_topk"] = time.perf_counter() - t0
 
+    from search_engine_ray.pipelines.training_data import decontaminate, pii_scrub_table
+
+    t0 = time.perf_counter()
+    pii_scrub_table(docs).count()
+    results["pii_scrub"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    decontaminate(docs).count()
+    results["decontaminate"] = time.perf_counter() - t0
+
     num_docs = json.load(open(os.path.join(zipf_out, "stats.json")))["num_docs"]
     out = {
         "metric": "index build seconds (zipf corpus, end-to-end)",
