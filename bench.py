@@ -247,6 +247,22 @@ def run_scaling() -> dict:
     ensure_cached["BENCH_BUILD_ONLY"] = "1"
     n_host = os.cpu_count() or 32
 
+    def bw_probe() -> float:
+        """1-second single-process copy bandwidth (GB/s) — the host-noise
+        canary: ~7.4 on a quiet box, 1.5-3 under neighbour overcommit.
+        Recorded in the result JSON so every scaling number carries the
+        host conditions it was measured under."""
+        import numpy as np
+
+        buf = np.zeros(1 << 27, np.uint8)
+        buf[:] = 1
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = buf.copy()
+            best = min(best, time.perf_counter() - t0)
+        return round(0.25 / best, 2)  # 128 MB read + write
+
     def settle() -> None:
         """Wait out the previous sample's tail before timing the next.
 
@@ -298,10 +314,12 @@ def run_scaling() -> dict:
         return json.loads(p.stdout.strip().splitlines()[-1])
 
     # interleave levels so neighbour noise hits both about equally
+    bw_before = bw_probe()
     runs_lo, runs_hi = [], []
     for _ in range(repeats):
         runs_lo.append(one(lo))
         runs_hi.append(one(hi))
+    bw_after = bw_probe()
     r_lo = min(runs_lo, key=lambda r: r["value"])
     r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
@@ -316,6 +334,7 @@ def run_scaling() -> dict:
         f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
         "all_secs": {str(lo): [r["value"] for r in runs_lo],
                      str(hi): [r["value"] for r in runs_hi]},
+        "host_bw_gbps": {"before": bw_before, "after": bw_after, "quiet_ref": 7.4},
         "sf": SF_DIR,
     }
 
