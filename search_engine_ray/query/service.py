@@ -54,6 +54,9 @@ class ShardServingActor:
         terms = dic["term"].take(idx).to_pylist()
         dfs = dic["df"].take(idx).to_numpy(zero_copy_only=False)
         self._dict = {t: int(d) for t, d in zip(terms, dfs)}
+        # per-slice BK-tree, built lazily on the first fuzzy call (bm25-only
+        # serving never pays for it); union-of-slices find == full-set find
+        self._bktree = None
 
         dl = pq.read_table(self.paths.doc_lengths,
                            columns=["doc_id", "doc_length"]).combine_chunks().sort_by("doc_id")
@@ -68,28 +71,40 @@ class ShardServingActor:
     def n_terms(self) -> int:
         return len(self._dict)
 
-    def _impact(self, term: str):
+    def _impact(self, term: str, kind: str = "bm25"):
         """(doc_ids, weights, impact_order) of one owned term — weights for
         ALL postings plus their descending-weight permutation, computed once
-        and cached. Everything here is actor-LOCAL compute; what leaves the
-        actor is bounded by the page/candidate sizes below."""
-        ent = self._impact_cache.get(term)
+        and cached per (term, kind). ``kind`` selects the scoring family:
+        bm25 (f64), tfidf32 (the engine's f32 reference-parity weights) or
+        tfidf64 (the oracle-parity f64 formula). Everything here is
+        actor-LOCAL compute; what leaves the actor is bounded by the
+        page/candidate sizes below."""
+        ent = self._impact_cache.get((term, kind))
         if ent is None:
             df = self._dict[term]
             tp = self._postings(term)
-            dl_idx = np.searchsorted(self._dl_ids, tp.doc_ids)
-            dl = self._dl[np.clip(dl_idx, 0, len(self._dl) - 1)]
-            w = bm25_weights(tp.tfs, dl, df, self.num_docs, self.avgdl,
-                             self.config.bm25_k1, self.config.bm25_b)
+            if kind == "bm25":
+                dl_idx = np.searchsorted(self._dl_ids, tp.doc_ids)
+                dl = self._dl[np.clip(dl_idx, 0, len(self._dl) - 1)]
+                w = bm25_weights(tp.tfs, dl, df, self.num_docs, self.avgdl,
+                                 self.config.bm25_k1, self.config.bm25_b)
+            elif kind == "tfidf32":
+                from search_engine_ray.query.scoring import tfidf_weights
+
+                w = tfidf_weights(tp.tfs, df, self.num_docs)
+            elif kind == "tfidf64":
+                w = tp.tfs.astype(np.float64) * np.log10(float(self.num_docs) / float(df))
+            else:
+                raise ValueError(f"unknown scoring kind {kind!r}")
             order = np.argsort(-w, kind="stable")
             ent = (tp.doc_ids, w, order)
             if len(self._impact_cache) >= self._cache_cap:
                 self._impact_cache.pop(next(iter(self._impact_cache)))
-            self._impact_cache[term] = ent
+            self._impact_cache[(term, kind)] = ent
         return ent
 
     def term_impact_page(self, terms: list[str], start: int, stop: int,
-                         small_df_cap: int = 0) -> dict:
+                         small_df_cap: int = 0, kind: str = "bm25") -> dict:
         """For each OWNED term: its postings at impact ranks [start, stop)
         — (doc_ids, weights, tail_bound, exhausted). ``tail_bound`` is the
         weight of the first UNFETCHED posting (0.0 when exhausted): any doc
@@ -104,7 +119,7 @@ class ShardServingActor:
         for t in terms:
             if t not in self._dict:
                 continue
-            ids, w, order = self._impact(t)
+            ids, w, order = self._impact(t, kind)
             stop_eff = len(order) if len(order) <= small_df_cap else stop
             page = order[start:stop_eff]
             exhausted = stop_eff >= len(order)
@@ -112,7 +127,8 @@ class ShardServingActor:
             out[t] = (ids[page], w[page], tail, exhausted)
         return out
 
-    def term_weights_for_docs(self, terms: list[str], doc_ids: np.ndarray) -> dict:
+    def term_weights_for_docs(self, terms: list[str], doc_ids: np.ndarray,
+                              kind: str = "bm25") -> dict:
         """Exact per-doc weights for the given candidate doc_ids (0.0 where
         a doc lacks the term) — random access by doc_id, O(|candidates|)
         bytes per term."""
@@ -121,13 +137,22 @@ class ShardServingActor:
         for t in terms:
             if t not in self._dict:
                 continue
-            ids, w, _order = self._impact(t)
+            ids, w, _order = self._impact(t, kind)
             idx = np.searchsorted(ids, doc_ids)
             hit = (idx < len(ids)) & (ids[np.minimum(idx, len(ids) - 1)] == doc_ids)
-            wv = np.zeros(len(doc_ids), np.float64)
+            wv = np.zeros(len(doc_ids), w.dtype)
             wv[hit] = w[idx[hit]]
             out[t] = wv
         return out
+
+    def fuzzy_terms(self, key: str, edit_distance: int) -> list[str]:
+        """Dictionary-slice terms within ``edit_distance`` of the
+        (already-normalized) key; BK-tree built once on first use."""
+        if self._bktree is None:
+            from search_engine_ray.query.bktree import BKTree
+
+            self._bktree = BKTree(list(self._dict))
+        return self._bktree.find(key, edit_distance)
 
     def _postings(self, term: str):
         tp = self._cache.get(term)
@@ -233,21 +258,68 @@ class DistributedSearchEngine:
         terms = self.query_terms(query)
         if not terms:
             return []
+        return self._bounded_topk([(t, 1.0) for t in terms], k, page,
+                                  small_df_cap, "bm25", np.float64)
+
+    def tfidf_topk(self, query: str, k: int = 10, dtype=np.float32,
+                   page: int | None = None,
+                   small_df_cap: int | None = None) -> list[tuple[int, float]]:
+        """Bounded exact tf-idf top-k: the same threshold loop as
+        :meth:`bm25_topk` with the engine's tf-idf weights (f32
+        reference-parity by default, f64 for the oracle mode); results are
+        pytest-identical to ``SearchEngine.tfidf_topk``."""
+        terms = self.query_terms(query)
+        if not terms:
+            return []
+        kind = "tfidf32" if dtype == np.float32 else "tfidf64"
+        return self._bounded_topk([(t, 1.0) for t in terms], k, page,
+                                  small_df_cap, kind, dtype)
+
+    def bm25_topk_blended(self, query: str, k: int = 10,
+                          bigram_weight: float = 1.0) -> list[tuple[int, float]]:
+        """Bounded unigram+bigram blended BM25: the per-term blend factor
+        scales pages, tails and candidate weights coordinator-side (scaling
+        by a non-negative constant preserves impact order and the tail
+        bound), so the threshold loop stays exact; pytest-identical to
+        ``SearchEngine.bm25_topk_blended``."""
+        unigrams, bigrams = self.tokenizer.tokenize_query(query)
+        seen: dict[str, float] = {}
+        for t in unigrams:
+            seen.setdefault(t.word, 1.0)
+        for t in bigrams:
+            seen.setdefault(t.word, bigram_weight)
+        if not seen:
+            return []
+        return self._bounded_topk(list(seen.items()), k, None, None,
+                                  "bm25", np.float64)
+
+    def _bounded_topk(self, weighted: list[tuple[str, float]], k: int,
+                      page: int | None, small_df_cap: int | None,
+                      kind: str, dtype) -> list[tuple[int, float]]:
+        """Shared threshold loop (see :meth:`bm25_topk` for the algorithm).
+        ``weighted`` is (term, scale) in accumulation order; scales are
+        applied coordinator-side. The outside bound gets a relative
+        ``eps(dtype)`` margin: an outsider's dtype-accumulated score can
+        round ABOVE the f64 sum of its per-term bounds (material for f32
+        tf-idf), so the stop test must over- not under-estimate it."""
+        scale = dict(weighted)
+        terms = [t for t, _ in weighted]
         page = page or max(64, 4 * k)
         if small_df_cap is None:
             small_df_cap = max(page, 1024)
         self.last_fetch_rows = 0
         start = 0
         cand = np.zeros(0, np.int64)
-        totals = np.zeros(0, np.float64)
+        totals = np.zeros(0, dtype)
         tails: dict[str, float] = {}
         exhausted: dict[str, bool] = {}
         present: list[str] | None = None
+        eps = float(np.finfo(dtype).eps)
         while True:
             live = ([t for t in present if not exhausted[t]]
                     if present is not None else terms)
             got = self._fan_out_args(live, "term_impact_page",
-                                     start, start + page, small_df_cap)
+                                     start, start + page, small_df_cap, kind)
             if present is None:
                 present = [t for t in terms if t in got]
                 if not present:
@@ -258,7 +330,7 @@ class DistributedSearchEngine:
                     continue
                 ids_t, w_t, tail_t, ex_t = got[t]
                 self.last_fetch_rows += len(ids_t)
-                tails[t] = tail_t
+                tails[t] = tail_t * scale[t]
                 exhausted[t] = ex_t
                 new_ids.append(np.asarray(ids_t, np.int64))
             fresh = np.setdiff1d(
@@ -268,11 +340,12 @@ class DistributedSearchEngine:
             if len(fresh):
                 # exact weights fetched ONCE per candidate, summed in
                 # query-term order (== topk_docs accumulation order; adding
-                # 0.0 for absent terms is a float no-op → bit-exact parity)
-                w_by_term = self._fan_out_args(present, "term_weights_for_docs", fresh)
-                fresh_tot = np.zeros(len(fresh), np.float64)
+                # 0.0 for absent terms is a float no-op -> bit-exact parity)
+                w_by_term = self._fan_out_args(present, "term_weights_for_docs",
+                                               fresh, kind)
+                fresh_tot = np.zeros(len(fresh), dtype)
                 for t in present:
-                    fresh_tot += w_by_term[t]
+                    fresh_tot += w_by_term[t] * scale[t]
                     self.last_fetch_rows += len(fresh)
                 ins = np.searchsorted(cand, fresh)
                 cand = np.insert(cand, ins, fresh)
@@ -282,10 +355,32 @@ class DistributedSearchEngine:
             if len(cand) >= k or all_done:
                 kth = totals[order[-1]] if len(order) else np.inf
                 outside = sum(tails[t] for t in present if not exhausted[t])
+                outside += abs(outside) * eps * 8 * len(present)
                 if all_done or (len(cand) >= k and outside < kth):
                     return [(int(cand[i]), float(totals[i])) for i in order]
             start += page
             page *= 4
+
+    def fuzzy(self, term: str, edit_distance: int) -> list[str]:
+        """Distributed BK-tree lookup: every actor probes its dictionary
+        slice (the vocabulary is hash-sharded, so matches can live
+        anywhere); the sorted union equals ``SearchEngine.fuzzy``."""
+        key = self.tokenizer.normalize(term)
+        parts = ray.get([a.fuzzy_terms.remote(key, edit_distance)
+                         for a in self.actors])
+        return sorted({t for p in parts for t in p})
+
+    def fuzzy_boolean(self, term: str, edit_distance: int) -> np.ndarray:
+        """Docs containing ANY term within edit_distance (fuzzy OR),
+        matching ``SearchEngine.fuzzy_boolean``."""
+        matches = self.fuzzy(term, edit_distance)
+        if not matches:
+            return np.zeros(0, np.int64)
+        per_term = self._fan_out(matches, "term_doc_ids")
+        docs = [np.asarray(v, np.int64) for v in per_term.values()]
+        if not docs:
+            return np.zeros(0, np.int64)
+        return np.unique(np.concatenate(docs))
 
     def boolean_and(self, query: str) -> np.ndarray:
         terms = self.query_terms(query)

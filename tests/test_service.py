@@ -26,7 +26,7 @@ def built(ray_session, tmp_path_factory):
     corpus = generate_webpages(2500, vocab_size=2000, tokens_per_doc=70, seed=13)
     cfg = EngineConfig(index_shards=8, min_rows_per_file=None)
     build_index(corpus, out, cfg)
-    local = SearchEngine(out, cfg, build_bktree=False)
+    local = SearchEngine(out, cfg)
     dist = DistributedSearchEngine(out, n_actors=3, config=cfg)
     yield local, dist
     dist.shutdown()
@@ -94,3 +94,47 @@ class TestDistributedPhraseProximity:
         local, dist = built
         assert dist.proximity("bababa", "cababa", 3) == local.proximity("bababa", "cababa", 3)
         assert dist.proximity("bababa", "nosuch", 3) == local.proximity("bababa", "nosuch", 3)
+
+
+class TestDistributedModeParity:
+    """tfidf / blended / fuzzy distributed modes == the local engine."""
+
+    @pytest.mark.parametrize("q", QUERIES)
+    def test_tfidf_identical_to_local(self, built, q):
+        local, dist = built
+        assert dist.tfidf_topk(q, 10) == local.tfidf_topk(q, 10)
+
+    @pytest.mark.parametrize("q", QUERIES[:3])
+    def test_tfidf_f64_mode(self, built, q):
+        local, dist = built
+        assert dist.tfidf_topk(q, 5, dtype=np.float64) == \
+            local.tfidf_topk(q, 5, dtype=np.float64)
+
+    def test_tfidf_tiny_page_stays_exact(self, built):
+        local, dist = built
+        q = QUERIES[0]
+        assert dist.tfidf_topk(q, 10, page=2, small_df_cap=0) == \
+            local.tfidf_topk(q, 10)
+
+    def test_fuzzy_identical_to_local(self, built):
+        local, dist = built
+        for probe, d in [("bababa", 1), ("cabab", 2), ("zzzzzzz", 1)]:
+            assert dist.fuzzy(probe, d) == local.fuzzy(probe, d)
+            got = dist.fuzzy_boolean(probe, d)
+            want = local.fuzzy_boolean(probe, d)
+            assert np.array_equal(got, want)
+
+    def test_blended_identical_to_local(self, ray_session, tmp_path_factory):
+        out = str(tmp_path_factory.mktemp("svcbg") / "idx")
+        corpus = generate_webpages(800, vocab_size=500, tokens_per_doc=40, seed=7)
+        cfg = EngineConfig(index_shards=4, index_bigrams=True, min_rows_per_file=None)
+        build_index(corpus, out, cfg)
+        local = SearchEngine(out, cfg, build_bktree=False)
+        dist = DistributedSearchEngine(out, n_actors=2, config=cfg)
+        try:
+            for q in QUERIES[:4]:
+                for bw in (1.0, 0.5):
+                    assert dist.bm25_topk_blended(q, 10, bigram_weight=bw) == \
+                        local.bm25_topk_blended(q, 10, bigram_weight=bw)
+        finally:
+            dist.shutdown()
