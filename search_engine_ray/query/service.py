@@ -166,16 +166,33 @@ class ShardServingActor:
     def term_doc_ids(self, terms: list[str]) -> dict:
         return {t: self._postings(t).doc_ids for t in terms if t in self._dict}
 
-    def term_postings_full(self, terms: list[str]) -> dict:
-        """Positions included (phrase/proximity): {term: (doc_ids,
-        pos_offsets, pos_values)} — numpy arrays, zero-copy through Ray."""
+    def term_positions_for_docs(self, terms: list[str], doc_ids: np.ndarray) -> dict:
+        """Positions restricted to the given candidate docs: {term:
+        (present_doc_ids, pos_offsets, pos_values)} — what leaves the actor
+        is O(positions in candidate docs), not the term's whole position
+        stream (the phrase/proximity analog of the bounded ranked path)."""
+        doc_ids = np.asarray(doc_ids, np.int64)
         out = {}
         for t in terms:
             if t not in self._dict:
                 continue
             tp = self._postings(t)
-            out[t] = (tp.doc_ids, tp.pos_offsets, tp.pos_values)
+            idx = np.searchsorted(tp.doc_ids, doc_ids)
+            hit = (idx < len(tp.doc_ids)) & (
+                tp.doc_ids[np.minimum(idx, len(tp.doc_ids) - 1)] == doc_ids)
+            sel = idx[hit]
+            lens = tp.pos_offsets[sel + 1] - tp.pos_offsets[sel]
+            offs = np.zeros(len(sel) + 1, np.int64)
+            np.cumsum(lens, out=offs[1:])
+            if len(sel):
+                flat_starts = np.repeat(tp.pos_offsets[sel], lens)
+                within = np.arange(offs[-1]) - np.repeat(offs[:-1], lens)
+                vals = tp.pos_values[flat_starts + within]
+            else:
+                vals = np.zeros(0, np.int64)
+            out[t] = (tp.doc_ids[sel], offs, vals)
         return out
+
 
 
 class DistributedSearchEngine:
@@ -398,29 +415,38 @@ class DistributedSearchEngine:
         return docs
 
     def phrase(self, query: str) -> np.ndarray:
-        """Distributed phrase match: per-term postings (with positions) fan
-        out once, the consecutive-position intersection runs on the
-        coordinator with the local engine's exact semantics."""
+        """Distributed phrase match, candidate-bounded: doc_id lists fan out
+        first (8 B/posting), the coordinator intersects, and ONLY the
+        intersection docs' positions are fetched — a hot term never ships
+        its position stream. The consecutive-position intersection then
+        runs with the local engine's exact semantics."""
         from search_engine_ray.query.postings_codec import TermPostings
 
         words = [t.word for t in self.tokenizer.tokenize(query)]
         if not words:
             return np.zeros(0, np.int64)
-        per_term = self._fan_out(list(dict.fromkeys(words)), "term_postings_full")
+        uniq = list(dict.fromkeys(words))
+        per_ids = self._fan_out(uniq, "term_doc_ids")
+        if len(per_ids) < len(uniq):  # a word missing anywhere → no match
+            return np.zeros(0, np.int64)
+        candidates = np.asarray(per_ids[words[0]], np.int64)
+        for w in uniq[1:]:
+            if len(candidates) == 0:
+                break
+            candidates = np.intersect1d(
+                candidates, np.asarray(per_ids[w], np.int64), assume_unique=True)
+        if len(words) == 1:
+            return candidates
+        if len(candidates) == 0:
+            return np.zeros(0, np.int64)
+        per_pos = self._fan_out_args(uniq, "term_positions_for_docs", candidates)
         tps = []
         for w in words:
-            got = per_term.get(w)
-            if got is None:
-                return np.zeros(0, np.int64)
-            tps.append(TermPostings(np.asarray(got[0], np.int64),
-                                    np.zeros(len(got[0]), np.int64),
-                                    np.asarray(got[1], np.int64),
-                                    np.asarray(got[2], np.int64)))
-        if len(tps) == 1:
-            return tps[0].doc_ids
-        candidates = tps[0].doc_ids
-        for tp in tps[1:]:
-            candidates = np.intersect1d(candidates, tp.doc_ids, assume_unique=True)
+            d, o, v = per_pos[w]
+            tps.append(TermPostings(np.asarray(d, np.int64),
+                                    np.zeros(len(d), np.int64),
+                                    np.asarray(o, np.int64),
+                                    np.asarray(v, np.int64)))
         out = []
         for doc in candidates:
             doc = int(doc)
@@ -438,22 +464,30 @@ class DistributedSearchEngine:
 
     def proximity(self, term1: str, term2: str, k: int) -> list[tuple[int, int, int]]:
         """Distributed proximity (one-directional window), identical
-        semantics to SearchEngine.proximity."""
+        semantics to SearchEngine.proximity; candidate-bounded like
+        :meth:`phrase` (positions fetched only for the doc intersection)."""
         from search_engine_ray.query.postings_codec import TermPostings
 
         t1 = self.tokenizer.normalize(term1)
         t2 = self.tokenizer.normalize(term2)
-        per_term = self._fan_out(list(dict.fromkeys([t1, t2])), "term_postings_full")
-        if t1 not in per_term or t2 not in per_term:
+        uniq = list(dict.fromkeys([t1, t2]))
+        per_ids = self._fan_out(uniq, "term_doc_ids")
+        if t1 not in per_ids or t2 not in per_ids:
             return []
+        common = np.asarray(per_ids[t1], np.int64)
+        for t in uniq[1:]:
+            common = np.intersect1d(common, np.asarray(per_ids[t], np.int64),
+                                    assume_unique=True)
+        if len(common) == 0:
+            return []
+        per_pos = self._fan_out_args(uniq, "term_positions_for_docs", common)
 
         def mk(t):
-            d, o, v = per_term[t]
+            d, o, v = per_pos[t]
             return TermPostings(np.asarray(d, np.int64), np.zeros(len(d), np.int64),
                                 np.asarray(o, np.int64), np.asarray(v, np.int64))
 
         tp1, tp2 = mk(t1), mk(t2)
-        common = np.intersect1d(tp1.doc_ids, tp2.doc_ids, assume_unique=True)
         from search_engine_ray.query.postings_codec import proximity_window_pairs
 
         out = []

@@ -138,3 +138,28 @@ class TestDistributedModeParity:
                         local.bm25_topk_blended(q, 10, bigram_weight=bw)
         finally:
             dist.shutdown()
+
+
+class TestBoundedPositions:
+    def test_positions_fetch_restricted_to_candidates(self, built):
+        """term_positions_for_docs ships only the requested docs' positions,
+        not the term's full position stream."""
+        import ray
+
+        local, dist = built
+        tp = local.get_postings("bababa")
+        assert tp is not None and tp.df > 3
+        want = tp.doc_ids[:2]  # two candidate docs out of a larger df
+        for actor in dist.actors:
+            got = ray.get(actor.term_positions_for_docs.remote(["bababa"], want))
+            if "bababa" in got:
+                d, o, v = got["bababa"]
+                assert np.array_equal(d, want)
+                assert len(o) == len(want) + 1
+                assert len(v) < len(tp.pos_values)  # strictly less than full
+                for j, doc in enumerate(want):
+                    np.testing.assert_array_equal(
+                        v[o[j]:o[j + 1]], tp.positions_for_doc(int(doc)))
+                break
+        else:
+            pytest.fail("no actor owns the probe term")
