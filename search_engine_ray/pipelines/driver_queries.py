@@ -322,6 +322,16 @@ def q_text_stats(sf_dir: str):
     ].astype({"n_tokens": np.int64, "n_chars": np.int64, "bpe_tokens": np.int64})
 
 
+def q_doc_keywords(sf_dir: str):
+    """Per-doc top-3 TF-IDF keywords (postings ⋈ df hash join + vectorized
+    per-group top-k; no vocab broadcast, no per-group Python)."""
+    from search_engine_ray.pipelines.training_data import doc_keywords
+
+    out = doc_keywords(_read_docs(sf_dir), k=3).to_pandas()
+    return (out.astype({"doc_id": np.int64, "rank": np.int64})
+               .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+
+
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-k; queries = embeddings of vec_id 0..2.
     round(3): DuckDB's list_cosine_similarity computes in float32."""
@@ -895,6 +905,23 @@ def oracle_queries() -> dict[str, str]:
                         ELSE {langid_best}::DOUBLE / n END AS confidence
             FROM h
         """,
+        "doc_keywords": _with(
+            f"""
+            , scored AS (
+              SELECT p.doc_id, p.term,
+                     round(p.tf * log10({n_docs}::DOUBLE / t.df), 6) AS score_r
+              FROM postings p JOIN term_df t USING (term)
+            ),
+            r AS (
+              SELECT doc_id, term, score_r,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY score_r DESC, term
+                     )::BIGINT AS rank
+              FROM scored
+            )
+            SELECT doc_id, rank, term, score_r FROM r WHERE rank <= 3
+            """
+        ),
         "ann_topk": f"""
             WITH q AS (
               SELECT vec_id::BIGINT AS query_idx, embedding FROM embeddings
@@ -1079,6 +1106,7 @@ RAY_QUERIES = {
     "exact_dedup": q_exact_dedup,
     "lang_counts": q_lang_counts,
     "text_stats": q_text_stats,
+    "doc_keywords": q_doc_keywords,
     "ann_topk": q_ann_topk,
     "media_features": q_media_features,
     "media_resize": q_media_resize,

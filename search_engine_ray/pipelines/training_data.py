@@ -234,6 +234,86 @@ def fingerprints(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
+def doc_keywords(docs: "ray.data.Dataset", k: int = 3, id_col: str = "doc_id",
+                 text_col: str = "text", round_digits: int = 6):
+    """Per-document top-``k`` TF-IDF keywords: (doc_id, rank, term, score_r).
+
+    Distributed shape (100-TB-safe): tokenize → postings (term, doc_id, tf)
+    → groupby(term) df (a small aggregate; output is vocab-sized) →
+    hash-join df back onto postings (each posting row moves O(1) times, the
+    vocabulary is never broadcast) → score tf·log10(N/df) in float64 →
+    per-doc top-k via sorted_group_map (one sort by doc_id; the top-k kernel
+    is vectorized across many whole docs per batch, no per-group Python).
+
+    Ranking key: (score_r desc, term asc), score rounded to ``round_digits``
+    BEFORE ranking so the DuckDB oracle ranks identically (float64 both
+    sides, same libm log10).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from search_engine_ray.stages.grouped import sorted_group_map
+    from search_engine_ray.stages.tokenize import tokenize_stage
+
+    n_docs = docs.count()
+    postings = tokenize_stage(docs).map_batches(
+        lambda b: b.filter(pc.not_equal(b["term"], "")).select(["term", id_col, "tf"]),
+        batch_format="pyarrow")
+    df_tbl = postings.groupby("term").aggregate(Count(alias_name="df"))
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:  # pragma: no cover
+        ncpu = 8
+    joined = postings.join(df_tbl, join_type="inner",
+                           num_partitions=max(4, ncpu // 2), on=("term",))
+
+    def score(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = batch["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = np.round(tf * np.log10(n_docs / df), round_digits)
+        return pa.table({id_col: batch[id_col].cast(pa.int64()),
+                         "term": batch["term"],
+                         "score_r": pa.array(s, pa.float64())})
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int64()),
+                      "term": pa.array([], pa.string()),
+                      "score_r": pa.array([], pa.float64())})
+
+    def topk_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        batch = batch.combine_chunks()
+        dids = batch[id_col].to_numpy(zero_copy_only=False)
+        scores = batch["score_r"].to_numpy(zero_copy_only=False)
+        # lexicographic term rank as a dense int (tie-break key) without
+        # materializing Python strings: rank of each code in the sorted
+        # batch-local dictionary
+        tenc = batch["term"].dictionary_encode().combine_chunks()
+        codes = tenc.indices.to_numpy(zero_copy_only=False)
+        order_dict = pc.sort_indices(tenc.dictionary).to_numpy(zero_copy_only=False)
+        term_rank = np.empty(len(order_dict), np.int64)
+        term_rank[order_dict] = np.arange(len(order_dict))
+        order = np.lexsort((term_rank[codes], -scores, dids))
+        sd = dids[order]
+        n = len(sd)
+        change = np.empty(n, bool)
+        change[0] = True
+        change[1:] = sd[1:] != sd[:-1]
+        gstart = np.maximum.accumulate(np.where(change, np.arange(n), 0))
+        rank = np.arange(n) - gstart + 1
+        keep = rank <= k
+        sel = order[keep]
+        return pa.table({id_col: batch[id_col].take(pa.array(sel)).cast(pa.int64()),
+                         "rank": pa.array(rank[keep], pa.int64()),
+                         "term": batch["term"].take(pa.array(sel)),
+                         "score_r": batch["score_r"].take(pa.array(sel))})
+
+    return sorted_group_map(scored, [id_col], topk_block)
+
+
 # ---------------------------------------------------------------------------
 # deduplication
 # ---------------------------------------------------------------------------
