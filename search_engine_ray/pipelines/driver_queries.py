@@ -577,6 +577,50 @@ def q_ann_ivf_full(sf_dir: str):
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def q_ann_lsh(sf_dir: str):
+    """Hyperplane-LSH bucketed ANN (multiprobe radius 2) — approximate by
+    design, so rows-only; exactness of the machinery is oracle-checked by
+    ann_lsh_full and recall is pytest-asserted."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from search_engine_ray.pipelines.training_data import ann_lsh, lsh_index
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qm = np.stack([np.asarray(v, np.float64) for v in t["embedding"].to_pylist()[:3]])
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    bucketed, planes = lsh_index(emb, n_planes=10, n_tables=4)
+    bucketed = bucketed.materialize()
+    out = ann_lsh(bucketed, planes, qm, k=TOPK, probe_radius=1).to_pandas()
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def q_ann_lsh_full(sf_dir: str):
+    """LSH ANN with probe_radius == n_planes: every bucket probed, so the
+    result is EXACT brute-force cosine top-k — the mode where the whole LSH
+    machinery (seeded hyperplane sketching, bucket stamping, multiprobe
+    candidate filter, rounded partial top-k, groupby merge) is
+    oracle-checkable against float64 SQL."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from search_engine_ray.pipelines.training_data import ann_lsh, lsh_index
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    order = np.argsort(t["vec_id"].to_numpy())
+    qm = np.stack([np.asarray(t["embedding"][int(i)].as_py(), np.float64)
+                   for i in order[:3]])
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    bucketed, planes = lsh_index(emb, n_planes=12)
+    bucketed = bucketed.materialize()
+    out = ann_lsh(bucketed, planes, qm, k=TOPK, probe_radius=12,
+                  round_digits=6).to_pandas()
+    out["query_id"] = out["query_id"].astype(np.int64)
+    out["rank"] = out["rank"].astype(np.int64)
+    out = out[["query_id", "rank", "vec_id", "score_r"]]
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def q_cosine_verify(sf_dir: str):
     """Exact-cosine verification over the deterministic (a, a+1..a+JWIN)
     pair window on embeddings — the distributed hash-join verify path
@@ -1040,6 +1084,27 @@ def oracle_queries() -> dict[str, str]:
             WHERE list_cosine_similarity(e1.embedding::DOUBLE[],
                                          e2.embedding::DOUBLE[]) >= {COS_VERIFY_T}
         """,
+        # identical exact-top-k spec as ann_ivf_full: with every bucket
+        # probed, LSH ANN must reproduce float64 brute-force cosine top-k
+        "ann_lsh_full": f"""
+            WITH q AS (
+              SELECT vec_id::BIGINT AS query_idx, embedding FROM embeddings
+              WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3)
+            ),
+            qn AS (SELECT ROW_NUMBER() OVER (ORDER BY query_idx) - 1 AS query_id, embedding FROM q),
+            s AS (
+              SELECT qn.query_id::BIGINT AS query_id, e.vec_id,
+                     round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                  qn.embedding::DOUBLE[]), 6) AS score_r
+              FROM embeddings e CROSS JOIN qn
+            ),
+            r AS (
+              SELECT query_id, vec_id, score_r,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_r DESC, vec_id)::BIGINT AS rank
+              FROM s
+            )
+            SELECT query_id, rank, vec_id, score_r FROM r WHERE rank <= {TOPK}
+        """,
         "ann_ivf_full": f"""
             WITH q AS (
               SELECT vec_id::BIGINT AS query_idx, embedding FROM embeddings
@@ -1118,6 +1183,7 @@ RAY_QUERIES = {
     "jaccard_verify": q_jaccard_verify,
     "cosine_verify": q_cosine_verify,
     "ann_ivf_full": q_ann_ivf_full,
+    "ann_lsh_full": q_ann_lsh_full,
     # rows-only (no SQL oracle): stateful/approx/sketch operators
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -1128,4 +1194,5 @@ RAY_QUERIES = {
     "decontaminate": q_decontaminate,
     "repetition": q_repetition,
     "ann_ivf_topk": q_ann_ivf,
+    "ann_lsh_topk": q_ann_lsh,
 }

@@ -1266,6 +1266,148 @@ def ann_ivf(embeddings_with_centroid, centroids: np.ndarray, query_matrix: np.nd
     return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
+def lsh_index(embeddings, n_planes: int = 12, n_tables: int = 1, seed: int = 5,
+              id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Hyperplane-LSH bucket index (Charikar'02), the bucketed scale path
+    for ANN alongside IVF: one pass stamps each vector with its
+    ``n_planes``-bit sign sketch per hash table as int64 columns
+    ``bucket_0 .. bucket_{n_tables-1}`` (classic multi-table LSH: a
+    candidate collides in ANY table, trading index width for recall). The
+    plane tensor is tiny (dim × n_tables·n_planes, seeded) and returned for
+    the search side; no training pass, no shuffle — at 100 TB this is a
+    pure streaming map and a bucket column hive-partitions the output if
+    persisted."""
+    if not (0 < n_planes <= 62):
+        raise ValueError("n_planes must be in 1..62 (bucket is an int64 key)")
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            for t in range(n_tables):
+                batch = batch.append_column(f"bucket_{t}", pa.array([], pa.int64()))
+            return batch
+        m = _normalize(_to_matrix(batch[emb_col]))
+        planes = np.random.default_rng(seed).standard_normal(
+            (m.shape[1], n_tables * n_planes))
+        bits = (m @ planes) > 0
+        pow2 = 1 << np.arange(n_planes, dtype=np.int64)
+        for t in range(n_tables):
+            keys = bits[:, t * n_planes:(t + 1) * n_planes].dot(pow2)
+            batch = batch.append_column(f"bucket_{t}", pa.array(keys, pa.int64()))
+        return batch
+
+    # planes for the search side need the dim; probe one row's list length
+    dim = len(embeddings.take(1)[0][emb_col])
+    planes = np.random.default_rng(seed).standard_normal((dim, n_tables * n_planes))
+    return embeddings.map_batches(stamp, batch_format="pyarrow"), planes
+
+
+def _hamming_masks(n_planes: int, radius: int) -> np.ndarray:
+    """All int64 bit masks over ``n_planes`` bits with popcount ≤ radius."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(n_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return np.asarray(masks, np.int64)
+
+
+def ann_lsh(embeddings_with_bucket, planes: np.ndarray, query_matrix: np.ndarray,
+            k: int = 10, probe_radius: int = 1, n_tables: int | None = None,
+            id_col="vec_id", emb_col="embedding", round_digits: int = 6):
+    """LSH ANN search over a ``lsh_index`` output: in each hash table a
+    query probes its own bucket plus every bucket within Hamming distance
+    ``probe_radius`` of its sketch (multiprobe); a row is a candidate if it
+    collides in ANY table. Candidate filtering is row-filter pushdown
+    inside map_batches — a batch drops rows no query probes — then exact
+    cosine scores the survivors, with the same rounded-before-partial-top-k
+    + id-asc tie-break discipline as ann_ivf. ``probe_radius >= n_planes``
+    probes every bucket, making the result exact brute-force top-k (the
+    oracle-checkable mode that exercises the full bucket machinery).
+
+    ``n_tables`` defaults to the count inferred from the dataset's
+    ``bucket_*`` columns via the plane tensor width."""
+    q = _normalize(np.ascontiguousarray(query_matrix, np.float64))
+    bucket_cols = [c for c in embeddings_with_bucket.schema().names
+                   if c.startswith("bucket_")]
+    n_tables = n_tables or len(bucket_cols)
+    if planes.shape[1] % n_tables:
+        raise ValueError("plane tensor width must be n_tables * n_planes")
+    n_planes = planes.shape[1] // n_tables
+    qbits = (q @ planes) > 0  # (nq, n_tables*n_planes)
+    pow2 = 1 << np.arange(n_planes, dtype=np.int64)
+    # (nq, n_tables) bucket per query per table
+    qbuckets = np.stack([qbits[:, t * n_planes:(t + 1) * n_planes].dot(pow2)
+                         for t in range(n_tables)], axis=1)
+    probe_all = probe_radius >= n_planes
+    masks = _hamming_masks(n_planes, min(probe_radius, n_planes))
+    # (nq, n_tables, n_masks) probe buckets, sorted along the last axis for
+    # searchsorted membership tests
+    probes = np.sort(qbuckets[:, :, None] ^ masks[None, None, :], axis=2)
+    unions = [np.unique(probes[:, t, :]) for t in range(n_tables)]
+    probes_ref = ray.put((probes, unions))
+    qref = ray.put(q)
+
+    def score(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        empty = pa.table({"query_id": pa.array([], pa.int32()),
+                          id_col: pa.array([], pa.int64()),
+                          "score": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        pr, uns = ray.get(probes_ref)
+        qm = ray.get(qref)
+        if not probe_all:
+            any_hit = np.zeros(batch.num_rows, bool)
+            for t in range(n_tables):
+                bk = batch[f"bucket_{t}"].to_numpy(zero_copy_only=False)
+                any_hit |= np.isin(bk, uns[t])
+            batch = batch.filter(pa.array(any_hit))
+            if batch.num_rows == 0:
+                return empty
+        m = _normalize(_to_matrix(batch[emb_col]))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        bks = [batch[f"bucket_{t}"].to_numpy(zero_copy_only=False)
+               for t in range(n_tables)]
+        sims = m @ qm.T
+        out_q, out_v, out_s = [], [], []
+        for qi in range(qm.shape[0]):
+            if probe_all:
+                mask = np.ones(len(ids), bool)
+            else:
+                mask = np.zeros(len(ids), bool)
+                for t in range(n_tables):
+                    p = pr[qi, t]
+                    pos = np.minimum(np.searchsorted(p, bks[t]), len(p) - 1)
+                    mask |= p[pos] == bks[t]
+            if not mask.any():
+                continue
+            s = np.round(sims[mask, qi], round_digits)
+            mids = ids[mask]
+            idx = np.lexsort((mids, -s))[: min(k, len(s))]
+            out_q.extend([qi] * len(idx))
+            out_v.extend(mids[idx].tolist())
+            out_s.extend(s[idx].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int32()),
+                         id_col: pa.array(out_v, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
+
+    partials = embeddings_with_bucket.map_batches(score, batch_format="pyarrow")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["score_r"] = g["score"]  # already rounded at selection time
+        g = g.sort_values(["score_r", id_col], ascending=[False, True]).head(k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g[["query_id", "rank", id_col, "score_r"]]
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
 def cosine_verify(pairs, embeddings, threshold: float = 0.5,
                   id_col: str = "vec_id", emb_col: str = "embedding"):
     """Exact-cosine verification of an EXPLICIT candidate-pair table

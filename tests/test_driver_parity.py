@@ -91,7 +91,8 @@ def test_query_and_oracle_keys_align(entry):
         "text_stats", "doc_keywords", "ann_topk", "media_features", "media_resize",
         "media_frames", "event_windows", "event_sessions", "clean_corpus",
         "cosine_norms", "jaccard_verify", "dedup_clusters", "cosine_verify",
-        "ann_ivf_full", "langid", "pii_scrub", "repetition", "decontaminate",
+        "ann_ivf_full", "ann_lsh_full", "langid", "pii_scrub", "repetition",
+        "decontaminate",
     ],
 )
 def test_sql_parity(entry, con, name):
@@ -102,7 +103,7 @@ def test_sql_parity(entry, con, name):
 
 @pytest.mark.parametrize(
     "name", ["minhash_pairs", "simhash_pairs", "fingerprints", "ann_ivf_topk",
-             "cosine_neardup"]
+             "ann_lsh_topk", "cosine_neardup"]
 )
 def test_rows_only_queries_run(entry, name):
     out = _to_pandas(entry.queries()[name](SF))

@@ -210,6 +210,38 @@ class TestANN:
         assert ivf["vec_id"].tolist() == bf["vec_id"].tolist()
         np.testing.assert_array_equal(ivf["score_r"].to_numpy(), bf["score_r"].to_numpy())
 
+    def test_lsh_exhaustive_equals_brute_force(self, emb_ds):
+        """probe_radius == n_planes probes every bucket: LSH ANN must return
+        EXACTLY the brute-force top-k (same rounded scores, same id-asc
+        tie-break) — the oracle-checkable mode driver query ann_lsh_full
+        relies on."""
+        from search_engine_ray.pipelines.training_data import ann_lsh, lsh_index
+
+        ds, base = emb_ds
+        q = base[[3, 11, 20]]
+        bucketed, planes = lsh_index(ds, n_planes=10)
+        bucketed = bucketed.materialize()
+        lsh = ann_lsh(bucketed, planes, q, k=5, probe_radius=10).to_pandas()
+        bf = ann_brute_force(ds, q, k=5, round_digits=6).to_pandas()
+        cols = ["query_id", "rank", "vec_id", "score_r"]
+        lsh = lsh[cols].sort_values(["query_id", "rank"]).reset_index(drop=True)
+        bf = bf[cols].sort_values(["query_id", "rank"]).reset_index(drop=True)
+        assert lsh["vec_id"].tolist() == bf["vec_id"].tolist()
+        np.testing.assert_array_equal(lsh["score_r"].to_numpy(), bf["score_r"].to_numpy())
+
+    def test_lsh_self_query_recall(self, emb_ds):
+        """multiprobe LSH finds the query's own vector: its sketch equals
+        the query's sketch, so it sits in the radius-0 probe bucket."""
+        from search_engine_ray.pipelines.training_data import ann_lsh, lsh_index
+
+        ds, base = emb_ds
+        bucketed, planes = lsh_index(ds, n_planes=10)
+        bucketed = bucketed.materialize()
+        out = ann_lsh(bucketed, planes, base[[3, 11]], k=3, probe_radius=1).to_pandas()
+        for qi, vid in enumerate([3, 11]):
+            sub = out[(out["query_id"] == qi) & (out["rank"] == 1)]
+            assert sub["vec_id"].iloc[0] == vid
+
     def test_cosine_verify_matches_numpy(self, emb_ds):
         """cosine_verify over an explicit pair table == naive float64 cosine
         per pair; pairs referencing absent ids drop."""
