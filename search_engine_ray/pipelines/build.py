@@ -309,8 +309,14 @@ def build_index(
     out_dir: str,
     config: EngineConfig | None = None,
     resume: bool = False,
+    doc_id_base: int = 0,
 ) -> IndexPaths:
-    """Build the full inverted index under ``out_dir``; returns its layout."""
+    """Build the full inverted index under ``out_dir``; returns its layout.
+
+    ``doc_id_base`` offsets every assigned doc_id (ids become base+1..base+N)
+    — the seam incremental segment builds use (pipelines/segments.py) so
+    doc_ids stay globally unique across segments. It participates in the
+    stage fingerprint: resuming with a different base rebuilds."""
     config = config or EngineConfig()
     n_shards = config.index_shards
     # a unit can't own less than one shard: small-shard configs (tests,
@@ -320,7 +326,7 @@ def build_index(
         raise ValueError("index_shards must be a multiple of merge_units")
     paths = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
-    cfg_fp = manifests.fingerprint(config)
+    cfg_fp = manifests.fingerprint(config, doc_id_base)
     in_fp = manifests.fingerprint(input_path if isinstance(input_path, str) else "<dataset>", cfg_fp)
     write_kwargs = {}
     if config.min_rows_per_file:
@@ -383,7 +389,7 @@ def build_index(
             for block_ref, meta in bundle.blocks:
                 block_refs.append(block_ref)
                 counts.append(meta.num_rows)
-        offsets = 1 + np.concatenate([[0], np.cumsum(counts)[:-1]]) if counts else []
+        offsets = 1 + doc_id_base + np.concatenate([[0], np.cumsum(counts)[:-1]]) if counts else []
         slice_rows = int(os.environ.get("SE_RAY_TOKENIZE_SLICE", _TOKENIZE_SLICE))
         task_rows = int(os.environ.get("SE_RAY_TOKENIZE_TASK_ROWS", _TOKENIZE_TASK_ROWS))
         outs = []

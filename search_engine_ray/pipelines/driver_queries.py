@@ -254,6 +254,43 @@ def q_bm25_wand(sf_dir: str):
     return _ranked(scores, 4)
 
 
+def q_bm25_segments(sf_dir: str):
+    """BM25 over an INCREMENTALLY-built index: the corpus is appended as two
+    segments (pipelines/segments.py) and served by SegmentedSearchEngine
+    with global N/avgdl/df — must be rank-identical to the monolithic
+    engine, so it shares bm25_topk's oracle SQL."""
+    import pyarrow.parquet as pqt
+
+    from search_engine_ray.pipelines.segments import add_segment, read_segments
+    from search_engine_ray.query.segmented import SegmentedSearchEngine
+    from search_engine_ray.sources.webpages import _url_for, webpages_from_documents
+
+    n = pqt.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    half = n // 2
+    key = hashlib.md5(f"segments|{sf_dir}".encode()).hexdigest()[:12]
+    root = os.path.join(CACHE_ROOT, key)
+    segs = read_segments(root)
+    if not (len(segs) == 2 and sum(s["num_docs"] for s in segs) == n):
+        import shutil
+
+        import pyarrow.compute as pc
+
+        shutil.rmtree(root, ignore_errors=True)
+        cut = _url_for(half)
+
+        def lower(b: pa.Table) -> pa.Table:
+            return b.filter(pc.less(b["url"], cut))
+
+        def upper(b: pa.Table) -> pa.Table:
+            return b.filter(pc.greater_equal(b["url"], cut))
+
+        pages = webpages_from_documents(sf_dir).materialize()
+        add_segment(pages.map_batches(lower, batch_format="pyarrow"), root)
+        add_segment(pages.map_batches(upper, batch_format="pyarrow"), root)
+    eng = SegmentedSearchEngine(root)
+    return _ranked(eng.bm25_topk(Q_TEXT, k=10_000_000), 4)
+
+
 def q_bm25_blend(sf_dir: str):
     """Unigram+bigram blended BM25 over a bigram-enabled index (the
     completed design of the reference's dead handle_query,
@@ -756,6 +793,7 @@ def oracle_queries() -> dict[str, str]:
             """
         )),
         "bm25_wand": out_bm25,
+        "bm25_segments": out_bm25,
         "bm25_blend": _with(
             f"""
             , {doclen_cte}
@@ -1163,6 +1201,7 @@ RAY_QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "bm25_topk": q_bm25_topk,
     "bm25_wand": q_bm25_wand,
+    "bm25_segments": q_bm25_segments,
     "bm25_blend": q_bm25_blend,
     "cosine_norms": q_cosine_norms,
     "phrase": q_phrase,

@@ -1,0 +1,202 @@
+"""Serving across index segments (pipelines/segments.py) with tombstones.
+
+One SearchEngine per segment, scored with GLOBAL statistics so results are
+rank-identical to a single monolithic index over the same docs:
+
+* N (num_docs) and avgdl are additive over segment stats — exact integers
+  (num_docs, total_tokens sums), so BM25/tf·idf math is bit-identical to
+  the monolithic engine's.
+* df(term) sums per-segment dfs — exact, because a doc lives in exactly one
+  segment.
+* doc_ids are globally unique (per-segment doc_id_base offsets) and segment
+  ranges are disjoint ascending, so concatenating per-segment posting
+  arrays in segment order preserves the monolithic doc_id-ascending order
+  that scoring's tie-break relies on.
+
+Tombstones (deleted docs) filter candidate postings BEFORE top-k selection;
+like Lucene, deleted docs still count in N/df/avgdl until compaction — an
+explicitly documented drift, removed by pipelines/segments.compact().
+
+WAND serving works unmodified on the segment model: one TermCursor per
+(term, segment) fed with the GLOBAL idf/avgdl — segment doc ranges are
+disjoint, so the accumulated score at any doc sums exactly its own
+segment's contributions and chunk upper bounds stay admissible. (With
+tombstones, bm25_topk_wand falls back to the exhaustive path: a skipped
+chunk's bound can't know which docs are deleted.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from search_engine_ray.config import EngineConfig
+from search_engine_ray.pipelines.segments import (
+    load_tombstones,
+    read_segments,
+    segment_dir,
+)
+from search_engine_ray.query.engine import SearchEngine
+from search_engine_ray.query.scoring import (
+    bm25_idf,
+    bm25_weights,
+    tfidf_weights,
+    topk_docs,
+)
+
+
+class SegmentedSearchEngine:
+    def __init__(self, root: str, config: EngineConfig | None = None,
+                 build_bktree: bool = False):
+        self.config = config or EngineConfig()
+        self.root = root
+        segs = read_segments(root)
+        if not segs:
+            raise ValueError(f"no segments under {root}")
+        self.engines = [
+            SearchEngine(segment_dir(root, s["name"]), self.config,
+                         build_bktree=build_bktree)
+            for s in segs
+        ]
+        self.num_docs = sum(s["num_docs"] for s in segs)
+        total_tokens = sum(s["total_tokens"] for s in segs)
+        self.avgdl = (total_tokens / self.num_docs) if self.num_docs else 0.0
+        self.tokenizer = self.engines[0].tokenizer
+        self.tombstones = load_tombstones(root)
+
+    # ------------------------------------------------------------------ util
+    def refresh_tombstones(self) -> None:
+        self.tombstones = load_tombstones(self.root)
+
+    def query_terms(self, query: str) -> list[str]:
+        return self.engines[0].query_terms(query)
+
+    def df(self, term: str) -> int:
+        total = 0
+        for eng in self.engines:
+            m = eng.lookup(term)
+            if m is not None:
+                total += m[1]
+        return total
+
+    def _live(self, doc_ids: np.ndarray) -> np.ndarray:
+        """bool mask of non-tombstoned ids."""
+        if not len(self.tombstones):
+            return np.ones(len(doc_ids), bool)
+        return ~np.isin(doc_ids, self.tombstones)
+
+    def _term_postings(self, term: str):
+        """[(engine, TermPostings)] over segments that have the term."""
+        out = []
+        for eng in self.engines:
+            tp = eng.get_postings(term)
+            if tp is not None and tp.df:
+                out.append((eng, tp))
+        return out
+
+    # ------------------------------------------------------------------ ranked
+    def bm25_topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        doc_parts, score_parts = [], []
+        for t in self.query_terms(query):
+            tps = self._term_postings(t)
+            df_g = sum(tp.df for _e, tp in tps)
+            if df_g == 0:
+                continue
+            for eng, tp in tps:
+                dl = eng.doc_length(tp.doc_ids)
+                w = bm25_weights(tp.tfs, dl, df_g, self.num_docs, self.avgdl,
+                                 self.config.bm25_k1, self.config.bm25_b)
+                live = self._live(tp.doc_ids)
+                doc_parts.append(tp.doc_ids[live])
+                score_parts.append(w[live])
+        if not doc_parts:
+            return []
+        ids, scores = topk_docs(np.concatenate(doc_parts),
+                                np.concatenate(score_parts), k)
+        return [(int(d), float(s)) for d, s in zip(ids, scores)]
+
+    def tfidf_topk(self, query: str, k: int = 10, dtype=np.float32
+                   ) -> list[tuple[int, float]]:
+        doc_parts, score_parts = [], []
+        for t in self.query_terms(query):
+            tps = self._term_postings(t)
+            df_g = sum(tp.df for _e, tp in tps)
+            if df_g == 0:
+                continue
+            for _eng, tp in tps:
+                if dtype == np.float32:
+                    w = tfidf_weights(tp.tfs, df_g, self.num_docs)
+                else:
+                    w = tp.tfs.astype(np.float64) * np.log10(
+                        float(self.num_docs) / float(df_g))
+                live = self._live(tp.doc_ids)
+                doc_parts.append(tp.doc_ids[live])
+                score_parts.append(w[live])
+        if not doc_parts:
+            return []
+        ids, scores = topk_docs(np.concatenate(doc_parts),
+                                np.concatenate(score_parts).astype(dtype), k)
+        return [(int(d), float(s)) for d, s in zip(ids, scores)]
+
+    def bm25_topk_wand(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        if len(self.tombstones):
+            # chunk upper bounds can't see deletions; stay exact
+            return self.bm25_topk(query, k)
+        from search_engine_ray.query.wand import TermCursor, wand_topk
+
+        cursors = []
+        for t in self.query_terms(query):
+            dfs = [(eng, eng.lookup(t)) for eng in self.engines]
+            df_g = sum(m[1] for _e, m in dfs if m is not None)
+            if df_g == 0:
+                continue
+            idf = bm25_idf(df_g, self.num_docs)
+            for eng, m in dfs:
+                if m is None:
+                    continue
+                chunks = eng.get_chunks(t)
+                if chunks is None or chunks.num_rows == 0:
+                    continue
+
+                def dl_of(doc_id: int, _eng=eng) -> int:
+                    i = int(np.searchsorted(_eng._dl_ids, doc_id))
+                    return int(_eng._dl[min(i, len(_eng._dl) - 1)])
+
+                cursors.append(TermCursor(chunks, idf, self.config.bm25_k1,
+                                          self.config.bm25_b, self.avgdl, dl_of))
+        if not cursors:
+            return []
+        return wand_topk(cursors, k)
+
+    # ------------------------------------------------------------------ boolean
+    def boolean_and(self, query: str) -> np.ndarray:
+        terms = self.query_terms(query)
+        if not terms:
+            return np.zeros(0, np.int64)
+        per_term = []
+        for t in terms:
+            tps = self._term_postings(t)
+            if not tps:
+                return np.zeros(0, np.int64)
+            ids = np.concatenate([tp.doc_ids for _e, tp in tps])
+            per_term.append(ids)
+        per_term.sort(key=len)
+        docs = per_term[0]
+        for ids in per_term[1:]:
+            if len(docs) == 0:
+                break
+            docs = np.intersect1d(docs, ids, assume_unique=True)
+        return docs[self._live(docs)]
+
+    def phrase(self, query: str) -> np.ndarray:
+        parts = [eng.phrase(query) for eng in self.engines]
+        docs = np.concatenate(parts) if parts else np.zeros(0, np.int64)
+        return docs[self._live(docs)]
+
+    def proximity(self, term1: str, term2: str, k: int):
+        out = []
+        for eng in self.engines:
+            out.extend(eng.proximity(term1, term2, k))
+        if len(self.tombstones):
+            out = [t for t in out
+                   if t[0] not in set(int(x) for x in self.tombstones)]
+        return out

@@ -1,0 +1,198 @@
+"""Incremental segment indexing (pipelines/segments.py): append-only builds
+serve rank-identical to a monolithic rebuild, tombstones filter results, and
+compaction reproduces a fresh build value-identically (dictionary + chunk
+rows), all through the standard build/engine layers."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from search_engine_ray.config import EngineConfig
+from search_engine_ray.functions.textproc import synthesize_html
+from search_engine_ray.pipelines.build import IndexPaths, build_index, load_stats
+from search_engine_ray.pipelines.segments import (
+    add_segment,
+    compact,
+    delete_docs,
+    load_tombstones,
+    read_segments,
+)
+from search_engine_ray.query.engine import SearchEngine
+from search_engine_ray.query.segmented import SegmentedSearchEngine
+from search_engine_ray.sources.webpages import _url_for
+
+TEXTS = [
+    "zero first word at position zero",
+    "word1 ,,, !!! word2 between punct",
+    "Apple apple APPLE mixed case",
+    "was has children went bought",
+    "the quick brown fox jumps over the lazy dog",
+    "quick brown cows jump quickly",
+    "slow brown fox naps",
+    "phrase target phrase target end",
+    "hello world exact spelling",
+    "alpha beta gamma delta epsilon",
+    "alpha gamma beta window test",
+    "common common common term",
+] + [f"filler doc {i} common word" for i in range(12, 30)]
+
+QUERIES = ["quick brown", "common", "alpha beta", "fox", "hello world",
+           "common word", "the lazy dog", "phrase target", "apple"]
+
+CFG = EngineConfig(chunk_size=4, salt_span=8, tokenize_batch_size=7)
+SPLIT = 13  # urls are zero-padded by index → halves preserve global order
+
+
+def _pages(texts, start):
+    import ray.data
+
+    rows = [{"url": _url_for(start + i), "html": synthesize_html(t).encode()}
+            for i, t in enumerate(texts)]
+    return ray.data.from_items(rows, override_num_blocks=3)
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory, ray_session):
+    full_dir = str(tmp_path_factory.mktemp("full"))
+    root = str(tmp_path_factory.mktemp("segroot"))
+    build_index(_pages(TEXTS, 0), full_dir, CFG)
+    add_segment(_pages(TEXTS[:SPLIT], 0), root, CFG)
+    add_segment(_pages(TEXTS[SPLIT:], SPLIT), root, CFG)
+    return SearchEngine(full_dir, CFG), SegmentedSearchEngine(root, CFG), root, full_dir
+
+
+class TestAppend:
+    def test_manifest_bases(self, built):
+        _full, _seg, root, _fd = built
+        segs = read_segments(root)
+        assert [s["doc_id_base"] for s in segs] == [0, SPLIT]
+        assert sum(s["num_docs"] for s in segs) == len(TEXTS)
+
+    def test_global_stats_match_monolithic(self, built):
+        full, seg, _root, _fd = built
+        assert seg.num_docs == full.num_docs
+        assert seg.avgdl == full.avgdl
+
+    @pytest.mark.parametrize("q", QUERIES)
+    def test_bm25_rank_identical(self, built, q):
+        full, seg, _root, _fd = built
+        assert seg.bm25_topk(q, 10) == full.bm25_topk(q, 10)
+
+    @pytest.mark.parametrize("q", QUERIES)
+    def test_tfidf_rank_identical(self, built, q):
+        full, seg, _root, _fd = built
+        assert seg.tfidf_topk(q, 10) == full.tfidf_topk(q, 10)
+
+    @pytest.mark.parametrize("q", QUERIES)
+    def test_wand_matches_monolithic(self, built, q):
+        full, seg, _root, _fd = built
+        got = seg.bm25_topk_wand(q, 10)
+        want = full.bm25_topk(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in want]
+        np.testing.assert_allclose([s for _, s in got], [s for _, s in want],
+                                   rtol=1e-12)
+
+    @pytest.mark.parametrize("q", QUERIES)
+    def test_boolean_and_identical(self, built, q):
+        full, seg, _root, _fd = built
+        np.testing.assert_array_equal(seg.boolean_and(q), full.boolean_and(q))
+
+    def test_phrase_and_proximity_identical(self, built):
+        full, seg, _root, _fd = built
+        np.testing.assert_array_equal(np.sort(seg.phrase("quick brown")),
+                                      np.sort(full.phrase("quick brown")))
+        assert sorted(seg.proximity("alpha", "beta", 3)) == \
+            sorted(full.proximity("alpha", "beta", 3))
+
+    def test_df_sums_across_segments(self, built):
+        full, seg, _root, _fd = built
+        for t in ("common", "brown", "filler"):
+            assert seg.df(t) == (full.lookup(t) or (0, 0))[1]
+
+
+class TestTombstones:
+    def test_deleted_docs_filtered_everywhere(self, built, tmp_path_factory):
+        _full, _seg, root, _fd = built
+        # doc_id 5 = "the quick brown fox..." (1-based), doc 12 = "common..."
+        delete_docs(root, [5, 12])
+        seg = SegmentedSearchEngine(root, CFG)
+        assert set(load_tombstones(root)) == {5, 12}
+        for q in QUERIES:
+            for d, _s in seg.bm25_topk(q, 30):
+                assert d not in (5, 12)
+            assert not np.isin([5, 12], seg.boolean_and(q)).any()
+        # WAND falls back to exhaustive under tombstones — still exact
+        assert seg.bm25_topk_wand("quick brown", 10) == seg.bm25_topk("quick brown", 10)
+        # cleanup for the compaction tests below (fixture is module-scoped)
+        import json
+        import os
+
+        os.remove(os.path.join(root, "tombstones.json"))
+
+
+class TestCompaction:
+    @pytest.fixture(scope="class")
+    def compacted(self, tmp_path_factory, ray_session):
+        root = str(tmp_path_factory.mktemp("segroot2"))
+        add_segment(_pages(TEXTS[:SPLIT], 0), root, CFG)
+        add_segment(_pages(TEXTS[SPLIT:], SPLIT), root, CFG)
+        seg_dir = compact(root, CFG)
+        return root, seg_dir
+
+    def test_compacted_equals_fresh_build(self, compacted, built):
+        _root, seg_dir = compacted
+        _full, _seg, _r, full_dir = built
+        a, b = IndexPaths(seg_dir), IndexPaths(full_dir)
+        da = pq.read_table(a.dictionary, columns=["term", "term_id", "df"]).sort_by("term")
+        db = pq.read_table(b.dictionary, columns=["term", "term_id", "df"]).sort_by("term")
+        assert da.equals(db)
+        cols = ["term", "salt", "chunk_seq", "n_postings", "max_tf",
+                "first_doc_id", "max_doc_id", "doc_gaps", "tfs", "pos_lens",
+                "pos_gaps"]
+        key = [("term", "ascending"), ("salt", "ascending"),
+               ("first_doc_id", "ascending"), ("chunk_seq", "ascending")]
+        pa_ = pq.read_table(a.postings, columns=cols).combine_chunks().sort_by(key)
+        pb_ = pq.read_table(b.postings, columns=cols).combine_chunks().sort_by(key)
+        assert pa_.equals(pb_)
+        assert load_stats(seg_dir)["num_docs"] == load_stats(full_dir)["num_docs"]
+        assert load_stats(seg_dir)["avgdl"] == load_stats(full_dir)["avgdl"]
+
+    def test_compacted_serves_identically(self, compacted, built):
+        root, _seg_dir = compacted
+        full, _seg, _r, _fd = built
+        seg = SegmentedSearchEngine(root, CFG)
+        assert len(seg.engines) == 1
+        for q in QUERIES:
+            assert seg.bm25_topk(q, 10) == full.bm25_topk(q, 10)
+
+    def test_append_after_compact_continues_ids(self, compacted):
+        root, _seg_dir = compacted
+        add_segment(_pages(["brand new appended document"], len(TEXTS)), root, CFG)
+        segs = read_segments(root)
+        assert segs[-1]["doc_id_base"] == len(TEXTS)
+        seg = SegmentedSearchEngine(root, CFG)
+        docs = seg.boolean_and("appended")
+        np.testing.assert_array_equal(docs, [len(TEXTS) + 1])
+
+
+class TestCompactWithDeletes:
+    def test_delete_then_compact_removes_postings_and_fixes_stats(
+            self, tmp_path_factory, ray_session):
+        root = str(tmp_path_factory.mktemp("segroot3"))
+        add_segment(_pages(TEXTS[:SPLIT], 0), root, CFG)
+        add_segment(_pages(TEXTS[SPLIT:], SPLIT), root, CFG)
+        # delete the only doc containing "hello"/"world" (doc 9) + one filler
+        delete_docs(root, [9, 20])
+        seg_dir = compact(root, CFG)
+        assert len(load_tombstones(root)) == 0
+        seg = SegmentedSearchEngine(root, CFG)
+        eng = seg.engines[0]
+        st = load_stats(seg_dir)
+        assert st["num_docs"] == len(TEXTS) - 2
+        assert eng.lookup("hello") is None  # df hit zero → term gone
+        assert len(eng.boolean_and("common")) > 0
+        assert 9 not in eng.get_postings("common").doc_ids if eng.lookup("common") else True
+        # surviving doc_ids keep their original values (no renumbering)
+        docs = pq.read_table(IndexPaths(seg_dir).docs, columns=["doc_id"])
+        ids = set(docs["doc_id"].to_pylist())
+        assert 9 not in ids and 20 not in ids and 10 in ids
