@@ -192,6 +192,34 @@ def run_bench() -> dict:
     decontaminate(docs).count()
     results["decontaminate"] = time.perf_counter() - t0
 
+    from search_engine_ray.pipelines.training_data import doc_keywords
+
+    t0 = time.perf_counter()
+    doc_keywords(docs, k=3).count()
+    results["doc_keywords"] = time.perf_counter() - t0
+
+    # --- incremental indexing: append a ~10% delta, then compact ----------
+    import pyarrow.compute as pc
+
+    from search_engine_ray.pipelines.segments import add_segment, compact
+    from search_engine_ray.sources.webpages import _url_for
+
+    n_sf = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+    cut = _url_for((n_sf * 9) // 10)
+    seg_root = "/tmp/se_ray_bench/segroot"
+    shutil.rmtree(seg_root, ignore_errors=True)
+    base_pages = pages.map_batches(
+        lambda b, _c=cut: b.filter(pc.less(b["url"], _c)), batch_format="pyarrow")
+    delta_pages = pages.map_batches(
+        lambda b, _c=cut: b.filter(pc.greater_equal(b["url"], _c)), batch_format="pyarrow")
+    add_segment(base_pages, seg_root, cfg)  # ≈ build_sf cost, untimed
+    t0 = time.perf_counter()
+    add_segment(delta_pages, seg_root, cfg)
+    results["segment_append_10pct"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    compact(seg_root, cfg)
+    results["segment_compact"] = time.perf_counter() - t0
+
     num_docs = json.load(open(os.path.join(zipf_out, "stats.json")))["num_docs"]
     out = {
         "metric": "index build seconds (zipf corpus, end-to-end)",

@@ -250,7 +250,7 @@ def doc_keywords(docs: "ray.data.Dataset", k: int = 3, id_col: str = "doc_id",
     sides, same libm log10).
     """
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
 
     from search_engine_ray.stages.grouped import sorted_group_map
     from search_engine_ray.stages.tokenize import tokenize_stage
@@ -258,8 +258,24 @@ def doc_keywords(docs: "ray.data.Dataset", k: int = 3, id_col: str = "doc_id",
     n_docs = docs.count()
     postings = tokenize_stage(docs).map_batches(
         lambda b: b.filter(pc.not_equal(b["term"], "")).select(["term", id_col, "tf"]),
-        batch_format="pyarrow")
-    df_tbl = postings.groupby("term").aggregate(Count(alias_name="df"))
+        batch_format="pyarrow").materialize()
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        # per-block combiner: the df groupby then shuffles ≤ vocab rows per
+        # block instead of every posting row (same shape as the index
+        # build's dict_partials)
+        b = b.combine_chunks()
+        if b.num_rows == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df_part": pa.array([], pa.int64())})
+        enc = b["term"].dictionary_encode().combine_chunks()
+        cnt = np.bincount(enc.indices.to_numpy(zero_copy_only=False),
+                          minlength=len(enc.dictionary))
+        return pa.table({"term": enc.dictionary.cast(pa.string()),
+                         "df_part": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    df_tbl = postings.map_batches(df_partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("df_part", alias_name="df"))
     try:
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     except Exception:  # pragma: no cover
