@@ -222,6 +222,30 @@ def q_boolean_and(sf_dir: str):
     return pd.DataFrame({"doc_id": eng.boolean_and(Q_TEXT).astype(np.int64)})
 
 
+def q_boolean_or(sf_dir: str):
+    """OR retrieval (docs containing ANY query term)."""
+    eng = engine_for(sf_dir)
+    return pd.DataFrame({"doc_id": eng.boolean_or(Q_TEXT).astype(np.int64)})
+
+
+#: more_like_this source document (documents-space id; engine id is +1)
+MLT_DOC = 7
+
+
+def q_more_like_this(sf_dir: str):
+    """Similar-doc retrieval: top-3 TF-IDF keywords of one doc → BM25 over
+    them, source doc excluded."""
+    import duckdb
+
+    eng = engine_for(sf_dir)
+    text = duckdb.sql(
+        f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet') "
+        f"WHERE doc_id = {MLT_DOC}"
+    ).fetchone()[0]
+    scores = eng.more_like_this(text, k=10_000_000, n_terms=3, exclude=MLT_DOC + 1)
+    return _ranked(scores, 4)
+
+
 def _ranked(scores: list[tuple[int, float]], digits: int) -> pd.DataFrame:
     df = pd.DataFrame(scores, columns=["doc_id", "score"])
     df["score_r"] = df["score"].round(digits)
@@ -758,6 +782,43 @@ def oracle_queries() -> dict[str, str]:
             GROUP BY doc_id HAVING count(DISTINCT term) = {len(Q_TERMS)}
             """
         ),
+        "boolean_or": _with(
+            f"""
+            SELECT DISTINCT doc_id + 1 AS doc_id FROM postings
+            WHERE term IN ({qterms})
+            """
+        ),
+        "more_like_this": _with(
+            f"""
+            , {doclen_cte}
+            , stats AS (SELECT avg(doc_length) AS avgdl FROM doclen)
+            , kw AS (
+              SELECT term FROM (
+                SELECT p.term,
+                       ROW_NUMBER() OVER (
+                         ORDER BY round(p.tf * log10({n_docs}::DOUBLE / t.df), 6) DESC,
+                                  p.term) AS r
+                FROM postings p JOIN term_df t USING (term)
+                WHERE p.doc_id = {MLT_DOC}
+              ) WHERE r <= 3
+            ),
+            scores AS (
+              SELECT p.doc_id,
+                     sum( ln(({n_docs} - t.df + 0.5) / (t.df + 0.5) + 1.0)
+                          * p.tf * (1.2 + 1.0)
+                          / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_length / s.avgdl)) ) AS s
+              FROM postings p
+              JOIN term_df t USING (term)
+              JOIN doclen dl ON dl.doc_id = p.doc_id
+              CROSS JOIN stats s
+              WHERE p.term IN (SELECT term FROM kw) AND p.doc_id <> {MLT_DOC}
+              GROUP BY p.doc_id
+            )
+            SELECT ROW_NUMBER() OVER (ORDER BY round(s, 4) DESC, doc_id)::BIGINT AS rank,
+                   doc_id + 1 AS doc_id, round(s, 4) AS score_r
+            FROM scores ORDER BY round(s, 4) DESC, doc_id LIMIT {TOPK}
+            """
+        ),
         "tfidf_topk": _with(
             f"""
             , scores AS (
@@ -1198,6 +1259,8 @@ RAY_QUERIES = {
     "doc_lengths": q_doc_lengths,
     "top_terms": q_top_terms,
     "boolean_and": q_boolean_and,
+    "boolean_or": q_boolean_or,
+    "more_like_this": q_more_like_this,
     "tfidf_topk": q_tfidf_topk,
     "bm25_topk": q_bm25_topk,
     "bm25_wand": q_bm25_wand,

@@ -182,6 +182,21 @@ class SearchEngine:
             docs = np.intersect1d(docs, self.get_postings(terms[i]).doc_ids, assume_unique=True)
         return docs
 
+    def boolean_or(self, query: str) -> np.ndarray:
+        """OR retrieval: docs containing ANY query term, ascending doc_id.
+        The reference only implements AND (process_query intersects,
+        query_processor.rs:57-84); OR is the natural complement over the
+        same postings machinery (and what fuzzy_boolean already does for
+        edit-distance term sets)."""
+        docs = []
+        for t in self.query_terms(query):
+            tp = self.get_postings(t)
+            if tp is not None:
+                docs.append(tp.doc_ids)
+        if not docs:
+            return np.zeros(0, np.int64)
+        return np.unique(np.concatenate(docs))
+
     # ------------------------------------------------------------------ ranked
     def tfidf_topk(self, query: str, k: int = 10, dtype=np.float32) -> list[tuple[int, float]]:
         """Union-accumulated tf·idf top-k, reference formulas
@@ -207,8 +222,14 @@ class SearchEngine:
         return [(int(d), float(s)) for d, s in zip(ids, scores)]
 
     def bm25_topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        return self.bm25_topk_terms(self.query_terms(query), k)
+
+    def bm25_topk_terms(self, terms: list[str], k: int = 10) -> list[tuple[int, float]]:
+        """BM25 top-k over ALREADY-NORMALIZED distinct terms (bm25_topk's
+        body; callers holding index terms — e.g. more_like_this — use this
+        to avoid re-lemmatizing lemmas)."""
         doc_parts, score_parts = [], []
-        for t in self.query_terms(query):
+        for t in terms:
             tp = self.get_postings(t)
             if tp is None or tp.df == 0:
                 continue
@@ -223,6 +244,32 @@ class SearchEngine:
             return []
         ids, scores = topk_docs(np.concatenate(doc_parts), np.concatenate(score_parts), k)
         return [(int(d), float(s)) for d, s in zip(ids, scores)]
+
+    def more_like_this(self, text: str, k: int = 10, n_terms: int = 3,
+                       exclude: int | None = None) -> list[tuple[int, float]]:
+        """Similar-document retrieval: extract the text's top ``n_terms``
+        TF-IDF keywords (tf from the text, df/N from the index; float64,
+        rounded to 6 before ranking, tie → term asc — the same contract as
+        the doc_keywords pipeline) and run BM25 over them, optionally
+        excluding the source doc. Per-query work is O(|text| + postings of
+        n_terms terms) — nothing corpus-wide."""
+        tf: dict[str, int] = {}
+        for tok in self.tokenizer.tokenize(text):
+            if tok.word:
+                tf[tok.word] = tf.get(tok.word, 0) + 1
+        scored = []
+        for term, f in tf.items():
+            m = self.lookup(term)
+            if m is None or m[1] == 0:
+                continue
+            s = round(float(f) * float(np.log10(float(self.num_docs) / float(m[1]))), 6)
+            scored.append((-s, term))
+        scored.sort()
+        terms = [t for _s, t in scored[:n_terms]]
+        hits = self.bm25_topk_terms(terms, k + (1 if exclude is not None else 0))
+        if exclude is not None:
+            hits = [h for h in hits if h[0] != exclude]
+        return hits[:k]
 
     def bm25_topk_wand(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """Block-max WAND top-k BM25 (query/wand.py): identical results to

@@ -86,7 +86,8 @@ def test_query_and_oracle_keys_align(entry):
     "name",
     [
         "extract_text", "doc_ids", "term_postings", "term_df", "dictionary",
-        "doc_lengths", "top_terms", "boolean_and", "tfidf_topk", "bm25_topk", "bm25_wand",
+        "doc_lengths", "top_terms", "boolean_and", "boolean_or", "more_like_this",
+        "tfidf_topk", "bm25_topk", "bm25_wand",
         "bm25_segments", "bm25_blend", "phrase", "proximity", "fuzzy", "exact_dedup",
         "lang_counts",
         "text_stats", "doc_keywords", "ann_topk", "media_features", "media_resize",

@@ -141,6 +141,24 @@ class TestQueriesMatchOracle:
         engine, oracle, _ = built
         assert engine.fuzzy(t, d) == oracle.fuzzy(t, d)
 
+    @pytest.mark.parametrize("q", QUERIES)
+    def test_boolean_or(self, built, q):
+        engine, oracle, _ = built
+        want = sorted({d for t in engine.query_terms(q)
+                       for d in oracle.boolean_and(t)})
+        assert engine.boolean_or(q).tolist() == want
+
+    def test_more_like_this(self, built):
+        engine, _oracle, _ = built
+        src = 12  # "slow brown fox naps" — keywords (naps, slow, fox)
+        hits = engine.more_like_this(TEXTS[src - 1], k=5, exclude=src)
+        assert hits and all(d != src for d, _s in hits)
+        # the only other doc sharing a keyword ("fox") must lead
+        assert hits[0][0] == 10
+        # without exclusion, the source doc itself ranks first
+        hits_incl = engine.more_like_this(TEXTS[src - 1], k=5)
+        assert hits_incl[0][0] == src
+
 
 class TestResume:
     def test_rerun_skips_completed_stages(self, built, tmp_path):
