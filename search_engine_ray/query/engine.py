@@ -27,6 +27,37 @@ from search_engine_ray.query.postings_codec import TermPostings, decode_term_chu
 from search_engine_ray.query.scoring import bm25_weights, tfidf_weights, topk_docs
 
 
+def _min_cover_window(pos_lists: list[np.ndarray]) -> tuple[int, int, int]:
+    """Smallest position window covering the most distinct term position
+    lists: → (start, end, n_covered); ties → smaller width, then smaller
+    start. Classic two-pointer sweep over the merged (position, term_id)
+    stream — O(total positions) per doc."""
+    if not pos_lists:
+        return (0, 0, 0)
+    pos = np.concatenate(pos_lists)
+    tid = np.repeat(np.arange(len(pos_lists)), [len(p) for p in pos_lists])
+    order = np.argsort(pos, kind="stable")
+    pos, tid = pos[order], tid[order]
+    n_terms = len(pos_lists)
+    counts = np.zeros(n_terms, np.int64)
+    covered = 0
+    best = (-1, np.iinfo(np.int64).max, np.iinfo(np.int64).max)  # (-cover, width, start) minimized
+    lo = 0
+    for hi in range(len(pos)):
+        if counts[tid[hi]] == 0:
+            covered += 1
+        counts[tid[hi]] += 1
+        # shrink while the left item is redundant
+        while counts[tid[lo]] > 1:
+            counts[tid[lo]] -= 1
+            lo += 1
+        cand = (-covered, int(pos[hi] - pos[lo]), int(pos[lo]))
+        if cand < best:
+            best = cand
+    cover = -best[0]
+    return (best[2], best[2] + best[1], cover) if cover else (0, 0, 0)
+
+
 class SearchEngine:
     def __init__(
         self,
@@ -378,6 +409,35 @@ class SearchEngine:
             if hit.any():
                 out.append(doc)
         return np.asarray(out, np.int64)
+
+    # ------------------------------------------------------------------ snippets
+    def snippets(self, query: str, k: int = 10
+                 ) -> list[tuple[int, float, int, int, int]]:
+        """Best-window snippet positions for the BM25 top-k docs:
+        (doc_id, score, start_pos, end_pos, n_terms) — the MINIMAL position
+        window covering the most distinct query terms in each doc
+        (cover desc, width asc, start asc — a pinned deterministic
+        contract). Positions are whitespace-token indices (the index's
+        native coordinate; the caller slices the source text — the index
+        deliberately stores no text). Per-doc work is O(positions of the
+        query terms in that doc)."""
+        terms = self.query_terms(query)
+        hits = self.bm25_topk(query, k)
+        if not hits or not terms:
+            return []
+        tps = [self.get_postings(t) for t in terms]
+        out = []
+        for doc_id, score in hits:
+            pos_lists = []
+            for tp in tps:
+                if tp is None:
+                    continue
+                p = tp.positions_for_doc(doc_id)
+                if p is not None and len(p):
+                    pos_lists.append(np.asarray(p, np.int64))
+            s, e, n = _min_cover_window(pos_lists)
+            out.append((doc_id, score, s, e, n))
+        return out
 
     # ------------------------------------------------------------------ proximity
     def proximity(self, term1: str, term2: str, k: int) -> list[tuple[int, int, int]]:

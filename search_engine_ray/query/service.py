@@ -166,6 +166,11 @@ class ShardServingActor:
     def term_doc_ids(self, terms: list[str]) -> dict:
         return {t: self._postings(t).doc_ids for t in terms if t in self._dict}
 
+    def term_dfs(self, terms: list[str]) -> dict:
+        """Dictionary-only df lookup (no postings read) for the owned
+        subset of ``terms``."""
+        return {t: self._dict[t] for t in terms if t in self._dict}
+
     def term_positions_for_docs(self, terms: list[str], doc_ids: np.ndarray) -> dict:
         """Positions restricted to the given candidate docs: {term:
         (present_doc_ids, pos_offsets, pos_values)} — what leaves the actor
@@ -207,6 +212,7 @@ class DistributedSearchEngine:
         stats = load_stats(index_dir)
         n_shards = (stats.get("config") or {}).get("index_shards") or self.config.index_shards
         self.n_shards = n_shards
+        self._num_docs = stats["num_docs"]
         self.tokenizer = Tokenizer(lemma_path=self.config.lemma_path)
         remote_cls = ray.remote(ShardServingActor)
         self.actors = []
@@ -414,6 +420,49 @@ class DistributedSearchEngine:
             docs = np.intersect1d(docs, np.asarray(nxt, np.int64), assume_unique=True)
         return docs
 
+    def boolean_or(self, query: str) -> np.ndarray:
+        """Docs containing ANY query term (matches SearchEngine.boolean_or)."""
+        terms = self.query_terms(query)
+        if not terms:
+            return np.zeros(0, np.int64)
+        per_term = self._fan_out(terms, "term_doc_ids")
+        docs = [np.asarray(v, np.int64) for v in per_term.values()]
+        if not docs:
+            return np.zeros(0, np.int64)
+        return np.unique(np.concatenate(docs))
+
+    def more_like_this(self, text: str, k: int = 10, n_terms: int = 3,
+                       exclude: int | None = None) -> list[tuple[int, float]]:
+        """Distributed more-like-this: tf from the text (coordinator-side,
+        O(|text|)), df via a dictionary-only fan-out (no postings read),
+        keyword selection with the engine's exact contract, then the bounded
+        BM25 threshold loop over the keywords — pytest-identical to
+        ``SearchEngine.more_like_this``."""
+        tf: dict[str, int] = {}
+        for tok in self.tokenizer.tokenize(text):
+            if tok.word:
+                tf[tok.word] = tf.get(tok.word, 0) + 1
+        if not tf:
+            return []
+        stats = self._fan_out(list(tf), "term_dfs")
+        scored = []
+        for term, f in tf.items():
+            df = stats.get(term)
+            if not df:
+                continue
+            s = round(float(f) * float(np.log10(float(self._num_docs) / float(df))), 6)
+            scored.append((-s, term))
+        scored.sort()
+        terms = [t for _s, t in scored[:n_terms]]
+        if not terms:
+            return []
+        hits = self._bounded_topk([(t, 1.0) for t in terms],
+                                  k + (1 if exclude is not None else 0),
+                                  None, None, "bm25", np.float64)
+        if exclude is not None:
+            hits = [h for h in hits if h[0] != exclude]
+        return hits[:k]
+
     def phrase(self, query: str) -> np.ndarray:
         """Distributed phrase match, candidate-bounded: doc_id lists fan out
         first (8 B/posting), the coordinator intersects, and ONLY the
@@ -461,6 +510,40 @@ class DistributedSearchEngine:
             if hit.any():
                 out.append(doc)
         return np.asarray(out, np.int64)
+
+    def snippets(self, query: str, k: int = 10
+                 ) -> list[tuple[int, float, int, int, int]]:
+        """Distributed best-window snippets: bounded BM25 top-k first, then
+        ONE candidate-bounded positions fan-out (positions move only for the
+        k result docs) — identical output to ``SearchEngine.snippets``."""
+        from search_engine_ray.query.engine import _min_cover_window
+        from search_engine_ray.query.postings_codec import TermPostings
+
+        terms = self.query_terms(query)
+        hits = self.bm25_topk(query, k)
+        if not hits or not terms:
+            return []
+        cand = np.asarray(sorted(d for d, _s in hits), np.int64)
+        per_pos = self._fan_out_args(terms, "term_positions_for_docs", cand)
+        tps = []
+        for t in terms:
+            if t not in per_pos:
+                continue
+            d, o, v = per_pos[t]
+            tps.append(TermPostings(np.asarray(d, np.int64),
+                                    np.zeros(len(d), np.int64),
+                                    np.asarray(o, np.int64),
+                                    np.asarray(v, np.int64)))
+        out = []
+        for doc_id, score in hits:
+            pos_lists = []
+            for tp in tps:
+                p = tp.positions_for_doc(int(doc_id))
+                if p is not None and len(p):
+                    pos_lists.append(np.asarray(p, np.int64))
+            s, e, n = _min_cover_window(pos_lists)
+            out.append((doc_id, score, s, e, n))
+        return out
 
     def proximity(self, term1: str, term2: str, k: int) -> list[tuple[int, int, int]]:
         """Distributed proximity (one-directional window), identical

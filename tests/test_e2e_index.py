@@ -148,6 +148,33 @@ class TestQueriesMatchOracle:
                        for d in oracle.boolean_and(t)})
         assert engine.boolean_or(q).tolist() == want
 
+    def test_snippets_minimal_window(self, built):
+        engine, _oracle, _ = built
+        # doc 17 "alpha gamma beta window test": alpha@0, beta@2 → window 0..2
+        # doc 16 "alpha beta gamma delta epsilon": alpha@0, beta@1 → window 0..1
+        got = {d: (s_, e, n) for d, _sc, s_, e, n in engine.snippets("alpha beta", 10)}
+        assert got[17] == (0, 2, 2)
+        assert got[16] == (0, 1, 2)
+        # single-term query: zero-width window at the first occurrence
+        got1 = {d: (s_, e, n) for d, _sc, s_, e, n in engine.snippets("gamma", 10)}
+        assert got1[16] == (2, 2, 1)
+        # snippet docs == bm25 top-k docs, in rank order
+        hits = engine.bm25_topk("alpha beta", 10)
+        assert [d for d, *_ in engine.snippets("alpha beta", 10)] == [d for d, _ in hits]
+
+    def test_min_cover_window_ties_and_partial_cover(self):
+        from search_engine_ray.query.engine import _min_cover_window
+
+        w = _min_cover_window  # (start, end, n_covered)
+        a = np.array
+        # picks the max-cover window even when a smaller partial one exists
+        assert w([a([0, 50]), a([52])]) == (50, 52, 2)
+        # tie on cover+width → smaller start
+        assert w([a([0, 10]), a([1, 11])]) == (0, 1, 2)
+        # one list absent entirely → covers what it can
+        assert w([a([5, 9])]) == (5, 5, 1)
+        assert w([]) == (0, 0, 0)
+
     def test_more_like_this(self, built):
         engine, _oracle, _ = built
         src = 12  # "slow brown fox naps" — keywords (naps, slow, fox)

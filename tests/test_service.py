@@ -84,6 +84,25 @@ class TestDistributedServing:
             assert dist.bm25_topk(q, 10, page=2, small_df_cap=0) == local.bm25_topk(q, 10)
 
 
+class TestDistributedOrAndMlt:
+    @pytest.mark.parametrize("q", QUERIES)
+    def test_boolean_or_identical_to_local(self, built, q):
+        local, dist = built
+        np.testing.assert_array_equal(dist.boolean_or(q), local.boolean_or(q))
+
+    def test_more_like_this_identical_to_local(self, built):
+        local, dist = built
+        text = "bababa cababa dababa fababa bababa rare words here"
+        for exclude in (None, 3):
+            assert dist.more_like_this(text, k=10, exclude=exclude) == \
+                local.more_like_this(text, k=10, exclude=exclude)
+
+    @pytest.mark.parametrize("q", QUERIES)
+    def test_snippets_identical_to_local(self, built, q):
+        local, dist = built
+        assert dist.snippets(q, 10) == local.snippets(q, 10)
+
+
 class TestDistributedPhraseProximity:
     @pytest.mark.parametrize("q", ["bababa cababa", "dababa fababa", "bababa"])
     def test_phrase_identical_to_local(self, built, q):
