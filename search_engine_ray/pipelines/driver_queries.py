@@ -448,6 +448,35 @@ def q_event_windows(sf_dir: str):
             .sort_values(["window_start_us", "event_type"]).reset_index(drop=True))
 
 
+def q_event_hopping(sf_dir: str):
+    """Hopping 1-hour windows every 15 min: each event lands in 4 windows."""
+    import ray.data
+    from search_engine_ray.pipelines.events import hopping_window_agg
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+    out = hopping_window_agg(ev).to_pandas()
+    out["sum_value_r"] = out["sum_value"].round(6)
+    return (out[["window_start_us", "event_type", "n_events", "sum_value_r"]]
+            .sort_values(["window_start_us", "event_type"]).reset_index(drop=True))
+
+
+#: value_quantiles probe points (exact, quantile_cont contract)
+QUANTS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def q_value_quantiles(sf_dir: str):
+    """Exact distributed quantiles of events.value: one sorted pass, only
+    the rank rows leave the workers."""
+    import ray.data
+    from search_engine_ray.pipelines.events import value_quantiles
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    out = value_quantiles(ev, QUANTS).to_pandas()
+    out["value_r"] = out["value"].round(6)
+    return out[["q", "value_r"]].sort_values("q").reset_index(drop=True)
+
+
 def q_event_sessions(sf_dir: str):
     """Gap-based sessionization (30-min gap) of the events table."""
     import ray.data
@@ -1115,6 +1144,26 @@ def oracle_queries() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value_r
             FROM events GROUP BY 1, 2
         """,
+        "event_hopping": """
+            WITH j AS (SELECT unnest(range(4)) AS jj),
+            e AS (
+              SELECT ((epoch_us(ts) // 900000000) - j.jj) * 900000000 AS window_start_us,
+                     event_type, value
+              FROM events CROSS JOIN j
+            )
+            SELECT window_start_us, event_type,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value), 6) AS sum_value_r
+            FROM e GROUP BY 1, 2
+        """,
+        "value_quantiles": f"""
+            WITH s AS (SELECT quantile_cont(value,
+                         [{",".join(str(q) for q in QUANTS)}]) AS vs
+                       FROM events)
+            SELECT q.q, round(s.vs[q.i], 6) AS value_r
+            FROM s, (VALUES {",".join(f"({i + 1}, {q})" for i, q in enumerate(QUANTS))})
+                 AS q(i, q)
+        """,
         "event_sessions": """
             WITH l AS (
               SELECT user_id, event_id, epoch_us(ts) AS ts_us,
@@ -1279,6 +1328,8 @@ RAY_QUERIES = {
     "media_resize": q_media_resize,
     "media_frames": q_media_frames,
     "event_windows": q_event_windows,
+    "event_hopping": q_event_hopping,
+    "value_quantiles": q_value_quantiles,
     "event_sessions": q_event_sessions,
     "clean_corpus": q_clean_corpus,
     "dedup_clusters": q_dedup_clusters,

@@ -96,3 +96,57 @@ class TestTumblingWindows:
         assert list(out["sum_value"]) == [4.0, 4.0, 8.0]
         ws = out["window_start_us"].to_numpy()
         assert ((ws % 3_600_000_000) == 0).all()
+
+
+class TestHoppingWindows:
+    def test_each_event_covers_r_windows(self, ray_session):
+        import ray.data
+
+        from search_engine_ray.pipelines.events import hopping_window_agg
+
+        rows = [(0, 1, 0, 1.5), (1, 1, 59, 2.5), (2, 2, 61, 4.0)]
+        ds = ray.data.from_pandas(_events(rows))
+        out = hopping_window_agg(ds, window_us=3_600_000_000,
+                                 hop_us=900_000_000).to_pandas()
+        # every event lands in exactly r = 4 windows
+        assert out["n_events"].sum() == len(rows) * 4
+        assert abs(out["sum_value"].sum() - sum(r[3] for r in rows) * 4) < 1e-9
+        ws = out["window_start_us"].to_numpy()
+        assert ((ws % 900_000_000) == 0).all()
+        # an event at minute 0 appears in windows starting at -45, -30, -15, 0
+        w0 = out[out["window_start_us"] <= BASE_US]
+        assert len(w0) == 4
+
+    def test_rejects_unaligned_hop(self, ray_session):
+        import ray.data
+
+        from search_engine_ray.pipelines.events import hopping_window_agg
+
+        with pytest.raises(ValueError):
+            hopping_window_agg(ray.data.from_pandas(_events([(0, 1, 0, 1.0)])),
+                               window_us=10, hop_us=3)
+
+
+class TestValueQuantiles:
+    @pytest.mark.parametrize("n_blocks", [1, 7])
+    def test_matches_numpy_interpolation(self, ray_session, n_blocks):
+        import ray.data
+
+        from search_engine_ray.pipelines.events import value_quantiles
+
+        rng = np.random.default_rng(3)
+        vals = rng.normal(size=501)
+        df = pd.DataFrame({"value": vals})
+        ds = ray.data.from_pandas(df).repartition(n_blocks)
+        qs = [0.0, 0.1, 0.5, 0.9, 1.0]
+        out = value_quantiles(ds, qs).to_pandas()
+        want = np.quantile(vals, qs)  # linear interpolation == quantile_cont
+        np.testing.assert_allclose(out["value"].to_numpy(), want, rtol=1e-12)
+
+    def test_empty_input(self, ray_session):
+        import ray.data
+
+        from search_engine_ray.pipelines.events import value_quantiles
+
+        ds = ray.data.from_pandas(pd.DataFrame({"value": pd.Series(dtype=float)}))
+        assert value_quantiles(ds, [0.5]).num_rows == 0
