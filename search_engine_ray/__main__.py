@@ -8,6 +8,10 @@ main(); this CLI is the runnable equivalent.
     python -m search_engine_ray query  --index IDX --mode bm25 "fast table merge"
     python -m search_engine_ray dedup  --sf-dir /root/testdata/sf0.01 [--threshold 0.7]
     python -m search_engine_ray bench-queries --index IDX --n 40
+    python -m search_engine_ray segment-add --root ROOT --input DIR_OR_PARQUET
+    python -m search_engine_ray segment-delete --root ROOT 5 12 40
+    python -m search_engine_ray segment-compact --root ROOT
+    python -m search_engine_ray segment-query --root ROOT "fast table merge"
 
 Owns its Ray session (init+shutdown); the library itself never does.
 """
@@ -48,7 +52,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--index", required=True)
     q.add_argument("--mode", default="bm25",
                    choices=["bm25", "bm25_wand", "bm25_blend", "tfidf", "boolean",
-                            "phrase", "proximity", "fuzzy"])
+                            "boolean_or", "phrase", "proximity", "fuzzy",
+                            "snippets", "mlt"])
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--prox-k", type=int, default=3)
     q.add_argument("--edit-dist", type=int, default=1)
@@ -64,6 +69,19 @@ def main(argv: list[str] | None = None) -> int:
     bq = sub.add_parser("bench-queries", help="run the deterministic query set via the actor pool")
     bq.add_argument("--index", required=True)
     bq.add_argument("--n", type=int, default=40)
+
+    sa = sub.add_parser("segment-add", help="append a segment to an incremental index root")
+    sa.add_argument("--root", required=True)
+    sa.add_argument("--input", required=True, help="parquet path/dir with (url, html) columns")
+    sd = sub.add_parser("segment-delete", help="tombstone doc_ids in an incremental index")
+    sd.add_argument("--root", required=True)
+    sd.add_argument("doc_ids", nargs="+", type=int)
+    sc = sub.add_parser("segment-compact", help="merge all segments (minus tombstones) into one")
+    sc.add_argument("--root", required=True)
+    sq = sub.add_parser("segment-query", help="BM25 across segments with tombstone filtering")
+    sq.add_argument("--root", required=True)
+    sq.add_argument("--k", type=int, default=10)
+    sq.add_argument("text", nargs="+")
 
     args = ap.parse_args(argv)
     ray = _ray_session(args.num_cpus)
@@ -90,6 +108,12 @@ def main(argv: list[str] | None = None) -> int:
                 out = eng.tfidf_topk(text, args.k)
             elif args.mode == "boolean":
                 out = eng.boolean_and(text).tolist()[: args.k]
+            elif args.mode == "boolean_or":
+                out = eng.boolean_or(text).tolist()[: args.k]
+            elif args.mode == "snippets":
+                out = eng.snippets(text, args.k)
+            elif args.mode == "mlt":
+                out = eng.more_like_this(text, args.k)
             elif args.mode == "phrase":
                 out = eng.phrase(text).tolist()[: args.k]
             elif args.mode == "proximity":
@@ -98,7 +122,8 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 out = eng.fuzzy(text.split()[0], args.edit_dist)
             doc = {"mode": args.mode, "query": text, "results": out}
-            if out and isinstance(out[0], (tuple, list)) and args.mode != "proximity":
+            if (out and isinstance(out[0], (tuple, list))
+                    and args.mode not in ("proximity", "snippets")):
                 doc["urls"] = eng.doc_urls([d for d, _s in out])
             print(json.dumps(doc))
         elif args.cmd == "dedup":
@@ -126,6 +151,30 @@ def main(argv: list[str] | None = None) -> int:
             qs = ray.data.from_items(make_query_set(args.n))
             out = batch_query(qs, args.index).to_pandas()
             print(json.dumps({"queries": args.n, "result_rows": len(out)}))
+        elif args.cmd == "segment-add":
+            from search_engine_ray.pipelines.segments import add_segment, read_segments
+
+            seg_dir = add_segment(args.input, args.root)
+            print(json.dumps({"segment": seg_dir,
+                              "segments": read_segments(args.root)}))
+        elif args.cmd == "segment-delete":
+            from search_engine_ray.pipelines.segments import delete_docs
+
+            tombs = delete_docs(args.root, args.doc_ids)
+            print(json.dumps({"tombstones": [int(t) for t in tombs]}))
+        elif args.cmd == "segment-compact":
+            from search_engine_ray.pipelines.build import load_stats
+            from search_engine_ray.pipelines.segments import compact
+
+            seg_dir = compact(args.root)
+            print(json.dumps({"segment": seg_dir, "stats": load_stats(seg_dir)}))
+        elif args.cmd == "segment-query":
+            from search_engine_ray.query.segmented import SegmentedSearchEngine
+
+            seng = SegmentedSearchEngine(args.root)
+            text = " ".join(args.text)
+            print(json.dumps({"query": text,
+                              "results": seng.bm25_topk(text, args.k)}))
         return 0
     finally:
         ray.shutdown()
