@@ -477,6 +477,20 @@ def q_value_quantiles(sf_dir: str):
     return out[["q", "value_r"]].sort_values("q").reset_index(drop=True)
 
 
+def q_value_quantiles_approx(sf_dir: str):
+    """One-pass mergeable hash-rank-sample quantiles (approximate by
+    design → rows-only; the exact companion value_quantiles is
+    oracle-checked, and the rank-error bound is pytest-asserted)."""
+    import ray.data
+    from search_engine_ray.pipelines.events import value_quantiles_approx
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "value"])
+    out = value_quantiles_approx(ev, QUANTS).to_pandas()
+    out["value_r"] = out["value"].round(6)
+    return out[["q", "value_r"]].sort_values("q").reset_index(drop=True)
+
+
 def q_event_sessions(sf_dir: str):
     """Gap-based sessionization (30-min gap) of the events table."""
     import ray.data
@@ -1330,6 +1344,7 @@ RAY_QUERIES = {
     "event_windows": q_event_windows,
     "event_hopping": q_event_hopping,
     "value_quantiles": q_value_quantiles,
+    "value_quantiles_approx": q_value_quantiles_approx,
     "event_sessions": q_event_sessions,
     "clean_corpus": q_clean_corpus,
     "dedup_clusters": q_dedup_clusters,

@@ -195,6 +195,54 @@ def value_quantiles(events: "ray.data.Dataset", qs: list[float],
                      "value": pa.array(out, pa.float64())})
 
 
+def value_quantiles_approx(events: "ray.data.Dataset", qs: list[float],
+                           col: str = "value", key_col: str = "event_id",
+                           sample_size: int = 4096, seed: int = 11) -> "pa.Table":
+    """ONE-PASS approximate quantiles via a deterministic mergeable
+    hash-rank sample: every row gets h = mix64(key ^ seed) and the global
+    ``sample_size`` smallest-h rows form a uniform sample of the dataset
+    whatever its physical partitioning (the hash IS the reservoir priority
+    — merging partial top-N by h is exactly the top-N of the union, so the
+    sketch is mergeable and the result is independent of block layout).
+    Quantiles interpolate within the sample (quantile_cont contract);
+    rank error is O(1/sqrt(sample_size)).
+
+    The exact companion is :func:`value_quantiles` (full sort); this is the
+    one-pass scale path — per block only ``sample_size`` (h, value) pairs
+    move, no shuffle at all."""
+    from search_engine_ray.functions.hashing import mix64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return pa.table({"_h": pa.array([], pa.int64()),
+                             col: pa.array([], pa.float64())})
+        keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # order-preserving signed mapping (h ^ 2^63): the per-batch
+        # argpartition and the driver's nsmallest MUST rank in the same
+        # domain, or a raw .view(int64) flips the top bit's meaning and the
+        # merged sample depends on the block layout
+        h = (mix64(keys.view(np.uint64) ^ np.uint64(seed))
+             ^ np.uint64(1 << 63)).view(np.int64)
+        kk = min(sample_size, len(keys))
+        idx = np.argpartition(h, kk - 1)[:kk]
+        return pa.table({
+            "_h": pa.array(h[idx], pa.int64()),
+            col: pa.array(batch[col].to_numpy(zero_copy_only=False)[idx]
+                          .astype(np.float64), pa.float64()),
+        })
+
+    parts = events.select_columns([key_col, col]).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+    sample = parts.nsmallest(min(sample_size, len(parts)), "_h")[col].to_numpy()
+    out = np.quantile(sample, np.asarray(qs, np.float64))  # linear interp
+    return pa.table({"q": pa.array(qs, pa.float64()),
+                     "value": pa.array(out, pa.float64())})
+
+
 def sessionize(events: "ray.data.Dataset", gap_us: int = 30 * US_PER_MIN):
     """Gap-based sessionization: a user's events sorted by (ts, event_id)
     start a new session when the gap to the previous event exceeds

@@ -1188,11 +1188,15 @@ def ivf_index(embeddings, n_centroids: int = 16, id_col="vec_id", emb_col="embed
                              else pa.array([], pa.list_(pa.float64())),
                              "_h": pa.array([], pa.int64())})
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = mix64(ids.view(_U64) ^ _U64(seed))
+        # signed order-preserving mapping (h ^ 2^63): the block-local
+        # argpartition and the driver's nsmallest must rank in the SAME
+        # domain — a raw int64 view of uint64 hashes flips the top bit's
+        # meaning and the merged sample depends on the block layout
+        h = (mix64(ids.view(_U64) ^ _U64(seed)) ^ _U64(1 << 63)).view(np.int64)
         kk = min(sample_size, len(ids))
         idx = np.argpartition(h, kk - 1)[:kk]
         out = batch.select([emb_col]).take(pa.array(np.sort(idx)))
-        return out.append_column("_h", pa.array(h[np.sort(idx)].view(np.int64), pa.int64()))
+        return out.append_column("_h", pa.array(h[np.sort(idx)], pa.int64()))
 
     parts = embeddings.map_batches(sample_batch, batch_format="pyarrow").to_pandas()
     sample = parts.nsmallest(min(sample_size, len(parts)), "_h")

@@ -150,3 +150,40 @@ class TestValueQuantiles:
 
         ds = ray.data.from_pandas(pd.DataFrame({"value": pd.Series(dtype=float)}))
         assert value_quantiles(ds, [0.5]).num_rows == 0
+
+
+class TestApproxQuantiles:
+    def test_partition_invariant_and_bounded_rank_error(self, ray_session):
+        import ray.data
+
+        from search_engine_ray.pipelines.events import value_quantiles_approx
+
+        rng = np.random.default_rng(5)
+        n = 20_000
+        vals = rng.lognormal(size=n)
+        df = pd.DataFrame({"event_id": np.arange(n), "value": vals})
+        qs = [0.1, 0.5, 0.9]
+        outs = []
+        for blocks in (1, 13):
+            ds = ray.data.from_pandas(df).repartition(blocks)
+            outs.append(value_quantiles_approx(ds, qs, sample_size=2048)
+                        .to_pandas()["value"].to_numpy())
+        # mergeable hash-rank sample ⇒ identical result at any partitioning
+        np.testing.assert_array_equal(outs[0], outs[1])
+        # rank error of each estimate vs the exact distribution
+        svals = np.sort(vals)
+        for q, est in zip(qs, outs[0]):
+            rank = np.searchsorted(svals, est) / n
+            assert abs(rank - q) < 0.05, (q, rank)
+
+    def test_sample_covers_small_input_exactly(self, ray_session):
+        import ray.data
+
+        from search_engine_ray.pipelines.events import value_quantiles_approx
+
+        df = pd.DataFrame({"event_id": np.arange(101),
+                           "value": np.arange(101, dtype=float)})
+        ds = ray.data.from_pandas(df).repartition(4)
+        out = value_quantiles_approx(ds, [0.0, 0.5, 1.0], sample_size=4096).to_pandas()
+        # sample == whole input → exact quantiles
+        np.testing.assert_allclose(out["value"].to_numpy(), [0.0, 50.0, 100.0])
