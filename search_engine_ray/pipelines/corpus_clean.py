@@ -76,12 +76,32 @@ def clean_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     lang_from_col: str | None = None,
+    max_dup_line_frac: float | None = None,
+    max_dup_5gram_frac: float | None = None,
+    decontam_modulus: int | None = None,
+    max_contam_frac: float = 0.0,
+    pii_redact: bool = False,
 ) -> "ray.data.Dataset":
     """→ Dataset of kept documents (id, text, ..., lang_pred, n_tokens).
-    ``near_dup=True`` additionally drops non-minimal members of MinHash
-    near-dup clusters. ``lang_from_col`` filters on an existing metadata
-    column (upstream-provided language — and SQL-checkable) instead of the
-    n-gram ``lang_id`` heuristic."""
+
+    Optional stages beyond dedup + quality + language (each row-local in
+    the SAME single corpus pass — no extra shuffle):
+
+    * ``near_dup=True`` drops non-minimal members of MinHash near-dup
+      clusters (sketch-based, not SQL-checkable).
+    * ``max_dup_line_frac`` / ``max_dup_5gram_frac`` — Gopher-style
+      repetition gates (batch_repetition_stats).
+    * ``decontam_modulus=m`` — benchmark decontamination: docs with
+      ``id % m == 0`` are the eval split (always dropped from the output);
+      training docs keep only if their eval-k-gram overlap fraction is
+      ≤ ``max_contam_frac`` (eval grams broadcast once, O(eval)).
+    * ``pii_redact=True`` — the output ``text`` column is replaced by the
+      PII-scrubbed text (redaction AFTER filtering; stats are computed on
+      the original text).
+
+    ``lang_from_col`` filters on an existing metadata column
+    (upstream-provided language — and SQL-checkable) instead of the n-gram
+    ``lang_id`` heuristic."""
     docs = docs.materialize()  # consumed by dedup AND the filter pass
 
     # exact-dedup DROP-list: non-minimal members of duplicate groups only
@@ -101,6 +121,25 @@ def clean_corpus(
         cl = clusters_distributed(pairs).to_pandas()
         near_drop = cl.loc[cl["doc_id"] != cl["cluster_id"], "doc_id"].to_numpy(np.int64)
         drop_ids = np.unique(np.concatenate([drop_ids, near_drop]))
+
+    gram_ref = None
+    if decontam_modulus is not None:
+        from search_engine_ray.functions.hashing import batch_shingle_hashes
+        from search_engine_ray.pipelines.training_data import _batch_tok_hashes
+
+        def eval_grams(batch: pa.Table) -> pa.Table:
+            batch = batch.combine_chunks()
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            sel = (ids % decontam_modulus) == 0
+            if not sel.any():
+                return pa.table({"gram": pa.array(np.zeros(0, np.int64), pa.int64())})
+            offs, th = _batch_tok_hashes(batch[text_col].filter(pa.array(sel)))
+            _, sh = batch_shingle_hashes(offs, th, 8)
+            return pa.table({"gram": pa.array(np.unique(sh).view(np.int64), pa.int64())})
+
+        parts = docs.map_batches(eval_grams, batch_format="pyarrow").take_all()
+        uniq = np.asarray([r["gram"] for r in parts], np.int64).view(np.uint64)
+        gram_ref = ray.put(np.unique(uniq))
 
     drop_ref = ray.put(drop_ids)
     lang_set = set(langs)
@@ -126,8 +165,43 @@ def clean_corpus(
         mask &= stopr <= max_stopword_ratio
         mask &= alpha >= min_alpha_ratio
         mask &= np.isin(lang_arr, list(lang_set))
+        if max_dup_line_frac is not None or max_dup_5gram_frac is not None:
+            from search_engine_ray.functions.quality import batch_repetition_stats
+
+            rep = batch_repetition_stats(batch[text_col])
+            if max_dup_line_frac is not None:
+                mask &= rep["dup_line_frac"] <= max_dup_line_frac
+            if max_dup_5gram_frac is not None:
+                mask &= rep["dup_5gram_frac"] <= max_dup_5gram_frac
+        if gram_ref is not None:
+            from search_engine_ray.functions.hashing import batch_shingle_hashes
+            from search_engine_ray.pipelines.training_data import _batch_tok_hashes
+
+            grams = ray.get(gram_ref)
+            is_eval = (ids % decontam_modulus) == 0
+            mask &= ~is_eval  # the eval split never ships in training data
+            offs, th = _batch_tok_hashes(batch[text_col])
+            sh_offs, sh = batch_shingle_hashes(offs, th, 8)
+            n = np.diff(sh_offs)
+            if len(sh) and len(grams):
+                pos = np.searchsorted(grams, sh)
+                hit = (pos < len(grams)) & (grams[np.clip(pos, 0, len(grams) - 1)] == sh)
+                n_hit = np.bincount(np.repeat(np.arange(len(ids)), n)[hit],
+                                    minlength=len(ids)).astype(np.int64)
+            else:
+                n_hit = np.zeros(len(ids), np.int64)
+            frac = np.zeros(len(ids), np.float64)
+            nz = n > 0
+            frac[nz] = n_hit[nz] / n[nz]
+            mask &= frac <= max_contam_frac
         sel = np.flatnonzero(mask)
         out = batch.take(pa.array(sel))
+        if pii_redact and out.num_rows:
+            from search_engine_ray.functions.quality import batch_pii_scrub
+
+            clean, _counts = batch_pii_scrub(out[text_col])
+            out = out.set_column(out.schema.get_field_index(text_col),
+                                 text_col, clean)
         return out.append_column(
             "lang_pred", pa.array(lang_arr[sel].tolist(), pa.string())
         ).append_column("n_tokens", pa.array(n_tok[sel], pa.int64()))

@@ -434,6 +434,24 @@ def q_clean_corpus(sf_dir: str):
             .astype({"doc_id": np.int64, "n_tokens": np.int64}))
 
 
+def q_clean_corpus_full(sf_dir: str):
+    """The full composite cleaning pipeline: exact dedup + quality +
+    language + Gopher repetition gates + benchmark decontamination (eval
+    split dropped, contaminated training docs dropped) + PII redaction of
+    the surviving text — ALL row-local in one corpus pass."""
+    from search_engine_ray.pipelines.corpus_clean import clean_corpus
+
+    docs = _read_docs(sf_dir, ("doc_id", "text", "lang"))
+    out = clean_corpus(docs, lang_from_col="lang",
+                       max_dup_line_frac=0.9, max_dup_5gram_frac=0.9,
+                       decontam_modulus=23, max_contam_frac=0.5,
+                       pii_redact=True).to_pandas()
+    out = out.rename(columns={"text": "text_clean"})
+    return (out[["doc_id", "lang_pred", "n_tokens", "text_clean"]]
+            .sort_values("doc_id").reset_index(drop=True)
+            .astype({"doc_id": np.int64, "n_tokens": np.int64}))
+
+
 def q_event_windows(sf_dir: str):
     """Tumbling 1-hour windows over the events table: count + sum(value)
     per (window, event_type); partial aggregation inside map_batches."""
@@ -1151,6 +1169,71 @@ def oracle_queries() -> dict[str, str]:
             WHERE s.n_tokens >= 10 AND s.stopr <= 0.7 AND s.alphar >= 0.3
               AND s.lang = 'en'
         """,
+        "clean_corpus_full": f"""
+            WITH raw AS (
+              SELECT doc_id, text, lang,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            st AS (
+              SELECT doc_id, lang,
+                     len(toks)::BIGINT AS n_tokens,
+                     CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE len(list_filter(toks, t -> lower(t) IN ({stop_list})))::DOUBLE / len(toks) END AS stopr,
+                     CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE len(list_filter(toks, t -> regexp_matches(t, '^[A-Za-z]+$')))::DOUBLE / len(toks) END AS alphar
+              FROM raw
+            ),
+            keep AS (SELECT min(doc_id) AS kid FROM documents GROUP BY md5(text)),
+            l AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(text, chr(10)), x -> x <> '')) AS line
+              FROM documents
+            ),
+            lg AS (SELECT doc_id, line, count(*) AS cnt FROM l GROUP BY doc_id, line),
+            la AS (SELECT doc_id, sum(cnt)::BIGINT AS n_lines,
+                          sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::BIGINT AS dup_occ
+                   FROM lg GROUP BY doc_id),
+            ga AS (
+              SELECT doc_id,
+                     greatest(len(toks) - 4, 0)::BIGINT AS n_5grams,
+                     (CASE WHEN len(toks) >= 5 THEN
+                        len(list_distinct(list_transform(generate_series(1, len(toks) - 4),
+                            i -> array_to_string(toks[i:i+4], ' '))))
+                      ELSE 0 END)::BIGINT AS distinct_5grams
+              FROM raw
+            ),
+            grams AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(toks) - 7),
+                            i -> array_to_string(toks[i:i+7], ' '))) AS gram
+              FROM raw WHERE len(toks) >= 8
+            ),
+            eg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 23 = 0),
+            tg AS (
+              SELECT g.doc_id, count(*)::BIGINT AS n, count(e.gram)::BIGINT AS hit
+              FROM grams g LEFT JOIN eg e ON g.gram = e.gram
+              WHERE g.doc_id % 23 <> 0
+              GROUP BY g.doc_id
+            ),
+            pii AS (SELECT doc_id, {pii_clean} AS text_clean FROM documents)
+            SELECT s.doc_id, s.lang AS lang_pred, s.n_tokens, p.text_clean
+            FROM st s
+            JOIN keep k ON s.doc_id = k.kid
+            LEFT JOIN la ON s.doc_id = la.doc_id
+            JOIN ga ON s.doc_id = ga.doc_id
+            LEFT JOIN tg ON s.doc_id = tg.doc_id
+            JOIN pii p ON s.doc_id = p.doc_id
+            WHERE s.n_tokens >= 10 AND s.stopr <= 0.7 AND s.alphar >= 0.3
+              AND s.lang = 'en'
+              AND (CASE WHEN coalesce(la.n_lines, 0) = 0 THEN 0.0
+                        ELSE la.dup_occ::DOUBLE / la.n_lines END) <= 0.9
+              AND (CASE WHEN ga.n_5grams = 0 THEN 0.0
+                        ELSE 1.0 - (ga.distinct_5grams::DOUBLE / ga.n_5grams) END) <= 0.9
+              AND s.doc_id % 23 <> 0
+              AND (CASE WHEN coalesce(tg.n, 0) = 0 THEN 0.0
+                        ELSE tg.hit::DOUBLE / tg.n END) <= 0.5
+        """,
         "event_windows": """
             SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
                    event_type,
@@ -1347,6 +1430,7 @@ RAY_QUERIES = {
     "value_quantiles_approx": q_value_quantiles_approx,
     "event_sessions": q_event_sessions,
     "clean_corpus": q_clean_corpus,
+    "clean_corpus_full": q_clean_corpus_full,
     "dedup_clusters": q_dedup_clusters,
     "jaccard_verify": q_jaccard_verify,
     "cosine_verify": q_cosine_verify,

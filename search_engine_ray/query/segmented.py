@@ -95,24 +95,7 @@ class SegmentedSearchEngine:
 
     # ------------------------------------------------------------------ ranked
     def bm25_topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
-        doc_parts, score_parts = [], []
-        for t in self.query_terms(query):
-            tps = self._term_postings(t)
-            df_g = sum(tp.df for _e, tp in tps)
-            if df_g == 0:
-                continue
-            for eng, tp in tps:
-                dl = eng.doc_length(tp.doc_ids)
-                w = bm25_weights(tp.tfs, dl, df_g, self.num_docs, self.avgdl,
-                                 self.config.bm25_k1, self.config.bm25_b)
-                live = self._live(tp.doc_ids)
-                doc_parts.append(tp.doc_ids[live])
-                score_parts.append(w[live])
-        if not doc_parts:
-            return []
-        ids, scores = topk_docs(np.concatenate(doc_parts),
-                                np.concatenate(score_parts), k)
-        return [(int(d), float(s)) for d, s in zip(ids, scores)]
+        return self._bm25_terms(self.query_terms(query), k)
 
     def tfidf_topk(self, query: str, k: int = 10, dtype=np.float32
                    ) -> list[tuple[int, float]]:
@@ -186,6 +169,82 @@ class SegmentedSearchEngine:
                 break
             docs = np.intersect1d(docs, ids, assume_unique=True)
         return docs[self._live(docs)]
+
+    def boolean_or(self, query: str) -> np.ndarray:
+        docs = []
+        for t in self.query_terms(query):
+            for _eng, tp in self._term_postings(t):
+                docs.append(tp.doc_ids)
+        if not docs:
+            return np.zeros(0, np.int64)
+        out = np.unique(np.concatenate(docs))
+        return out[self._live(out)]
+
+    def more_like_this(self, text: str, k: int = 10, n_terms: int = 3,
+                       exclude: int | None = None) -> list[tuple[int, float]]:
+        """Keyword extraction with GLOBAL df/N (exact integers over
+        segments), then segmented BM25 — matches the monolithic engine's
+        more_like_this on the same corpus."""
+        tf: dict[str, int] = {}
+        for tok in self.tokenizer.tokenize(text):
+            if tok.word:
+                tf[tok.word] = tf.get(tok.word, 0) + 1
+        scored = []
+        for term, f in tf.items():
+            df_g = self.df(term)
+            if df_g == 0:
+                continue
+            s = round(float(f) * float(np.log10(float(self.num_docs) / float(df_g))), 6)
+            scored.append((-s, term))
+        scored.sort()
+        terms = [t for _s, t in scored[:n_terms]]
+        hits = self._bm25_terms(terms, k + (1 if exclude is not None else 0))
+        if exclude is not None:
+            hits = [h for h in hits if h[0] != exclude]
+        return hits[:k]
+
+    def _bm25_terms(self, terms: list[str], k: int) -> list[tuple[int, float]]:
+        doc_parts, score_parts = [], []
+        for t in terms:
+            tps = self._term_postings(t)
+            df_g = sum(tp.df for _e, tp in tps)
+            if df_g == 0:
+                continue
+            for eng, tp in tps:
+                dl = eng.doc_length(tp.doc_ids)
+                w = bm25_weights(tp.tfs, dl, df_g, self.num_docs, self.avgdl,
+                                 self.config.bm25_k1, self.config.bm25_b)
+                live = self._live(tp.doc_ids)
+                doc_parts.append(tp.doc_ids[live])
+                score_parts.append(w[live])
+        if not doc_parts:
+            return []
+        ids, scores = topk_docs(np.concatenate(doc_parts),
+                                np.concatenate(score_parts), k)
+        return [(int(d), float(s)) for d, s in zip(ids, scores)]
+
+    def snippets(self, query: str, k: int = 10
+                 ) -> list[tuple[int, float, int, int, int]]:
+        """Best-window snippets over the segmented BM25 top-k; positions
+        come from each hit's own segment."""
+        from search_engine_ray.query.engine import _min_cover_window
+
+        terms = self.query_terms(query)
+        hits = self.bm25_topk(query, k)
+        if not hits or not terms:
+            return []
+        per_term = {t: self._term_postings(t) for t in terms}
+        out = []
+        for doc_id, score in hits:
+            pos_lists = []
+            for t in terms:
+                for _eng, tp in per_term[t]:
+                    p = tp.positions_for_doc(doc_id)
+                    if p is not None and len(p):
+                        pos_lists.append(np.asarray(p, np.int64))
+            s, e, n = _min_cover_window(pos_lists)
+            out.append((doc_id, score, s, e, n))
+        return out
 
     def phrase(self, query: str) -> np.ndarray:
         parts = [eng.phrase(query) for eng in self.engines]

@@ -104,6 +104,23 @@ class TestAppend:
         assert sorted(seg.proximity("alpha", "beta", 3)) == \
             sorted(full.proximity("alpha", "beta", 3))
 
+    @pytest.mark.parametrize("q", QUERIES)
+    def test_boolean_or_identical(self, built, q):
+        full, seg, _root, _fd = built
+        np.testing.assert_array_equal(seg.boolean_or(q), full.boolean_or(q))
+
+    def test_more_like_this_identical(self, built):
+        full, seg, _root, _fd = built
+        text = TEXTS[11]  # "common common common term"
+        for exclude in (None, 12):
+            assert seg.more_like_this(text, 10, exclude=exclude) == \
+                full.more_like_this(text, 10, exclude=exclude)
+
+    @pytest.mark.parametrize("q", QUERIES)
+    def test_snippets_identical(self, built, q):
+        full, seg, _root, _fd = built
+        assert seg.snippets(q, 10) == full.snippets(q, 10)
+
     def test_df_sums_across_segments(self, built):
         full, seg, _root, _fd = built
         for t in ("common", "brown", "filler"):
