@@ -393,6 +393,17 @@ def q_doc_keywords(sf_dir: str):
                .sort_values(["doc_id", "rank"]).reset_index(drop=True))
 
 
+def q_doc_logprob(sf_dir: str):
+    """Per-doc unigram-LM mean log-probability (CCNet-style quality proxy):
+    postings ⋈ corpus-term-frequency hash join + partial/final per-doc
+    weighted mean — no vocabulary broadcast."""
+    from search_engine_ray.pipelines.training_data import doc_logprob
+
+    out = doc_logprob(_read_docs(sf_dir)).to_pandas()
+    return (out.astype({"doc_id": np.int64, "n_tokens": np.int64})
+               .sort_values("doc_id").reset_index(drop=True))
+
+
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-k; queries = embeddings of vec_id 0..2.
     round(3): DuckDB's list_cosine_similarity computes in float32."""
@@ -1126,6 +1137,17 @@ def oracle_queries() -> dict[str, str]:
             SELECT doc_id, rank, term, score_r FROM r WHERE rank <= 3
             """
         ),
+        "doc_logprob": _with(
+            """
+            , ctf AS (SELECT term, SUM(tf) AS ctf FROM postings GROUP BY term),
+            tot AS (SELECT SUM(tf) AS t FROM postings)
+            SELECT p.doc_id, SUM(p.tf)::BIGINT AS n_tokens,
+                   round(SUM(p.tf * log10(c.ctf::DOUBLE / tot.t)) / SUM(p.tf), 6)
+                     AS logprob_r
+            FROM postings p JOIN ctf c USING (term) CROSS JOIN tot
+            GROUP BY p.doc_id
+            """
+        ),
         "ann_topk": f"""
             WITH q AS (
               SELECT vec_id::BIGINT AS query_idx, embedding FROM embeddings
@@ -1420,6 +1442,7 @@ RAY_QUERIES = {
     "lang_counts": q_lang_counts,
     "text_stats": q_text_stats,
     "doc_keywords": q_doc_keywords,
+    "doc_logprob": q_doc_logprob,
     "ann_topk": q_ann_topk,
     "media_features": q_media_features,
     "media_resize": q_media_resize,

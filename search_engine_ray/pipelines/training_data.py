@@ -330,6 +330,85 @@ def doc_keywords(docs: "ray.data.Dataset", k: int = 3, id_col: str = "doc_id",
     return sorted_group_map(scored, [id_col], topk_block)
 
 
+def doc_logprob(docs: "ray.data.Dataset", id_col: str = "doc_id",
+                text_col: str = "text", round_digits: int = 6):
+    """CCNet-style unigram-LM quality proxy: per-doc mean token
+    log-probability under the corpus's own unigram distribution —
+    (doc_id, n_tokens, logprob_r) with
+    logprob = Σ_t tf_t·log10(ctf_t / T) / Σ_t tf_t over the doc's terms
+    (ctf = corpus term frequency, T = total tokens). Low values flag
+    gibberish / rare-token soup; high values flag boilerplate.
+
+    Distributed shape (the doc_keywords pattern): tokenize → postings
+    (term, doc_id, tf) → per-block ctf combiners → small groupby →
+    hash-join ctf back onto postings (no vocabulary broadcast) → per-doc
+    weighted mean via one more partial+final groupby. T is an exact scalar
+    aggregate."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from search_engine_ray.stages.tokenize import tokenize_stage
+
+    postings = tokenize_stage(docs).map_batches(
+        lambda b: b.filter(pc.not_equal(b["term"], "")).select(["term", id_col, "tf"]),
+        batch_format="pyarrow").materialize()
+
+    def ctf_partial(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        if b.num_rows == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "ctf_part": pa.array([], pa.int64())})
+        enc = b["term"].dictionary_encode().combine_chunks()
+        s = np.bincount(enc.indices.to_numpy(zero_copy_only=False),
+                        weights=b["tf"].to_numpy(zero_copy_only=False),
+                        minlength=len(enc.dictionary))
+        return pa.table({"term": enc.dictionary.cast(pa.string()),
+                         "ctf_part": pa.array(s.astype(np.int64), pa.int64())})
+
+    ctf = postings.map_batches(ctf_partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("ctf_part", alias_name="ctf"))
+    total = postings.aggregate(Sum("tf", alias_name="t"))["t"] or 0
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:  # pragma: no cover
+        ncpu = 8
+    joined = postings.join(ctf, join_type="inner",
+                           num_partitions=max(4, ncpu // 2), on=("term",))
+
+    def score_partial(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        if b.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "lp_part": pa.array([], pa.float64()),
+                             "tf_part": pa.array([], pa.int64())})
+        tf = b["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ctf_v = b["ctf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lp = tf * np.log10(ctf_v / float(total))
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        uids, inv = np.unique(ids, return_inverse=True)
+        return pa.table({
+            id_col: pa.array(uids.astype(np.int64), pa.int64()),
+            "lp_part": pa.array(np.bincount(inv, weights=lp), pa.float64()),
+            "tf_part": pa.array(np.bincount(inv, weights=tf).astype(np.int64), pa.int64()),
+        })
+
+    agg = joined.map_batches(score_partial, batch_format="pyarrow") \
+        .groupby(id_col).aggregate(Sum("lp_part", alias_name="lp"),
+                                   Sum("tf_part", alias_name="n_tokens"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        lp = b["lp"].to_numpy(zero_copy_only=False)
+        n = b["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+        out = np.round(np.divide(lp, n, out=np.zeros_like(lp), where=n > 0),
+                       round_digits)
+        return pa.table({id_col: b[id_col].cast(pa.int64()),
+                         "n_tokens": b["n_tokens"].cast(pa.int64()),
+                         "logprob_r": pa.array(out, pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # deduplication
 # ---------------------------------------------------------------------------
