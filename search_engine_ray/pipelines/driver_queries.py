@@ -404,6 +404,68 @@ def q_doc_logprob(sf_dir: str):
                .sort_values("doc_id").reset_index(drop=True))
 
 
+#: deterministic url synthesis for the web-curation queries (documents has
+#: no url column): doc_id → https://h{doc_id%37}.example.test/p/{doc_id};
+#: the oracle SQL builds the identical strings.
+_HOST_MOD = 37
+_HOST_CAP = 3
+_STRATA = {"en": 0.5, "de": 0.25}
+_STRATA_DEFAULT = 0.1
+_PACK_LEN = 256
+
+
+def _docs_with_urls(sf_dir: str):
+    ds = _read_docs(sf_dir)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        urls = pa.array(
+            [f"https://h{int(i) % _HOST_MOD}.example.test/p/{int(i)}" for i in ids],
+            pa.string())
+        return batch.append_column("url", urls)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_host_stats(sf_dir: str):
+    """Per-host doc/token counts (vectorized host extraction + partial
+    counts; the groupby moves one row per (batch, host))."""
+    from search_engine_ray.pipelines.webcorpus import host_stats
+
+    out = host_stats(_docs_with_urls(sf_dir)).to_pandas()
+    return (out.astype({"n_docs": np.int64, "total_tokens": np.int64})
+               .sort_values("host").reset_index(drop=True))
+
+
+def q_host_cap(sf_dir: str):
+    """Per-host dominance cap: keep the 3 smallest doc_ids per host."""
+    from search_engine_ray.pipelines.webcorpus import host_cap_filter
+
+    out = host_cap_filter(_docs_with_urls(sf_dir), cap=_HOST_CAP).to_pandas()
+    return (out[["doc_id", "host"]].astype({"doc_id": np.int64})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic md5-keyed per-language sampling (partition-invariant)."""
+    from search_engine_ray.pipelines.webcorpus import stratified_sample
+
+    docs = _read_docs(sf_dir, columns=("doc_id", "text", "lang"))
+    out = stratified_sample(docs, _STRATA, default_frac=_STRATA_DEFAULT).to_pandas()
+    return (out[["doc_id", "lang"]].astype({"doc_id": np.int64})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def q_pack_sequences(sf_dir: str):
+    """Concat-and-chunk packing plan via the distributed prefix sum."""
+    from search_engine_ray.pipelines.webcorpus import pack_sequences
+
+    out = pack_sequences(_read_docs(sf_dir), max_len=_PACK_LEN).to_pandas()
+    cols = ["doc_id", "n_tokens", "start_off", "pack_first", "pack_last"]
+    return (out[cols].astype({c: np.int64 for c in cols})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-k; queries = embeddings of vec_id 0..2.
     round(3): DuckDB's list_cosine_similarity computes in float32."""
@@ -1148,6 +1210,66 @@ def oracle_queries() -> dict[str, str]:
             GROUP BY p.doc_id
             """
         ),
+        "host_stats": rf"""
+            WITH pages AS (
+              SELECT doc_id,
+                     'https://h' || (doc_id % {_HOST_MOD}) || '.example.test/p/' || doc_id AS url,
+                     text
+              FROM documents
+            ),
+            tc AS (
+              SELECT regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/:?#]+)', 1) AS host,
+                     len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS nt
+              FROM pages
+            )
+            SELECT host, COUNT(*)::BIGINT AS n_docs, SUM(nt)::BIGINT AS total_tokens
+            FROM tc GROUP BY host
+        """,
+        "host_cap": rf"""
+            WITH pages AS (
+              SELECT doc_id,
+                     'https://h' || (doc_id % {_HOST_MOD}) || '.example.test/p/' || doc_id AS url
+              FROM documents
+            ),
+            h AS (
+              SELECT doc_id,
+                     regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/:?#]+)', 1) AS host
+              FROM pages
+            ),
+            r AS (
+              SELECT doc_id, host,
+                     ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+              FROM h
+            )
+            SELECT doc_id, host FROM r WHERE rn <= {_HOST_CAP}
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5(doc_id::VARCHAR), 1, 8) <
+                  CASE lang
+                    {" ".join(f"WHEN '{k}' THEN '{min(int(v * 2**32), 2**32 - 1):08x}'" for k, v in _STRATA.items())}
+                    ELSE '{min(int(_STRATA_DEFAULT * 2**32), 2**32 - 1):08x}'
+                  END
+        """,
+        "pack_sequences": rf"""
+            WITH tc AS (
+              SELECT doc_id,
+                     len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0)::BIGINT AS start_off
+              FROM tc
+            )
+            SELECT doc_id, n_tokens, start_off,
+                   (start_off // {_PACK_LEN})::BIGINT AS pack_first,
+                   (CASE WHEN n_tokens = 0 THEN start_off
+                         ELSE start_off + n_tokens - 1 END // {_PACK_LEN})::BIGINT AS pack_last
+            FROM c
+        """,
         "ann_topk": f"""
             WITH q AS (
               SELECT vec_id::BIGINT AS query_idx, embedding FROM embeddings
@@ -1443,6 +1565,10 @@ RAY_QUERIES = {
     "text_stats": q_text_stats,
     "doc_keywords": q_doc_keywords,
     "doc_logprob": q_doc_logprob,
+    "host_stats": q_host_stats,
+    "host_cap": q_host_cap,
+    "stratified_sample": q_stratified_sample,
+    "pack_sequences": q_pack_sequences,
     "ann_topk": q_ann_topk,
     "media_features": q_media_features,
     "media_resize": q_media_resize,

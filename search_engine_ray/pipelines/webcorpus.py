@@ -1,0 +1,201 @@
+"""Web-corpus curation operators (C4 / RefinedWeb-style, over the
+input-hint webpages shape): host extraction + per-host stats, per-host
+dominance caps, deterministic stratified sampling, and sequence packing
+for training-data assembly.
+
+Every operator is a streaming Dataset transform: partial aggregation
+inside map_batches, one small groupby for the wide step, nothing
+driver-side that scales with the corpus. Each has a DuckDB oracle in
+pipelines/driver_queries.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import Sum
+
+from search_engine_ray.stages.grouped import sorted_group_map
+from search_engine_ray.stages.scan import ordered_prefix_sum
+
+def host_of(urls: "pa.Array | pa.ChunkedArray") -> pa.Array:
+    """Vectorized url → host ('' when the url has no scheme://host part).
+    Host = everything after scheme:// up to the first of / : ? #."""
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    ex = pc.extract_regex(urls, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?P<host>[^/:?#]+)")
+    host = pc.struct_field(ex, "host")
+    return pc.fill_null(host, "")
+
+
+def with_host(pages, url_col: str = "url", out_col: str = "host"):
+    """Stamp a host column onto a webpages-shaped Dataset (map-only)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.append_column(out_col, host_of(batch[url_col]))
+
+    return pages.map_batches(fn, batch_format="pyarrow")
+
+
+def host_stats(pages, url_col: str = "url", text_col: str = "text"):
+    """Per-host (host, n_docs, total_tokens): the curation signal for
+    dominance filtering. Partial counts per batch; the final groupby moves
+    one row per (batch, host)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return pa.table({"host": pa.array([], pa.string()),
+                             "n_part": pa.array([], pa.int64()),
+                             "tok_part": pa.array([], pa.int64())})
+        hosts = host_of(batch[url_col])
+        ntok = _raw_token_counts(batch[text_col])
+        enc = hosts.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        n = np.bincount(idx, minlength=len(enc.dictionary))
+        t = np.bincount(idx, weights=ntok, minlength=len(enc.dictionary))
+        return pa.table({
+            "host": enc.dictionary.cast(pa.string()),
+            "n_part": pa.array(n.astype(np.int64), pa.int64()),
+            "tok_part": pa.array(t.astype(np.int64), pa.int64()),
+        })
+
+    return (pages.map_batches(partial, batch_format="pyarrow")
+            .groupby("host")
+            .aggregate(Sum("n_part", alias_name="n_docs"),
+                       Sum("tok_part", alias_name="total_tokens")))
+
+
+def _raw_token_counts(texts) -> np.ndarray:
+    """Whitespace token count per text (non-empty tokens), vectorized."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
+    flat = pc.list_flatten(toks)
+    lens = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    # per-list count of non-empty flattened tokens
+    starts = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=starts[1:])
+    cs = np.concatenate([[0], np.cumsum(nonempty.astype(np.int64))])
+    return cs[starts[1:]] - cs[starts[:-1]]
+
+
+def host_cap_filter(pages, cap: int, url_col: str = "url",
+                    id_col: str = "doc_id"):
+    """Keep at most ``cap`` docs per host — the ``cap`` SMALLEST ids
+    (deterministic; mirrors 'keep first crawled'). Two-level: a per-batch
+    combiner keeps ≤cap per host locally, so the sort that finalizes moves
+    at most cap rows per (block, host) however dominant a host is."""
+
+    def keep_cap(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return batch
+        enc = batch["host"].dictionary_encode().combine_chunks() \
+            if "host" in batch.column_names else None
+        assert enc is not None
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, codes))
+        sc = codes[order]
+        # rank within host group (groups contiguous after lexsort)
+        change = np.empty(len(sc), bool)
+        change[0] = True
+        change[1:] = sc[1:] != sc[:-1]
+        gstart = np.maximum.accumulate(np.where(change, np.arange(len(sc)), 0))
+        rank = np.arange(len(sc)) - gstart
+        keep = order[rank < cap]
+        keep.sort()
+        return batch.take(pa.array(keep))
+
+    stamped = with_host(pages, url_col=url_col)
+    pre = stamped.map_batches(keep_cap, batch_format="pyarrow")
+    return sorted_group_map(pre, ["host"], keep_cap, sort_cols=["host", id_col])
+
+
+def stratified_sample(docs, fractions: dict[str, float],
+                      default_frac: float = 0.0, key_col: str = "lang",
+                      id_col: str = "doc_id", method: str = "md5"):
+    """Deterministic per-stratum sampling: a doc is kept iff its hash-unit
+    u(doc) < fraction(stratum). Partition- and order-invariant (the rule is
+    a pure row function), so the sample is reproducible at any scale.
+
+    method='md5'  — u = first 8 hex chars of md5(str(id)); the keep rule
+                    compares fixed-width lowercase hex STRINGS, so a DuckDB
+                    oracle reproduces it exactly (driver_queries).
+    method='mix64' — vectorized integer hash (no per-row Python); same
+                    contract, no SQL oracle (DuckDB lacks 64-bit wrapping
+                    arithmetic).
+    """
+    from search_engine_ray.functions.hashing import md5_hex_batch, mix64
+
+    thresholds = {k: f"{min(int(v * 2**32), 2**32 - 1):08x}" for k, v in fractions.items()}
+    default_hex = f"{min(int(default_frac * 2**32), 2**32 - 1):08x}"
+    thr_int = {k: np.uint64(min(int(v * 2**32), 2**32 - 1)) for k, v in fractions.items()}
+    default_int = np.uint64(min(int(default_frac * 2**32), 2**32 - 1))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return batch
+        keys = batch[key_col].to_pylist()
+        if method == "md5":
+            hx = md5_hex_batch([str(int(i)) for i in
+                                batch[id_col].to_numpy(zero_copy_only=False)])
+            keep = np.array([h[:8] < thresholds.get(k, default_hex)
+                             for h, k in zip(hx, keys)], bool)
+        else:
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            u = mix64(ids.view(np.uint64)) >> np.uint64(32)
+            lim = np.array([thr_int.get(k, default_int) for k in keys], np.uint64)
+            keep = u < lim
+        return batch.take(pa.array(np.flatnonzero(keep)))
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def pack_sequences(docs, max_len: int, id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """GPT-style concat-and-chunk packing plan: documents are concatenated
+    in ``id_col`` order and cut into fixed ``max_len``-token packs; each doc
+    row gains its global token offset and the packs it lands in:
+
+        (doc_id, n_tokens, start_off, pack_first, pack_last)
+
+    The global offset is a distributed prefix sum (stages/scan.py) — two
+    streaming passes, only per-block totals touch the driver. The output IS
+    the shuffle-free packing plan: a writer task for pack range [a, b) knows
+    exactly which doc rows it needs (start_off/pack ids are monotone)."""
+
+    def count(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64())})
+        return pa.table({
+            id_col: batch[id_col].cast(pa.int64()),
+            "n_tokens": pa.array(_raw_token_counts(batch[text_col]), pa.int64()),
+        })
+
+    counted = docs.map_batches(count, batch_format="pyarrow")
+    scanned = ordered_prefix_sum(counted, id_col, "n_tokens",
+                                 out_col="start_off")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return batch.append_column(
+                "pack_first", pa.array([], pa.int64())).append_column(
+                "pack_last", pa.array([], pa.int64()))
+        start = batch["start_off"].to_numpy(zero_copy_only=False)
+        n = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        first = start // max_len
+        last = np.where(n > 0, (start + n - 1) // max_len, first)
+        return batch.append_column(
+            "pack_first", pa.array(first.astype(np.int64), pa.int64())
+        ).append_column("pack_last", pa.array(last.astype(np.int64), pa.int64()))
+
+    return scanned.map_batches(finish, batch_format="pyarrow")

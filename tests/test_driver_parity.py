@@ -90,7 +90,9 @@ def test_query_and_oracle_keys_align(entry):
         "tfidf_topk", "bm25_topk", "bm25_wand",
         "bm25_segments", "bm25_blend", "phrase", "proximity", "fuzzy", "exact_dedup",
         "lang_counts",
-        "text_stats", "doc_keywords", "doc_logprob", "ann_topk", "media_features", "media_resize",
+        "text_stats", "doc_keywords", "doc_logprob", "host_stats", "host_cap",
+        "stratified_sample", "pack_sequences",
+        "ann_topk", "media_features", "media_resize",
         "media_frames", "event_windows", "event_hopping", "value_quantiles",
         "event_sessions", "clean_corpus", "clean_corpus_full",
         "cosine_norms", "jaccard_verify", "dedup_clusters", "cosine_verify",

@@ -1,0 +1,144 @@
+"""Web-corpus curation ops (pipelines/webcorpus.py) + the distributed
+prefix-sum primitive (stages/scan.py): scalar-spec equivalence and
+partition invariance."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _pages(n=600, hosts=5, seed=3):
+    rng = np.random.default_rng(seed)
+    ids = np.arange(n, dtype=np.int64)
+    rng.shuffle(ids)  # non-sorted input: ops must not rely on order
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "url": pa.array(
+            [f"https://h{int(i) % hosts}.example.test/a/{int(i)}" for i in ids],
+            pa.string()),
+        "text": pa.array(
+            [("w " * (int(i) % 9)).strip() for i in ids], pa.string()),
+        "lang": pa.array(
+            ["en" if int(i) % 4 else "fr" for i in ids], pa.string()),
+    })
+
+
+def _ds(tbl, parts):
+    import ray.data
+
+    return ray.data.from_arrow(tbl).repartition(parts)
+
+
+def test_host_of_edge_cases(ray_session):
+    from search_engine_ray.pipelines.webcorpus import host_of
+
+    urls = pa.array([
+        "https://a.b.c/x", "http://h:8080/p", "ftp://f.q?x=1",
+        "scheme+x://host#frag", "no-scheme/path", "", "https://solo",
+    ])
+    assert host_of(urls).to_pylist() == [
+        "a.b.c", "h", "f.q", "host", "", "", "solo",
+    ]
+
+
+def test_host_stats_matches_pandas(ray_session):
+    from search_engine_ray.pipelines.webcorpus import host_stats
+
+    tbl = _pages()
+    out = host_stats(_ds(tbl, 7)).to_pandas().sort_values("host").reset_index(drop=True)
+    df = tbl.to_pandas()
+    df["host"] = df.url.str.extract(r"://([^/:?#]+)")
+    df["nt"] = df.text.str.split().map(len)
+    exp = (df.groupby("host").agg(n_docs=("doc_id", "size"), total_tokens=("nt", "sum"))
+           .reset_index())
+    assert out.host.tolist() == exp.host.tolist()
+    assert out.n_docs.tolist() == exp.n_docs.tolist()
+    assert out.total_tokens.tolist() == exp.total_tokens.tolist()
+
+
+@pytest.mark.parametrize("parts", [1, 13])
+def test_host_cap_filter_keeps_smallest_ids(ray_session, parts):
+    from search_engine_ray.pipelines.webcorpus import host_cap_filter
+
+    tbl = _pages(n=400, hosts=3)
+    out = host_cap_filter(_ds(tbl, parts), cap=4).to_pandas()
+    g = out.groupby("host").doc_id.apply(lambda s: sorted(s))
+    for host, kept in g.items():
+        k = int(host[1])  # h{k}.example.test
+        expected = sorted(i for i in range(400) if i % 3 == k)[:4]
+        assert kept == expected, host
+    assert len(out) == 12
+
+
+def test_stratified_sample_rule_and_invariance(ray_session):
+    import hashlib
+
+    from search_engine_ray.pipelines.webcorpus import stratified_sample
+
+    tbl = _pages(n=800)
+    frac = {"en": 0.4}
+    out = stratified_sample(_ds(tbl, 5), frac, default_frac=0.05).to_pandas()
+    out2 = stratified_sample(_ds(tbl, 17), frac, default_frac=0.05).to_pandas()
+    assert sorted(out.doc_id) == sorted(out2.doc_id)  # partition-invariant
+    # scalar spec: md5 hex prefix below the per-stratum threshold
+    thr = {"en": f"{int(0.4 * 2**32):08x}"}
+    default = f"{int(0.05 * 2**32):08x}"
+    df = tbl.to_pandas()
+    exp = [int(i) for i, l in zip(df.doc_id, df.lang)
+           if hashlib.md5(str(int(i)).encode()).hexdigest()[:8] < thr.get(l, default)]
+    assert sorted(out.doc_id) == sorted(exp)
+    # mix64 twin: same contract (per-stratum, deterministic), disjoint hash
+    m = stratified_sample(_ds(tbl, 5), frac, default_frac=0.05, method="mix64").to_pandas()
+    m2 = stratified_sample(_ds(tbl, 9), frac, default_frac=0.05, method="mix64").to_pandas()
+    assert sorted(m.doc_id) == sorted(m2.doc_id)
+    n_en = (df.lang == "en").sum()
+    assert abs((m.lang == "en").sum() - 0.4 * n_en) < 0.1 * n_en
+
+
+@pytest.mark.parametrize("parts", [1, 4, 19])
+def test_ordered_prefix_sum_matches_numpy(ray_session, parts):
+    import ray.data
+
+    from search_engine_ray.stages.scan import ordered_prefix_sum
+
+    rng = np.random.default_rng(11)
+    ids = np.arange(1000, dtype=np.int64)
+    rng.shuffle(ids)
+    vals = rng.integers(0, 50, 1000).astype(np.int64)
+    tbl = pa.table({"k": pa.array(ids, pa.int64()), "v": pa.array(vals, pa.int64())})
+    ds = ray.data.from_arrow(tbl).repartition(parts)
+    out = ordered_prefix_sum(ds, "k", "v", out_col="p").to_pandas().sort_values("k")
+    order = np.argsort(ids, kind="stable")
+    sorted_vals = vals[order]
+    exp = np.concatenate([[0], np.cumsum(sorted_vals)[:-1]])
+    assert (out.p.to_numpy() == exp).all()
+    assert (out.k.to_numpy() == ids[order]).all()
+
+
+def test_ordered_prefix_sum_rejects_duplicate_keys(ray_session):
+    import ray.data
+
+    from search_engine_ray.stages.scan import ordered_prefix_sum
+
+    tbl = pa.table({"k": pa.array([1, 2, 2, 3], pa.int64()),
+                    "v": pa.array([1, 1, 1, 1], pa.int64())})
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    with pytest.raises(Exception):
+        ordered_prefix_sum(ds, "k", "v").to_pandas()
+
+
+def test_pack_sequences_plan(ray_session):
+    from search_engine_ray.pipelines.webcorpus import pack_sequences
+
+    tbl = _pages(n=300)
+    out = pack_sequences(_ds(tbl, 6), max_len=32).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    nt = np.array([i % 9 for i in range(300)], np.int64)
+    assert (out.n_tokens.to_numpy() == nt).all()
+    start = np.concatenate([[0], np.cumsum(nt)[:-1]])
+    assert (out.start_off.to_numpy() == start).all()
+    assert (out.pack_first.to_numpy() == start // 32).all()
+    end_last = np.where(nt > 0, (start + nt - 1) // 32, start // 32)
+    assert (out.pack_last.to_numpy() == end_last).all()
+    # empty docs never straddle; non-empty docs straddle ≤ ceil(n/32) packs
+    assert (out.pack_last.to_numpy() >= out.pack_first.to_numpy()).all()
