@@ -466,6 +466,32 @@ def q_pack_sequences(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+_COLL_K = 20
+_COLL_MIN = 5
+_PRUNE_N = 2
+
+
+def q_collocations(sf_dir: str):
+    """Top-k bigram collocations by PMI (one tokenize wave emits unigram +
+    bigram postings; counts via combiners; two hash joins; only k rows
+    reach the driver)."""
+    from search_engine_ray.pipelines.training_data import collocations
+
+    out = collocations(_read_docs(sf_dir), k=_COLL_K, min_count=_COLL_MIN).to_pandas()
+    cols = ["bigram", "n_pair", "n_w1", "n_w2", "pmi_r"]
+    return (out[cols].astype({"n_pair": np.int64, "n_w1": np.int64, "n_w2": np.int64})
+            .reset_index(drop=True))
+
+
+def q_prune_postings(sf_dir: str):
+    """Static index pruning: top-2 postings per term by (tf desc, doc_id)."""
+    from search_engine_ray.pipelines.training_data import prune_postings
+
+    out = prune_postings(_read_docs(sf_dir), keep_n=_PRUNE_N).to_pandas()
+    return (out.astype({"doc_id": np.int64, "tf": np.int64})
+            .sort_values(["term", "doc_id"]).reset_index(drop=True))
+
+
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-k; queries = embeddings of vec_id 0..2.
     round(3): DuckDB's list_cosine_similarity computes in float32."""
@@ -1270,6 +1296,46 @@ def oracle_queries() -> dict[str, str]:
                          ELSE start_off + n_tokens - 1 END // {_PACK_LEN})::BIGINT AS pack_last
             FROM c
         """,
+        "collocations": _with(
+            f"""
+            , seq AS (
+              SELECT doc_id, position, term,
+                     LEAD(term) OVER (PARTITION BY doc_id ORDER BY position) AS nxt
+              FROM lem
+            ),
+            bi AS (
+              SELECT term AS w1, nxt AS w2, COUNT(*)::BIGINT AS n_pair
+              FROM seq WHERE nxt IS NOT NULL GROUP BY term, nxt
+            ),
+            uni AS (SELECT term, SUM(tf)::BIGINT AS c FROM postings GROUP BY term),
+            tu AS (SELECT SUM(tf)::DOUBLE AS t FROM postings),
+            tb AS (SELECT SUM(n_pair)::DOUBLE AS t FROM bi),
+            scored AS (
+              SELECT bi.w1 || ' ' || bi.w2 AS bigram, bi.n_pair,
+                     u1.c AS n_w1, u2.c AS n_w2,
+                     round(log10((bi.n_pair::DOUBLE * tu.t * tu.t)
+                                 / (tb.t * u1.c * u2.c)), 6) AS pmi_r
+              FROM bi JOIN uni u1 ON bi.w1 = u1.term
+                      JOIN uni u2 ON bi.w2 = u2.term
+              CROSS JOIN tu CROSS JOIN tb
+              WHERE bi.n_pair >= {_COLL_MIN}
+            )
+            SELECT bigram, n_pair, n_w1, n_w2, pmi_r FROM scored
+            ORDER BY pmi_r DESC, bigram LIMIT {_COLL_K}
+            """
+        ),
+        "prune_postings": _with(
+            f"""
+            , r AS (
+              SELECT term, doc_id, tf,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY term ORDER BY tf DESC, doc_id
+                     ) AS rn
+              FROM postings
+            )
+            SELECT term, doc_id, tf FROM r WHERE rn <= {_PRUNE_N}
+            """
+        ),
         "ann_topk": f"""
             WITH q AS (
               SELECT vec_id::BIGINT AS query_idx, embedding FROM embeddings
@@ -1569,6 +1635,8 @@ RAY_QUERIES = {
     "host_cap": q_host_cap,
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
+    "collocations": q_collocations,
+    "prune_postings": q_prune_postings,
     "ann_topk": q_ann_topk,
     "media_features": q_media_features,
     "media_resize": q_media_resize,

@@ -414,6 +414,137 @@ def doc_logprob(docs: "ray.data.Dataset", id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 
+def _term_count_partial(b: pa.Table, key_col: str = "term",
+                        weight_col: str = "tf") -> pa.Table:
+    """Per-batch (key, count) combiner: dictionary-encode + bincount, so a
+    downstream groupby moves one row per (batch, key) instead of per row."""
+    b = b.combine_chunks()
+    if b.num_rows == 0:
+        return pa.table({key_col: pa.array([], pa.string()),
+                         "c_part": pa.array([], pa.int64())})
+    enc = b[key_col].dictionary_encode().combine_chunks()
+    s = np.bincount(enc.indices.to_numpy(zero_copy_only=False),
+                    weights=b[weight_col].to_numpy(zero_copy_only=False),
+                    minlength=len(enc.dictionary))
+    return pa.table({key_col: enc.dictionary.cast(pa.string()),
+                     "c_part": pa.array(s.astype(np.int64), pa.int64())})
+
+
+def collocations(docs: "ray.data.Dataset", k: int = 20, min_count: int = 5,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 round_digits: int = 6):
+    """Top-k bigram collocations by pointwise mutual information:
+    (bigram, n_pair, n_w1, n_w2, pmi_r), pmi = log10(p(ab) / (p(a)·p(b)))
+    with p(ab) = n_pair/T_bigrams and p(w) = ctf_w/T_tokens. Ordered by
+    (pmi_r desc, bigram asc); n_pair ≥ min_count.
+
+    Distributed shape: ONE tokenize wave emits unigram AND bigram postings
+    (stages/tokenize.py's index-side bigram kernel — consecutive emitted
+    tokens, the reference's tokenizer.rs:150-160 pairing); per-batch
+    combiners + one small groupby produce counts; two hash joins attach the
+    component unigram counts (no vocabulary broadcast); only the scored
+    bigram table is sorted, and only k rows reach the driver."""
+    from ray.data.aggregate import Sum
+
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.stages.tokenize import tokenize_stage
+
+    cfg = EngineConfig(index_bigrams=True)
+    postings = tokenize_stage(docs, cfg).map_batches(
+        lambda b: b.filter(pc.not_equal(b["term"], "")).select(["term", "tf"]),
+        batch_format="pyarrow")
+    counts = postings.map_batches(_term_count_partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("c_part", alias_name="c")).materialize()
+
+    is_bi = lambda b: pc.match_substring(b["term"], " ")  # noqa: E731
+    uni = counts.map_batches(
+        lambda b: b.filter(pc.invert(is_bi(b))), batch_format="pyarrow")
+    bi = counts.map_batches(
+        lambda b: b.filter(is_bi(b)), batch_format="pyarrow")
+    t_uni = uni.aggregate(Sum("c", alias_name="t"))["t"] or 0
+    t_bi = bi.aggregate(Sum("c", alias_name="t"))["t"] or 0
+
+    def split_bigram(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        parts = pc.split_pattern(b["term"], " ")
+        return pa.table({
+            "bigram": b["term"],
+            "n_pair": b["c"].cast(pa.int64()),
+            "w1": pc.list_element(parts, 0),
+            "w2": pc.list_element(parts, 1),
+        })
+
+    bi = bi.map_batches(split_bigram, batch_format="pyarrow")
+    bi = bi.filter(expr=f"n_pair >= {int(min_count)}")
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:  # pragma: no cover
+        ncpu = 8
+    nparts = max(4, ncpu // 2)
+    u1 = uni.map_batches(lambda b: pa.table({"w1": b["term"], "n_w1": b["c"].cast(pa.int64())}),
+                         batch_format="pyarrow")
+    u2 = uni.map_batches(lambda b: pa.table({"w2": b["term"], "n_w2": b["c"].cast(pa.int64())}),
+                         batch_format="pyarrow")
+    joined = bi.join(u1, join_type="inner", num_partitions=nparts, on=("w1",)) \
+               .join(u2, join_type="inner", num_partitions=nparts, on=("w2",))
+
+    def score(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        if b.num_rows == 0:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n_pair": pa.array([], pa.int64()),
+                             "n_w1": pa.array([], pa.int64()),
+                             "n_w2": pa.array([], pa.int64()),
+                             "pmi_r": pa.array([], pa.float64())})
+        npair = b["n_pair"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = b["n_w1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c2 = b["n_w2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.round(np.log10((npair * float(t_uni) * float(t_uni))
+                                / (float(t_bi) * c1 * c2)), round_digits)
+        return pa.table({"bigram": b["bigram"], "n_pair": b["n_pair"],
+                         "n_w1": b["n_w1"], "n_w2": b["n_w2"],
+                         "pmi_r": pa.array(pmi, pa.float64())})
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    return scored.sort(["pmi_r", "bigram"], descending=[True, False]).limit(k)
+
+
+def prune_postings(docs: "ray.data.Dataset", keep_n: int = 2,
+                   id_col: str = "doc_id", text_col: str = "text"):
+    """Static index pruning (Carmel et al.-style top-N-by-tf): for each
+    term keep only the ``keep_n`` postings with highest tf (ties → smaller
+    doc_id) → (term, doc_id, tf). sorted_group_map sees MANY whole term
+    groups per block; the per-block kernel ranks all groups at once via one
+    lexsort — no per-term Python."""
+    from search_engine_ray.stages.grouped import sorted_group_map
+    from search_engine_ray.stages.tokenize import tokenize_stage
+
+    postings = tokenize_stage(docs).map_batches(
+        lambda b: b.filter(pc.not_equal(b["term"], "")).select(["term", id_col, "tf"]),
+        batch_format="pyarrow")
+
+    def topn_block(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        if b.num_rows == 0:
+            return b
+        enc = b["term"].dictionary_encode().combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = b["tf"].to_numpy(zero_copy_only=False)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -tf, codes))
+        sc = codes[order]
+        change = np.empty(len(sc), bool)
+        change[0] = True
+        change[1:] = sc[1:] != sc[:-1]
+        gstart = np.maximum.accumulate(np.where(change, np.arange(len(sc)), 0))
+        rank = np.arange(len(sc)) - gstart
+        keep = np.sort(order[rank < keep_n])
+        return b.take(pa.array(keep))
+
+    return sorted_group_map(postings, ["term"], topn_block,
+                            sort_cols=["term", id_col])
+
+
 def exact_dedup(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"):
     """Hash-partitioned exact dedup: one row per distinct md5(text) with the
     minimum doc_id as keeper and the duplicate count."""

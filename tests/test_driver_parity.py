@@ -91,7 +91,7 @@ def test_query_and_oracle_keys_align(entry):
         "bm25_segments", "bm25_blend", "phrase", "proximity", "fuzzy", "exact_dedup",
         "lang_counts",
         "text_stats", "doc_keywords", "doc_logprob", "host_stats", "host_cap",
-        "stratified_sample", "pack_sequences",
+        "stratified_sample", "pack_sequences", "collocations", "prune_postings",
         "ann_topk", "media_features", "media_resize",
         "media_frames", "event_windows", "event_hopping", "value_quantiles",
         "event_sessions", "clean_corpus", "clean_corpus_full",
