@@ -506,7 +506,19 @@ def collocations(docs: "ray.data.Dataset", k: int = 20, min_count: int = 5,
                          "pmi_r": pa.array(pmi, pa.float64())})
 
     scored = joined.map_batches(score, batch_format="pyarrow")
-    return scored.sort(["pmi_r", "bigram"], descending=[True, False]).limit(k)
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        # global top-k ⊆ union of per-block top-k: the final sort sees at
+        # most k × n_blocks rows, not the whole bigram vocabulary
+        b = b.combine_chunks()
+        if b.num_rows <= k:
+            return b
+        order = np.lexsort((np.asarray(b["bigram"].to_pylist(), dtype=object),
+                            -b["pmi_r"].to_numpy(zero_copy_only=False)))
+        return b.take(pa.array(np.sort(order[:k])))
+
+    pruned = scored.map_batches(block_topk, batch_format="pyarrow")
+    return pruned.sort(["pmi_r", "bigram"], descending=[True, False]).limit(k)
 
 
 def prune_postings(docs: "ray.data.Dataset", keep_n: int = 2,
