@@ -492,6 +492,86 @@ def q_prune_postings(sf_dir: str):
             .sort_values(["term", "doc_id"]).reset_index(drop=True))
 
 
+_PR_ITERS = 3
+_PR_DAMP = 0.85
+
+
+def q_pagerank(sf_dir: str):
+    """Link graph: synthesize pages where doc i links to (2i+1)%n and
+    (3i+2)%n (i%7==0 → no outlinks, exercising dangling redistribution),
+    extract hrefs from the raw html with the real batch-regex kernel, run
+    3 distributed power iterations."""
+    from search_engine_ray.pipelines.linkgraph import extract_links, pagerank
+
+    docs = _read_docs(sf_dir, columns=("doc_id",))
+    n = docs.count()
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        urls, htmls = [], []
+        for i in ids:
+            i = int(i)
+            urls.append(f"https://d{i}.test/")
+            if i % 7:
+                t1, t2 = (i * 2 + 1) % n, (i * 3 + 2) % n
+                body = (f'<a href="https://d{t1}.test/">a</a>'
+                        f'<a href="https://d{t2}.test/">b</a>')
+            else:
+                body = ""
+            htmls.append(f"<html><body>{body}</body></html>".encode())
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "html": pa.array(htmls, pa.binary())})
+
+    pages = docs.map_batches(to_pages, batch_format="pyarrow")
+    out = pagerank(extract_links(pages), n_iters=_PR_ITERS,
+                   damping=_PR_DAMP).to_pandas()
+    return out[["node", "rank_r"]].sort_values("node").reset_index(drop=True)
+
+
+def _pagerank_sql() -> str:
+    """Iterative PageRank unrolled into chained CTEs (one pair per power
+    iteration), mirroring q_pagerank's synthetic link graph."""
+    d = _PR_DAMP
+    parts = [f"""
+        WITH links AS (
+          SELECT doc_id AS s, unnest([(doc_id*2+1) % p.n, (doc_id*3+2) % p.n]) AS t
+          FROM documents, (SELECT COUNT(*)::BIGINT AS n FROM documents) p
+          WHERE doc_id % 7 <> 0
+        ),
+        edges AS (
+          SELECT 'https://d' || s || '.test/' AS src,
+                 'https://d' || t || '.test/' AS dst
+          FROM links
+        ),
+        nodes AS (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ),
+        deg AS (SELECT src AS node, COUNT(*)::DOUBLE AS out_deg FROM edges GROUP BY src),
+        nn AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+        r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)"""]
+    for k in range(1, _PR_ITERS + 1):
+        parts.append(f""",
+        dang{k} AS (
+          SELECT COALESCE(SUM(r.rank), 0)::DOUBLE AS m
+          FROM r{k - 1} r LEFT JOIN deg d ON r.node = d.node
+          WHERE d.node IS NULL
+        ),
+        c{k} AS (
+          SELECT e.dst AS node, SUM(r.rank / d.out_deg) AS s
+          FROM edges e JOIN r{k - 1} r ON e.src = r.node
+                       JOIN deg d ON e.src = d.node
+          GROUP BY e.dst
+        ),
+        r{k} AS (
+          SELECT n.node,
+                 (1 - {d}) / nn.n + {d} * (COALESCE(c.s, 0) + dg.m / nn.n) AS rank
+          FROM nodes n LEFT JOIN c{k} c ON n.node = c.node, nn, dang{k} dg
+        )""")
+    parts.append(f"""
+        SELECT node, round(rank, 6) AS rank_r FROM r{_PR_ITERS}""")
+    return "".join(parts)
+
+
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-k; queries = embeddings of vec_id 0..2.
     round(3): DuckDB's list_cosine_similarity computes in float32."""
@@ -1296,6 +1376,7 @@ def oracle_queries() -> dict[str, str]:
                          ELSE start_off + n_tokens - 1 END // {_PACK_LEN})::BIGINT AS pack_last
             FROM c
         """,
+        "pagerank": _pagerank_sql(),
         "collocations": _with(
             f"""
             , seq AS (
@@ -1637,6 +1718,7 @@ RAY_QUERIES = {
     "pack_sequences": q_pack_sequences,
     "collocations": q_collocations,
     "prune_postings": q_prune_postings,
+    "pagerank": q_pagerank,
     "ann_topk": q_ann_topk,
     "media_features": q_media_features,
     "media_resize": q_media_resize,
