@@ -496,13 +496,11 @@ _PR_ITERS = 3
 _PR_DAMP = 0.85
 
 
-def q_pagerank(sf_dir: str):
-    """Link graph: synthesize pages where doc i links to (2i+1)%n and
-    (3i+2)%n (i%7==0 → no outlinks, exercising dangling redistribution),
-    extract hrefs from the raw html with the real batch-regex kernel, run
-    3 distributed power iterations."""
-    from search_engine_ray.pipelines.linkgraph import extract_links, pagerank
-
+def _link_pages(sf_dir: str):
+    """Synthetic link graph over documents: doc i links to (2i+1)%n with
+    anchor text 'w{i%5} link' and to (3i+2)%n with anchor 'w{(i+1)%5}';
+    i%7==0 docs have NO outlinks (dangling). Oracle SQL reconstructs the
+    same edges/anchors arithmetically."""
     docs = _read_docs(sf_dir, columns=("doc_id",))
     n = docs.count()
 
@@ -514,18 +512,55 @@ def q_pagerank(sf_dir: str):
             urls.append(f"https://d{i}.test/")
             if i % 7:
                 t1, t2 = (i * 2 + 1) % n, (i * 3 + 2) % n
-                body = (f'<a href="https://d{t1}.test/">a</a>'
-                        f'<a href="https://d{t2}.test/">b</a>')
+                body = (f'<a href="https://d{t1}.test/">w{i % 5} link</a>'
+                        f'<a href="https://d{t2}.test/">w{(i + 1) % 5}</a>')
             else:
                 body = ""
             htmls.append(f"<html><body>{body}</body></html>".encode())
         return pa.table({"url": pa.array(urls, pa.string()),
                          "html": pa.array(htmls, pa.binary())})
 
-    pages = docs.map_batches(to_pages, batch_format="pyarrow")
-    out = pagerank(extract_links(pages), n_iters=_PR_ITERS,
+    return docs.map_batches(to_pages, batch_format="pyarrow")
+
+
+def q_pagerank(sf_dir: str):
+    """Link graph (see _link_pages): extract hrefs from the raw html with
+    the real batch-regex kernel, run 3 distributed power iterations with
+    dangling-mass redistribution."""
+    from search_engine_ray.pipelines.linkgraph import extract_links, pagerank
+
+    out = pagerank(extract_links(_link_pages(sf_dir)), n_iters=_PR_ITERS,
                    damping=_PR_DAMP).to_pandas()
     return out[["node", "rank_r"]].sort_values("node").reset_index(drop=True)
+
+
+def q_anchor_terms(sf_dir: str):
+    """Per-target anchor-text term profile (top-3 terms per dst)."""
+    from search_engine_ray.pipelines.linkgraph import anchor_terms
+
+    out = anchor_terms(_link_pages(sf_dir), k=3).to_pandas()
+    return (out.astype({"rank": np.int64, "n": np.int64})
+            .sort_values(["dst", "rank"]).reset_index(drop=True))
+
+
+def q_latest_snapshot(sf_dir: str):
+    """Re-crawl dedup: 97 synthetic urls × many captures → newest per url."""
+    from search_engine_ray.pipelines.webcorpus import latest_snapshot
+
+    docs = _read_docs(sf_dir, columns=("doc_id",))
+
+    def to_snaps(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        urls = [f"https://s{int(i) % 97}.test/p" for i in ids]
+        ts = pa.array(1_500_000_000_000_000 + ids * 1_000_000, pa.timestamp("us"))
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "warc_ts": ts,
+                         "doc_id": pa.array(ids, pa.int64())})
+
+    snaps = docs.map_batches(to_snaps, batch_format="pyarrow")
+    out = latest_snapshot(snaps).to_pandas()
+    return (out[["url", "doc_id"]].astype({"doc_id": np.int64})
+            .sort_values("url").reset_index(drop=True))
 
 
 def _pagerank_sql() -> str:
@@ -1377,6 +1412,33 @@ def oracle_queries() -> dict[str, str]:
             FROM c
         """,
         "pagerank": _pagerank_sql(),
+        "anchor_terms": """
+            WITH p AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+            a AS (
+              SELECT 'https://d' || ((doc_id*2+1) % p.n) || '.test/' AS dst,
+                     'w' || (doc_id % 5) AS term
+              FROM documents, p WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT 'https://d' || ((doc_id*2+1) % p.n) || '.test/', 'link'
+              FROM documents, p WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT 'https://d' || ((doc_id*3+2) % p.n) || '.test/',
+                     'w' || ((doc_id+1) % 5)
+              FROM documents, p WHERE doc_id % 7 <> 0
+            ),
+            c AS (SELECT dst, term, COUNT(*)::BIGINT AS n FROM a GROUP BY dst, term),
+            r AS (
+              SELECT dst, term, n,
+                     ROW_NUMBER() OVER (PARTITION BY dst ORDER BY n DESC, term)::BIGINT AS rank
+              FROM c
+            )
+            SELECT dst, rank, term, n FROM r WHERE rank <= 3
+        """,
+        "latest_snapshot": """
+            SELECT 'https://s' || (doc_id % 97) || '.test/p' AS url,
+                   MAX(doc_id)::BIGINT AS doc_id
+            FROM documents GROUP BY 1
+        """,
         "collocations": _with(
             f"""
             , seq AS (
@@ -1719,6 +1781,8 @@ RAY_QUERIES = {
     "collocations": q_collocations,
     "prune_postings": q_prune_postings,
     "pagerank": q_pagerank,
+    "anchor_terms": q_anchor_terms,
+    "latest_snapshot": q_latest_snapshot,
     "ann_topk": q_ann_topk,
     "media_features": q_media_features,
     "media_resize": q_media_resize,

@@ -66,6 +66,125 @@ def extract_links(pages, url_col: str = "url", html_col: str = "html"):
     return pages.map_batches(fn, batch_format="pyarrow")
 
 
+#: <a ... href="DST" ...>ANCHOR — anchor text runs to the next tag
+_ANCHOR_RE = r"""(?is)<a\b[^>]*?href\s*=\s*["']([^"']+)["'][^>]*>([^<]*)"""
+
+
+def extract_anchor_texts(pages, url_col: str = "url", html_col: str = "html"):
+    """(src, dst, anchor) from raw html: the text between an <a href> tag
+    and the next tag. Same one-scan-per-batch shape as extract_links; rows
+    join on '"<' (group 1 breaks on the quote, group 2 and the literal tag
+    parts break on '<', so no match spans rows)."""
+    import re
+
+    pat = re.compile(_ANCHOR_RE)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        empty = pa.table({"src": pa.array([], pa.string()),
+                          "dst": pa.array([], pa.string()),
+                          "anchor": pa.array([], pa.string())})
+        if batch.num_rows == 0:
+            return empty
+        srcs = np.asarray(batch[url_col].to_pylist(), dtype=object)
+        texts = [
+            (h.decode("utf-8", errors="replace") if isinstance(h, (bytes, bytearray))
+             else ("" if h is None else str(h)))
+            for h in batch[html_col].to_pylist()
+        ]
+        big = '"<'.join(texts)
+        starts = np.zeros(len(texts), np.int64)
+        np.cumsum([len(t) + 2 for t in texts[:-1]], out=starts[1:])
+        pos: list[int] = []
+        dsts: list[str] = []
+        anchors: list[str] = []
+        for m in pat.finditer(big):
+            pos.append(m.start())
+            dsts.append(m.group(1))
+            anchors.append(m.group(2))
+        rows = np.searchsorted(starts, np.asarray(pos, np.int64), side="right") - 1
+        return pa.table({"src": pa.array(srcs[rows], pa.string()),
+                         "dst": pa.array(dsts, pa.string()),
+                         "anchor": pa.array(anchors, pa.string())})
+
+    return pages.map_batches(fn, batch_format="pyarrow")
+
+
+def anchor_terms(pages, k: int = 3, url_col: str = "url",
+                 html_col: str = "html"):
+    """Per-TARGET anchor-text term profile — the classic link-text ranking
+    signal: (dst, rank, term, n) with the top-k lowercase whitespace tokens
+    of all anchors pointing at dst (rank by n desc, term asc). Combiner
+    per batch; one groupby on (dst, term); per-dst top-k via the bounded
+    group_topn shape."""
+    anchors = extract_anchor_texts(pages, url_col=url_col, html_col=html_col)
+
+    def explode(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        empty = pa.table({"dst": pa.array([], pa.string()),
+                          "term": pa.array([], pa.string()),
+                          "n_part": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(b["anchor"]))
+        lens = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if len(flat) == 0:
+            return empty
+        dsts = b["dst"].take(pa.array(np.repeat(np.arange(len(lens)), lens)))
+        keep = pc.not_equal(flat, "")
+        tbl = pa.table({"dst": dsts.combine_chunks(), "term": flat}).filter(keep)
+        if tbl.num_rows == 0:
+            return empty
+        # per-batch (dst, term) counts
+        key = pa.table({"d": tbl["dst"], "t": tbl["term"]})
+        import pandas as pd
+        df = key.to_pandas()
+        g = df.groupby(["d", "t"], sort=False).size().reset_index(name="n")
+        return pa.table({"dst": pa.array(g["d"], pa.string()),
+                         "term": pa.array(g["t"], pa.string()),
+                         "n_part": pa.array(g["n"].to_numpy(np.int64), pa.int64())})
+
+    from ray.data.aggregate import Sum as _Sum
+    counts = (anchors.map_batches(explode, batch_format="pyarrow")
+              .groupby(["dst", "term"]).aggregate(_Sum("n_part", alias_name="n")))
+
+    # top-k per dst by (n desc, term asc) — a two-column order, so rank in
+    # a sorted_group_map kernel (group_topn orders by one column only)
+    from search_engine_ray.stages.grouped import sorted_group_map
+
+    def topk_block(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        if b.num_rows == 0:
+            return pa.table({"dst": pa.array([], pa.string()),
+                             "rank": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        enc = b["dst"].dictionary_encode().combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        terms = np.asarray(b["term"].to_pylist(), dtype=object)
+        order = np.lexsort((terms, -n, codes))
+        sc = codes[order]
+        change = np.empty(len(sc), bool)
+        change[0] = True
+        change[1:] = sc[1:] != sc[:-1]
+        gstart = np.maximum.accumulate(np.where(change, np.arange(len(sc)), 0))
+        rank = np.arange(len(sc)) - gstart
+        sel = rank < k
+        take = order[sel]
+        return pa.table({
+            "dst": b["dst"].take(pa.array(take)),
+            "rank": pa.array(rank[sel] + 1, pa.int64()),
+            "term": b["term"].take(pa.array(take)),
+            "n": b["n"].take(pa.array(take)).cast(pa.int64()),
+        })
+
+    return sorted_group_map(counts, ["dst"], topk_block,
+                            sort_cols=["dst", "term"])
+
+
 def _nparts() -> int:
     try:
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8

@@ -83,37 +83,59 @@ def _raw_token_counts(texts) -> np.ndarray:
     return cs[starts[1:]] - cs[starts[:-1]]
 
 
-def host_cap_filter(pages, cap: int, url_col: str = "url",
-                    id_col: str = "doc_id"):
-    """Keep at most ``cap`` docs per host — the ``cap`` SMALLEST ids
-    (deterministic; mirrors 'keep first crawled'). Two-level: a per-batch
-    combiner keeps ≤cap per host locally, so the sort that finalizes moves
-    at most cap rows per (block, host) however dominant a host is."""
+def _topn_kernel(group_col: str, order_col: str, n: int, descending: bool):
+    """Vectorized keep-top-n-rows-per-group batch kernel (groups need NOT
+    be contiguous): one lexsort ranks every group in the batch at once."""
 
-    def keep_cap(batch: pa.Table) -> pa.Table:
+    def kernel(batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
         if batch.num_rows == 0:
             return batch
-        enc = batch["host"].dictionary_encode().combine_chunks() \
-            if "host" in batch.column_names else None
-        assert enc is not None
+        enc = batch[group_col].dictionary_encode().combine_chunks()
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, codes))
+        vals = batch[order_col].to_numpy(zero_copy_only=False)
+        if np.issubdtype(vals.dtype, np.datetime64):
+            vals = vals.astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((-vals if descending else vals, codes))
         sc = codes[order]
-        # rank within host group (groups contiguous after lexsort)
         change = np.empty(len(sc), bool)
         change[0] = True
         change[1:] = sc[1:] != sc[:-1]
         gstart = np.maximum.accumulate(np.where(change, np.arange(len(sc)), 0))
         rank = np.arange(len(sc)) - gstart
-        keep = order[rank < cap]
-        keep.sort()
+        keep = np.sort(order[rank < n])
         return batch.take(pa.array(keep))
 
-    stamped = with_host(pages, url_col=url_col)
-    pre = stamped.map_batches(keep_cap, batch_format="pyarrow")
-    return sorted_group_map(pre, ["host"], keep_cap, sort_cols=["host", id_col])
+    return kernel
+
+
+def group_topn(ds, group_col: str, order_col: str, n: int = 1,
+               descending: bool = False):
+    """Keep the ``n`` rows with smallest (or largest) ``order_col`` per
+    ``group_col`` group. Two-level: a per-batch combiner bounds what the
+    finishing sort moves to ≤n rows per (block, group) — a group with 10^9
+    rows ships n per block, not 10^9. ``order_col`` must be unique within
+    a group for a deterministic result."""
+    kernel = _topn_kernel(group_col, order_col, n, descending)
+    pre = ds.map_batches(kernel, batch_format="pyarrow")
+    return sorted_group_map(pre, [group_col], kernel,
+                            sort_cols=[group_col, order_col])
+
+
+def host_cap_filter(pages, cap: int, url_col: str = "url",
+                    id_col: str = "doc_id"):
+    """Keep at most ``cap`` docs per host — the ``cap`` SMALLEST ids
+    (deterministic; mirrors 'keep first crawled')."""
+    return group_topn(with_host(pages, url_col=url_col), "host", id_col,
+                      n=cap, descending=False)
+
+
+def latest_snapshot(pages, url_col: str = "url", ts_col: str = "warc_ts"):
+    """Re-crawl dedup: keep ONE row per url — the newest ``ts_col``
+    snapshot (Common-Crawl corpora carry many captures of the same page).
+    Timestamps must be distinct per url for determinism (WARC capture
+    times are)."""
+    return group_topn(pages, url_col, ts_col, n=1, descending=True)
 
 
 def stratified_sample(docs, fractions: dict[str, float],

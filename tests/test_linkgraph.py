@@ -49,6 +49,66 @@ def test_extract_links_edge_cases(ray_session):
     assert got == [("u1", "single-quote"), ("u4", "a"), ("u4", "b")]
 
 
+def test_extract_anchor_texts(ray_session):
+    import ray.data
+
+    from search_engine_ray.pipelines.linkgraph import extract_anchor_texts
+
+    pages = ray.data.from_arrow(pa.table({
+        "url": pa.array(["u1", "u2", "u3"]),
+        "html": pa.array([
+            b'<a class="x" href="t1">Hello World</a><a href="t2"></a>',
+            b'<A HREF=\'t3\'>mixed CASE</A>',
+            b'trailing text <a href="t4">ends at row boundary',
+        ], pa.binary()),
+    })).repartition(2)
+    got = sorted(map(tuple, extract_anchor_texts(pages).to_pandas()
+                     .itertuples(index=False, name=None)))
+    assert got == [
+        ("u1", "t1", "Hello World"), ("u1", "t2", ""),
+        ("u2", "t3", "mixed CASE"), ("u3", "t4", "ends at row boundary"),
+    ]
+
+
+@pytest.mark.parametrize("parts", [1, 4])
+def test_anchor_terms_topk(ray_session, parts):
+    import ray.data
+
+    from search_engine_ray.pipelines.linkgraph import anchor_terms
+
+    # 6 srcs all pointing at one dst with skewed anchor vocab
+    htmls = [f'<a href="T">{"hot " * 3}cold{i}</a>'.encode() for i in range(6)]
+    pages = ray.data.from_arrow(pa.table({
+        "url": pa.array([f"u{i}" for i in range(6)]),
+        "html": pa.array(htmls, pa.binary()),
+    })).repartition(parts)
+    out = anchor_terms(pages, k=2).to_pandas().sort_values("rank")
+    assert out.dst.tolist() == ["T", "T"]
+    assert out.iloc[0].term == "hot" and out.iloc[0].n == 18
+    assert out.iloc[1].term == "cold0" and out.iloc[1].n == 1  # tie → term asc
+
+
+@pytest.mark.parametrize("parts", [1, 6])
+def test_latest_snapshot(ray_session, parts):
+    import numpy as np
+    import ray.data
+
+    from search_engine_ray.pipelines.webcorpus import latest_snapshot
+
+    n = 300
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table({
+        "url": pa.array([f"https://s{i % 13}.test/" for i in range(n)]),
+        "warc_ts": pa.array(1_000_000 + ids * 7, pa.timestamp("us")),
+        "doc_id": pa.array(ids, pa.int64()),
+    })
+    out = latest_snapshot(ray.data.from_arrow(tbl).repartition(parts)).to_pandas()
+    assert len(out) == 13
+    exp = {f"https://s{k}.test/": max(i for i in range(n) if i % 13 == k)
+           for k in range(13)}
+    assert {u: int(d) for u, d in zip(out.url, out.doc_id)} == exp
+
+
 @pytest.mark.parametrize("parts", [1, 5])
 def test_pagerank_matches_numpy(ray_session, parts):
     import ray.data
