@@ -607,6 +607,18 @@ def _pagerank_sql() -> str:
     return "".join(parts)
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Mergeable Misra-Gries-style top-10 tokens with error certificate
+    (rows-only: the sketch's lower bounds are not SQL-expressible; the
+    bound itself is pytest-enforced in tests/test_sketches.py)."""
+    from search_engine_ray.pipelines.sketches import heavy_hitters
+
+    tbl, err = heavy_hitters(_read_docs(sf_dir), k=10, m=1024)
+    out = tbl.to_pandas()
+    out["err_bound"] = np.int64(err)
+    return out.reset_index(drop=True)
+
+
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-k; queries = embeddings of vec_id 0..2.
     round(3): DuckDB's list_cosine_similarity computes in float32."""
@@ -1783,6 +1795,7 @@ RAY_QUERIES = {
     "pagerank": q_pagerank,
     "anchor_terms": q_anchor_terms,
     "latest_snapshot": q_latest_snapshot,
+    "heavy_hitters": q_heavy_hitters,
     "ann_topk": q_ann_topk,
     "media_features": q_media_features,
     "media_resize": q_media_resize,

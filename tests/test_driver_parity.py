@@ -108,7 +108,7 @@ def test_sql_parity(entry, con, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["minhash_pairs", "simhash_pairs", "fingerprints", "ann_ivf_topk",
+    "name", ["minhash_pairs", "simhash_pairs", "fingerprints", "heavy_hitters", "ann_ivf_topk",
              "ann_lsh_topk", "cosine_neardup", "value_quantiles_approx"]
 )
 def test_rows_only_queries_run(entry, name):
