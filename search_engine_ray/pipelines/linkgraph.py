@@ -213,11 +213,16 @@ def _sum_by_key(ds, key_col: str, val_col: str, out_col: str):
 
 
 def pagerank(edges, n_iters: int = 3, damping: float = 0.85,
-             round_digits: int = 6):
+             round_digits: int = 6, tol: float | None = None):
     """(node, rank_r) after ``n_iters`` power iterations from the uniform
     start, with dangling-node mass redistributed uniformly. Nodes = distinct
     src ∪ dst. Deterministic up to float64 summation order (ranks are
-    rounded to ``round_digits``)."""
+    rounded to ``round_digits``).
+
+    ``tol``: optional L1 convergence stop — iterate until
+    Σ|rank' - rank| < tol (checked with one extra small join per
+    iteration over the rank table, never the edges), capped at
+    ``n_iters``. With tol set, pass a generous n_iters cap."""
     edges = edges.materialize()
 
     def halves(b: pa.Table, col: str) -> pa.Table:
@@ -303,7 +308,27 @@ def pagerank(edges, n_iters: int = 3, damping: float = 0.85,
             return pa.table({"node": b["node"],
                              "rank": pa.array(base + damping * s, pa.float64())})
 
-        ranks = merged.map_batches(new_rank, batch_format="pyarrow").materialize()
+        new_ranks = merged.map_batches(new_rank, batch_format="pyarrow").materialize()
+        if tol is not None:
+            both = new_ranks.join(
+                ranks.map_batches(
+                    lambda b: pa.table({"node": b["node"], "prev": b["rank"]}),
+                    batch_format="pyarrow"),
+                join_type="inner", num_partitions=nparts, on=("node",))
+
+            def absdiff(b: pa.Table) -> pa.Table:
+                b = b.combine_chunks()
+                d = np.abs(b["rank"].to_numpy(zero_copy_only=False)
+                           - b["prev"].to_numpy(zero_copy_only=False))
+                return pa.table({"d": pa.array([float(d.sum())], pa.float64())})
+
+            delta = both.map_batches(absdiff, batch_format="pyarrow") \
+                .aggregate(Sum("d", alias_name="s"))["s"] or 0.0
+            ranks = new_ranks
+            if delta < tol:
+                break
+        else:
+            ranks = new_ranks
 
     def finish(b: pa.Table) -> pa.Table:
         b = b.combine_chunks()

@@ -109,6 +109,27 @@ def test_latest_snapshot(ray_session, parts):
     assert {u: int(d) for u, d in zip(out.url, out.doc_id)} == exp
 
 
+def test_pagerank_convergence_mode(ray_session):
+    import ray.data
+
+    from search_engine_ray.pipelines.linkgraph import extract_links, pagerank
+
+    urls, htmls, edges = _graph(n=20)
+    pages = ray.data.from_arrow(pa.table({
+        "url": pa.array(urls), "html": pa.array(htmls, pa.binary())}))
+    edges_ds = extract_links(pages).materialize()
+    # loose tol stops after iteration 1 → identical to the fixed-1 run
+    loose = pagerank(edges_ds, n_iters=10, tol=10.0).to_pandas()
+    one = pagerank(edges_ds, n_iters=1).to_pandas()
+    m = loose.merge(one, on="node", suffixes=("_a", "_b"))
+    assert len(m) == len(one) and (m.rank_r_a == m.rank_r_b).all()
+    # tight tol respects the n_iters cap → identical to the fixed-2 run
+    capped = pagerank(edges_ds, n_iters=2, tol=1e-12).to_pandas()
+    two = pagerank(edges_ds, n_iters=2).to_pandas()
+    m2 = capped.merge(two, on="node", suffixes=("_a", "_b"))
+    assert len(m2) == len(two) and (m2.rank_r_a == m2.rank_r_b).all()
+
+
 @pytest.mark.parametrize("parts", [1, 5])
 def test_pagerank_matches_numpy(ray_session, parts):
     import ray.data
