@@ -543,6 +543,68 @@ def q_anchor_terms(sf_dir: str):
             .sort_values(["dst", "rank"]).reset_index(drop=True))
 
 
+_TITLE_WORDS = 5
+_BM25F_W = {"text": 1.0, "title": 2.0}
+
+
+def _title_engine_for(sf_dir: str):
+    """Cached index over the TITLE field (first 5 whitespace tokens of each
+    doc). Same urls as engine_for's body index → doc_id spaces align by
+    construction (build assigns doc_id = dense rank of url)."""
+    from search_engine_ray.pipelines.build import build_index
+    from search_engine_ray.query.engine import SearchEngine
+    from search_engine_ray.sources.webpages import EPOCH_US, _url_for
+
+    ck = (sf_dir, "title")
+    if ck in _ENGINES:
+        return _ENGINES[ck]
+    import ray.data
+
+    key = hashlib.md5(f"{sf_dir}|title{_TITLE_WORDS}".encode()).hexdigest()[:12]
+    out = os.path.join(CACHE_ROOT, key)
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "lang"])
+
+    def to_title_pages(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        titles = [" ".join((t or "").split()[:_TITLE_WORDS])
+                  for t in batch["text"].to_pylist()]
+        return pa.table({
+            "url": pa.array([_url_for(int(i)) for i in ids], pa.string()),
+            "warc_ts": pa.array((EPOCH_US + ids * 1_000_000_000).astype("int64"),
+                                pa.timestamp("us")),
+            "html": pa.array([synthesize_html(t).encode() for t in titles],
+                             pa.binary()),
+            "text": pa.array(titles, pa.string()),
+            "lang": batch["lang"],
+        })
+
+    build_index(docs.map_batches(to_title_pages, batch_format="pyarrow"),
+                out, EngineConfig(), resume=True)
+    eng = SearchEngine(out)
+    _ENGINES[ck] = eng
+    return eng
+
+
+def q_bm25f(sf_dir: str):
+    """Field-weighted BM25 (body w=1, title w=2; title = first 5 tokens):
+    per-field indexes share the url→doc_id space; union-exact merge."""
+    from search_engine_ray.query.fields import bm25f_topk
+
+    engines = {"text": engine_for(sf_dir), "title": _title_engine_for(sf_dir)}
+    scores = bm25f_topk(engines, _BM25F_W, Q_TEXT, k=10_000_000)
+    return _ranked(scores, 4)
+
+
+def q_degree_stats(sf_dir: str):
+    """Per-node in/out degree over the synthetic link graph."""
+    from search_engine_ray.pipelines.linkgraph import degree_stats, extract_links
+
+    out = degree_stats(extract_links(_link_pages(sf_dir))).to_pandas()
+    return (out.astype({"out_deg": np.int64, "in_deg": np.int64})
+            .sort_values("node").reset_index(drop=True))
+
+
 def q_latest_snapshot(sf_dir: str):
     """Re-crawl dedup: 97 synthetic urls × many captures → newest per url."""
     from search_engine_ray.pipelines.webcorpus import latest_snapshot
@@ -1446,6 +1508,79 @@ def oracle_queries() -> dict[str, str]:
             )
             SELECT dst, rank, term, n FROM r WHERE rank <= 3
         """,
+        "bm25f": _with(
+            f"""
+            , {doclen_cte}
+            , stats AS (SELECT avg(doc_length) AS avgdl FROM doclen)
+            , tok_t AS (
+              SELECT doc_id, unnest(toks[1:{_TITLE_WORDS}]) AS w FROM raw
+            ),
+            cleaned_t AS (
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(lower(w), '^[^a-z0-9]+', ''), '[^a-z0-9]+$', '') AS cw
+              FROM tok_t
+            ),
+            lem_t AS (
+              SELECT c.doc_id, coalesce(l.lemma, c.cw) AS term
+              FROM cleaned_t c LEFT JOIN lemmas l ON c.cw = l.inflected
+              WHERE c.cw <> ''
+            ),
+            postings_t AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM lem_t GROUP BY term, doc_id),
+            term_df_t AS (SELECT term, count(*)::BIGINT AS df FROM postings_t GROUP BY term),
+            doclen_t AS (
+              SELECT d.doc_id, coalesce(t.n, 0)::BIGINT AS doc_length
+              FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS n FROM lem_t GROUP BY doc_id) t
+              ON d.doc_id = t.doc_id
+            ),
+            stats_t AS (SELECT avg(doc_length) AS avgdl FROM doclen_t),
+            s_body AS (
+              SELECT p.doc_id,
+                     sum( ln(({n_docs} - t.df + 0.5) / (t.df + 0.5) + 1.0)
+                          * p.tf * (1.2 + 1.0)
+                          / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_length / s.avgdl)) ) AS s
+              FROM postings p JOIN term_df t USING (term)
+              JOIN doclen dl ON dl.doc_id = p.doc_id CROSS JOIN stats s
+              WHERE p.term IN ({qterms})
+              GROUP BY p.doc_id
+            ),
+            s_title AS (
+              SELECT p.doc_id,
+                     sum( ln(({n_docs} - t.df + 0.5) / (t.df + 0.5) + 1.0)
+                          * p.tf * (1.2 + 1.0)
+                          / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_length / s.avgdl)) ) AS s
+              FROM postings_t p JOIN term_df_t t USING (term)
+              JOIN doclen_t dl ON dl.doc_id = p.doc_id CROSS JOIN stats_t s
+              WHERE p.term IN ({qterms})
+              GROUP BY p.doc_id
+            ),
+            comb AS (
+              SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                     {_BM25F_W["text"]} * COALESCE(a.s, 0) + {_BM25F_W["title"]} * COALESCE(b.s, 0) AS s
+              FROM s_body a FULL OUTER JOIN s_title b ON a.doc_id = b.doc_id
+            )
+            SELECT ROW_NUMBER() OVER (ORDER BY round(s, 4) DESC, doc_id)::BIGINT AS rank,
+                   doc_id + 1 AS doc_id, round(s, 4) AS score_r
+            FROM comb ORDER BY round(s, 4) DESC, doc_id LIMIT {TOPK}
+            """
+        ),
+        "degree_stats": """
+            WITH p AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+            links AS (
+              SELECT doc_id AS s, unnest([(doc_id*2+1) % p.n, (doc_id*3+2) % p.n]) AS t
+              FROM documents, p WHERE doc_id % 7 <> 0
+            ),
+            edges AS (
+              SELECT 'https://d' || s || '.test/' AS src,
+                     'https://d' || t || '.test/' AS dst
+              FROM links
+            ),
+            o AS (SELECT src AS node, COUNT(*)::BIGINT AS out_deg FROM edges GROUP BY src),
+            i AS (SELECT dst AS node, COUNT(*)::BIGINT AS in_deg FROM edges GROUP BY dst)
+            SELECT COALESCE(o.node, i.node) AS node,
+                   COALESCE(out_deg, 0)::BIGINT AS out_deg,
+                   COALESCE(in_deg, 0)::BIGINT AS in_deg
+            FROM o FULL OUTER JOIN i ON o.node = i.node
+        """,
         "latest_snapshot": """
             SELECT 'https://s' || (doc_id % 97) || '.test/p' AS url,
                    MAX(doc_id)::BIGINT AS doc_id
@@ -1794,6 +1929,8 @@ RAY_QUERIES = {
     "prune_postings": q_prune_postings,
     "pagerank": q_pagerank,
     "anchor_terms": q_anchor_terms,
+    "bm25f": q_bm25f,
+    "degree_stats": q_degree_stats,
     "latest_snapshot": q_latest_snapshot,
     "heavy_hitters": q_heavy_hitters,
     "ann_topk": q_ann_topk,

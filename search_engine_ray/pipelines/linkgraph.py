@@ -212,6 +212,45 @@ def _sum_by_key(ds, key_col: str, val_col: str, out_col: str):
             .groupby(key_col).aggregate(Sum("s_part", alias_name=out_col)))
 
 
+def degree_stats(edges):
+    """(node, out_deg, in_deg) for every node in the graph — the basic
+    connectivity profile (and the skew signal for partitioning decisions:
+    a dst with in_deg ≈ |E| means the contribution groupby needs salting).
+    Two combiner+groupby passes and one hash join; nothing driver-side."""
+
+    def count_col(col: str, out: str):
+        def partial(b: pa.Table) -> pa.Table:
+            b = b.combine_chunks()
+            if b.num_rows == 0:
+                return pa.table({"node": pa.array([], pa.string()),
+                                 "d_part": pa.array([], pa.int64())})
+            enc = b[col].dictionary_encode().combine_chunks()
+            c = np.bincount(enc.indices.to_numpy(zero_copy_only=False),
+                            minlength=len(enc.dictionary))
+            return pa.table({"node": enc.dictionary.cast(pa.string()),
+                             "d_part": pa.array(c.astype(np.int64), pa.int64())})
+
+        return (edges.map_batches(partial, batch_format="pyarrow")
+                .groupby("node").aggregate(Sum("d_part", alias_name=out)))
+
+    out_d = count_col("src", "out_deg")
+    in_d = count_col("dst", "in_deg")
+    joined = out_d.join(in_d, join_type="full_outer",
+                        num_partitions=_nparts(), on=("node",))
+
+    def fill(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        o = b["out_deg"].to_numpy(zero_copy_only=False)
+        i = b["in_deg"].to_numpy(zero_copy_only=False)
+        o = np.where(np.isnan(o.astype(np.float64)), 0, o).astype(np.int64)
+        i = np.where(np.isnan(i.astype(np.float64)), 0, i).astype(np.int64)
+        return pa.table({"node": b["node"],
+                         "out_deg": pa.array(o, pa.int64()),
+                         "in_deg": pa.array(i, pa.int64())})
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
 def pagerank(edges, n_iters: int = 3, damping: float = 0.85,
              round_digits: int = 6, tol: float | None = None):
     """(node, rank_r) after ``n_iters`` power iterations from the uniform
