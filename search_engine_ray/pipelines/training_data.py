@@ -557,6 +557,89 @@ def prune_postings(docs: "ray.data.Dataset", keep_n: int = 2,
                             sort_cols=["term", id_col])
 
 
+def remove_repeated_ngrams(docs: "ray.data.Dataset", n: int = 3,
+                           id_col: str = "doc_id", text_col: str = "text"):
+    """Intra-document duplicate n-gram span removal (the C4/Gopher-style
+    cleaning step repetition_table only MEASURES): token t is removed iff
+    it is covered by ≥1 n-gram window and by NO first-occurrence window
+    (first occurrence = smallest start of that n-gram value in the doc).
+    → (doc_id, text_clean, n_removed). Row-local (map-only, no shuffle),
+    order/partition-invariant, and fully vectorized: exact-token hashes +
+    the segmented rolling shingle pass; coverage via ±1 difference arrays;
+    per-doc string rebuild via one Arrow binary_join. Tokens are raw
+    non-empty whitespace tokens (matching the oracle's raw CTE)."""
+    from search_engine_ray.functions.hashing import (
+        batch_shingle_hashes,
+        hash_strings_arrow,
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "text_clean": pa.array([], pa.string()),
+                          "n_removed": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        toks = pc.utf8_split_whitespace(pc.fill_null(batch[text_col], ""))
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        raw_lens = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        n_docs = batch.num_rows
+        doc_idx_raw = np.repeat(np.arange(n_docs), raw_lens)
+        counts = np.bincount(doc_idx_raw[nonempty], minlength=n_docs).astype(np.int64)
+        offsets = np.zeros(n_docs + 1, np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        total = int(offsets[-1])
+        tok_doc = np.repeat(np.arange(n_docs), counts)
+
+        th = hash_strings_arrow(flat)
+        sh_offsets, sh = batch_shingle_hashes(offsets, th, n)
+        n_win = np.diff(sh_offsets)
+        win_doc = np.repeat(np.arange(n_docs), n_win)
+        # global token index of each window's start
+        win_start = (np.arange(len(sh), dtype=np.int64)
+                     - sh_offsets[win_doc] + offsets[win_doc])
+        # first occurrence per (doc, gram value): smallest start wins
+        order = np.lexsort((win_start, sh, win_doc))
+        sd, ss = win_doc[order], sh[order]
+        new_pair = np.empty(len(order), bool)
+        if len(order):
+            new_pair[0] = True
+            new_pair[1:] = (sd[1:] != sd[:-1]) | (ss[1:] != ss[:-1])
+        first_starts = win_start[order[new_pair]]
+        # coverage via ±1 difference arrays (windows never cross docs)
+        cov_any = np.zeros(total + 1, np.int64)
+        cov_first = np.zeros(total + 1, np.int64)
+        np.add.at(cov_any, win_start, 1)
+        np.add.at(cov_any, win_start + n, -1)
+        np.add.at(cov_first, first_starts, 1)
+        np.add.at(cov_first, first_starts + n, -1)
+        covered = np.cumsum(cov_any[:-1]) > 0
+        protected = np.cumsum(cov_first[:-1]) > 0
+        keep = ~(covered & ~protected)
+
+        kept_counts = np.bincount(tok_doc[keep], minlength=n_docs).astype(np.int64)
+        k_off = np.zeros(n_docs + 1, np.int64)
+        np.cumsum(kept_counts, out=k_off[1:])
+        kept_vals = flat.filter(pa.array(keep))
+        if total < 2**31:
+            kept_list = pa.ListArray.from_arrays(pa.array(k_off, pa.int32()), kept_vals)
+        else:  # pragma: no cover - >2B tokens per batch
+            kept_list = pa.LargeListArray.from_arrays(pa.array(k_off, pa.int64()), kept_vals)
+        text_clean = pc.binary_join(kept_list, " ")
+        return pa.table({
+            id_col: batch[id_col].cast(pa.int64()),
+            "text_clean": text_clean.cast(pa.string()),
+            "n_removed": pa.array(counts - kept_counts, pa.int64()),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
 def exact_dedup(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"):
     """Hash-partitioned exact dedup: one row per distinct md5(text) with the
     minimum doc_id as keeper and the duplicate count."""

@@ -56,6 +56,62 @@ def test_collocations_matches_spec(ray_session, parts):
     assert [(b, int(np_), int(n1), int(n2), round(p, 6)) for b, np_, n1, n2, p in got] == exp
 
 
+def _spec_remove_repeated(tokens, n=3):
+    """Scalar spec: token t removed iff covered by ≥1 window and by NO
+    first-occurrence window (first = smallest start of that gram value)."""
+    L = len(tokens)
+    first_seen = {}
+    firsts = []
+    for j in range(L - n + 1):
+        g = tuple(tokens[j:j + n])
+        if g not in first_seen:
+            first_seen[g] = j
+            firsts.append(j)
+    covered = [False] * L
+    protected = [False] * L
+    for j in range(L - n + 1):
+        for t in range(j, j + n):
+            covered[t] = True
+    for j in firsts:
+        for t in range(j, j + n):
+            protected[t] = True
+    kept = [w for t, w in enumerate(tokens) if not (covered[t] and not protected[t])]
+    return " ".join(kept), sum(1 for t in range(L) if covered[t] and not protected[t])
+
+
+@pytest.mark.parametrize("parts", [1, 5])
+def test_remove_repeated_ngrams_matches_spec(ray_session, parts):
+    import ray.data
+
+    from search_engine_ray.pipelines.training_data import remove_repeated_ngrams
+
+    rng = np.random.default_rng(13)
+    vocab = ["a", "b", "c", "d", "e"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(0, 40)))
+             for _ in range(120)]
+    texts += ["x y z x y z x y z",           # pure repetition
+              "p q",                          # shorter than n → untouched
+              "", "one two three one two three four"]
+    tbl = pa.table({"doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    out = remove_repeated_ngrams(
+        ray.data.from_arrow(tbl).repartition(parts), n=3
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for i, t in enumerate(texts):
+        clean, nrem = _spec_remove_repeated(t.split(), 3)
+        assert out.text_clean[i] == clean, (i, t)
+        assert out.n_removed[i] == nrem, (i, t)
+    # crafted cases pinned explicitly: in "x y z x y z x y z" the first
+    # occurrences of xyz/yzx/zxy protect tokens 0-4; tokens 5-8 are covered
+    # only by repeats and drop
+    row = out[out.doc_id == len(texts) - 4].iloc[0]
+    assert row.text_clean == "x y z x y" and row.n_removed == 4
+    assert out[out.doc_id == len(texts) - 3].iloc[0].text_clean == "p q"
+    # overlapping firsts protect everything: the repeat of (one two three)
+    # sits inside windows that are themselves firsts → nothing removed
+    assert out[out.doc_id == len(texts) - 1].iloc[0].n_removed == 0
+
+
 @pytest.mark.parametrize("parts", [1, 6])
 def test_prune_postings_top_n(ray_session, parts):
     from collections import Counter
