@@ -672,11 +672,70 @@ def _pagerank_sql() -> str:
 _DEDUP_N = 3
 
 
+def _span_removal_sql(first_over: str) -> str:
+    """Duplicate n-gram span removal oracle, parameterized by the window
+    that defines a gram's FIRST occurrence: ``PARTITION BY doc_id, gram
+    ORDER BY j`` for the intra-doc operator, ``PARTITION BY gram ORDER BY
+    doc_id, j`` for the cross-doc (global) one. Rule: token removed iff
+    covered by ≥1 gram window and by no first-occurrence window."""
+    return rf"""
+        WITH raw AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+          FROM documents
+        ),
+        tok AS (
+          SELECT doc_id, unnest(toks) AS w, unnest(range(len(toks))) AS t FROM raw
+        ),
+        g AS (
+          SELECT doc_id, t AS j,
+                 w || ' ' || LEAD(w, 1) OVER win || ' ' || LEAD(w, 2) OVER win AS gram
+          FROM tok
+          WINDOW win AS (PARTITION BY doc_id ORDER BY t)
+          QUALIFY LEAD(w, {_DEDUP_N - 1}) OVER win IS NOT NULL
+        ),
+        f AS (
+          SELECT doc_id, j,
+                 (ROW_NUMBER() OVER ({first_over}) = 1) AS is_first
+          FROM g
+        ),
+        cov AS (
+          SELECT tk.doc_id, tk.t, tk.w,
+                 COUNT(f.j) AS n_cov,
+                 COALESCE(SUM(CASE WHEN f.is_first THEN 1 ELSE 0 END), 0) AS n_first
+          FROM tok tk LEFT JOIN f
+            ON f.doc_id = tk.doc_id AND f.j BETWEEN tk.t - {_DEDUP_N - 1} AND tk.t
+          GROUP BY tk.doc_id, tk.t, tk.w
+        ),
+        kept AS (SELECT doc_id, t, w FROM cov WHERE NOT (n_cov > 0 AND n_first = 0)),
+        nrem AS (
+          SELECT doc_id, COUNT(*) FILTER (n_cov > 0 AND n_first = 0)::BIGINT AS n_removed
+          FROM cov GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(string_agg(k.w, ' ' ORDER BY k.t), '') AS text_clean,
+               COALESCE(ANY_VALUE(nrem.n_removed), 0)::BIGINT AS n_removed
+        FROM documents d
+        LEFT JOIN kept k ON k.doc_id = d.doc_id
+        LEFT JOIN nrem ON nrem.doc_id = d.doc_id
+        GROUP BY d.doc_id
+    """
+
+
 def q_remove_repeated_ngrams(sf_dir: str):
     """Intra-doc duplicate 3-gram span removal (map-only, vectorized)."""
     from search_engine_ray.pipelines.training_data import remove_repeated_ngrams
 
     out = remove_repeated_ngrams(_read_docs(sf_dir), n=_DEDUP_N).to_pandas()
+    return (out.astype({"doc_id": np.int64, "n_removed": np.int64})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def q_remove_global_ngrams(sf_dir: str):
+    """CROSS-doc duplicate 3-gram span removal (global first occurrence
+    protected — the distributed exact-substring-dedup analogue)."""
+    from search_engine_ray.pipelines.training_data import remove_global_ngrams
+
+    out = remove_global_ngrams(_read_docs(sf_dir), n=_DEDUP_N).to_pandas()
     return (out.astype({"doc_id": np.int64, "n_removed": np.int64})
             .sort_values("doc_id").reset_index(drop=True))
 
@@ -1520,47 +1579,10 @@ def oracle_queries() -> dict[str, str]:
             )
             SELECT dst, rank, term, n FROM r WHERE rank <= 3
         """,
-        "remove_repeated_ngrams": rf"""
-            WITH raw AS (
-              SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
-              FROM documents
-            ),
-            tok AS (
-              SELECT doc_id, unnest(toks) AS w, unnest(range(len(toks))) AS t FROM raw
-            ),
-            g AS (
-              SELECT doc_id, t AS j,
-                     w || ' ' || LEAD(w, 1) OVER win || ' ' || LEAD(w, 2) OVER win AS gram
-              FROM tok
-              WINDOW win AS (PARTITION BY doc_id ORDER BY t)
-              QUALIFY LEAD(w, {_DEDUP_N - 1}) OVER win IS NOT NULL
-            ),
-            f AS (
-              SELECT doc_id, j,
-                     (ROW_NUMBER() OVER (PARTITION BY doc_id, gram ORDER BY j) = 1) AS is_first
-              FROM g
-            ),
-            cov AS (
-              SELECT tk.doc_id, tk.t, tk.w,
-                     COUNT(f.j) AS n_cov,
-                     COALESCE(SUM(CASE WHEN f.is_first THEN 1 ELSE 0 END), 0) AS n_first
-              FROM tok tk LEFT JOIN f
-                ON f.doc_id = tk.doc_id AND f.j BETWEEN tk.t - {_DEDUP_N - 1} AND tk.t
-              GROUP BY tk.doc_id, tk.t, tk.w
-            ),
-            kept AS (SELECT doc_id, t, w FROM cov WHERE NOT (n_cov > 0 AND n_first = 0)),
-            nrem AS (
-              SELECT doc_id, COUNT(*) FILTER (n_cov > 0 AND n_first = 0)::BIGINT AS n_removed
-              FROM cov GROUP BY doc_id
-            )
-            SELECT d.doc_id,
-                   COALESCE(string_agg(k.w, ' ' ORDER BY k.t), '') AS text_clean,
-                   COALESCE(ANY_VALUE(nrem.n_removed), 0)::BIGINT AS n_removed
-            FROM documents d
-            LEFT JOIN kept k ON k.doc_id = d.doc_id
-            LEFT JOIN nrem ON nrem.doc_id = d.doc_id
-            GROUP BY d.doc_id
-        """,
+        "remove_repeated_ngrams": _span_removal_sql(
+            "PARTITION BY doc_id, gram ORDER BY j"),
+        "remove_global_ngrams": _span_removal_sql(
+            "PARTITION BY gram ORDER BY doc_id, j"),
         "bm25f": _with(
             f"""
             , {doclen_cte}
@@ -1986,6 +2008,7 @@ RAY_QUERIES = {
     "degree_stats": q_degree_stats,
     "latest_snapshot": q_latest_snapshot,
     "remove_repeated_ngrams": q_remove_repeated_ngrams,
+    "remove_global_ngrams": q_remove_global_ngrams,
     "heavy_hitters": q_heavy_hitters,
     "ann_topk": q_ann_topk,
     "media_features": q_media_features,

@@ -22,7 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count, Min, Sum
 
 from search_engine_ray.functions.hashing import (
     md5_hex_batch,
@@ -557,6 +557,87 @@ def prune_postings(docs: "ray.data.Dataset", keep_n: int = 2,
                             sort_cols=["term", id_col])
 
 
+class _GramLayout:
+    """Per-batch tokenization + n-gram layout shared by the intra-doc and
+    cross-doc span-removal operators: raw non-empty whitespace tokens in a
+    flat Arrow array with per-doc offsets, plus per-window 64-bit gram
+    hashes and start positions (global-in-batch and doc-local)."""
+
+    __slots__ = ("n_docs", "flat", "counts", "offsets", "total", "tok_doc",
+                 "sh", "win_doc", "win_start", "win_local", "n")
+
+    def __init__(self, batch: pa.Table, n: int, text_col: str):
+        from search_engine_ray.functions.hashing import (
+            batch_shingle_hashes,
+            hash_strings_arrow,
+        )
+
+        toks = pc.utf8_split_whitespace(pc.fill_null(batch[text_col], ""))
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        raw_lens = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        self.flat = flat.filter(pa.array(nonempty))
+        self.n = n
+        self.n_docs = n_docs = batch.num_rows
+        doc_idx_raw = np.repeat(np.arange(n_docs), raw_lens)
+        self.counts = np.bincount(doc_idx_raw[nonempty], minlength=n_docs).astype(np.int64)
+        self.offsets = np.zeros(n_docs + 1, np.int64)
+        np.cumsum(self.counts, out=self.offsets[1:])
+        self.total = int(self.offsets[-1])
+        self.tok_doc = np.repeat(np.arange(n_docs), self.counts)
+
+        th = hash_strings_arrow(self.flat)
+        sh_offsets, self.sh = batch_shingle_hashes(self.offsets, th, n)
+        n_win = np.diff(sh_offsets)
+        self.win_doc = np.repeat(np.arange(n_docs), n_win)
+        # doc-local start of each window, and its global-in-batch token index
+        self.win_local = (np.arange(len(self.sh), dtype=np.int64)
+                          - sh_offsets[self.win_doc])
+        self.win_start = self.win_local + self.offsets[self.win_doc]
+
+    def rebuild(self, batch: pa.Table, first_starts: np.ndarray,
+                id_col: str) -> pa.Table:
+        """Apply the coverage rule (token removed iff covered by ≥1 window
+        and by NO first-occurrence window, coverage via ±1 difference
+        arrays) and rebuild (id, text_clean, n_removed) with one Arrow
+        binary_join. ``first_starts``: global-in-batch token indexes of the
+        protected (first-occurrence) windows."""
+        n, total, n_docs = self.n, self.total, self.n_docs
+        cov_any = np.zeros(total + 1, np.int64)
+        cov_first = np.zeros(total + 1, np.int64)
+        np.add.at(cov_any, self.win_start, 1)
+        np.add.at(cov_any, self.win_start + n, -1)
+        np.add.at(cov_first, first_starts, 1)
+        np.add.at(cov_first, first_starts + n, -1)
+        covered = np.cumsum(cov_any[:-1]) > 0
+        protected = np.cumsum(cov_first[:-1]) > 0
+        keep = ~(covered & ~protected)
+
+        kept_counts = np.bincount(self.tok_doc[keep], minlength=n_docs).astype(np.int64)
+        k_off = np.zeros(n_docs + 1, np.int64)
+        np.cumsum(kept_counts, out=k_off[1:])
+        kept_vals = self.flat.filter(pa.array(keep))
+        if total < 2**31:
+            kept_list = pa.ListArray.from_arrays(pa.array(k_off, pa.int32()), kept_vals)
+        else:  # pragma: no cover - >2B tokens per batch
+            kept_list = pa.LargeListArray.from_arrays(pa.array(k_off, pa.int64()), kept_vals)
+        text_clean = pc.binary_join(kept_list, " ")
+        return pa.table({
+            id_col: batch[id_col].cast(pa.int64()),
+            "text_clean": text_clean.cast(pa.string()),
+            "n_removed": pa.array(self.counts - kept_counts, pa.int64()),
+        })
+
+
+def _empty_clean(id_col: str) -> pa.Table:
+    return pa.table({id_col: pa.array([], pa.int64()),
+                     "text_clean": pa.array([], pa.string()),
+                     "n_removed": pa.array([], pa.int64())})
+
+
 def remove_repeated_ngrams(docs: "ray.data.Dataset", n: int = 3,
                            id_col: str = "doc_id", text_col: str = "text"):
     """Intra-document duplicate n-gram span removal (the C4/Gopher-style
@@ -568,76 +649,232 @@ def remove_repeated_ngrams(docs: "ray.data.Dataset", n: int = 3,
     the segmented rolling shingle pass; coverage via ±1 difference arrays;
     per-doc string rebuild via one Arrow binary_join. Tokens are raw
     non-empty whitespace tokens (matching the oracle's raw CTE)."""
-    from search_engine_ray.functions.hashing import (
-        batch_shingle_hashes,
-        hash_strings_arrow,
-    )
 
     def fn(batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
-        empty = pa.table({id_col: pa.array([], pa.int64()),
-                          "text_clean": pa.array([], pa.string()),
-                          "n_removed": pa.array([], pa.int64())})
         if batch.num_rows == 0:
-            return empty
-        toks = pc.utf8_split_whitespace(pc.fill_null(batch[text_col], ""))
-        flat = pc.list_flatten(toks)
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
-        raw_lens = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        flat = flat.filter(pa.array(nonempty))
-        n_docs = batch.num_rows
-        doc_idx_raw = np.repeat(np.arange(n_docs), raw_lens)
-        counts = np.bincount(doc_idx_raw[nonempty], minlength=n_docs).astype(np.int64)
-        offsets = np.zeros(n_docs + 1, np.int64)
-        np.cumsum(counts, out=offsets[1:])
-        total = int(offsets[-1])
-        tok_doc = np.repeat(np.arange(n_docs), counts)
-
-        th = hash_strings_arrow(flat)
-        sh_offsets, sh = batch_shingle_hashes(offsets, th, n)
-        n_win = np.diff(sh_offsets)
-        win_doc = np.repeat(np.arange(n_docs), n_win)
-        # global token index of each window's start
-        win_start = (np.arange(len(sh), dtype=np.int64)
-                     - sh_offsets[win_doc] + offsets[win_doc])
+            return _empty_clean(id_col)
+        lay = _GramLayout(batch, n, text_col)
         # first occurrence per (doc, gram value): smallest start wins
-        order = np.lexsort((win_start, sh, win_doc))
-        sd, ss = win_doc[order], sh[order]
+        order = np.lexsort((lay.win_start, lay.sh, lay.win_doc))
+        sd, ss = lay.win_doc[order], lay.sh[order]
         new_pair = np.empty(len(order), bool)
         if len(order):
             new_pair[0] = True
             new_pair[1:] = (sd[1:] != sd[:-1]) | (ss[1:] != ss[:-1])
-        first_starts = win_start[order[new_pair]]
-        # coverage via ±1 difference arrays (windows never cross docs)
-        cov_any = np.zeros(total + 1, np.int64)
-        cov_first = np.zeros(total + 1, np.int64)
-        np.add.at(cov_any, win_start, 1)
-        np.add.at(cov_any, win_start + n, -1)
-        np.add.at(cov_first, first_starts, 1)
-        np.add.at(cov_first, first_starts + n, -1)
-        covered = np.cumsum(cov_any[:-1]) > 0
-        protected = np.cumsum(cov_first[:-1]) > 0
-        keep = ~(covered & ~protected)
-
-        kept_counts = np.bincount(tok_doc[keep], minlength=n_docs).astype(np.int64)
-        k_off = np.zeros(n_docs + 1, np.int64)
-        np.cumsum(kept_counts, out=k_off[1:])
-        kept_vals = flat.filter(pa.array(keep))
-        if total < 2**31:
-            kept_list = pa.ListArray.from_arrays(pa.array(k_off, pa.int32()), kept_vals)
-        else:  # pragma: no cover - >2B tokens per batch
-            kept_list = pa.LargeListArray.from_arrays(pa.array(k_off, pa.int64()), kept_vals)
-        text_clean = pc.binary_join(kept_list, " ")
-        return pa.table({
-            id_col: batch[id_col].cast(pa.int64()),
-            "text_clean": text_clean.cast(pa.string()),
-            "n_removed": pa.array(counts - kept_counts, pa.int64()),
-        })
+        first_starts = lay.win_start[order[new_pair]]
+        return lay.rebuild(batch, first_starts, id_col)
 
     return docs.map_batches(fn, batch_format="pyarrow")
+
+
+_GN_START_BITS = 22  # packed first-occurrence key: doc_id * 2^22 + start
+
+
+def _gn_pack(doc_ids: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Lexicographic (doc_id, start) as ONE int64 so the global
+    first-occurrence argmin is a plain ``Min`` aggregate (no argmin
+    shuffle). Bounds are asserted, not clamped: doc_id < 2^41 (room for
+    10^12 docs), doc-local start < 2^22 (4M tokens per doc)."""
+    if len(doc_ids):
+        if int(doc_ids.max()) >= (1 << 41) or int(doc_ids.min()) < 0:
+            raise ValueError("doc ids must be in [0, 2^41) for the packed "
+                             "first-occurrence key")
+        if int(starts.max()) >= (1 << _GN_START_BITS):
+            raise ValueError("documents longer than 2^22 tokens exceed the "
+                             "packed first-occurrence key's start field")
+    return doc_ids.astype(np.int64) * (1 << _GN_START_BITS) + starts
+
+
+def remove_global_ngrams(docs: "ray.data.Dataset", n: int = 3,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         broadcast_cap: int = 2_000_000):
+    """CROSS-document duplicated n-gram span removal — the distributed,
+    token-level analogue of suffix-array exact-substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): token t is removed iff it is covered by ≥1 n-gram window and
+    by NO window that is the GLOBAL first occurrence of its gram (smallest
+    (doc_id, start) corpus-wide). Exactly one copy of every duplicated
+    span survives, in the lowest doc_id that contains it; unique text is
+    untouched. → (doc_id, text_clean, n_removed), whitespace-normalized
+    exactly like :func:`remove_repeated_ngrams`.
+
+    Scale shape: (1) one map_batches pass emits per-BLOCK per-gram
+    partials (gram, min packed (doc,start), count) — the combiner keeps
+    the groupby payload at distinct-grams-per-block, not window,
+    cardinality; (2) ``groupby(gram).aggregate(Min, Sum)`` + count≥2
+    filter yields the "winners" table (duplicated gram → its global first
+    window); (3) winners feed back row-locally via a sorted ``ray.put``
+    broadcast when ≤ ``broadcast_cap`` rows, else via two sort-co-group
+    exchanges (windows∪winners by gram → non-first verdicts, docs∪verdicts
+    by doc_id → rebuild; both paths pytest-identical). Gram
+    identity is the 64-bit shingle hash — the MinHash-shingle convention;
+    a collision conflates two grams with probability ~2^-64."""
+    from search_engine_ray.stages.grouped import sorted_group_map
+
+    def partials(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        empty = pa.table({"gram": pa.array([], pa.int64()),
+                          "fk": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        lay = _GramLayout(batch, n, text_col)
+        if not len(lay.sh):
+            return empty
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = _gn_pack(ids[lay.win_doc], lay.win_local)
+        sh = lay.sh.view(np.int64)
+        order = np.lexsort((key, sh))
+        ss, kk = sh[order], key[order]
+        new = np.empty(len(order), bool)
+        new[0] = True
+        new[1:] = ss[1:] != ss[:-1]
+        bounds = np.flatnonzero(new)
+        cnt = np.diff(np.append(bounds, len(order)))
+        return pa.table({"gram": pa.array(ss[new], pa.int64()),
+                         "fk": pa.array(kk[new], pa.int64()),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    winners = (docs.map_batches(partials, batch_format="pyarrow")
+               .groupby("gram").aggregate(Min("fk"), Sum("cnt")))
+
+    def dup_only(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["sum(cnt)"], 2))
+        return t.select(["gram", "min(fk)"]).rename_columns(["gram", "fk"])
+
+    winners = winners.map_batches(dup_only, batch_format="pyarrow").materialize()
+    n_win = winners.count()
+
+    if n_win <= broadcast_cap:
+        pdf = winners.to_pandas()
+        grams = pdf["gram"].to_numpy(np.int64)
+        o = np.argsort(grams, kind="stable")
+        ref = ray.put((grams[o], pdf["fk"].to_numpy(np.int64)[o]))
+
+        def clean_bcast(batch: pa.Table) -> pa.Table:
+            batch = batch.combine_chunks()
+            if batch.num_rows == 0:
+                return _empty_clean(id_col)
+            g_sorted, fk_sorted = ray.get(ref)
+            lay = _GramLayout(batch, n, text_col)
+            sh = lay.sh.view(np.int64)
+            if len(g_sorted) == 0 or len(sh) == 0:
+                nonfirst = np.zeros(len(sh), bool)
+            else:
+                ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                idx = np.minimum(np.searchsorted(g_sorted, sh), len(g_sorted) - 1)
+                found = g_sorted[idx] == sh
+                key = _gn_pack(ids[lay.win_doc], lay.win_local)
+                nonfirst = found & (fk_sorted[idx] != key)
+            first_starts = lay.win_start[~nonfirst]
+            return lay.rebuild(batch, first_starts, id_col)
+
+        return docs.map_batches(clean_bcast, batch_format="pyarrow")
+
+    # scale path: sort-based co-grouping instead of Dataset.join (Ray's
+    # hash-join aggregator builds ZERO-COLUMN tables for empty partitions
+    # and pyarrow then rejects the key — bites exactly when a partition
+    # receives no winners). Two sorted_group_map exchanges: windows∪winners
+    # co-grouped by gram → per-window non-first verdicts, then docs∪verdicts
+    # co-grouped by doc_id → rebuild. Every window crosses the wire O(1)
+    # times regardless of gram hotness; sentinel -1 (keys are ≥ 0) marks
+    # row kind so no int64 rides through a null→float conversion.
+    def windows(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        empty = pa.table({"gram": pa.array([], pa.int64()),
+                          "key": pa.array([], pa.int64()),
+                          "fk": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        lay = _GramLayout(batch, n, text_col)
+        if not len(lay.sh):
+            return empty
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = _gn_pack(ids[lay.win_doc], lay.win_local)
+        return pa.table({"gram": pa.array(lay.sh.view(np.int64), pa.int64()),
+                         "key": pa.array(key, pa.int64()),
+                         "fk": pa.array(np.full(len(key), -1), pa.int64())})
+
+    def tag_winner(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        return pa.table({"gram": t["gram"],
+                         "key": pa.array(np.full(t.num_rows, -1), pa.int64()),
+                         "fk": t["fk"]})
+
+    u = docs.map_batches(windows, batch_format="pyarrow").union(
+        winners.map_batches(tag_winner, batch_format="pyarrow"))
+
+    def mark(t: pa.Table) -> pa.Table:
+        """complete gram groups → (doc_id, rm_start) of non-first windows
+        of duplicated grams (groups without a winner row are unique grams)."""
+        t = t.combine_chunks()
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "rm_start": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        gram = t["gram"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        fk = t["fk"].to_numpy(zero_copy_only=False)
+        new = np.empty(len(gram), bool)
+        new[0] = True
+        new[1:] = gram[1:] != gram[:-1]
+        gid = np.cumsum(new) - 1
+        fk_g = np.full(int(gid[-1]) + 1, -1, np.int64)
+        is_win = key == -1
+        fk_g[gid[is_win]] = fk[is_win]
+        f = fk_g[gid]
+        sel = (~is_win) & (f != -1) & (key != f)
+        k = key[sel]
+        return pa.table({id_col: pa.array(k >> _GN_START_BITS, pa.int64()),
+                         "rm_start": pa.array(k & ((1 << _GN_START_BITS) - 1),
+                                              pa.int64())})
+
+    nf = sorted_group_map(u, ["gram"], mark)
+
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        return pa.table({id_col: batch[id_col].cast(pa.int64()),
+                         text_col: pc.fill_null(batch[text_col], "").cast(pa.string()),
+                         "rm_start": pa.array(np.full(batch.num_rows, -1), pa.int64())})
+
+    def tag_rm(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        return pa.table({id_col: t[id_col],
+                         text_col: pa.array([""] * t.num_rows, pa.string()),
+                         "rm_start": t["rm_start"]})
+
+    u2 = docs.map_batches(tag_doc, batch_format="pyarrow").union(
+        nf.map_batches(tag_rm, batch_format="pyarrow"))
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        """complete doc_id groups (one doc row marked rm_start == -1 plus
+        its removal rows) → cleaned docs. Requires unique doc ids (the
+        corpus invariant doc_id assignment already guarantees)."""
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return _empty_clean(id_col)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        rm = t["rm_start"].to_numpy(zero_copy_only=False)
+        is_doc = rm == -1
+        new = np.empty(len(ids), bool)
+        new[0] = True
+        new[1:] = ids[1:] != ids[:-1]
+        gid = np.cumsum(new) - 1
+        doc_batch = t.filter(pa.array(is_doc)).select([id_col, text_col])
+        lay = _GramLayout(doc_batch, n, text_col)
+        # every group has exactly one doc row → group g's doc index is g
+        nonfirst = np.zeros(len(lay.sh), bool)
+        if len(lay.sh):
+            win_off = np.zeros(lay.n_docs + 1, np.int64)
+            np.cumsum(np.bincount(lay.win_doc, minlength=lay.n_docs),
+                      out=win_off[1:])
+            rm_doc = gid[~is_doc]
+            nonfirst[win_off[rm_doc] + rm[~is_doc]] = True
+        first_starts = lay.win_start[~nonfirst]
+        return lay.rebuild(doc_batch, first_starts, id_col)
+
+    return sorted_group_map(u2, [id_col], rebuild, sort_cols=[id_col, "rm_start"])
 
 
 def exact_dedup(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"):

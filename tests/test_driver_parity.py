@@ -93,7 +93,7 @@ def test_query_and_oracle_keys_align(entry):
         "text_stats", "doc_keywords", "doc_logprob", "host_stats", "host_cap",
         "stratified_sample", "pack_sequences", "collocations", "prune_postings",
         "pagerank", "anchor_terms", "latest_snapshot", "degree_stats", "bm25f",
-        "remove_repeated_ngrams",
+        "remove_repeated_ngrams", "remove_global_ngrams",
         "ann_topk", "media_features", "media_resize",
         "media_frames", "event_windows", "event_hopping", "value_quantiles",
         "event_sessions", "clean_corpus", "clean_corpus_full",
