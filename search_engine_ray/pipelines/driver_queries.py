@@ -1017,6 +1017,36 @@ def q_cosine_neardup(sf_dir: str):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def q_embedding_clusters(sf_dir: str):
+    """Distributed spherical k-means cluster assignments + sizes (rows-only:
+    k-means is not SQL-expressible; inertia monotonicity and brute-force
+    pair parity are pytest-enforced in tests/test_semdedup.py)."""
+    import ray.data
+    from search_engine_ray.pipelines.training_data import embedding_kmeans
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, _, _ = embedding_kmeans(emb, k=8, iters=6)
+    out = assigned.to_pandas().astype({"vec_id": np.int64, "cluster": np.int32})
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def q_semdedup_pairs(sf_dir: str):
+    """SemDeDup-style within-k-means-cluster exact-cosine near-dup pairs."""
+    import ray.data
+    from search_engine_ray.pipelines.training_data import semdedup_pairs
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    # 0.3: the synthetic embeddings are near-orthogonal (max pair cosine
+    # ≈ 0.48 at sf0.001), so 0.5 would return zero rows at small scale
+    out = semdedup_pairs(emb, threshold=0.3, k=8, iters=6).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                            "b": pd.Series(dtype=np.int64),
+                            "cos": pd.Series(dtype=np.float64)})
+    out["cos"] = out["cos"].round(6)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def q_ann_ivf(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -2030,6 +2060,8 @@ RAY_QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "cosine_neardup": q_cosine_neardup,
+    "embedding_clusters": q_embedding_clusters,
+    "semdedup_pairs": q_semdedup_pairs,
     "fingerprints": q_fingerprints,
     "langid": q_langid,
     "pii_scrub": q_pii_scrub,

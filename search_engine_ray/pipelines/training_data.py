@@ -1828,6 +1828,184 @@ def ann_ivf(embeddings_with_centroid, centroids: np.ndarray, query_matrix: np.nd
     return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
+def embedding_kmeans(embeddings, k: int = 16, iters: int = 10,
+                     id_col: str = "vec_id", emb_col: str = "embedding",
+                     sample_size: int = 2048, seed: int = 7,
+                     tol: float = 1e-6):
+    """DISTRIBUTED spherical k-means over the embeddings table (Lloyd's,
+    cosine assignment on L2-normalized vectors) — the clustering step of
+    SemDeDup-style curation (Abbas et al. 2023) and of cluster-balanced
+    data mixing. Unlike :func:`ivf_index` (which fits on a broadcast
+    sample and assigns once), every Lloyd round here is a full-data pass:
+    centroids broadcast via ``ray.put``; each batch emits k partial
+    (sum_vec, count, inertia) rows; the driver reduces k×d floats — the
+    ONLY driver-side state however large the corpus. Init reuses
+    ivf_index's deterministic hash-uniform sample. Stops early when the
+    max centroid shift (L2) falls below ``tol``.
+
+    → (assignments Dataset (vec_id, cluster), centroids float64[k,d],
+    history list of per-round inertia — nonincreasing, pytest-enforced)."""
+    embeddings = embeddings.materialize()  # iterated over
+    _, cents = ivf_index(embeddings, n_centroids=k, id_col=id_col,
+                         emb_col=emb_col, sample_size=sample_size,
+                         iters=1, seed=seed)
+    cents = np.ascontiguousarray(cents, np.float64)
+    d = cents.shape[1]
+    history: list[float] = []
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        def partial(batch: pa.Table, _cref=cref, _k=len(cents)) -> pa.Table:
+            empty = pa.table({"cluster": pa.array([], pa.int32()),
+                              "vsum": pa.array([], pa.binary()),
+                              "cnt": pa.array([], pa.int64()),
+                              "inertia": pa.array([], pa.float64())})
+            if batch.num_rows == 0:
+                return empty
+            c = ray.get(_cref)
+            m = _normalize(_to_matrix(batch[emb_col]))
+            sims = m @ c.T
+            a = np.argmax(sims, axis=1)
+            best = sims[np.arange(len(a)), a]
+            sums = np.zeros((_k, m.shape[1]), np.float64)
+            np.add.at(sums, a, m)
+            cnt = np.bincount(a, minlength=_k).astype(np.int64)
+            iner = np.bincount(a, weights=1.0 - best, minlength=_k)
+            nz = cnt > 0
+            return pa.table({
+                "cluster": pa.array(np.flatnonzero(nz).astype(np.int32), pa.int32()),
+                "vsum": pa.array([sums[i].tobytes() for i in np.flatnonzero(nz)],
+                                 pa.binary()),
+                "cnt": pa.array(cnt[nz], pa.int64()),
+                "inertia": pa.array(iner[nz], pa.float64()),
+            })
+
+        parts = embeddings.map_batches(partial, batch_format="pyarrow").to_pandas()
+        sums = np.zeros((len(cents), d), np.float64)
+        cnts = np.zeros(len(cents), np.int64)
+        for cl, grp in parts.groupby("cluster"):
+            sums[cl] = np.sum(np.stack([np.frombuffer(b, np.float64)
+                                        for b in grp["vsum"]]), axis=0)
+            cnts[cl] = grp["cnt"].sum()
+        history.append(float(parts["inertia"].sum()))
+        new_cents = cents.copy()
+        nz = cnts > 0
+        v = sums[nz] / cnts[nz, None]
+        norms = np.linalg.norm(v, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        new_cents[nz] = v / norms
+        shift = float(np.max(np.linalg.norm(new_cents - cents, axis=1)))
+        cents = new_cents
+        if shift < tol:
+            break
+
+    cref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int32())})
+        c = ray.get(cref)
+        m = _normalize(_to_matrix(batch[emb_col]))
+        a = np.argmax(m @ c.T, axis=1).astype(np.int32)
+        return pa.table({id_col: batch[id_col].cast(pa.int64()),
+                         "cluster": pa.array(a, pa.int32())})
+
+    return embeddings.map_batches(assign, batch_format="pyarrow"), cents, history
+
+
+def semdedup_pairs(embeddings, threshold: float = 0.95, k: int = 16,
+                   iters: int = 10, max_cluster: int = 4096,
+                   id_col: str = "vec_id", emb_col: str = "embedding",
+                   seed: int = 7):
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023):
+    k-means-cluster the embeddings, then compare vectors EXACTLY (pairwise
+    cosine) only WITHIN each cluster → (a, b, cos) pairs with cos ≥
+    threshold, a < b. The cluster pass turns the O(N²) global comparison
+    into Σ|cluster|² local ones; one sort-co-group exchange moves each
+    vector once (the cluster column rides the sort, embeddings ride as
+    binary), and per-cluster pairwise matmuls run vectorized inside
+    complete-group blocks. Clusters above ``max_cluster`` are truncated
+    to their ``max_cluster`` smallest ids (deterministic; same guard as
+    the LSH buckets — a salted sub-split is the documented refinement).
+    Feed the pairs to :func:`clusters_distributed` for keeper selection."""
+    from search_engine_ray.stages.grouped import sorted_group_map
+
+    embeddings = embeddings.materialize()
+    # only the centroids are needed: the (cluster, id, normalized-vector)
+    # rows below re-derive each vector's assignment from the broadcast
+    # centroids row-locally — cheaper than shipping the assignments
+    # Dataset through a join, and identical by construction (same argmax
+    # over the same centroids).
+    _, centroids, _ = embedding_kmeans(embeddings, k=k, iters=iters,
+                                       id_col=id_col, emb_col=emb_col, seed=seed)
+    cref = ray.put(np.ascontiguousarray(centroids, np.float64))
+
+    def tagged(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"cluster": pa.array([], pa.int32()),
+                          id_col: pa.array([], pa.int64()),
+                          "emb": pa.array([], pa.binary())})
+        if batch.num_rows == 0:
+            return empty
+        c = ray.get(cref)
+        m = _normalize(_to_matrix(batch[emb_col]))
+        a = np.argmax(m @ c.T, axis=1).astype(np.int32)
+        return pa.table({"cluster": pa.array(a, pa.int32()),
+                         id_col: batch[id_col].cast(pa.int64()),
+                         "emb": pa.array([m[i].tobytes() for i in range(len(m))],
+                                         pa.binary())})
+
+    rows = embeddings.map_batches(tagged, batch_format="pyarrow")
+
+    def pairs_fn(t: pa.Table) -> pa.Table:
+        """complete cluster groups → within-cluster cosine pairs ≥ threshold."""
+        t = t.combine_chunks()
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "cos": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        cl = t["cluster"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        from search_engine_ray.functions.vb import binary_column_parts
+
+        offs, data = binary_column_parts(t["emb"].combine_chunks()
+                                         if isinstance(t["emb"], pa.ChunkedArray)
+                                         else t["emb"])
+        dim = int((offs[1] - offs[0]) // 8) if len(offs) > 1 else 1
+        mat = data[offs[0]:offs[-1]].view(np.float64).reshape(len(ids), dim)
+        new = np.empty(len(cl), bool)
+        new[0] = True
+        new[1:] = cl[1:] != cl[:-1]
+        bounds = np.append(np.flatnonzero(new), len(cl))
+        out_a, out_b, out_c = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            gi, gm = ids[s:e], mat[s:e]
+            if len(gi) > max_cluster:  # deterministic truncation guard
+                keep = np.argsort(gi, kind="stable")[:max_cluster]
+                gi, gm = gi[np.sort(keep)], gm[np.sort(keep)]
+            if len(gi) < 2:
+                continue
+            sims = gm @ gm.T
+            iu, ju = np.triu_indices(len(gi), k=1)
+            hit = sims[iu, ju] >= threshold
+            if hit.any():
+                ai, bi = gi[iu[hit]], gi[ju[hit]]
+                sw = ai > bi
+                out_a.append(np.where(sw, bi, ai))
+                out_b.append(np.where(sw, ai, bi))
+                out_c.append(sims[iu[hit], ju[hit]])
+        if not out_a:
+            return empty
+        return pa.table({"a": pa.array(np.concatenate(out_a), pa.int64()),
+                         "b": pa.array(np.concatenate(out_b), pa.int64()),
+                         "cos": pa.array(np.concatenate(out_c), pa.float64())})
+
+    return sorted_group_map(rows, ["cluster"], pairs_fn,
+                            sort_cols=["cluster", id_col])
+
+
 def lsh_index(embeddings, n_planes: int = 12, n_tables: int = 1, seed: int = 5,
               id_col: str = "vec_id", emb_col: str = "embedding"):
     """Hyperplane-LSH bucket index (Charikar'02), the bucketed scale path

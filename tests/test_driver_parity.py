@@ -110,7 +110,8 @@ def test_sql_parity(entry, con, name):
 
 @pytest.mark.parametrize(
     "name", ["minhash_pairs", "simhash_pairs", "fingerprints", "heavy_hitters", "ann_ivf_topk",
-             "ann_lsh_topk", "cosine_neardup", "value_quantiles_approx"]
+             "ann_lsh_topk", "cosine_neardup", "value_quantiles_approx",
+             "embedding_clusters", "semdedup_pairs"]
 )
 def test_rows_only_queries_run(entry, name):
     out = _to_pandas(entry.queries()[name](SF))
