@@ -15,7 +15,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Count, Sum
 
 US_PER_HOUR = 3_600_000_000
 US_PER_MIN = 60_000_000
@@ -62,10 +61,12 @@ def tumbling_window_agg(events: "ray.data.Dataset", window_us: int = US_PER_HOUR
             }
         )
 
+    from search_engine_ray.stages.grouped import grouped_reduce
+
+    # (window x type) cardinality grows with the event span — sort+reduceat
     partials = events.map_batches(partial, batch_format="pyarrow")
-    agg = partials.groupby(["window_start_us", "event_type"]).aggregate(
-        Sum("n_part", alias_name="n_events"), Sum("v_part", alias_name="sum_value")
-    )
+    agg = grouped_reduce(partials, ["window_start_us", "event_type"],
+                         sums=[("n_part", "n_events"), ("v_part", "sum_value")])
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -125,10 +126,12 @@ def hopping_window_agg(events: "ray.data.Dataset", window_us: int = US_PER_HOUR,
             }
         )
 
+    from search_engine_ray.stages.grouped import grouped_reduce
+
+    # (window x type) cardinality grows with the event span — sort+reduceat
     partials = events.map_batches(partial, batch_format="pyarrow")
-    agg = partials.groupby(["window_start_us", "event_type"]).aggregate(
-        Sum("n_part", alias_name="n_events"), Sum("v_part", alias_name="sum_value")
-    )
+    agg = grouped_reduce(partials, ["window_start_us", "event_type"],
+                         sums=[("n_part", "n_events"), ("v_part", "sum_value")])
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table(

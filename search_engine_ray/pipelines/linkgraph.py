@@ -21,7 +21,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 #: href="..." / href='...' — attribute-value extraction, case-insensitive
 _HREF_RE = r"""(?i)href\s*=\s*["']([^"']+)["']"""
@@ -146,13 +146,15 @@ def anchor_terms(pages, k: int = 3, url_col: str = "url",
                          "term": pa.array(g["t"], pa.string()),
                          "n_part": pa.array(g["n"].to_numpy(np.int64), pa.int64())})
 
-    from ray.data.aggregate import Sum as _Sum
-    counts = (anchors.map_batches(explode, batch_format="pyarrow")
-              .groupby(["dst", "term"]).aggregate(_Sum("n_part", alias_name="n")))
+    # (dst × term) cardinality scales with the anchor corpus —
+    # sort+reduceat, not Ray's hash groupby (see grouped_reduce)
+    from search_engine_ray.stages.grouped import grouped_reduce, sorted_group_map
+
+    counts = grouped_reduce(anchors.map_batches(explode, batch_format="pyarrow"),
+                            ["dst", "term"], sums=[("n_part", "n")])
 
     # top-k per dst by (n desc, term asc) — a two-column order, so rank in
     # a sorted_group_map kernel (group_topn orders by one column only)
-    from search_engine_ray.stages.grouped import sorted_group_map
 
     def topk_block(b: pa.Table) -> pa.Table:
         b = b.combine_chunks()
@@ -194,7 +196,10 @@ def _nparts() -> int:
 
 
 def _sum_by_key(ds, key_col: str, val_col: str, out_col: str):
-    """Partial per-batch float sums + one small groupby."""
+    """Partial per-batch float sums + one node-cardinality sort+reduceat
+    reduction (grouped_reduce; Ray's hash groupby is superlinear in group
+    count and this runs once per PageRank iteration)."""
+    from search_engine_ray.stages.grouped import grouped_reduce
 
     def partial(b: pa.Table) -> pa.Table:
         b = b.combine_chunks()
@@ -208,8 +213,8 @@ def _sum_by_key(ds, key_col: str, val_col: str, out_col: str):
         return pa.table({key_col: enc.dictionary.cast(pa.string()),
                          "s_part": pa.array(s, pa.float64())})
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby(key_col).aggregate(Sum("s_part", alias_name=out_col)))
+    return grouped_reduce(ds.map_batches(partial, batch_format="pyarrow"),
+                          [key_col], sums=[("s_part", out_col)])
 
 
 def degree_stats(edges):
@@ -230,8 +235,10 @@ def degree_stats(edges):
             return pa.table({"node": enc.dictionary.cast(pa.string()),
                              "d_part": pa.array(c.astype(np.int64), pa.int64())})
 
-        return (edges.map_batches(partial, batch_format="pyarrow")
-                .groupby("node").aggregate(Sum("d_part", alias_name=out)))
+        from search_engine_ray.stages.grouped import grouped_reduce
+
+        return grouped_reduce(edges.map_batches(partial, batch_format="pyarrow"),
+                              ["node"], sums=[("d_part", out)])
 
     out_d = count_col("src", "out_deg")
     in_d = count_col("dst", "in_deg")
@@ -268,11 +275,12 @@ def pagerank(edges, n_iters: int = 3, damping: float = 0.85,
         # per-batch dedup so the distinct groupby moves unique ids only
         return pa.table({"node": b[col].combine_chunks().unique().cast(pa.string())})
 
-    nodes = (edges.map_batches(lambda b: halves(b, "src"), batch_format="pyarrow")
-             .union(edges.map_batches(lambda b: halves(b, "dst"), batch_format="pyarrow"))
-             .groupby("node").aggregate(Count(alias_name="_c"))
-             .select_columns(["node"])
-             .materialize())
+    from search_engine_ray.stages.grouped import grouped_reduce
+
+    nodes = grouped_reduce(
+        edges.map_batches(lambda b: halves(b, "src"), batch_format="pyarrow")
+        .union(edges.map_batches(lambda b: halves(b, "dst"), batch_format="pyarrow")),
+        ["node"]).materialize()  # node-cardinality distinct
     n_nodes = nodes.count()
 
     # out-degrees (src, out_deg), computed once
@@ -287,9 +295,8 @@ def pagerank(edges, n_iters: int = 3, damping: float = 0.85,
         return pa.table({"src": enc.dictionary.cast(pa.string()),
                          "d_part": pa.array(c.astype(np.int64), pa.int64())})
 
-    deg = (edges.map_batches(deg_partial, batch_format="pyarrow")
-           .groupby("src").aggregate(Sum("d_part", alias_name="out_deg"))
-           .materialize())
+    deg = grouped_reduce(edges.map_batches(deg_partial, batch_format="pyarrow"),
+                         ["src"], sums=[("d_part", "out_deg")]).materialize()
     nparts = _nparts()
 
     # ranks_0: uniform 1/N

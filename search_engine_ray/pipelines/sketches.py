@@ -83,17 +83,22 @@ def heavy_hitters(docs, k: int = 10, m: int = 1024,
     """(top-k table (term, count_low), global err_bound): approximate
     most-frequent tokens with a deterministic error certificate. ``m``
     trades summary size for tightness (err_bound ≤ n_blocks × T_block/m)."""
+    from search_engine_ray.stages.grouped import grouped_reduce
+
     kernel = _block_summary(_exact_token_counts(text_col), m)
-    merged = (docs.map_batches(kernel, batch_format="pyarrow")
-              .groupby("term")
-              .aggregate(Sum("c_low", alias_name="count_low"),
-                         Sum("err_part", alias_name="_e"))
-              .materialize())
+    merged = grouped_reduce(
+        docs.map_batches(kernel, batch_format="pyarrow"), ["term"],
+        sums=[("c_low", "count_low"), ("err_part", "_e")]).materialize()
     err_bound = int(merged.aggregate(Sum("_e", alias_name="e"))["e"] or 0)
     top = (merged.select_columns(["term", "count_low"])
            .sort(["count_low", "term"], descending=[True, False])
            .limit(k).to_arrow_refs())
-    tbl = pa.concat_tables([ray.get(r) for r in top])
+    # Ray sort/limit over many small blocks can emit schemaless zero-row
+    # blocks; drop them before concat (they carry no data, only a bad schema).
+    tbls = [t for t in map(ray.get, top) if t.num_rows]
+    tbl = (pa.concat_tables(tbls) if tbls else
+           pa.table({"term": pa.array([], pa.string()),
+                     "count_low": pa.array([], pa.int64())}))
     return tbl, err_bound
 
 
@@ -115,12 +120,12 @@ def skew_report(ds, key_col: str, k: int = 10, m: int = 1024) -> dict:
         return (np.asarray(enc.dictionary.to_pylist(), dtype=object),
                 c.astype(np.int64))
 
+    from search_engine_ray.stages.grouped import grouped_reduce
+
     kernel = _block_summary(key_counts, m)
-    merged = (ds.map_batches(kernel, batch_format="pyarrow")
-              .groupby("term")
-              .aggregate(Sum("c_low", alias_name="count_low"),
-                         Sum("err_part", alias_name="_e"))
-              .materialize())
+    merged = grouped_reduce(
+        ds.map_batches(kernel, batch_format="pyarrow"), ["term"],
+        sums=[("c_low", "count_low"), ("err_part", "_e")]).materialize()
     err_bound = int(merged.aggregate(Sum("_e", alias_name="e"))["e"] or 0)
     top = (merged.select_columns(["term", "count_low"])
            .sort(["count_low", "term"], descending=[True, False])

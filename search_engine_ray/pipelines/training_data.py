@@ -22,7 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Sum
 
 from search_engine_ray.functions.hashing import (
     md5_hex_batch,
@@ -274,8 +274,12 @@ def doc_keywords(docs: "ray.data.Dataset", k: int = 3, id_col: str = "doc_id",
         return pa.table({"term": enc.dictionary.cast(pa.string()),
                          "df_part": pa.array(cnt.astype(np.int64), pa.int64())})
 
-    df_tbl = postings.map_batches(df_partial, batch_format="pyarrow") \
-        .groupby("term").aggregate(Sum("df_part", alias_name="df"))
+    from search_engine_ray.stages.grouped import grouped_reduce
+
+    # vocab-cardinality reduction: sort+reduceat, not Ray's hash groupby
+    # (superlinear in group count — see grouped_reduce)
+    df_tbl = grouped_reduce(postings.map_batches(df_partial, batch_format="pyarrow"),
+                            ["term"], sums=[("df_part", "df")])
     try:
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     except Exception:  # pragma: no cover
@@ -365,8 +369,10 @@ def doc_logprob(docs: "ray.data.Dataset", id_col: str = "doc_id",
         return pa.table({"term": enc.dictionary.cast(pa.string()),
                          "ctf_part": pa.array(s.astype(np.int64), pa.int64())})
 
-    ctf = postings.map_batches(ctf_partial, batch_format="pyarrow") \
-        .groupby("term").aggregate(Sum("ctf_part", alias_name="ctf"))
+    from search_engine_ray.stages.grouped import grouped_reduce
+
+    ctf = grouped_reduce(postings.map_batches(ctf_partial, batch_format="pyarrow"),
+                         ["term"], sums=[("ctf_part", "ctf")])
     total = postings.aggregate(Sum("tf", alias_name="t"))["t"] or 0
     try:
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
@@ -392,9 +398,10 @@ def doc_logprob(docs: "ray.data.Dataset", id_col: str = "doc_id",
             "tf_part": pa.array(np.bincount(inv, weights=tf).astype(np.int64), pa.int64()),
         })
 
-    agg = joined.map_batches(score_partial, batch_format="pyarrow") \
-        .groupby(id_col).aggregate(Sum("lp_part", alias_name="lp"),
-                                   Sum("tf_part", alias_name="n_tokens"))
+    # DOC-cardinality reduction — the group count scales with the corpus
+    agg = grouped_reduce(joined.map_batches(score_partial, batch_format="pyarrow"),
+                         [id_col], sums=[("lp_part", "lp"),
+                                         ("tf_part", "n_tokens")])
 
     def finish(b: pa.Table) -> pa.Table:
         b = b.combine_chunks()
@@ -453,8 +460,13 @@ def collocations(docs: "ray.data.Dataset", k: int = 20, min_count: int = 5,
     postings = tokenize_stage(docs, cfg).map_batches(
         lambda b: b.filter(pc.not_equal(b["term"], "")).select(["term", "tf"]),
         batch_format="pyarrow")
-    counts = postings.map_batches(_term_count_partial, batch_format="pyarrow") \
-        .groupby("term").aggregate(Sum("c_part", alias_name="c")).materialize()
+    from search_engine_ray.stages.grouped import grouped_reduce
+
+    # unigram+bigram vocab cardinality (bigrams grow near-linearly with
+    # the corpus) — sort+reduceat, not Ray's hash groupby
+    counts = grouped_reduce(
+        postings.map_batches(_term_count_partial, batch_format="pyarrow"),
+        ["term"], sums=[("c_part", "c")]).materialize()
 
     is_bi = lambda b: pc.match_substring(b["term"], " ")  # noqa: E731
     uni = counts.map_batches(
@@ -909,10 +921,12 @@ def exact_dedup(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str 
             }
         )
 
+    from search_engine_ray.stages.grouped import grouped_reduce
+
+    # distinct-text (≈ doc) cardinality — sort+reduceat, not hash groupby
     hashed = docs.map_batches(add_hash, batch_format="pyarrow")
-    return hashed.groupby("text_hash").aggregate(
-        Min(id_col, alias_name="keep_doc_id"), Count(alias_name="n_dupes")
-    )
+    return grouped_reduce(hashed, ["text_hash"],
+                          mins=[(id_col, "keep_doc_id")], count="n_dupes")
 
 
 class _MinHashStage:
@@ -1100,8 +1114,9 @@ def minhash_verified_pairs(sig_ds, bands=32, threshold=0.7, max_bucket=64,
         pdf = cand_raw.to_pandas().drop_duplicates(["a", "b"], ignore_index=True)
         cand = ray.data.from_pandas(pdf)
         return _verify_pairs_broadcast(cand, sig_ds, threshold, pdf=pdf)
-    cand = cand_raw.groupby(["a", "b"]).aggregate(Count(alias_name="_nb"))
-    cand = cand.drop_columns(["_nb"])
+    from search_engine_ray.stages.grouped import grouped_reduce
+
+    cand = grouped_reduce(cand_raw, ["a", "b"])  # pair-cardinality distinct
     return _verify_pairs_join(cand, sig_ds, threshold)
 
 
@@ -1207,7 +1222,6 @@ def clusters_distributed(pairs, max_iters: int = 100) -> "ray.data.Dataset":
     bounds pathological chains. Pytest-verified identical to union-find on
     seeded corpora with dup chains crossing partitions."""
     import ray.data
-    from ray.data.aggregate import Min as AMin
     from ray.data.aggregate import Sum as ASum
 
     try:
@@ -1237,9 +1251,12 @@ def clusters_distributed(pairs, max_iters: int = 100) -> "ray.data.Dataset":
              "label": pa.array(np.concatenate([src, dst]), pa.int64())}
         )
 
-    labels = (edges.map_batches(init_lbl, batch_format="pyarrow")
-              .groupby("node").aggregate(AMin("label", alias_name="label"))
-              .materialize())
+    from search_engine_ray.stages.grouped import grouped_reduce
+
+    # node-cardinality min — per ITERATION, so the hash-groupby cliff would
+    # multiply by the graph diameter; sort+reduceat instead
+    labels = grouped_reduce(edges.map_batches(init_lbl, batch_format="pyarrow"),
+                            ["node"], mins=[("label", "label")]).materialize()
     prev_sum = labels.aggregate(ASum("label", alias_name="s"))["s"]
 
     for _ in range(max_iters):
@@ -1250,9 +1267,8 @@ def clusters_distributed(pairs, max_iters: int = 100) -> "ray.data.Dataset":
             return pa.table({"node": batch["dst"], "label": batch["label"]})
 
         cand = msgs.map_batches(to_node, batch_format="pyarrow")
-        labels = (labels.union(cand)
-                  .groupby("node").aggregate(AMin("label", alias_name="label"))
-                  .materialize())
+        labels = grouped_reduce(labels.union(cand), ["node"],
+                                mins=[("label", "label")]).materialize()
         cur_sum = labels.aggregate(ASum("label", alias_name="s"))["s"]
         if cur_sum == prev_sum:
             break
@@ -1377,10 +1393,13 @@ def simhash_dedup(docs, max_hamming=3, bands=4, id_col="doc_id", text_col="text"
 
     from search_engine_ray.stages.grouped import sorted_group_map
 
+    from search_engine_ray.stages.grouped import grouped_reduce
+
     band_rows = sims.map_batches(explode, batch_format="pyarrow")
     pairs = sorted_group_map(band_rows, ["band_key"], pairs_batch,
                              sort_cols=["band_key", "doc_id"])
-    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+    # pair-cardinality dedup (a pair collides in many bands)
+    return grouped_reduce(pairs, ["a", "b"], mins=[("hamming", "hamming")])
 
 
 def ngram_jaccard_verify(pairs_ds, docs, shingle_k=3, threshold=0.5,
@@ -1556,8 +1575,9 @@ def cosine_neardup_pairs(embeddings, threshold: float = 0.9, n_planes: int = 16,
         # scale path: distributed pair dedup, then two hash joins attach
         # each candidate's normalized vector exactly once — the same shape
         # as the MinHash _verify_pairs_join, with a cosine kernel
-        cand = cand_raw.groupby(["a", "b"]).aggregate(Count(alias_name="_nb"))
-        cand = cand.drop_columns(["_nb"])
+        from search_engine_ray.stages.grouped import grouped_reduce
+
+        cand = grouped_reduce(cand_raw, ["a", "b"])  # pair-cardinality distinct
         return _verify_pairs_cosine_join(cand, embeddings, threshold, id_col, emb_col)
     pdf = cand_raw.to_pandas().drop_duplicates(["a", "b"], ignore_index=True)
     ids = np.unique(np.concatenate([pdf["a"].to_numpy(), pdf["b"].to_numpy()])).astype(np.int64)

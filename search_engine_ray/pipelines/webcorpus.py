@@ -14,7 +14,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-from ray.data.aggregate import Sum
 
 from search_engine_ray.stages.grouped import sorted_group_map
 from search_engine_ray.stages.scan import ordered_prefix_sum
@@ -61,10 +60,13 @@ def host_stats(pages, url_col: str = "url", text_col: str = "text"):
             "tok_part": pa.array(t.astype(np.int64), pa.int64()),
         })
 
-    return (pages.map_batches(partial, batch_format="pyarrow")
-            .groupby("host")
-            .aggregate(Sum("n_part", alias_name="n_docs"),
-                       Sum("tok_part", alias_name="total_tokens")))
+    from search_engine_ray.stages.grouped import grouped_reduce
+
+    # host cardinality scales with the crawl (10^7-10^8 hosts at web
+    # scale) — sort+reduceat, not Ray's hash groupby (see grouped_reduce)
+    return grouped_reduce(pages.map_batches(partial, batch_format="pyarrow"),
+                          ["host"], sums=[("n_part", "n_docs"),
+                                          ("tok_part", "total_tokens")])
 
 
 def _raw_token_counts(texts) -> np.ndarray:

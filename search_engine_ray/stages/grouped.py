@@ -61,6 +61,53 @@ def _edges(batch: pa.Table, key_cols: list[str]) -> pa.Table:
     return batch.take(pa.array(np.flatnonzero(sel)))
 
 
+def grouped_reduce(ds, keys: list[str], sums=(), mins=(), maxs=(),
+                   count: str | None = None):
+    """Algebraic per-group reduction via sort + run-length ``reduceat`` —
+    the drop-in for ``ds.groupby(keys).aggregate(Sum/Min/Max/Count)``
+    wherever the GROUP COUNT scales with the corpus (docs, vocab, nodes,
+    candidate pairs). Ray's hash-shuffle aggregator is superlinear in
+    group count (measured, 32 CPUs, 1.3 rows/group: 2.8 s at 100k groups,
+    12.7 s at 1M, 40.9 s at 4M) while this path stays flat (1.4-3.4 s
+    across the same sweep). Keep Ray's groupby for small fixed
+    cardinalities (languages, query ids) where its pipelining is free.
+
+    ``sums``/``mins``/``maxs``: sequences of (col, alias); ``count``:
+    alias for the per-group row count. With no reducers at all the result
+    is the distinct key set. Output dtypes follow the input columns
+    (counts are int64); output block order is NOT globally key-sorted."""
+    sums, mins, maxs = list(sums), list(mins), list(maxs)
+
+    def red(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            cols = {k: t[k] for k in keys}
+            for col, alias in [*sums, *mins, *maxs]:
+                cols[alias] = t[col]
+            if count:
+                cols[count] = pa.array([], pa.int64())
+            return pa.table(cols)
+        change = _group_change_mask(t, keys)
+        b = np.flatnonzero(change)
+        idx = pa.array(b)
+        out = {k: t[k].take(idx) for k in keys}
+        for col, alias in sums:
+            out[alias] = pa.array(
+                np.add.reduceat(t[col].to_numpy(zero_copy_only=False), b))
+        for col, alias in mins:
+            out[alias] = pa.array(
+                np.minimum.reduceat(t[col].to_numpy(zero_copy_only=False), b))
+        for col, alias in maxs:
+            out[alias] = pa.array(
+                np.maximum.reduceat(t[col].to_numpy(zero_copy_only=False), b))
+        if count:
+            out[count] = pa.array(
+                np.diff(np.append(b, t.num_rows)).astype(np.int64), pa.int64())
+        return pa.table(out)
+
+    return sorted_group_map(ds, list(keys), red)
+
+
 def sorted_group_map(ds, group_cols: list[str], block_fn, sort_cols: list[str] | None = None,
                      repair_target_rows: int = 400_000):
     """Apply ``block_fn(batch)`` (pa.Table → pa.Table) to batches containing
