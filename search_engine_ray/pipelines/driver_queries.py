@@ -880,6 +880,47 @@ def q_event_sessions(sf_dir: str):
             .astype({c: np.int64 for c in out.columns}))
 
 
+def q_event_asof(sf_dir: str):
+    """AS-OF join: each 'click' event matched to the user's most recent
+    'view' event at or before it (inner; right ts-ties break by max id)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from search_engine_ray.pipelines.events import asof_join
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type", "value"])
+
+    def pick(etype):
+        return lambda b: b.filter(pc.equal(b["event_type"], etype))
+
+    left = ev.map_batches(pick("click"), batch_format="pyarrow")
+    right = ev.map_batches(pick("view"), batch_format="pyarrow")
+    out = asof_join(left, right).to_pandas()
+    out["r_value_r"] = out["r_value"].round(6)
+    return (out.drop(columns=["r_value"])
+            .sort_values(["user_id", "l_event_id"]).reset_index(drop=True))
+
+
+def q_event_range(sf_dir: str):
+    """Broadcast range (interval) join: events.value against a small
+    OVERLAPPING band table (multi-match inner join, one row per match)."""
+    import ray.data
+
+    from search_engine_ray.pipelines.events import broadcast_range_join
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "value"])
+    bands = pa.table({"band": pa.array(["low", "mid", "high"]),
+                      "lo": pa.array([0.0, 10.0, 25.0]),
+                      "hi": pa.array([15.0, 30.0, 1e9])})
+    out = broadcast_range_join(ev, bands).to_pandas()
+    out["value_r"] = out["value"].round(6)
+    return (out.drop(columns=["value"])
+            .sort_values(["event_id", "band"]).reset_index(drop=True))
+
+
 def q_media_resize(sf_dir: str):
     """Aspect-preserving resize planning over binary payloads (real
     geometry, stubbed pixel seam)."""
@@ -1886,6 +1927,33 @@ def oracle_queries() -> dict[str, str]:
                    max(ts_us)::BIGINT AS session_end_us
             FROM s GROUP BY user_id, sess
         """,
+        "event_asof": """
+            WITH l AS (
+              SELECT user_id, event_id AS l_event_id, epoch_us(ts) AS l_ts_us
+              FROM events WHERE event_type = 'click'
+            ),
+            r0 AS (
+              SELECT user_id, event_id AS r_event_id, epoch_us(ts) AS r_ts_us,
+                     value AS r_value
+              FROM events WHERE event_type = 'view'
+            ),
+            r AS (  -- deterministic ts-tie break: keep the max-id right row
+              SELECT * FROM r0
+              QUALIFY row_number() OVER (PARTITION BY user_id, r_ts_us
+                                         ORDER BY r_event_id DESC) = 1
+            )
+            SELECT l.user_id, l.l_event_id, l.l_ts_us,
+                   r.r_event_id, r.r_ts_us, round(r.r_value, 6) AS r_value_r
+            FROM l ASOF JOIN r
+              ON l.user_id = r.user_id AND l.l_ts_us >= r.r_ts_us
+        """,
+        "event_range": """
+            SELECT e.event_id, b.band, round(e.value, 6) AS value_r
+            FROM events e
+            JOIN (VALUES ('low', 0.0, 15.0), ('mid', 10.0, 30.0),
+                         ('high', 25.0, 1e9)) AS b(band, lo, hi)
+              ON e.value >= b.lo AND e.value < b.hi
+        """,
         "media_resize": f"""
             WITH h AS (SELECT doc_id, {HTML_SQL} AS p FROM documents),
             d AS (
@@ -2049,6 +2117,8 @@ RAY_QUERIES = {
     "value_quantiles": q_value_quantiles,
     "value_quantiles_approx": q_value_quantiles_approx,
     "event_sessions": q_event_sessions,
+    "event_asof": q_event_asof,
+    "event_range": q_event_range,
     "clean_corpus": q_clean_corpus,
     "clean_corpus_full": q_clean_corpus_full,
     "dedup_clusters": q_dedup_clusters,

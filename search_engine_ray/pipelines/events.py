@@ -246,6 +246,122 @@ def value_quantiles_approx(events: "ray.data.Dataset", qs: list[float],
                      "value": pa.array(out, pa.float64())})
 
 
+def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+              key_col: str = "user_id", ts_col: str = "ts",
+              id_col: str = "event_id", value_col: str = "value"):
+    """AS-OF join: each left event matched to the right event with the
+    GREATEST ts <= left ts for the same key (inner semantics — unmatched
+    left rows drop; ties on right ts break by greatest ``id_col``).
+    → (key, l_<id>, l_ts_us, r_<id>, r_ts_us, r_<value>).
+
+    Ray Data has no asof join, so it is composed: tag both sides, union,
+    then ONE sort by (key, ts, side) via sorted_group_map — within each
+    whole-key batch a single ``np.maximum.accumulate`` carries the index
+    of the latest right row forward across every group at once (no
+    per-key Python). Right rows sort BEFORE left rows at equal ts, so
+    ts-equal matches are inclusive, like DuckDB's ``ASOF JOIN ... ON
+    l.ts >= r.ts``. The one sort is the honest cost; at 100 TB both
+    sides are already key-partitioned and each partition sorts locally —
+    exactly the shape sorted_group_map executes."""
+    from search_engine_ray.stages.grouped import sorted_group_map
+
+    def prep(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = batch.combine_chunks()
+            return pa.table({
+                "k": batch[key_col].cast(pa.int64()),
+                "ts_us": pa.array(_ts_us(batch[ts_col]), pa.int64()),
+                "side": pa.array(np.full(batch.num_rows, side, np.int8), pa.int8()),
+                "eid": batch[id_col].cast(pa.int64()),
+                "val": batch[value_col].cast(pa.float64()),
+            })
+        return fn
+
+    tagged = (right.map_batches(prep(0), batch_format="pyarrow")
+              .union(left.map_batches(prep(1), batch_format="pyarrow")))
+
+    def kernel(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        empty = pa.table({key_col: pa.array([], pa.int64()),
+                          "l_" + id_col: pa.array([], pa.int64()),
+                          "l_ts_us": pa.array([], pa.int64()),
+                          "r_" + id_col: pa.array([], pa.int64()),
+                          "r_ts_us": pa.array([], pa.int64()),
+                          "r_" + value_col: pa.array([], pa.float64())})
+        n = b.num_rows
+        if n == 0:
+            return empty
+        key = b["k"].to_numpy(zero_copy_only=False)
+        side = b["side"].to_numpy(zero_copy_only=False)
+        ts = b["ts_us"].to_numpy(zero_copy_only=False)
+        eid = b["eid"].to_numpy(zero_copy_only=False)
+        val = b["val"].to_numpy(zero_copy_only=False)
+        idx = np.arange(n, dtype=np.int64)
+        # latest right-row index at or before each row (sort puts right
+        # first at equal ts, so equality is inclusive)
+        last_r = np.maximum.accumulate(np.where(side == 0, idx, -1))
+        # segment starts: a match from a PREVIOUS key is invalid
+        is_start = np.empty(n, bool)
+        is_start[0] = True
+        np.not_equal(key[1:], key[:-1], out=is_start[1:])
+        gstart = np.maximum.accumulate(np.where(is_start, idx, 0))
+        ok = (side == 1) & (last_r >= gstart)
+        li = np.flatnonzero(ok)
+        if len(li) == 0:
+            return empty
+        ri = last_r[li]
+        return pa.table({
+            key_col: pa.array(key[li], pa.int64()),
+            "l_" + id_col: pa.array(eid[li], pa.int64()),
+            "l_ts_us": pa.array(ts[li], pa.int64()),
+            "r_" + id_col: pa.array(eid[ri], pa.int64()),
+            "r_ts_us": pa.array(ts[ri], pa.int64()),
+            "r_" + value_col: pa.array(val[ri], pa.float64()),
+        })
+
+    return sorted_group_map(tagged, ["k"], kernel,
+                            sort_cols=["k", "ts_us", "side", "eid"])
+
+
+def broadcast_range_join(ds: "ray.data.Dataset", ranges: "pa.Table",
+                         val_col: str = "value", lo_col: str = "lo",
+                         hi_col: str = "hi", label_col: str = "band",
+                         keep_cols: tuple = ("event_id",)):
+    """Range (interval) join against a SMALL ranges table: each row joins
+    every range with lo <= val < hi — inner, multi-match (overlapping
+    ranges emit one output row per match). → keep_cols + (val, label).
+
+    The ranges table ships ONCE via ray.put and every batch matches
+    against it vectorized (one n×m comparison per batch — m is small by
+    contract; a big-big range join needs grid-bucket partitioning on the
+    range axis instead, same pattern as the LSH band shuffle)."""
+    import ray
+
+    lo = ranges[lo_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    hi = ranges[hi_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    labels = ranges[label_col].to_pylist()
+    ref = ray.put((lo, hi, np.asarray(labels, dtype=object)))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        rlo, rhi, rlab = ray.get(ref)
+        cols = {c: pa.array([], batch[c].type) for c in keep_cols}
+        cols[val_col] = pa.array([], pa.float64())
+        cols[label_col] = pa.array([], pa.string())
+        if batch.num_rows == 0:
+            return pa.table(cols)
+        v = batch[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        m2 = (v[:, None] >= rlo[None, :]) & (v[:, None] < rhi[None, :])
+        li, rj = np.nonzero(m2)
+        take = pa.array(li)
+        out = {c: batch[c].take(take) for c in keep_cols}
+        out[val_col] = pa.array(v[li], pa.float64())
+        out[label_col] = pa.array(rlab[rj].tolist(), pa.string())
+        return pa.table(out)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def sessionize(events: "ray.data.Dataset", gap_us: int = 30 * US_PER_MIN):
     """Gap-based sessionization: a user's events sorted by (ts, event_id)
     start a new session when the gap to the previous event exceeds

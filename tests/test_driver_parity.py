@@ -96,7 +96,8 @@ def test_query_and_oracle_keys_align(entry):
         "remove_repeated_ngrams", "remove_global_ngrams",
         "ann_topk", "media_features", "media_resize",
         "media_frames", "event_windows", "event_hopping", "value_quantiles",
-        "event_sessions", "clean_corpus", "clean_corpus_full",
+        "event_sessions", "event_asof", "event_range",
+        "clean_corpus", "clean_corpus_full",
         "cosine_norms", "jaccard_verify", "dedup_clusters", "cosine_verify",
         "ann_ivf_full", "ann_lsh_full", "langid", "pii_scrub", "repetition",
         "decontaminate",

@@ -187,3 +187,79 @@ class TestApproxQuantiles:
         out = value_quantiles_approx(ds, [0.0, 0.5, 1.0], sample_size=4096).to_pandas()
         # sample == whole input → exact quantiles
         np.testing.assert_allclose(out["value"].to_numpy(), [0.0, 50.0, 100.0])
+
+
+class TestAsofJoin:
+    def _run(self, ray_session, left_rows, right_rows, parts=3):
+        import ray.data
+
+        from search_engine_ray.pipelines.events import asof_join
+
+        l = ray.data.from_pandas(_events(left_rows)).repartition(parts)
+        r = ray.data.from_pandas(_events(right_rows)).repartition(parts)
+        return (asof_join(l, r).to_pandas()
+                .sort_values(["user_id", "l_event_id"]).reset_index(drop=True))
+
+    def test_matches_latest_at_or_before(self, ray_session):
+        # user 1: rights at t=0,10,20; lefts at 5,10,25
+        out = self._run(ray_session,
+                        left_rows=[(100, 1, 5, 0), (101, 1, 10, 0), (102, 1, 25, 0)],
+                        right_rows=[(200, 1, 0, 1.0), (201, 1, 10, 2.0), (202, 1, 20, 3.0)])
+        assert out["l_event_id"].tolist() == [100, 101, 102]
+        # t=5 → right@0; t=10 → right@10 (inclusive); t=25 → right@20
+        assert out["r_event_id"].tolist() == [200, 201, 202]
+        assert out["r_value"].tolist() == [1.0, 2.0, 3.0]
+
+    def test_inner_semantics_and_key_isolation(self, ray_session):
+        # left before any right drops; user 2's rights never match user 1
+        out = self._run(ray_session,
+                        left_rows=[(100, 1, 5, 0), (101, 2, 50, 0)],
+                        right_rows=[(200, 2, 10, 7.0), (201, 1, 30, 9.0)])
+        assert out["l_event_id"].tolist() == [101]
+        assert out["r_event_id"].tolist() == [200]
+
+    def test_right_ts_tie_breaks_by_max_id(self, ray_session):
+        out = self._run(ray_session,
+                        left_rows=[(100, 1, 10, 0)],
+                        right_rows=[(200, 1, 10, 1.0), (205, 1, 10, 2.0), (201, 1, 10, 3.0)])
+        assert out["r_event_id"].tolist() == [205]
+        assert out["r_value"].tolist() == [2.0]
+
+    def test_users_straddle_partitions(self, ray_session):
+        rng = np.random.default_rng(7)
+        lefts = [(i, int(rng.integers(1, 6)), int(rng.integers(0, 600)), 0)
+                 for i in range(100, 180)]
+        rights = [(i, int(rng.integers(1, 6)), int(rng.integers(0, 600)), float(i))
+                  for i in range(300, 360)]
+        out = self._run(ray_session, lefts, rights, parts=7)
+        # scalar reference
+        import pandas as pd
+        ldf, rdf = _events(lefts), _events(rights)
+        exp = []
+        for _, lr in ldf.iterrows():
+            cand = rdf[(rdf.user_id == lr.user_id) & (rdf.ts <= lr.ts)]
+            if len(cand):
+                best = cand.sort_values(["ts", "event_id"]).iloc[-1]
+                exp.append((lr.event_id, best.event_id))
+        exp.sort()
+        got = sorted(zip(out["l_event_id"], out["r_event_id"]))
+        assert [tuple(map(int, e)) for e in got] == [tuple(map(int, e)) for e in exp]
+
+
+class TestBroadcastRangeJoin:
+    def test_overlapping_multi_match(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from search_engine_ray.pipelines.events import broadcast_range_join
+
+        df = pd.DataFrame({"event_id": [1, 2, 3, 4],
+                           "value": [5.0, 12.0, 27.0, -1.0]})
+        bands = pa.table({"band": pa.array(["low", "mid", "high"]),
+                          "lo": pa.array([0.0, 10.0, 25.0]),
+                          "hi": pa.array([15.0, 30.0, 1e9])})
+        out = (broadcast_range_join(ray.data.from_pandas(df).repartition(2), bands)
+               .to_pandas().sort_values(["event_id", "band"]).reset_index(drop=True))
+        got = list(zip(out["event_id"], out["band"]))
+        # 5→low; 12→low+mid (overlap); 27→mid+high; -1→nothing
+        assert got == [(1, "low"), (2, "low"), (2, "mid"), (3, "high"), (3, "mid")]
