@@ -752,6 +752,36 @@ def q_heavy_hitters(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def q_heavy_hitters_exact(sf_dir: str):
+    """Same mergeable sketch with m large enough that no block drops a
+    term — err_bound is provably 0, counts are exact, and the result is
+    SQL-checkable (the sketch degrades gracefully to an exact groupby)."""
+    from search_engine_ray.pipelines.sketches import heavy_hitters
+
+    tbl, err = heavy_hitters(_read_docs(sf_dir), k=10, m=1 << 18)
+    assert err == 0, f"m too small for exact mode (err_bound={err})"
+    return tbl.to_pandas().reset_index(drop=True)
+
+
+def q_vocab_size(sf_dir: str):
+    """Exact distinct lowercase-token count: per-block unique tokens →
+    one distributed distinct (grouped_reduce); only vocab-sized rows move."""
+    from search_engine_ray.pipelines.sketches import distinct_token_count
+
+    n = distinct_token_count(_read_docs(sf_dir))
+    return pd.DataFrame({"n_distinct": np.array([n], np.int64)})
+
+
+def q_vocab_size_hll(sf_dir: str):
+    """HyperLogLog distinct-token estimate (rows-only: approximate by
+    design; mergeability + error bound are pytest-enforced)."""
+    from search_engine_ray.pipelines.sketches import hll_distinct_tokens
+
+    r = hll_distinct_tokens(_read_docs(sf_dir), p=14)
+    return pd.DataFrame({"estimate": np.array([r["estimate"]], np.int64),
+                         "p": np.array([r["p"]], np.int64)})
+
+
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-k; queries = embeddings of vec_id 0..2.
     round(3): DuckDB's list_cosine_similarity computes in float32."""
@@ -1927,6 +1957,24 @@ def oracle_queries() -> dict[str, str]:
                    max(ts_us)::BIGINT AS session_end_us
             FROM s GROUP BY user_id, sess
         """,
+        "heavy_hitters_exact": r"""
+            WITH w AS (
+              SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                        x -> x <> '')) AS term
+              FROM documents
+            )
+            SELECT term, count(*)::BIGINT AS count_low
+            FROM w GROUP BY term
+            ORDER BY count_low DESC, term LIMIT 10
+        """,
+        "vocab_size": r"""
+            WITH w AS (
+              SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                        x -> x <> '')) AS term
+              FROM documents
+            )
+            SELECT count(DISTINCT term)::BIGINT AS n_distinct FROM w
+        """,
         "event_asof": """
             WITH l AS (
               SELECT user_id, event_id AS l_event_id, epoch_us(ts) AS l_ts_us
@@ -2108,6 +2156,9 @@ RAY_QUERIES = {
     "remove_repeated_ngrams": q_remove_repeated_ngrams,
     "remove_global_ngrams": q_remove_global_ngrams,
     "heavy_hitters": q_heavy_hitters,
+    "heavy_hitters_exact": q_heavy_hitters_exact,
+    "vocab_size": q_vocab_size,
+    "vocab_size_hll": q_vocab_size_hll,
     "ann_topk": q_ann_topk,
     "media_features": q_media_features,
     "media_resize": q_media_resize,

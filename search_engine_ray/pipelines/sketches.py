@@ -138,3 +138,84 @@ def skew_report(ds, key_col: str, k: int = 10, m: int = 1024) -> dict:
         "hot_keys": [(t, int(c)) for t, c in zip(top.term, top.count_low)],
         "max_key_frac_upper": (hot / total) if total else 0.0,
     }
+
+
+# ---------------------------------------------------------------------------
+# distinct counting: exact (distributed distinct) + HyperLogLog (one pass)
+# ---------------------------------------------------------------------------
+
+
+def distinct_token_count(docs, text_col: str = "text") -> int:
+    """EXACT number of distinct lowercase whitespace tokens in the corpus.
+    Per-block kernels emit each block's UNIQUE tokens only (vocab-sized,
+    not corpus-sized), then one grouped_reduce distinct — the same
+    sort+reduceat path every corpus-cardinality reduction here uses."""
+    from search_engine_ray.stages.grouped import grouped_reduce
+
+    counts_fn = _exact_token_counts(text_col)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        terms, _ = counts_fn(batch)
+        return pa.table({"term": pa.array(terms, pa.string())})
+
+    uniq = grouped_reduce(docs.map_batches(kernel, batch_format="pyarrow"),
+                          ["term"])
+    return int(uniq.count())
+
+
+def hll_distinct_tokens(docs, p: int = 14, text_col: str = "text") -> dict:
+    """ONE-PASS approximate distinct-token count via HyperLogLog
+    (Flajolet et al. 2007): 2^p registers, relative error ≈ 1.04/sqrt(2^p)
+    (~0.8% at p=14). Deterministic (the corpus poly hash seeds it) and
+    MERGEABLE: registers combine by elementwise max, so the estimate is
+    independent of block layout (pytest-enforced).
+
+    Scale shape: each block emits only its NONZERO (register, rho) pairs
+    (≤ 2^p rows); a grouped_reduce max merges them — at no point does a
+    worker or the driver hold more than the 2^p-row register table. The
+    exact companion is :func:`distinct_token_count`."""
+    from search_engine_ray.functions.hashing import hash_strings_arrow
+    from search_engine_ray.stages.grouped import grouped_reduce
+
+    m = 1 << p
+    rem_bits = 64 - p
+    counts_fn = _exact_token_counts(text_col)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"reg": pa.array([], pa.int64()),
+                          "rho": pa.array([], pa.int64())})
+        terms, _ = counts_fn(batch)
+        if len(terms) == 0:
+            return empty
+        h = hash_strings_arrow(pa.array(terms.tolist(), pa.string()))
+        reg = (h >> np.uint64(rem_bits)).astype(np.int64)
+        w = h & np.uint64((1 << rem_bits) - 1)
+        # rank of first 1-bit in the low rem_bits (rho = rem_bits -
+        # bit_length(w) + 1; w == 0 → rem_bits + 1). Exact via float64:
+        # w < 2^50 < 2^53 so log2(w+1) rounds correctly at powers of two.
+        bl = np.ceil(np.log2(w.astype(np.float64) + 1.0)).astype(np.int64)
+        rho = rem_bits - bl + 1
+        # per-block register max
+        order = np.lexsort((-rho, reg))
+        reg_s, rho_s = reg[order], rho[order]
+        first = np.empty(len(reg_s), bool)
+        first[0] = True
+        np.not_equal(reg_s[1:], reg_s[:-1], out=first[1:])
+        keep = np.flatnonzero(first)
+        return pa.table({"reg": pa.array(reg_s[keep], pa.int64()),
+                         "rho": pa.array(rho_s[keep], pa.int64())})
+
+    regs = grouped_reduce(docs.map_batches(partial, batch_format="pyarrow"),
+                          ["reg"], maxs=[("rho", "rho")]).to_pandas()
+    rho = np.zeros(m, np.int64)
+    if len(regs):
+        rho[regs["reg"].to_numpy(np.int64)] = regs["rho"].to_numpy(np.int64)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = alpha * m * m / np.sum(np.exp2(-rho.astype(np.float64)))
+    zeros = int(np.count_nonzero(rho == 0))
+    if raw <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)  # linear counting (small range)
+    else:
+        est = raw
+    return {"estimate": int(round(est)), "p": p,
+            "rel_err_bound": 1.04 / np.sqrt(m)}

@@ -94,6 +94,7 @@ def test_query_and_oracle_keys_align(entry):
         "stratified_sample", "pack_sequences", "collocations", "prune_postings",
         "pagerank", "anchor_terms", "latest_snapshot", "degree_stats", "bm25f",
         "remove_repeated_ngrams", "remove_global_ngrams",
+        "heavy_hitters_exact", "vocab_size",
         "ann_topk", "media_features", "media_resize",
         "media_frames", "event_windows", "event_hopping", "value_quantiles",
         "event_sessions", "event_asof", "event_range",
@@ -111,7 +112,7 @@ def test_sql_parity(entry, con, name):
 
 @pytest.mark.parametrize(
     "name", ["minhash_pairs", "simhash_pairs", "fingerprints", "heavy_hitters", "ann_ivf_topk",
-             "ann_lsh_topk", "cosine_neardup", "value_quantiles_approx",
+             "ann_lsh_topk", "cosine_neardup", "value_quantiles_approx", "vocab_size_hll",
              "embedding_clusters", "semdedup_pairs"]
 )
 def test_rows_only_queries_run(entry, name):

@@ -67,3 +67,56 @@ def test_skew_report(ray_session):
     lo = rep["hot_keys"][0][1]
     assert lo <= n // 2 <= lo + rep["err_bound"]
     assert rep["max_key_frac_upper"] >= 0.5
+
+
+class TestDistinctCount:
+    def test_exact_matches_reference(self, ray_session):
+        import ray.data
+
+        from search_engine_ray.pipelines.sketches import distinct_token_count
+
+        texts = _zipfish(n_docs=100)
+        ds = ray.data.from_arrow(pa.table({"text": pa.array(texts)})).repartition(6)
+        true = len({w for t in texts for w in t.split()})
+        assert distinct_token_count(ds) == true
+
+    def test_hll_error_bound_large_vocab(self, ray_session):
+        import ray.data
+
+        from search_engine_ray.pipelines.sketches import hll_distinct_tokens
+
+        # ~60k distinct tokens — well past the linear-counting regime
+        rng = np.random.default_rng(3)
+        vocab = np.array([f"w{i:06d}" for i in range(60_000)])
+        texts = [" ".join(rng.choice(vocab, size=200, replace=False))
+                 for _ in range(600)]
+        ds = ray.data.from_arrow(pa.table({"text": pa.array(texts)})).repartition(8)
+        true = len({w for t in texts for w in t.split()})
+        r = hll_distinct_tokens(ds, p=14)
+        rel = abs(r["estimate"] - true) / true
+        # 1.04/sqrt(2^14) ≈ 0.8%; allow 3 sigma
+        assert rel < 3 * r["rel_err_bound"], (r["estimate"], true, rel)
+
+    def test_hll_mergeable_partition_invariant(self, ray_session):
+        import ray.data
+
+        from search_engine_ray.pipelines.sketches import hll_distinct_tokens
+
+        texts = _zipfish(n_docs=300)
+        tbl = pa.table({"text": pa.array(texts)})
+        ests = []
+        for parts in (1, 4, 13):
+            ds = ray.data.from_arrow(tbl).repartition(parts)
+            ests.append(hll_distinct_tokens(ds, p=12)["estimate"])
+        assert ests[0] == ests[1] == ests[2]
+
+    def test_hll_small_range_linear_counting(self, ray_session):
+        import ray.data
+
+        from search_engine_ray.pipelines.sketches import hll_distinct_tokens
+
+        # 50 distinct << 2^14 registers → linear counting, near-exact
+        texts = [f"a{i} b{i % 25}" for i in range(25)]
+        ds = ray.data.from_arrow(pa.table({"text": pa.array(texts)}))
+        r = hll_distinct_tokens(ds, p=14)
+        assert r["estimate"] == 50
