@@ -910,6 +910,19 @@ def q_event_sessions(sf_dir: str):
             .astype({c: np.int64 for c in out.columns}))
 
 
+def q_shuffle(sf_dir: str):
+    """Deterministic global shuffle (md5 mode for SQL parity): every doc
+    gets its rank in salted-hash order plus a round-robin shard."""
+    import ray.data
+
+    from search_engine_ray.pipelines.webcorpus import deterministic_shuffle
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    out = deterministic_shuffle(docs, n_shards=4, hash_mode="md5").to_pandas()
+    return out.sort_values("rank").reset_index(drop=True)
+
+
 def q_event_asof(sf_dir: str):
     """AS-OF join: each 'click' event matched to the user's most recent
     'view' event at or before it (inner; right ts-ties break by max id)."""
@@ -1957,6 +1970,18 @@ def oracle_queries() -> dict[str, str]:
                    max(ts_us)::BIGINT AS session_end_us
             FROM s GROUP BY user_id, sess
         """,
+        "shuffle": """
+            WITH h AS (
+              SELECT doc_id, md5(doc_id::VARCHAR || '-shuf') AS hk
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id,
+                     (row_number() OVER (ORDER BY hk, doc_id) - 1)::BIGINT AS rank
+              FROM h
+            )
+            SELECT doc_id, rank, (rank % 4)::BIGINT AS shard FROM r
+        """,
         "heavy_hitters_exact": r"""
             WITH w AS (
               SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
@@ -2168,6 +2193,7 @@ RAY_QUERIES = {
     "value_quantiles": q_value_quantiles,
     "value_quantiles_approx": q_value_quantiles_approx,
     "event_sessions": q_event_sessions,
+    "shuffle": q_shuffle,
     "event_asof": q_event_asof,
     "event_range": q_event_range,
     "clean_corpus": q_clean_corpus,

@@ -223,3 +223,78 @@ def pack_sequences(docs, max_len: int, id_col: str = "doc_id",
         ).append_column("pack_last", pa.array(last.astype(np.int64), pa.int64()))
 
     return scanned.map_batches(finish, batch_format="pyarrow")
+
+
+def deterministic_shuffle(docs, id_col: str = "doc_id", salt: str = "shuf",
+                          n_shards: int = 8, hash_mode: str = "mix64"):
+    """Deterministic global shuffle for training-data ordering: every row
+    gets rank = its position in ascending hash(id, salt) order, plus
+    ``shard = rank % n_shards`` for round-robin output sharding. Unlike
+    ``Dataset.random_shuffle`` the permutation is a pure function of
+    (ids, salt) — re-running a failed job, or running at a different
+    parallelism, yields byte-identical shards (resumability at 100 TB).
+
+    ``hash_mode``: ``mix64`` (vectorized splitmix64 — the scale path) or
+    ``md5`` (matches DuckDB ``md5(id || '-' || salt)``, enabling the SQL
+    oracle; per-row hashlib calls, so use it for verification scale only).
+
+    Shape: one sort by (hash key, id); then the ordered_prefix_sum trick
+    assigns global ranks — per sorted block only its (first key, n_rows)
+    reaches the driver, and the n_blocks-row base table broadcasts back.
+    → (id, rank, shard), output blocks in shuffled order."""
+    import bisect
+
+    import ray
+
+    from search_engine_ray.functions.hashing import md5_hex_batch, mix64
+
+    def add_key(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if hash_mode == "md5":
+            hk = pa.array(md5_hex_batch([f"{i}-{salt}" for i in ids]),
+                          pa.string())
+        else:
+            seed = np.uint64(int.from_bytes(
+                salt.encode("utf-8")[:8].ljust(8, b"\0"), "little"))
+            hv = mix64(ids.view(np.uint64) ^ seed)
+            hk = pa.array([f"{v:016x}" for v in hv], pa.string())
+        return pa.table({id_col: pa.array(ids, pa.int64()), "hk": hk})
+
+    srt = (docs.map_batches(add_key, batch_format="pyarrow")
+           .sort(["hk", id_col]).materialize())
+
+    def block_head(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        if b.num_rows == 0:
+            return pa.table({"first": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({"first": pa.array([f"{b['hk'][0].as_py()}:{ids[0]:020d}"]),
+                         "n": pa.array([b.num_rows], pa.int64())})
+
+    heads = sorted(
+        (r["first"], r["n"])
+        for r in srt.map_batches(block_head, batch_format="pyarrow",
+                                 batch_size=None).take_all())
+    firsts = [h[0] for h in heads]
+    bases = np.concatenate([[0], np.cumsum([h[1] for h in heads])[:-1]]).astype(np.int64)
+    plan = ray.put((firsts, bases))
+
+    def stamp(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        if b.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64()),
+                             "shard": pa.array([], pa.int64())})
+        f, bs = ray.get(plan)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        key = f"{b['hk'][0].as_py()}:{ids[0]:020d}"
+        i = bisect.bisect_left(f, key)
+        assert i < len(f) and f[i] == key, "block head missing from rank plan"
+        rank = bs[i] + np.arange(b.num_rows, dtype=np.int64)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "rank": pa.array(rank, pa.int64()),
+                         "shard": pa.array(rank % n_shards, pa.int64())})
+
+    return srt.map_batches(stamp, batch_format="pyarrow", batch_size=None)

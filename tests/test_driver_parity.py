@@ -91,7 +91,8 @@ def test_query_and_oracle_keys_align(entry):
         "bm25_segments", "bm25_blend", "phrase", "proximity", "fuzzy", "exact_dedup",
         "lang_counts",
         "text_stats", "doc_keywords", "doc_logprob", "host_stats", "host_cap",
-        "stratified_sample", "pack_sequences", "collocations", "prune_postings",
+        "stratified_sample", "pack_sequences", "shuffle",
+        "collocations", "prune_postings",
         "pagerank", "anchor_terms", "latest_snapshot", "degree_stats", "bm25f",
         "remove_repeated_ngrams", "remove_global_ngrams",
         "heavy_hitters_exact", "vocab_size",

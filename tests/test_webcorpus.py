@@ -142,3 +142,58 @@ def test_pack_sequences_plan(ray_session):
     assert (out.pack_last.to_numpy() == end_last).all()
     # empty docs never straddle; non-empty docs straddle ≤ ceil(n/32) packs
     assert (out.pack_last.to_numpy() >= out.pack_first.to_numpy()).all()
+
+
+class TestDeterministicShuffle:
+    def _docs(self, n=200):
+        import pandas as pd
+        return pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64)})
+
+    def test_is_permutation_and_sharded(self, ray_session):
+        import ray.data
+
+        from search_engine_ray.pipelines.webcorpus import deterministic_shuffle
+
+        ds = ray.data.from_pandas(self._docs()).repartition(5)
+        out = deterministic_shuffle(ds, n_shards=4).to_pandas()
+        assert sorted(out["rank"]) == list(range(200))
+        assert sorted(out["doc_id"]) == list(range(200))
+        assert (out["shard"] == out["rank"] % 4).all()
+
+    def test_partition_invariant(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from search_engine_ray.pipelines.webcorpus import deterministic_shuffle
+
+        outs = []
+        for parts in (1, 7):
+            ds = ray.data.from_pandas(self._docs()).repartition(parts)
+            outs.append(deterministic_shuffle(ds).to_pandas()
+                        .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    def test_salt_changes_order(self, ray_session):
+        import ray.data
+
+        from search_engine_ray.pipelines.webcorpus import deterministic_shuffle
+
+        ds = ray.data.from_pandas(self._docs())
+        a = deterministic_shuffle(ds, salt="a").to_pandas().sort_values("doc_id")
+        b = deterministic_shuffle(ds, salt="b").to_pandas().sort_values("doc_id")
+        assert (a["rank"].to_numpy() != b["rank"].to_numpy()).any()
+
+    def test_md5_mode_matches_scalar_reference(self, ray_session):
+        import hashlib
+
+        import ray.data
+
+        from search_engine_ray.pipelines.webcorpus import deterministic_shuffle
+
+        n = 50
+        ds = ray.data.from_pandas(self._docs(n)).repartition(3)
+        out = (deterministic_shuffle(ds, hash_mode="md5", salt="shuf")
+               .to_pandas().sort_values("rank"))
+        exp = sorted(range(n),
+                     key=lambda i: (hashlib.md5(f"{i}-shuf".encode()).hexdigest(), i))
+        assert out["doc_id"].tolist() == exp
