@@ -884,6 +884,21 @@ def q_value_quantiles(sf_dir: str):
     return out[["q", "value_r"]].sort_values("q").reset_index(drop=True)
 
 
+def q_grouped_quantiles(sf_dir: str):
+    """Exact per-event-type quantiles: one (key, value) sort, one
+    vectorized interpolation across all groups in a block."""
+    import ray.data
+
+    from search_engine_ray.pipelines.events import grouped_value_quantiles
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    out = grouped_value_quantiles(ev, QUANTS).to_pandas()
+    out["value_r"] = out["value"].round(6)
+    return (out[["event_type", "q", "value_r"]]
+            .sort_values(["event_type", "q"]).reset_index(drop=True))
+
+
 def q_value_quantiles_approx(sf_dir: str):
     """One-pass mergeable hash-rank-sample quantiles (approximate by
     design → rows-only; the exact companion value_quantiles is
@@ -1950,6 +1965,14 @@ def oracle_queries() -> dict[str, str]:
             FROM s, (VALUES {",".join(f"({i + 1}, {q})" for i, q in enumerate(QUANTS))})
                  AS q(i, q)
         """,
+        "grouped_quantiles": f"""
+            WITH s AS (SELECT event_type, quantile_cont(value,
+                         [{",".join(str(q) for q in QUANTS)}]) AS vs
+                       FROM events GROUP BY event_type)
+            SELECT s.event_type, q.q, round(s.vs[q.i], 6) AS value_r
+            FROM s, (VALUES {",".join(f"({i + 1}, {q})" for i, q in enumerate(QUANTS))})
+                 AS q(i, q)
+        """,
         "event_sessions": """
             WITH l AS (
               SELECT user_id, event_id, epoch_us(ts) AS ts_us,
@@ -2196,6 +2219,7 @@ RAY_QUERIES = {
     "shuffle": q_shuffle,
     "event_asof": q_event_asof,
     "event_range": q_event_range,
+    "grouped_quantiles": q_grouped_quantiles,
     "clean_corpus": q_clean_corpus,
     "clean_corpus_full": q_clean_corpus_full,
     "dedup_clusters": q_dedup_clusters,

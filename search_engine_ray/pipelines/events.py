@@ -431,3 +431,60 @@ def sessionize(events: "ray.data.Dataset", gap_us: int = 30 * US_PER_MIN):
 
     return sorted_group_map(slim, ["user_id"], kernel,
                             sort_cols=["user_id", "ts_us", "event_id"])
+
+
+def grouped_value_quantiles(events: "ray.data.Dataset", qs: list[float],
+                            key_col: str = "event_type",
+                            val_col: str = "value"):
+    """EXACT per-key quantiles (quantile_cont contract): one sort by
+    (key, value) via sorted_group_map, then ONE vectorized interpolation
+    across ALL groups in a block — rank offsets are plain arithmetic on
+    the group-start index, no per-group Python. → (key, q, value); output
+    is len(keys) × len(qs) rows however large the input.
+
+    Scale shape: the value column is pruned before the sort and the
+    result is group-cardinality; for corpus-scale key counts the sort is
+    the same one every grouped_reduce pays."""
+    from search_engine_ray.stages.grouped import sorted_group_map
+
+    qarr = np.asarray(qs, np.float64)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        return pa.table({
+            key_col: batch[key_col],
+            val_col: batch[val_col].cast(pa.float64()),
+        })
+
+    def kernel(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        empty = pa.table({key_col: pa.array([], pa.string()),
+                          "q": pa.array([], pa.float64()),
+                          val_col: pa.array([], pa.float64())})
+        n = b.num_rows
+        if n == 0:
+            return empty
+        keys = b[key_col]
+        v = b[val_col].to_numpy(zero_copy_only=False)
+        codes = keys.dictionary_encode().combine_chunks().indices.to_numpy(
+            zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate(
+            [[True], codes[1:] != codes[:-1]]))
+        lens = np.diff(np.append(starts, n))
+        g = len(starts)
+        # rank = (len-1) * q per (group, q), interpolated — all vectorized
+        ranks = (lens - 1)[:, None] * qarr[None, :]          # (g, nq)
+        lo = np.floor(ranks).astype(np.int64)
+        hi = np.ceil(ranks).astype(np.int64)
+        frac = ranks - lo
+        base = starts[:, None]
+        vals = v[base + lo] * (1.0 - frac) + v[base + hi] * frac
+        return pa.table({
+            key_col: keys.take(pa.array(np.repeat(starts, len(qarr)))),
+            "q": pa.array(np.tile(qarr, g), pa.float64()),
+            val_col: pa.array(vals.ravel(), pa.float64()),
+        })
+
+    return sorted_group_map(
+        events.map_batches(slim, batch_format="pyarrow"), [key_col], kernel,
+        sort_cols=[key_col, val_col])

@@ -98,6 +98,7 @@ def test_query_and_oracle_keys_align(entry):
         "heavy_hitters_exact", "vocab_size",
         "ann_topk", "media_features", "media_resize",
         "media_frames", "event_windows", "event_hopping", "value_quantiles",
+        "grouped_quantiles",
         "event_sessions", "event_asof", "event_range",
         "clean_corpus", "clean_corpus_full",
         "cosine_norms", "jaccard_verify", "dedup_clusters", "cosine_verify",

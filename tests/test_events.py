@@ -263,3 +263,36 @@ class TestBroadcastRangeJoin:
         got = list(zip(out["event_id"], out["band"]))
         # 5→low; 12→low+mid (overlap); 27→mid+high; -1→nothing
         assert got == [(1, "low"), (2, "low"), (2, "mid"), (3, "high"), (3, "mid")]
+
+
+class TestGroupedQuantiles:
+    def test_matches_numpy_per_group(self, ray_session):
+        import ray.data
+
+        from search_engine_ray.pipelines.events import grouped_value_quantiles
+
+        rng = np.random.default_rng(5)
+        n = 3000
+        df = pd.DataFrame({
+            "event_type": rng.choice(["a", "b", "c"], size=n),
+            "value": rng.normal(size=n) * 10,
+        })
+        qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+        out = (grouped_value_quantiles(
+            ray.data.from_pandas(df).repartition(6), qs)
+            .to_pandas().sort_values(["event_type", "q"]).reset_index(drop=True))
+        for et, g in df.groupby("event_type"):
+            exp = np.quantile(g["value"].to_numpy(), qs)
+            got = out[out.event_type == et].sort_values("q")["value"].to_numpy()
+            np.testing.assert_allclose(got, exp, rtol=1e-12)
+
+    def test_single_row_groups(self, ray_session):
+        import ray.data
+
+        from search_engine_ray.pipelines.events import grouped_value_quantiles
+
+        df = pd.DataFrame({"event_type": ["x", "y"], "value": [3.0, 7.0]})
+        out = (grouped_value_quantiles(ray.data.from_pandas(df), [0.1, 0.9])
+               .to_pandas().sort_values(["event_type", "q"]))
+        # one-row group: every quantile equals the single value
+        assert out["value"].tolist() == [3.0, 3.0, 7.0, 7.0]
