@@ -213,3 +213,60 @@ def write_clean_corpus(docs, out_dir: str, **kw) -> None:
     """Hive-partition the cleaned corpus by predicted language — one
     directory per partition makes re-runs resumable per partition."""
     clean_corpus(docs, **kw).write_parquet(out_dir, partition_cols=["lang_pred"])
+
+
+def new_vs_snapshot(new_docs: "ray.data.Dataset",
+                    snapshot_docs: "ray.data.Dataset",
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Incremental-crawl dedup: rows of ``new_docs`` whose md5(text) does
+    NOT appear in ``snapshot_docs`` (a distributed anti-semi-join on the
+    text hash). → (id) — every unseen new row, including new-internal
+    duplicates (the exact-dedup pass handles those separately).
+
+    Shape: both sides slim to (hash, side, id) — the snapshot ships only
+    16-byte hashes + a flag, never text — then ONE sort by (hash, side)
+    via sorted_group_map; a group whose first row is new-side has no
+    snapshot witness, and its new rows pass. Nothing broadcasts, nothing
+    corpus-sized gathers: this is the scale path for "dedup today's crawl
+    against yesterday's corpus" where both sides are huge (the broadcast
+    drop-list trick in write_clean_corpus assumes duplicates are rare;
+    here the snapshot IS the big side)."""
+    from search_engine_ray.stages.grouped import sorted_group_map
+
+    def slim(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = batch.combine_chunks()
+            return pa.table({
+                "h": pa.array(md5_hex_batch(batch[text_col].to_pylist()), pa.string()),
+                "side": pa.array(np.full(batch.num_rows, side, np.int8), pa.int8()),
+                id_col: batch[id_col].cast(pa.int64()),
+            })
+        return fn
+
+    tagged = (snapshot_docs.map_batches(slim(0), batch_format="pyarrow")
+              .union(new_docs.map_batches(slim(1), batch_format="pyarrow")))
+
+    def kernel(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        empty = pa.table({id_col: pa.array([], pa.int64())})
+        n = b.num_rows
+        if n == 0:
+            return empty
+        h = b["h"]
+        side = b["side"].to_numpy(zero_copy_only=False)
+        codes = h.dictionary_encode().combine_chunks().indices.to_numpy(
+            zero_copy_only=False)
+        change = np.empty(n, bool)
+        change[0] = True
+        np.not_equal(codes[1:], codes[:-1], out=change[1:])
+        gid = np.cumsum(change) - 1
+        starts = np.flatnonzero(change)
+        unseen_group = side[starts] == 1  # first row new-side ⇒ no snapshot
+        keep = (side == 1) & unseen_group[gid]
+        idx = np.flatnonzero(keep)
+        if len(idx) == 0:
+            return empty
+        return pa.table({id_col: b[id_col].take(pa.array(idx))})
+
+    return sorted_group_map(tagged, ["h"], kernel,
+                            sort_cols=["h", "side", id_col])

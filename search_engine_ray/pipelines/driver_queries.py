@@ -809,6 +809,28 @@ def q_media_features(sf_dir: str):
     return out[["doc_id", "n_bytes", "payload_md5"]]
 
 
+def q_new_vs_snapshot(sf_dir: str):
+    """Incremental-crawl dedup: odd-id docs ('today's crawl') whose
+    md5(text) is absent from even-id docs ('yesterday's snapshot') — a
+    distributed anti-semi-join where both sides stay sharded."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from search_engine_ray.pipelines.corpus_clean import new_vs_snapshot
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def half(parity):
+        return lambda b: b.filter(
+            pc.equal(pc.bit_wise_and(b["doc_id"], 1), parity))
+
+    snap = docs.map_batches(half(0), batch_format="pyarrow")
+    new = docs.map_batches(half(1), batch_format="pyarrow")
+    out = new_vs_snapshot(new, snap).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_clean_corpus(sf_dir: str):
     """Composite cleaning pipeline: exact-dedup keep-list + token/quality
     thresholds + language filter in ONE corpus pass (broadcast keep-list,
@@ -1852,6 +1874,13 @@ def oracle_queries() -> dict[str, str]:
             SELECT doc_id, length({HTML_SQL})::BIGINT AS n_bytes, md5({HTML_SQL}) AS payload_md5
             FROM documents
         """,
+        "new_vs_snapshot": """
+            SELECT n.doc_id FROM documents n
+            WHERE n.doc_id % 2 = 1
+              AND md5(n.text) NOT IN
+                  (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
+            ORDER BY n.doc_id
+        """,
         "clean_corpus": f"""
             WITH raw AS (
               SELECT doc_id, text, lang,
@@ -2221,6 +2250,7 @@ RAY_QUERIES = {
     "event_range": q_event_range,
     "grouped_quantiles": q_grouped_quantiles,
     "clean_corpus": q_clean_corpus,
+    "new_vs_snapshot": q_new_vs_snapshot,
     "clean_corpus_full": q_clean_corpus_full,
     "dedup_clusters": q_dedup_clusters,
     "jaccard_verify": q_jaccard_verify,

@@ -79,3 +79,43 @@ class TestCleanCorpus:
         write_clean_corpus(corpus, out_dir, langs=("en", "de"), lang_from_col="lang")
         parts = glob.glob(os.path.join(out_dir, "lang_pred=*"))
         assert {os.path.basename(p) for p in parts} == {"lang_pred=en", "lang_pred=de"}
+
+
+class TestNewVsSnapshot:
+    def test_anti_join_on_text_hash(self, ray_session):
+        """New rows whose text appears anywhere in the snapshot are
+        suppressed; unseen rows (incl. new-internal duplicates) pass."""
+        import ray.data
+
+        from search_engine_ray.pipelines.corpus_clean import new_vs_snapshot
+
+        snap = ray.data.from_items(
+            [{"doc_id": i, "text": f"snapshot page {i}"} for i in range(50)],
+            override_num_blocks=3,
+        )
+        new_rows = (
+            # 10 re-crawls of snapshot pages → suppressed
+            [{"doc_id": 1000 + i, "text": f"snapshot page {i}"} for i in range(10)]
+            # 5 genuinely new pages
+            + [{"doc_id": 2000 + i, "text": f"fresh page {i}"} for i in range(5)]
+            # a new-internal duplicate pair → BOTH pass (exact-dedup's job)
+            + [{"doc_id": 3000, "text": "twin page"},
+               {"doc_id": 3001, "text": "twin page"}]
+        )
+        new = ray.data.from_items(new_rows, override_num_blocks=4)
+        out = new_vs_snapshot(new, snap).to_pandas()
+        assert sorted(out["doc_id"].tolist()) == (
+            [2000 + i for i in range(5)] + [3000, 3001]
+        )
+
+    def test_empty_new_side(self, ray_session):
+        import ray.data
+
+        from search_engine_ray.pipelines.corpus_clean import new_vs_snapshot
+
+        snap = ray.data.from_items(
+            [{"doc_id": i, "text": f"p{i}"} for i in range(10)])
+        new = ray.data.from_items(
+            [{"doc_id": 100 + i, "text": f"p{i}"} for i in range(10)])
+        out = new_vs_snapshot(new, snap).to_pandas()
+        assert len(out) == 0
