@@ -270,3 +270,259 @@ def new_vs_snapshot(new_docs: "ray.data.Dataset",
 
     return sorted_group_map(tagged, ["h"], kernel,
                             sort_cols=["h", "side", id_col])
+
+
+# ---------------------------------------------------------------------------
+# Cross-document line-level dedup (CCNet-style paragraph dedup)
+# ---------------------------------------------------------------------------
+
+_LINE_IDX_BITS = 22  # line index within one doc; 4M-line docs overflow loudly
+
+
+def _line_pack(doc_ids: np.ndarray, idxs: np.ndarray) -> np.ndarray:
+    if len(idxs) and int(idxs.max()) >= (1 << _LINE_IDX_BITS):
+        raise ValueError("documents with >= 2^22 lines exceed the packed "
+                         "first-occurrence key's index field")
+    return doc_ids.astype(np.int64) * (1 << _LINE_IDX_BITS) + idxs
+
+
+def _line_parts(batch: pa.Table, text_col: str):
+    """Split a doc batch into its lines: (flat line values:pa.StringArray,
+    per-doc line counts:int64[n_docs], doc index per line, local 0-based
+    line index per line). '' splits to one empty line (kept, never a
+    dedup candidate) so document identity round-trips."""
+    import pyarrow.compute as pc
+
+    texts = pc.fill_null(batch[text_col], "").cast(pa.string())
+    lines = pc.split_pattern(texts, "\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    counts = np.diff(lines.offsets.to_numpy(zero_copy_only=False))
+    flat = lines.flatten()
+    doc_ix = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1])) if len(counts) else np.zeros(0, np.int64)
+    local_ix = np.arange(len(doc_ix), dtype=np.int64) - np.repeat(starts, counts)
+    return flat, counts, doc_ix, local_ix
+
+
+def dedup_lines_global(docs: "ray.data.Dataset", id_col: str = "doc_id",
+                       text_col: str = "text",
+                       broadcast_cap: int = 2_000_000):
+    """CROSS-document duplicated-LINE removal (the paragraph-level dedup of
+    CCNet, Wenzek et al. 2020: boilerplate headers/footers/navigation
+    repeat verbatim across pages; dropping every non-first occurrence of a
+    line removes them corpus-wide while each line survives exactly once,
+    in the smallest (doc_id, line_idx)). Non-empty lines are candidates;
+    empty lines always survive (document structure). → (doc_id,
+    text_clean, n_removed) with kept lines re-joined by '\\n'.
+
+    Scale shape mirrors :func:`~search_engine_ray.pipelines.training_data.
+    remove_global_ngrams`: (1) a per-block combiner emits (line_hash,
+    min packed key, count) at distinct-lines-per-block cardinality; (2) a
+    sorted-group reduce yields the duplicated-line winners table
+    (hash, global first key), O(distinct duplicated lines); (3) winners
+    feed back row-locally via a sorted broadcast when <= ``broadcast_cap``
+    rows, else via two sort-co-group exchanges (occurrences ∪ winners by
+    hash → non-first verdicts, docs ∪ verdicts by doc_id → rebuild).
+    Line identity is the 64-bit poly hash (collision ~2^-64, the corpus
+    gram convention)."""
+    import pyarrow.compute as pc
+
+    from search_engine_ray.functions.hashing import hash_strings_arrow
+    from search_engine_ray.pipelines.training_data import _empty_clean
+    from search_engine_ray.stages.grouped import sorted_group_map
+
+    def partials(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        empty = pa.table({"h": pa.array([], pa.int64()),
+                          "fk": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        flat, counts, doc_ix, local_ix = _line_parts(batch, text_col)
+        cand = np.flatnonzero(pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0)
+        if len(cand) == 0:
+            return empty
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = hash_strings_arrow(flat.take(pa.array(cand))).view(np.int64)
+        key = _line_pack(ids[doc_ix[cand]], local_ix[cand])
+        order = np.lexsort((key, h))
+        hh, kk = h[order], key[order]
+        new = np.empty(len(order), bool)
+        new[0] = True
+        new[1:] = hh[1:] != hh[:-1]
+        bounds = np.flatnonzero(new)
+        cnt = np.diff(np.append(bounds, len(order)))
+        return pa.table({"h": pa.array(hh[new], pa.int64()),
+                         "fk": pa.array(kk[new], pa.int64()),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    def combine(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        empty = pa.table({"h": pa.array([], pa.int64()),
+                          "fk": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        h = t["h"].to_numpy(zero_copy_only=False)
+        fk = t["fk"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        new = np.empty(len(h), bool)
+        new[0] = True
+        new[1:] = h[1:] != h[:-1]
+        bounds = np.flatnonzero(new)
+        fkm = np.minimum.reduceat(fk, bounds)
+        cs = np.add.reduceat(cnt, bounds)
+        keep = cs >= 2
+        return pa.table({"h": pa.array(h[bounds][keep], pa.int64()),
+                         "fk": pa.array(fkm[keep], pa.int64())})
+
+    winners = sorted_group_map(
+        docs.map_batches(partials, batch_format="pyarrow"), ["h"], combine
+    ).materialize()
+
+    def _rebuild(batch: pa.Table, drop_flat: np.ndarray) -> pa.Table:
+        """doc batch + boolean drop mask over its flattened lines →
+        (doc_id, text_clean, n_removed)."""
+        flat, counts, doc_ix, _local = _line_parts(batch, text_col)
+        keep = ~drop_flat
+        kept_lines = flat.filter(pa.array(keep)).to_pylist()
+        kept_counts = (np.add.reduceat(keep.astype(np.int64),
+                                       np.concatenate(([0], np.cumsum(counts)[:-1])))
+                       if len(counts) else np.zeros(0, np.int64))
+        kept_counts = np.where(counts == 0, 0, kept_counts)
+        out, pos = [], 0
+        for c in kept_counts:
+            out.append("\n".join(kept_lines[pos:pos + int(c)]))
+            pos += int(c)
+        return pa.table({
+            id_col: batch[id_col].cast(pa.int64()),
+            "text_clean": pa.array(out, pa.string()),
+            "n_removed": pa.array(counts - kept_counts, pa.int64()),
+        })
+
+    if winners.count() <= broadcast_cap:
+        pdf = winners.to_pandas()
+        if "h" not in pdf.columns:  # zero duplicated lines corpus-wide
+            pdf = pdf.reindex(columns=["h", "fk"])
+        hs = pdf["h"].to_numpy(np.int64)
+        o = np.argsort(hs, kind="stable")
+        ref = ray.put((hs[o], pdf["fk"].to_numpy(np.int64)[o]))
+
+        def clean_bcast(batch: pa.Table) -> pa.Table:
+            batch = batch.combine_chunks()
+            if batch.num_rows == 0:
+                return _empty_clean(id_col)
+            h_sorted, fk_sorted = ray.get(ref)
+            flat, counts, doc_ix, local_ix = _line_parts(batch, text_col)
+            drop = np.zeros(len(doc_ix), bool)
+            if len(h_sorted) and len(doc_ix):
+                lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+                cand = np.flatnonzero(lens > 0)
+                if len(cand):
+                    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                    h = hash_strings_arrow(flat.take(pa.array(cand))).view(np.int64)
+                    idx = np.minimum(np.searchsorted(h_sorted, h), len(h_sorted) - 1)
+                    found = h_sorted[idx] == h
+                    key = _line_pack(ids[doc_ix[cand]], local_ix[cand])
+                    drop[cand] = found & (fk_sorted[idx] != key)
+            return _rebuild(batch, drop)
+
+        return docs.map_batches(clean_bcast, batch_format="pyarrow")
+
+    # scale path: occurrences ∪ winners co-grouped by hash → per-line
+    # non-first verdicts; docs ∪ verdicts co-grouped by doc_id → rebuild.
+    # Sentinel -1 marks row kind (packed keys are >= 0).
+    def occurrences(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        empty = pa.table({"h": pa.array([], pa.int64()),
+                          "key": pa.array([], pa.int64()),
+                          "fk": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        flat, counts, doc_ix, local_ix = _line_parts(batch, text_col)
+        cand = np.flatnonzero(pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0)
+        if len(cand) == 0:
+            return empty
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = hash_strings_arrow(flat.take(pa.array(cand))).view(np.int64)
+        key = _line_pack(ids[doc_ix[cand]], local_ix[cand])
+        return pa.table({"h": pa.array(h, pa.int64()),
+                         "key": pa.array(key, pa.int64()),
+                         "fk": pa.array(np.full(len(key), -1), pa.int64())})
+
+    def tag_winner(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        return pa.table({"h": t["h"],
+                         "key": pa.array(np.full(t.num_rows, -1), pa.int64()),
+                         "fk": t["fk"]})
+
+    u = docs.map_batches(occurrences, batch_format="pyarrow").union(
+        winners.map_batches(tag_winner, batch_format="pyarrow"))
+
+    def mark(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "rm_ix": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        h = t["h"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        fk = t["fk"].to_numpy(zero_copy_only=False)
+        new = np.empty(len(h), bool)
+        new[0] = True
+        new[1:] = h[1:] != h[:-1]
+        gid = np.cumsum(new) - 1
+        fk_g = np.full(int(gid[-1]) + 1, -1, np.int64)
+        is_win = key == -1
+        fk_g[gid[is_win]] = fk[is_win]
+        f = fk_g[gid]
+        sel = (~is_win) & (f != -1) & (key != f)
+        k = key[sel]
+        return pa.table({id_col: pa.array(k >> _LINE_IDX_BITS, pa.int64()),
+                         "rm_ix": pa.array(k & ((1 << _LINE_IDX_BITS) - 1),
+                                           pa.int64())})
+
+    nf = sorted_group_map(u, ["h"], mark)
+
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        batch = batch.combine_chunks()
+        return pa.table({id_col: batch[id_col].cast(pa.int64()),
+                         text_col: _pc.fill_null(batch[text_col], "").cast(pa.string()),
+                         "rm_ix": pa.array(np.full(batch.num_rows, -1), pa.int64())})
+
+    def tag_rm(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        return pa.table({id_col: t[id_col],
+                         text_col: pa.array([""] * t.num_rows, pa.string()),
+                         "rm_ix": t["rm_ix"]})
+
+    u2 = docs.map_batches(tag_doc, batch_format="pyarrow").union(
+        nf.map_batches(tag_rm, batch_format="pyarrow"))
+
+    def rebuild_group(t: pa.Table) -> pa.Table:
+        """complete doc_id groups (one doc row, rm_ix == -1, plus its
+        removal rows) → cleaned docs (requires unique doc ids)."""
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return _empty_clean(id_col)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        rm = t["rm_ix"].to_numpy(zero_copy_only=False)
+        is_doc = rm == -1
+        new = np.empty(len(ids), bool)
+        new[0] = True
+        new[1:] = ids[1:] != ids[:-1]
+        gid = np.cumsum(new) - 1
+        doc_batch = t.filter(pa.array(is_doc)).select([id_col, text_col])
+        flat, counts, doc_ix, local_ix = _line_parts(doc_batch, text_col)
+        drop = np.zeros(len(doc_ix), bool)
+        rsel = ~is_doc
+        if rsel.any():
+            starts = (np.concatenate(([0], np.cumsum(counts)[:-1]))
+                      if len(counts) else np.zeros(0, np.int64))
+            # group g's doc row is doc index g (exactly one doc per group)
+            drop[starts[gid[rsel]] + rm[rsel]] = True
+        return _rebuild(doc_batch, drop)
+
+    return sorted_group_map(u2, [id_col], rebuild_group,
+                            sort_cols=[id_col, "rm_ix"])

@@ -831,6 +831,19 @@ def q_new_vs_snapshot(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_dedup_lines(sf_dir: str):
+    """CCNet-style cross-document line dedup: every non-empty line survives
+    exactly once corpus-wide, in its smallest (doc_id, line_idx)."""
+    import ray.data
+
+    from search_engine_ray.pipelines.corpus_clean import dedup_lines_global
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    out = dedup_lines_global(docs).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_clean_corpus(sf_dir: str):
     """Composite cleaning pipeline: exact-dedup keep-list + token/quality
     thresholds + language filter in ONE corpus pass (broadcast keep-list,
@@ -1874,6 +1887,30 @@ def oracle_queries() -> dict[str, str]:
             SELECT doc_id, length({HTML_SQL})::BIGINT AS n_bytes, md5({HTML_SQL}) AS payload_md5
             FROM documents
         """,
+        "dedup_lines": """
+            WITH ls AS (
+              SELECT doc_id, string_split(text, chr(10)) AS a FROM documents
+            ),
+            l AS (
+              SELECT doc_id, unnest(a) AS line,
+                     unnest(generate_series(1, len(a))) AS idx
+              FROM ls
+            ),
+            f AS (
+              SELECT line, min(doc_id * 4194304 + idx) AS fk
+              FROM l WHERE line <> '' GROUP BY line
+            ),
+            k AS (
+              SELECT l.doc_id, l.idx, l.line,
+                     (l.line = '' OR l.doc_id * 4194304 + l.idx = f.fk) AS keep
+              FROM l LEFT JOIN f ON l.line = f.line
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(line, chr(10) ORDER BY idx)
+                            FILTER (WHERE keep), '') AS text_clean,
+                   (count(*) FILTER (WHERE NOT keep))::BIGINT AS n_removed
+            FROM k GROUP BY doc_id ORDER BY doc_id
+        """,
         "new_vs_snapshot": """
             SELECT n.doc_id FROM documents n
             WHERE n.doc_id % 2 = 1
@@ -2251,6 +2288,7 @@ RAY_QUERIES = {
     "grouped_quantiles": q_grouped_quantiles,
     "clean_corpus": q_clean_corpus,
     "new_vs_snapshot": q_new_vs_snapshot,
+    "dedup_lines": q_dedup_lines,
     "clean_corpus_full": q_clean_corpus_full,
     "dedup_clusters": q_dedup_clusters,
     "jaccard_verify": q_jaccard_verify,

@@ -119,3 +119,36 @@ class TestNewVsSnapshot:
             [{"doc_id": 100 + i, "text": f"p{i}"} for i in range(10)])
         out = new_vs_snapshot(new, snap).to_pandas()
         assert len(out) == 0
+
+
+class TestDedupLinesGlobal:
+    ROWS = [
+        {"doc_id": 1, "text": "alpha beta\nshared boilerplate\nunique one"},
+        {"doc_id": 2, "text": "shared boilerplate\ngamma delta\n\nblank kept"},
+        # intra-doc dup of an already-seen line AND of its own line
+        {"doc_id": 3, "text": "unique one\nshared boilerplate\nunique one"},
+        {"doc_id": 4, "text": ""},
+        {"doc_id": 5, "text": "only mine"},
+    ]
+    WANT = {
+        1: ("alpha beta\nshared boilerplate\nunique one", 0),
+        2: ("gamma delta\n\nblank kept", 1),
+        3: ("", 3),
+        4: ("", 0),
+        5: ("only mine", 0),
+    }
+
+    @pytest.mark.parametrize("cap", [2_000_000, 0])
+    def test_first_occurrence_survives(self, ray_session, cap):
+        """Broadcast (cap high) and sort-co-group (cap 0) paths agree:
+        every non-empty line survives exactly once corpus-wide, in its
+        smallest (doc_id, line_idx); empty lines always survive."""
+        import ray.data
+
+        from search_engine_ray.pipelines.corpus_clean import dedup_lines_global
+
+        docs = ray.data.from_items(self.ROWS, override_num_blocks=3)
+        out = dedup_lines_global(docs, broadcast_cap=cap).to_pandas()
+        got = {int(r.doc_id): (r.text_clean, int(r.n_removed))
+               for r in out.itertuples()}
+        assert got == self.WANT

@@ -100,7 +100,7 @@ def test_query_and_oracle_keys_align(entry):
         "media_frames", "event_windows", "event_hopping", "value_quantiles",
         "grouped_quantiles",
         "event_sessions", "event_asof", "event_range",
-        "clean_corpus", "clean_corpus_full", "new_vs_snapshot",
+        "clean_corpus", "clean_corpus_full", "new_vs_snapshot", "dedup_lines",
         "cosine_norms", "jaccard_verify", "dedup_clusters", "cosine_verify",
         "ann_ivf_full", "ann_lsh_full", "langid", "pii_scrub", "repetition",
         "decontaminate",
