@@ -1053,9 +1053,11 @@ def q_simhash_pairs(sf_dir: str):
 
 
 def q_fingerprints(sf_dir: str):
+    """Winnowing fingerprints in md5 mode — the SQL-oracle twin; the
+    window-min/dedup logic is the same code path as the fast poly mode."""
     from search_engine_ray.pipelines.training_data import fingerprints
 
-    return fingerprints(_read_docs(sf_dir))
+    return fingerprints(_read_docs(sf_dir), hash_mode="md5")
 
 
 def q_decontaminate(sf_dir: str):
@@ -1886,6 +1888,30 @@ def oracle_queries() -> dict[str, str]:
         "media_features": f"""
             SELECT doc_id, length({HTML_SQL})::BIGINT AS n_bytes, md5({HTML_SQL}) AS payload_md5
             FROM documents
+        """,
+        "fingerprints": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, len(t) - 4)) AS i,
+                     unnest(list_transform(generate_series(1, len(t) - 4),
+                            i -> md5(array_to_string(t[i:i+4], ' ')))) AS gh
+              FROM toks WHERE len(t) >= 5
+            ),
+            w AS (
+              SELECT doc_id, i,
+                     min(gh) OVER (PARTITION BY doc_id ORDER BY i
+                                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+                     max(i) OVER (PARTITION BY doc_id) AS nmax
+              FROM g
+            )
+            SELECT DISTINCT doc_id, m AS fingerprint
+            FROM w WHERE i <= greatest(nmax - 3, 1)
         """,
         "dedup_lines": """
             WITH ls AS (

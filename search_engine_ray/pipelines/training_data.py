@@ -203,11 +203,30 @@ def repetition_table(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col:
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
+def _winnow_mins(h: np.ndarray, window: int) -> np.ndarray:
+    """Distinct sliding-window minima of a per-doc gram-hash sequence.
+    String dtypes (md5-hex mode) reduce through lexicographic ranks —
+    np.unique's sorted output IS the rank→string table — since numpy's
+    minimum ufunc has no unicode loop."""
+    if h.dtype.kind == "U":
+        u, inv = np.unique(h, return_inverse=True)
+        return u[_winnow_mins(inv.astype(np.int64), window)]
+    if len(h) <= window:
+        return np.unique(h.min(keepdims=True))
+    return np.unique(np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1))
+
+
 def fingerprints(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text",
-                 k: int = 5, window: int = 4):
-    """Winnowing fingerprints: (doc_id, fingerprint:int64) exploded rows.
-    Token+shingle hashing is whole-batch vectorized; only the per-doc
-    sliding-window min runs per doc (numpy stride tricks on each slice)."""
+                 k: int = 5, window: int = 4, hash_mode: str = "poly"):
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03): (doc_id,
+    fingerprint) exploded rows — distinct sliding-window minima over the
+    doc's k-gram hash sequence. ``hash_mode="poly"`` (default) hashes
+    grams with the whole-batch-vectorized 64-bit poly pipeline →
+    fingerprint:int64; ``"md5"`` hashes the space-joined lowercased gram
+    with md5 → fingerprint:string, the deterministic SQL-oracle twin
+    (DuckDB reproduces md5 + lexicographic window-min exactly; the
+    window-min/dedup code path is SHARED, so the oracle checks the
+    winnowing logic and pytest properties cover the fast hash)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         from search_engine_ray.functions.hashing import batch_shingle_hashes
@@ -221,17 +240,34 @@ def fingerprints(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str
             h = sh[sh_offs[i]:sh_offs[i + 1]]
             if len(h) == 0:
                 continue
-            if len(h) <= window:
-                f = np.unique(h.min(keepdims=True))
-            else:
-                f = np.unique(np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1))
+            f = _winnow_mins(h, window)
             parts.append(f)
             counts[i] = len(f)
         flat = np.concatenate(parts) if parts else np.zeros(0, _U64)
         return pa.table({id_col: pa.array(np.repeat(ids, counts), pa.int64()),
                          "fingerprint": pa.array(flat.view(np.int64), pa.int64())})
 
-    return docs.map_batches(fn, batch_format="pyarrow")
+    def fn_md5(batch: pa.Table) -> pa.Table:
+        from search_engine_ray.functions.hashing import md5_hex_batch
+
+        batch = batch.combine_chunks()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        parts, counts = [], np.zeros(batch.num_rows, np.int64)
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            toks = (t or "").lower().split()
+            if len(toks) < k:
+                continue
+            grams = [" ".join(toks[j:j + k]) for j in range(len(toks) - k + 1)]
+            h = np.array(md5_hex_batch(grams), dtype="U32")
+            f = _winnow_mins(h, window)
+            parts.append(f)
+            counts[i] = len(f)
+        flat = (np.concatenate(parts) if parts else np.zeros(0, "U32"))
+        return pa.table({id_col: pa.array(np.repeat(ids, counts), pa.int64()),
+                         "fingerprint": pa.array(flat.tolist(), pa.string())})
+
+    return docs.map_batches(fn_md5 if hash_mode == "md5" else fn,
+                            batch_format="pyarrow")
 
 
 def doc_keywords(docs: "ray.data.Dataset", k: int = 3, id_col: str = "doc_id",
