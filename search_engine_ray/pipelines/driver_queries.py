@@ -1038,10 +1038,16 @@ def q_media_frames(sf_dir: str):
 
 
 def q_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-dup pairs in md5 hash mode — the SQL-oracle twin
+    (DuckDB recomputes shingle hashes, permutations, banding, bucket caps
+    and the signature-estimate verification exactly); banding/verification
+    are the same code path as the fast poly mode."""
     from search_engine_ray.pipelines.training_data import minhash_lsh_dedup
 
-    out = minhash_lsh_dedup(_read_docs(sf_dir), shingle_k=2, threshold=0.4).to_pandas()
-    out["jaccard"] = out["jaccard"].round(6)
+    out = minhash_lsh_dedup(_read_docs(sf_dir), shingle_k=2, threshold=0.4,
+                            hash_mode="md5").to_pandas()
+    # jaccard is matches/num_perm — an exact dyadic both sides reproduce
+    # bit-for-bit, so no rounding (round-half ties differ across engines)
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
@@ -1300,6 +1306,64 @@ def q_cosine_verify(sf_dir: str):
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
+
+
+def _minhash_pairs_sql(num_perm: int = 128, bands: int = 32, k: int = 2,
+                       threshold: float = 0.4, max_bucket: int = 64) -> str:
+    """DuckDB twin of q_minhash_pairs (md5 hash mode): shingle hash =
+    first 48 bits of md5(space-joined lowercased k-gram), permutations
+    (a*x+b) mod 2^61-1 with the SAME seeded constants, band buckets as
+    exact r-tuples (the Python side folds the tuple into a 64-bit key —
+    grouping identical up to a 2^-64 fold collision), bucket cap by
+    doc_id rank, DISTINCT pair dedup, signature-estimate jaccard."""
+    from search_engine_ray.pipelines.training_data import md5_minhash_perms
+
+    a, b = md5_minhash_perms(num_perm)
+    vals = ",".join(f"({i},{int(a[i])},{int(b[i])})" for i in range(num_perm))
+    rows = num_perm // bands
+    return f"""
+        WITH perms(i, a, b) AS (VALUES {vals}),
+        toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                     x -> x <> '') AS t
+          FROM documents
+        ),
+        g AS (
+          SELECT DISTINCT doc_id,
+                 ('0x' || substr(md5(array_to_string(t[i:i+{k - 1}], ' ')), 1, 12))::BIGINT AS h
+          FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {k - 1})) AS i
+                FROM toks WHERE len(t) >= {k})
+        ),
+        sig AS (
+          SELECT doc_id, p.i,
+                 min((p.a::HUGEINT * g.h + p.b) % 2305843009213693951)::BIGINT AS v
+          FROM g CROSS JOIN perms p GROUP BY doc_id, p.i
+        ),
+        bk AS (
+          SELECT doc_id, i // {rows} AS band,
+                 string_agg(v::VARCHAR, ',' ORDER BY i) AS key
+          FROM sig GROUP BY doc_id, i // {rows}
+        ),
+        bkc AS (
+          SELECT * FROM bk
+          QUALIFY row_number() OVER (PARTITION BY band, key ORDER BY doc_id) <= {max_bucket}
+        ),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bkc x JOIN bkc y
+            ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+        ),
+        j AS (
+          SELECT c.a, c.b,
+                 (sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END)::DOUBLE / {num_perm}) AS jac
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.a
+          JOIN sig sb ON sb.doc_id = c.b AND sb.i = sa.i
+          GROUP BY c.a, c.b
+        )
+        SELECT a, b, jac AS jaccard FROM j
+        WHERE jac >= {threshold} ORDER BY a, b
+    """
 
 
 def oracle_queries() -> dict[str, str]:
@@ -1889,6 +1953,7 @@ def oracle_queries() -> dict[str, str]:
             SELECT doc_id, length({HTML_SQL})::BIGINT AS n_bytes, md5({HTML_SQL}) AS payload_md5
             FROM documents
         """,
+        "minhash_pairs": _minhash_pairs_sql(),
         "fingerprints": """
             WITH toks AS (
               SELECT doc_id,

@@ -1345,12 +1345,77 @@ def clusters_from_pairs(pairs, max_edges: int = 2_000_000) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": docs, "cluster_id": [find(d) for d in docs]})
 
 
+def md5_minhash_perms(num_perm: int = 128, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """(a, b) constants for the md5-twin linear permutations
+    h_i(x) = (a_i*x + b_i) mod (2^61 - 1). Ranges are chosen so BOTH
+    sides compute exactly: shingle hash x < 2^48 (md5 first 12 hex) and
+    a < 2^15 keep a*x + b < 2^64, so numpy uint64 arithmetic is exact and
+    DuckDB HUGEINT reproduces it bit-for-bit."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 15, num_perm, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, num_perm, dtype=np.uint64)
+    return a, b
+
+
+_M61 = np.uint64((1 << 61) - 1)
+
+
+def minhash_signatures_md5(docs, shingle_k=2, num_perm=128, seed=1,
+                           id_col="doc_id", text_col="text"):
+    """SQL-oracle twin of :func:`minhash_signatures`: shingle identity is
+    md5 of the space-joined lowercased k-gram (first 48 bits) and the
+    permutations are true (a*x+b) mod 2^61-1 — every value DuckDB can
+    recompute. Docs with no shingles (< k tokens) are EXCLUDED (the fast
+    path gives them the all-max sentinel, which would pair every empty
+    doc with every other; no content → no dedup is the honest semantic).
+    Output schema matches minhash_signatures (doc_id, sig:binary), so
+    banding + verification reuse :func:`minhash_verified_pairs` as-is."""
+    a, b = md5_minhash_perms(num_perm, seed)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from search_engine_ray.functions.hashing import md5_hex_batch
+        from search_engine_ray.functions.vb import binary_from_spans
+
+        batch = batch.combine_chunks()
+        grams: list[str] = []
+        offs = np.zeros(batch.num_rows + 1, np.int64)
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            toks = (t or "").lower().split()
+            grams.extend(" ".join(toks[j:j + shingle_k])
+                         for j in range(max(len(toks) - shingle_k + 1, 0)))
+            offs[i + 1] = len(grams)
+        counts = np.diff(offs)
+        nonempty = counts > 0
+        n_keep = int(nonempty.sum())
+        if n_keep == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "sig": pa.array([], pa.binary())})
+        h = np.array([int(x[:12], 16) for x in md5_hex_batch(grams)], _U64)
+        # a*h + b < 2^63 + 2^61 < 2^64: exact in uint64, then mod M61
+        hm = (h[:, None] * a[None, :] + b[None, :]) % _M61
+        starts = offs[:-1][nonempty]
+        sigs = np.minimum.reduceat(hm, starts, axis=0)
+        spans = np.arange(n_keep + 1, dtype=np.int64) * (num_perm * 8)
+        sig_col = binary_from_spans(
+            np.ascontiguousarray(sigs).view(np.uint8).reshape(-1), spans)
+        return pa.table({id_col: batch[id_col].filter(pa.array(nonempty)).cast(pa.int64()),
+                         "sig": sig_col})
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
 def minhash_lsh_dedup(docs, shingle_k=3, num_perm=128, bands=32, threshold=0.7,
-                      id_col="doc_id", text_col="text"):
+                      id_col="doc_id", text_col="text", hash_mode="poly"):
     """Full near-dup pipeline → (a, b, jaccard) verified pairs Dataset:
-    shingle→minhash → band shuffle → in-bucket verification → pair dedup."""
-    sigs = minhash_signatures(docs, shingle_k, num_perm, 1, id_col, text_col)
-    return minhash_verified_pairs(sigs, bands, threshold)
+    shingle→minhash → band shuffle → in-bucket verification → pair dedup.
+    ``hash_mode="md5"`` swaps in the SQL-reproducible signature twin
+    (:func:`minhash_signatures_md5`); banding, bucket capping, pair dedup
+    and verification are the SAME code path in both modes."""
+    if hash_mode == "md5":
+        sigs = minhash_signatures_md5(docs, shingle_k, num_perm, 1, id_col, text_col)
+    else:
+        sigs = minhash_signatures(docs, shingle_k, num_perm, 1, id_col, text_col)
+    return minhash_verified_pairs(sigs, bands, threshold, num_perm=num_perm)
 
 
 def simhash_table(docs, id_col="doc_id", text_col="text"):

@@ -154,3 +154,29 @@ class TestSimhashFingerprintVectorized:
             want = np.sort(winnow_fingerprint(_tok_hashes(t), 3, 4))
             got = by_doc.get(i, np.zeros(0, np.uint64))
             np.testing.assert_array_equal(np.asarray(got), want, err_msg=t)
+
+
+class TestMd5Twin:
+    def test_md5_mode_finds_planted_near_dups(self, ray_session):
+        """The md5 hash mode (SQL-oracle twin) runs the same banding/
+        verification path and recovers planted near-duplicates; docs with
+        fewer than k tokens are excluded rather than sentinel-paired."""
+        import ray.data
+
+        from search_engine_ray.pipelines.training_data import minhash_lsh_dedup
+
+        base = ("the quick brown fox jumps over the lazy dog and runs far "
+                "away into the deep green forest tonight").split()
+        rows = [{"doc_id": 1, "text": " ".join(base)},
+                {"doc_id": 2, "text": " ".join(base[:-1] + ["today"])},
+                {"doc_id": 3, "text": "completely different content about "
+                                      "databases and query engines"},
+                {"doc_id": 4, "text": "one"},   # < k tokens: excluded
+                {"doc_id": 5, "text": "two"}]   # would sentinel-pair with 4
+        docs = ray.data.from_items(rows, override_num_blocks=2)
+        out = minhash_lsh_dedup(docs, shingle_k=2, threshold=0.4,
+                                hash_mode="md5").to_pandas()
+        pairs = set(zip(out["a"], out["b"]))
+        assert (1, 2) in pairs
+        assert not any(4 in p or 5 in p for p in pairs)
+        assert not any(3 in p for p in pairs)
