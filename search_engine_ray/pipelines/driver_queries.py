@@ -1052,9 +1052,14 @@ def q_minhash_pairs(sf_dir: str):
 
 
 def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs in md5 hash mode — the SQL-oracle twin
+    (DuckDB recomputes the 60-bit token hashes, bit votes, band buckets
+    and exact Hamming verification); the bit-vote and banding kernels are
+    the same code path as the fast poly mode."""
     from search_engine_ray.pipelines.training_data import simhash_dedup
 
-    out = simhash_dedup(_read_docs(sf_dir), max_hamming=3).to_pandas()
+    out = simhash_dedup(_read_docs(sf_dir), max_hamming=3,
+                        hash_mode="md5").to_pandas()
     return out.sort_values(["a", "b"]).reset_index(drop=True).astype(np.int64)
 
 
@@ -1954,6 +1959,44 @@ def oracle_queries() -> dict[str, str]:
             FROM documents
         """,
         "minhash_pairs": _minhash_pairs_sql(),
+        "simhash_pairs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ),
+            th AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(unnest(t)), 1, 15))::BIGINT AS h
+              FROM toks
+            ),
+            bitsum AS (
+              SELECT doc_id, j.j,
+                     sum(CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) j
+              GROUP BY doc_id, j.j
+            ),
+            sim AS (
+              SELECT doc_id,
+                     sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS v
+              FROM bitsum GROUP BY doc_id
+            ),
+            br AS (
+              SELECT doc_id, b.b AS band, (v >> (16 * b.b)) & 65535 AS bv, v
+              FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b
+            ),
+            bkc AS (
+              SELECT * FROM br
+              QUALIFY row_number() OVER (PARTITION BY band, bv ORDER BY doc_id) <= 64
+            )
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                   bit_count(xor(x.v, y.v))::BIGINT AS hamming
+            FROM bkc x JOIN bkc y
+              ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.v, y.v)) <= 3
+            ORDER BY a, b
+        """,
         "fingerprints": """
             WITH toks AS (
               SELECT doc_id,

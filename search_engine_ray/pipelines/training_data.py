@@ -1418,16 +1418,39 @@ def minhash_lsh_dedup(docs, shingle_k=3, num_perm=128, bands=32, threshold=0.7,
     return minhash_verified_pairs(sigs, bands, threshold, num_perm=num_perm)
 
 
-def simhash_table(docs, id_col="doc_id", text_col="text"):
+def _md5_tok_hashes(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """md5-twin of _batch_tok_hashes: per-token-INSTANCE 60-bit hashes
+    (first 15 md5 hex chars — the widest value '0x'||hex parses into a
+    DuckDB BIGINT) over lowercased whitespace tokens."""
+    from search_engine_ray.functions.hashing import md5_hex_batch
+
+    flat: list[str] = []
+    offs = np.zeros(len(texts) + 1, np.int64)
+    for i, t in enumerate(texts.to_pylist()):
+        toks = (t or "").lower().split()
+        flat.extend(toks)
+        offs[i + 1] = len(flat)
+    h = np.array([int(x[:15], 16) for x in md5_hex_batch(flat)], _U64) \
+        if flat else np.zeros(0, _U64)
+    return offs, h
+
+
+def simhash_table(docs, id_col="doc_id", text_col="text", hash_mode="poly"):
     """Per-doc 64-bit simhash, whole-batch vectorized: per-token sign bits
     via unpackbits, per-doc bit sums via one segmented reduceat. Summing
     ±1 over token INSTANCES equals the spec's (unique, count)-weighted sum
-    (simhash64 — the per-doc spec this is property-tested against)."""
+    (simhash64 — the per-doc spec this is property-tested against).
+    ``hash_mode="md5"`` swaps in 60-bit md5 token hashes (the SQL-oracle
+    twin; bits 60-63 vote 0-minus-count → always 0, matching SQL where
+    those bits never exist); the bit-vote kernel is the same code path."""
 
     def fn(batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
         n = batch.num_rows
-        offs, th = _batch_tok_hashes(batch[text_col])
+        if hash_mode == "md5":
+            offs, th = _md5_tok_hashes(batch[text_col])
+        else:
+            offs, th = _batch_tok_hashes(batch[text_col])
         counts = np.diff(offs)
         sims = np.zeros(n, np.uint64)
         nonempty = counts > 0
@@ -1442,16 +1465,24 @@ def simhash_table(docs, id_col="doc_id", text_col="text"):
             simv = ((acc > 0).astype(np.uint64)
                     << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
             sims[nonempty] = simv
+        if hash_mode == "md5":  # token-less docs excluded (SQL twin)
+            return pa.table({
+                id_col: batch[id_col].filter(pa.array(nonempty)).cast(pa.int64()),
+                "simhash": pa.array(sims[nonempty].view(np.int64), pa.int64())})
         return pa.table({id_col: batch[id_col],
                          "simhash": pa.array(sims.view(np.int64), pa.int64())})
 
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
-def simhash_dedup(docs, max_hamming=3, bands=4, id_col="doc_id", text_col="text"):
+def simhash_dedup(docs, max_hamming=3, bands=4, id_col="doc_id", text_col="text",
+                  hash_mode="poly"):
     """SimHash near-dup pairs: band-collision candidates (pigeonhole ensures
-    recall for hamming ≤ bands-1) verified by exact Hamming distance."""
-    sims = simhash_table(docs, id_col, text_col).materialize()
+    recall for hamming ≤ bands-1) verified by exact Hamming distance.
+    ``hash_mode="md5"`` uses the SQL-oracle twin token hashes; token-less
+    docs are excluded there (they all share simhash 0 and would pairwise
+    match at hamming 0 — no content, no dedup)."""
+    sims = simhash_table(docs, id_col, text_col, hash_mode=hash_mode).materialize()
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)

@@ -102,7 +102,7 @@ def test_query_and_oracle_keys_align(entry):
         "event_sessions", "event_asof", "event_range",
         "clean_corpus", "clean_corpus_full", "new_vs_snapshot", "dedup_lines",
         "cosine_norms", "jaccard_verify", "dedup_clusters", "cosine_verify",
-        "fingerprints", "minhash_pairs",
+        "fingerprints", "minhash_pairs", "simhash_pairs",
         "ann_ivf_full", "ann_lsh_full", "langid", "pii_scrub", "repetition",
         "decontaminate",
     ],
@@ -114,7 +114,7 @@ def test_sql_parity(entry, con, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["simhash_pairs", "heavy_hitters", "ann_ivf_topk",
+    "name", ["heavy_hitters", "ann_ivf_topk",
              "ann_lsh_topk", "cosine_neardup", "value_quantiles_approx", "vocab_size_hll",
              "embedding_clusters", "semdedup_pairs"]
 )

@@ -180,3 +180,22 @@ class TestMd5Twin:
         assert (1, 2) in pairs
         assert not any(4 in p or 5 in p for p in pairs)
         assert not any(3 in p for p in pairs)
+
+    def test_simhash_md5_mode(self, ray_session):
+        """md5-mode simhash pairs near-identical docs and excludes
+        token-less docs (poly mode gives them simhash 0 and pairs them)."""
+        import ray.data
+
+        from search_engine_ray.pipelines.training_data import simhash_dedup
+
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+        rows = [{"doc_id": 1, "text": " ".join(base)},
+                {"doc_id": 2, "text": " ".join(base)},  # exact dup: hamming 0
+                {"doc_id": 3, "text": ""},
+                {"doc_id": 4, "text": "   "}]
+        docs = ray.data.from_items(rows, override_num_blocks=2)
+        out = simhash_dedup(docs, max_hamming=3, hash_mode="md5").to_pandas()
+        pairs = set(zip(out["a"], out["b"]))
+        assert (1, 2) in pairs
+        assert not any(3 in p or 4 in p for p in pairs)
