@@ -393,6 +393,18 @@ def q_doc_keywords(sf_dir: str):
                .sort_values(["doc_id", "rank"]).reset_index(drop=True))
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR-style per-doc log importance ratios, target = lang 'en' docs
+    vs the whole corpus under Laplace-smoothed unigram LMs."""
+    from search_engine_ray.pipelines.training_data import dsir_weights
+
+    out = dsir_weights(
+        _read_docs(sf_dir, columns=("doc_id", "text", "lang"))
+    ).to_pandas()
+    return (out.astype({"doc_id": np.int64, "n_tokens": np.int64})
+               .sort_values("doc_id").reset_index(drop=True))
+
+
 def q_doc_logprob(sf_dir: str):
     """Per-doc unigram-LM mean log-probability (CCNet-style quality proxy):
     postings ⋈ corpus-term-frequency hash join + partial/final per-doc
@@ -1720,6 +1732,22 @@ def oracle_queries() -> dict[str, str]:
             SELECT doc_id, rank, term, score_r FROM r WHERE rank <= 3
             """
         ),
+        "dsir_weights": _with(
+            """
+            , f AS (
+              SELECT p.term, SUM(p.tf) AS ctf,
+                     SUM(CASE WHEN d.lang = 'en' THEN p.tf ELSE 0 END) AS tctf
+              FROM postings p JOIN documents d USING (doc_id) GROUP BY p.term
+            ),
+            tot AS (SELECT SUM(ctf) AS tc, SUM(tctf) AS tt, COUNT(*) AS v FROM f)
+            SELECT p.doc_id, SUM(p.tf)::BIGINT AS n_tokens,
+                   round(SUM(p.tf * (log10((f.tctf + 1.0) / (tot.tt + tot.v)) -
+                                     log10((f.ctf + 1.0) / (tot.tc + tot.v)))), 6)
+                     AS logratio_r
+            FROM postings p JOIN f USING (term) CROSS JOIN tot
+            GROUP BY p.doc_id
+            """
+        ),
         "doc_logprob": _with(
             """
             , ctf AS (SELECT term, SUM(tf) AS ctf FROM postings GROUP BY term),
@@ -2390,6 +2418,7 @@ RAY_QUERIES = {
     "text_stats": q_text_stats,
     "doc_keywords": q_doc_keywords,
     "doc_logprob": q_doc_logprob,
+    "dsir_weights": q_dsir_weights,
     "host_stats": q_host_stats,
     "host_cap": q_host_cap,
     "stratified_sample": q_stratified_sample,

@@ -452,6 +452,114 @@ def doc_logprob(docs: "ray.data.Dataset", id_col: str = "doc_id",
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def dsir_weights(docs: "ray.data.Dataset", id_col: str = "doc_id",
+                 text_col: str = "text", lang_col: str = "lang",
+                 target_langs: tuple = ("en",), round_digits: int = 6):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per-doc log importance
+    ratio under two Laplace-smoothed unigram LMs — the TARGET distribution
+    (docs whose ``lang_col`` ∈ ``target_langs``) vs the whole corpus.
+    → (doc_id, n_tokens, logratio_r) with
+    logratio = Σ_t tf_t·(log10((tctf_t+1)/(Tt+V)) − log10((ctf_t+1)/(Tc+V)))
+    (ctf/tctf = corpus/target term frequency, Tc/Tt their totals, V the
+    corpus vocabulary size). High values → target-like docs; resample ∝
+    exp(logratio) to shift the corpus toward the target domain.
+
+    Distributed shape (the doc_logprob pattern, join-free on the doc
+    side): TWO tokenize waves (full corpus + target subset — re-tokenizing
+    the target beats hash-joining a per-posting flag across the corpus),
+    per-block (term, ctf_part, tctf_part) combiners into ONE term table,
+    scalar totals, one hash join back onto postings, then the
+    doc-cardinality partial/final weighted sum."""
+    import pyarrow.compute as pc
+
+    from search_engine_ray.stages.grouped import grouped_reduce
+    from search_engine_ray.stages.tokenize import tokenize_stage
+
+    def slim_postings(ds):
+        return tokenize_stage(ds).map_batches(
+            lambda b: b.filter(pc.not_equal(b["term"], "")).select(["term", id_col, "tf"]),
+            batch_format="pyarrow")
+
+    langs = list(target_langs)
+    target = docs.map_batches(
+        lambda b: b.filter(pc.is_in(b[lang_col], value_set=pa.array(langs))),
+        batch_format="pyarrow").select_columns([id_col, text_col])
+    postings = slim_postings(docs.select_columns([id_col, text_col])).materialize()
+    postings_t = slim_postings(target)
+
+    def count_partial(which: str):
+        other = "tctf_part" if which == "ctf_part" else "ctf_part"
+
+        def fn(b: pa.Table) -> pa.Table:
+            b = b.combine_chunks()
+            if b.num_rows == 0:
+                return pa.table({"term": pa.array([], pa.string()),
+                                 "ctf_part": pa.array([], pa.int64()),
+                                 "tctf_part": pa.array([], pa.int64())})
+            enc = b["term"].dictionary_encode().combine_chunks()
+            s = np.bincount(enc.indices.to_numpy(zero_copy_only=False),
+                            weights=b["tf"].to_numpy(zero_copy_only=False),
+                            minlength=len(enc.dictionary)).astype(np.int64)
+            return pa.table({"term": enc.dictionary.cast(pa.string()),
+                             which: pa.array(s, pa.int64()),
+                             other: pa.array(np.zeros(len(s), np.int64), pa.int64())})
+
+        return fn
+
+    partials = postings.map_batches(count_partial("ctf_part"), batch_format="pyarrow") \
+        .union(postings_t.map_batches(count_partial("tctf_part"), batch_format="pyarrow"))
+    freqs = grouped_reduce(partials, ["term"],
+                           sums=[("ctf_part", "ctf"), ("tctf_part", "tctf")]) \
+        .materialize()
+
+    from ray.data.aggregate import Count, Sum
+
+    tots = freqs.aggregate(Sum("ctf", alias_name="tc"),
+                           Sum("tctf", alias_name="tt"),
+                           Count(alias_name="v"))
+    tc, tt, v = float(tots["tc"] or 0), float(tots["tt"] or 0), float(tots["v"] or 0)
+
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:  # pragma: no cover
+        ncpu = 8
+    joined = postings.join(freqs, join_type="inner",
+                           num_partitions=max(4, ncpu // 2), on=("term",))
+
+    def score_partial(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        if b.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "lr_part": pa.array([], pa.float64()),
+                             "tf_part": pa.array([], pa.int64())})
+        tf = b["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ctf = b["ctf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tctf = b["tctf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lr = tf * (np.log10((tctf + 1.0) / (tt + v)) - np.log10((ctf + 1.0) / (tc + v)))
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        uids, inv = np.unique(ids, return_inverse=True)
+        return pa.table({
+            id_col: pa.array(uids.astype(np.int64), pa.int64()),
+            "lr_part": pa.array(np.bincount(inv, weights=lr), pa.float64()),
+            "tf_part": pa.array(np.bincount(inv, weights=tf).astype(np.int64), pa.int64()),
+        })
+
+    agg = grouped_reduce(joined.map_batches(score_partial, batch_format="pyarrow"),
+                         [id_col], sums=[("lr_part", "lr"),
+                                         ("tf_part", "n_tokens")])
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        return pa.table({id_col: b[id_col].cast(pa.int64()),
+                         "n_tokens": b["n_tokens"].cast(pa.int64()),
+                         "logratio_r": pa.array(
+                             np.round(b["lr"].to_numpy(zero_copy_only=False),
+                                      round_digits), pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # deduplication
 # ---------------------------------------------------------------------------

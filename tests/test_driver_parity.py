@@ -90,7 +90,8 @@ def test_query_and_oracle_keys_align(entry):
         "tfidf_topk", "bm25_topk", "bm25_wand",
         "bm25_segments", "bm25_blend", "phrase", "proximity", "fuzzy", "exact_dedup",
         "lang_counts",
-        "text_stats", "doc_keywords", "doc_logprob", "host_stats", "host_cap",
+        "text_stats", "doc_keywords", "doc_logprob", "dsir_weights",
+        "host_stats", "host_cap",
         "stratified_sample", "pack_sequences", "shuffle",
         "collocations", "prune_postings",
         "pagerank", "anchor_terms", "latest_snapshot", "degree_stats", "bm25f",

@@ -430,3 +430,30 @@ class TestDecontaminate:
         out = decontaminate(ray.data.from_items(rows)).to_pandas()
         assert len(out) == 2 and (out["n_contaminated"] == 0).all()
         assert (out["n_8grams"] == 2).all()
+
+
+class TestDsirWeights:
+    def test_target_docs_score_higher(self, ray_session):
+        """Docs sharing the target-language vocabulary get higher log
+        importance ratios than off-target-vocabulary docs; smoothing keeps
+        every doc finite even when its tokens never occur in the target."""
+        import ray.data
+
+        from search_engine_ray.pipelines.training_data import dsir_weights
+
+        rows = (
+            [{"doc_id": i, "lang": "en",
+              "text": "alpha beta gamma delta " * 5} for i in range(10)]
+            + [{"doc_id": 100 + i, "lang": "de",
+                "text": "zug bahn strasse wolke " * 5} for i in range(10)]
+            # an undeclared-lang doc with target-like text: scores high
+            + [{"doc_id": 200, "lang": "xx", "text": "alpha beta gamma delta"},
+               {"doc_id": 201, "lang": "xx", "text": "zug bahn strasse wolke"}]
+        )
+        docs = ray.data.from_items(rows, override_num_blocks=3)
+        out = dsir_weights(docs).to_pandas().set_index("doc_id")
+        lr = out["logratio_r"]
+        assert lr.loc[0] > lr.loc[100]
+        assert lr.loc[200] > lr.loc[201]
+        assert np.isfinite(lr).all()
+        assert (out["n_tokens"].loc[[0, 100]] == 20).all()
