@@ -207,6 +207,12 @@ def run_bench() -> dict:
     remove_global_ngrams(docs, n=3).count()
     results["global_ngram_dedup"] = time.perf_counter() - t0
 
+    from search_engine_ray.pipelines.corpus_clean import dedup_lines_global
+
+    t0 = time.perf_counter()
+    dedup_lines_global(docs).count()
+    results["line_dedup"] = time.perf_counter() - t0
+
     t0 = time.perf_counter()
     semdedup_pairs(ray.data.read_parquet(emb_path), threshold=0.3,
                    k=8, iters=6).count()

@@ -439,6 +439,44 @@ def _docs_with_urls(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def q_canonical_urls(sf_dir: str):
+    """URL canonicalization over deterministically-synthesized messy urls
+    (4 variants per doc_id: uppercase scheme/host + default port +
+    tracking params + fragment; bare trailing slash; adjacent utm params;
+    already-clean) — exercises every rule in canonical_url_batch."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from search_engine_ray.pipelines.webcorpus import canonicalize_urls
+
+    def synth(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        urls = []
+        for d in ids:
+            d = int(d)
+            h = d % _HOST_MOD
+            v = d % 4
+            if v == 0:
+                u = f"HTTP://H{h}.Example.test:80/p/{d}?utm_source=x&q={d}#frag"
+            elif v == 1:
+                u = f"https://h{h}.example.test:443/"
+            elif v == 2:
+                u = f"http://h{h}.example.test/p/{d}?utm_a=1&utm_b=2&q={d}"
+            else:
+                u = f"http://h{h}.example.test/p/{d}"
+            urls.append(u)
+        return pa.table({"doc_id": batch["doc_id"].cast(pa.int64()),
+                         "url": pa.array(urls, pa.string())})
+
+    pages = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+    out = canonicalize_urls(pages).to_pandas()
+    return (out[["doc_id", "url_canon"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def q_host_stats(sf_dir: str):
     """Per-host doc/token counts (vectorized host extraction + partial
     counts; the groupby moves one row per (batch, host))."""
@@ -1759,6 +1797,34 @@ def oracle_queries() -> dict[str, str]:
             GROUP BY p.doc_id
             """
         ),
+        "canonical_urls": rf"""
+            WITH raw AS (
+              SELECT doc_id,
+                CASE doc_id % 4
+                  WHEN 0 THEN 'HTTP://H' || (doc_id % {_HOST_MOD}) || '.Example.test:80/p/' || doc_id || '?utm_source=x&q=' || doc_id || '#frag'
+                  WHEN 1 THEN 'https://h' || (doc_id % {_HOST_MOD}) || '.example.test:443/'
+                  WHEN 2 THEN 'http://h' || (doc_id % {_HOST_MOD}) || '.example.test/p/' || doc_id || '?utm_a=1&utm_b=2&q=' || doc_id
+                  ELSE 'http://h' || (doc_id % {_HOST_MOD}) || '.example.test/p/' || doc_id
+                END AS u
+              FROM documents
+            ),
+            s1 AS (SELECT doc_id, regexp_replace(u, '#.*$', '') AS u FROM raw),
+            s2 AS (SELECT doc_id,
+                     regexp_replace(regexp_replace(u, '([?&])utm_[^&#]*&', '\1', 'g'),
+                                    '([?&])utm_[^&#]*&', '\1', 'g') AS u FROM s1),
+            s3 AS (SELECT doc_id, regexp_replace(u, '[?&]utm_[^&#]*$', '') AS u FROM s2),
+            s4 AS (SELECT doc_id,
+                     lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*')) ||
+                     regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*', '') AS u
+                   FROM s3),
+            s5 AS (SELECT doc_id,
+                     regexp_replace(regexp_replace(u, '^(http://[^/:?#]+):80($|[/?])', '\1\2'),
+                                    '^(https://[^/:?#]+):443($|[/?])', '\1\2') AS u FROM s4),
+            s6 AS (SELECT doc_id,
+                     regexp_replace(u, '^([a-z][a-z0-9+.\-]*://[^/?#]+)/$', '\1') AS u FROM s5)
+            SELECT doc_id, regexp_replace(u, '[?&]$', '') AS url_canon
+            FROM s6 ORDER BY doc_id
+        """,
         "host_stats": rf"""
             WITH pages AS (
               SELECT doc_id,
@@ -2420,6 +2486,7 @@ RAY_QUERIES = {
     "doc_logprob": q_doc_logprob,
     "dsir_weights": q_dsir_weights,
     "host_stats": q_host_stats,
+    "canonical_urls": q_canonical_urls,
     "host_cap": q_host_cap,
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,

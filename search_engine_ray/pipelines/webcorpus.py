@@ -298,3 +298,59 @@ def deterministic_shuffle(docs, id_col: str = "doc_id", salt: str = "shuf",
                          "shard": pa.array(rank % n_shards, pa.int64())})
 
     return srt.map_batches(stamp, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (C4/re-crawl-style)
+# ---------------------------------------------------------------------------
+
+#: canonicalization rule list — each step is a plain RE2-safe regex both
+#: this module and the DuckDB oracle apply in the SAME order (no lookahead,
+#: no backtracking), so canonical forms agree byte-for-byte across engines:
+#:   1. strip the fragment
+#:   2. drop utm_* tracking params (two inner passes + a tail pass: removing
+#:      a param can make the next one adjacent)
+#:   3. lowercase scheme://authority (ASCII)
+#:   4. strip scheme-default ports (:80 http, :443 https)
+#:   5. strip a bare trailing slash ("http://h" == "http://h/")
+#:   6. strip a dangling '?' or '&' left by param removal
+_URL_AUTH_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*"
+
+
+def canonical_url_batch(urls: list) -> list:
+    import re
+
+    frag = re.compile(r"#.*$", re.S)
+    utm_mid = re.compile(r"([?&])utm_[^&#]*&")
+    utm_end = re.compile(r"[?&]utm_[^&#]*$")
+    auth = re.compile(_URL_AUTH_RE)
+    p80 = re.compile(r"^(http://[^/:?#]+):80($|[/?])")
+    p443 = re.compile(r"^(https://[^/:?#]+):443($|[/?])")
+    slash = re.compile(r"^([a-z][a-z0-9+.\-]*://[^/?#]+)/$")
+    dangle = re.compile(r"[?&]$")
+
+    out = []
+    for u in urls:
+        u = frag.sub("", u or "")
+        u = utm_mid.sub(r"\1", utm_mid.sub(r"\1", u))
+        u = utm_end.sub("", u)
+        u = auth.sub(lambda m: m.group(0).lower(), u, count=1)
+        u = p80.sub(r"\1\2", u)
+        u = p443.sub(r"\1\2", u)
+        u = slash.sub(r"\1", u)
+        u = dangle.sub("", u)
+        out.append(u)
+    return out
+
+
+def canonicalize_urls(pages, url_col: str = "url", out_col: str = "url_canon"):
+    """Stamp a canonical-url column (map-only; the dedup key for re-crawl
+    dedup — compose with latest_snapshot(url_col=out_col) to keep one
+    newest capture per canonical page identity)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        canon = canonical_url_batch(batch[url_col].to_pylist())
+        return batch.append_column(out_col, pa.array(canon, pa.string()))
+
+    return pages.map_batches(fn, batch_format="pyarrow")

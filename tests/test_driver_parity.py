@@ -91,7 +91,7 @@ def test_query_and_oracle_keys_align(entry):
         "bm25_segments", "bm25_blend", "phrase", "proximity", "fuzzy", "exact_dedup",
         "lang_counts",
         "text_stats", "doc_keywords", "doc_logprob", "dsir_weights",
-        "host_stats", "host_cap",
+        "host_stats", "host_cap", "canonical_urls",
         "stratified_sample", "pack_sequences", "shuffle",
         "collocations", "prune_postings",
         "pagerank", "anchor_terms", "latest_snapshot", "degree_stats", "bm25f",

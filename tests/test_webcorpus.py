@@ -197,3 +197,44 @@ class TestDeterministicShuffle:
         exp = sorted(range(n),
                      key=lambda i: (hashlib.md5(f"{i}-shuf".encode()).hexdigest(), i))
         assert out["doc_id"].tolist() == exp
+
+
+class TestCanonicalUrls:
+    def test_rules(self):
+        from search_engine_ray.pipelines.webcorpus import canonical_url_batch
+
+        cases = {
+            "HTTP://Example.COM:80/path?q=1#frag": "http://example.com/path?q=1",
+            "https://A.b:443/": "https://a.b",
+            "http://h/p?utm_source=x&q=1": "http://h/p?q=1",
+            "http://h/p?q=1&utm_b=2#f": "http://h/p?q=1",
+            "http://h/p?utm_a=1&utm_b=2": "http://h/p",
+            "http://h/p?utm_a=1&utm_b=2&q=3": "http://h/p?q=3",
+            "http://h:8080/x": "http://h:8080/x",     # non-default port kept
+            "http://h/": "http://h",
+            "http://h/p/": "http://h/p/",             # non-bare slash kept
+            "https://h:80/x": "https://h:80/x",       # :80 is not https-default
+        }
+        got = canonical_url_batch(list(cases))
+        assert got == list(cases.values())
+
+    def test_composes_with_latest_snapshot(self, ray_session):
+        """canonicalize_urls → latest_snapshot(url_col=url_canon) keeps one
+        newest capture per canonical page identity."""
+        import ray.data
+
+        from search_engine_ray.pipelines.webcorpus import (
+            canonicalize_urls,
+            latest_snapshot,
+        )
+
+        rows = [
+            {"doc_id": 1, "url": "HTTP://H.test:80/p?utm_s=1", "warc_ts": 100},
+            {"doc_id": 2, "url": "http://h.test/p", "warc_ts": 200},
+            {"doc_id": 3, "url": "http://other.test/q", "warc_ts": 50},
+        ]
+        pages = ray.data.from_items(rows, override_num_blocks=2)
+        out = latest_snapshot(canonicalize_urls(pages),
+                              url_col="url_canon").to_pandas()
+        kept = set(out["doc_id"])
+        assert kept == {2, 3}  # doc 2 is the newer capture of doc 1's page
