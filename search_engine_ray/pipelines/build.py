@@ -299,9 +299,13 @@ def _stage(paths_dir: str, name: str, fp: str, resume: bool, producer) -> None:
     os.makedirs(paths_dir, exist_ok=True)
     t0 = time.perf_counter()
     producer(paths_dir)
+    elapsed = time.perf_counter() - t0
     if os.environ.get("SE_RAY_TIMING"):
-        print(f"[stage {name}] {time.perf_counter() - t0:.1f}s", flush=True)
-    manifests.write_manifest(paths_dir, name, fp)
+        print(f"[stage {name}] {elapsed:.1f}s", flush=True)
+    # per-stage wall time + derived rows/s ride the lineage manifest
+    # (north-rule: per-partition lineage + METRICS)
+    manifests.write_manifest(paths_dir, name, fp,
+                             extra={"elapsed_s": round(elapsed, 3)})
 
 
 def build_index(
@@ -445,11 +449,17 @@ def build_index(
             runs_ds.write_parquet(paths.runs, partition_cols=["sgroup"])
         for t in threads:
             t.join()
+        wave_s = round(time.perf_counter() - t_s1, 3)
         if os.environ.get("SE_RAY_TIMING"):
-            print(f"[ docs+runs/wave+write] {time.perf_counter() - t_s1:.1f}s", flush=True)
-        manifests.write_manifest(paths.docs, "docs", in_fp)
-        manifests.write_manifest(paths.dict_partials, "dict_partials", in_fp)
-        manifests.write_manifest(paths.runs, "runs", in_fp)
+            print(f"[ docs+runs/wave+write] {wave_s:.1f}s", flush=True)
+        # the fused wave produces all three stages in one execution; each
+        # manifest records the shared wave wall time as its metric
+        manifests.write_manifest(paths.docs, "docs", in_fp,
+                                 extra={"elapsed_s": wave_s, "fused_wave": True})
+        manifests.write_manifest(paths.dict_partials, "dict_partials", in_fp,
+                                 extra={"elapsed_s": wave_s, "fused_wave": True})
+        manifests.write_manifest(paths.runs, "runs", in_fp,
+                                 extra={"elapsed_s": wave_s, "fused_wave": True})
 
     if not (resume and manifests.stage_complete(paths.runs, in_fp)
             and manifests.stage_complete(paths.docs, in_fp)
@@ -736,13 +746,15 @@ def build_index(
                     )
                     chunks.write_parquet(paths.postings, partition_cols=["shard"],
                                          **write_kwargs)
+            el = round(time.perf_counter() - t0, 3)
             for k in range(n_shards):
                 os.makedirs(paths.postings_shard(k), exist_ok=True)
                 manifests.write_manifest(
                     paths.postings_shard(k), f"postings/shard={k}", in_fp)
-            manifests.write_manifest(paths.postings, "postings", in_fp)
+            manifests.write_manifest(paths.postings, "postings", in_fp,
+                                     extra={"elapsed_s": el})
             if os.environ.get("SE_RAY_TIMING"):
-                print(f"[stage postings] {time.perf_counter() - t0:.1f}s "
+                print(f"[stage postings] {el:.1f}s "
                       f"(global, {n_units} units)", flush=True)
             return
 
@@ -756,6 +768,7 @@ def build_index(
         def one_unit(u: int) -> None:
             from search_engine_ray.stages.merge import dir_parquet_bytes, size_aware_blocks
 
+            t_u = time.perf_counter()
             shards = unit_shards(u)
             for k in shards:
                 shutil.rmtree(paths.postings_shard(k), ignore_errors=True)
@@ -778,10 +791,12 @@ def build_index(
                 # one write fans chunk rows out to the unit's shard= dirs
                 chunks.write_parquet(paths.postings, partition_cols=["shard"],
                                      **write_kwargs)
+            el_u = round(time.perf_counter() - t_u, 3)
             for k in shards:
                 os.makedirs(paths.postings_shard(k), exist_ok=True)
                 manifests.write_manifest(
-                    paths.postings_shard(k), f"postings/shard={k}", in_fp
+                    paths.postings_shard(k), f"postings/shard={k}", in_fp,
+                    extra={"elapsed_s": el_u, "merge_unit": u},
                 )
 
         t0 = time.perf_counter()
@@ -791,7 +806,8 @@ def build_index(
                 f.result()
         # stage-level manifest on top of the per-shard ones (written last:
         # its presence implies every shard completed for this fingerprint)
-        manifests.write_manifest(paths.postings, "postings", in_fp)
+        manifests.write_manifest(paths.postings, "postings", in_fp,
+                                 extra={"elapsed_s": round(time.perf_counter() - t0, 3)})
         if os.environ.get("SE_RAY_TIMING"):
             print(f"[stage postings] {time.perf_counter() - t0:.1f}s "
                   f"({len(todo)}/{n_units} units)", flush=True)

@@ -62,6 +62,9 @@ def write_manifest(stage_dir: str, stage: str, fp: str, extra: dict | None = Non
     }
     if extra:
         doc.update(extra)
+        el = extra.get("elapsed_s")
+        if el and doc["num_rows"]:  # derived stage-throughput metric
+            doc["rows_per_s"] = round(doc["num_rows"] / el, 1)
     tmp = manifest_path(stage_dir) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(doc, f, indent=1)

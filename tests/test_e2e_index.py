@@ -335,3 +335,23 @@ class TestEmptyCorpus:
         assert eng.num_terms == 0
         assert eng.bm25_topk("anything at all", 5) == []
         assert eng.boolean_and("anything").tolist() == []
+
+
+def test_manifests_carry_stage_metrics(built):
+    """North-rule 'lineage + metrics': every stage manifest records its
+    wall time; row-bearing stages also derive rows/s."""
+    import json
+    import os
+
+    out_dir = built[2].out_dir
+    found = 0
+    for sub in ["docs", "runs", "dict_partials", "dictionary", "postings"]:
+        mp = os.path.join(out_dir, sub, "_MANIFEST.json")
+        if not os.path.exists(mp):
+            continue
+        doc = json.load(open(mp))
+        assert doc.get("elapsed_s", 0) > 0, sub
+        if doc.get("num_rows"):
+            assert doc.get("rows_per_s", 0) > 0, sub
+        found += 1
+    assert found >= 4
