@@ -393,6 +393,16 @@ def q_doc_keywords(sf_dir: str):
                .sort_values(["doc_id", "rank"]).reset_index(drop=True))
 
 
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet head/middle/tail perplexity buckets over the unigram-LM
+    quality score (quantile_cont tertile thresholds)."""
+    from search_engine_ray.pipelines.training_data import ccnet_buckets
+
+    out = ccnet_buckets(_read_docs(sf_dir)).to_pandas()
+    return (out.astype({"doc_id": np.int64, "n_tokens": np.int64})
+               .sort_values("doc_id").reset_index(drop=True))
+
+
 def q_dsir_weights(sf_dir: str):
     """DSIR-style per-doc log importance ratios, target = lang 'en' docs
     vs the whole corpus under Laplace-smoothed unigram LMs."""
@@ -1770,6 +1780,26 @@ def oracle_queries() -> dict[str, str]:
             SELECT doc_id, rank, term, score_r FROM r WHERE rank <= 3
             """
         ),
+        "ccnet_buckets": _with(
+            """
+            , ctf AS (SELECT term, SUM(tf) AS ctf FROM postings GROUP BY term),
+            tot AS (SELECT SUM(tf) AS t FROM postings),
+            lp AS (
+              SELECT p.doc_id, SUM(p.tf)::BIGINT AS n_tokens,
+                     round(SUM(p.tf * log10(c.ctf::DOUBLE / tot.t)) / SUM(p.tf), 6)
+                       AS logprob_r
+              FROM postings p JOIN ctf c USING (term) CROSS JOIN tot
+              GROUP BY p.doc_id
+            ),
+            th AS (SELECT quantile_cont(logprob_r, 1.0/3) AS t1,
+                          quantile_cont(logprob_r, 2.0/3) AS t2 FROM lp)
+            SELECT lp.doc_id, lp.n_tokens, lp.logprob_r,
+                   CASE WHEN lp.logprob_r >= th.t2 THEN 'head'
+                        WHEN lp.logprob_r >= th.t1 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM lp CROSS JOIN th
+            """
+        ),
         "dsir_weights": _with(
             """
             , f AS (
@@ -2485,6 +2515,7 @@ RAY_QUERIES = {
     "doc_keywords": q_doc_keywords,
     "doc_logprob": q_doc_logprob,
     "dsir_weights": q_dsir_weights,
+    "ccnet_buckets": q_ccnet_buckets,
     "host_stats": q_host_stats,
     "canonical_urls": q_canonical_urls,
     "host_cap": q_host_cap,

@@ -452,6 +452,33 @@ def doc_logprob(docs: "ray.data.Dataset", id_col: str = "doc_id",
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def ccnet_buckets(docs: "ray.data.Dataset", id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): docs are
+    split head/middle/tail by their unigram-LM quality score
+    (:func:`doc_logprob`; head = most fluent third) at the exact
+    quantile_cont(2/3) and (1/3) thresholds. → (doc_id, n_tokens,
+    logprob_r, bucket). Composition of two existing distributed ops:
+    the scored Dataset sorts ONCE for the two thresholds (only the rank
+    rows reach the driver — events.value_quantiles), then a map stamps
+    labels; nothing doc-cardinality gathers."""
+    from search_engine_ray.pipelines.events import value_quantiles
+
+    scored = doc_logprob(docs, id_col=id_col, text_col=text_col).materialize()
+    t = value_quantiles(scored, [1.0 / 3.0, 2.0 / 3.0], col="logprob_r")
+    vals = t["value"].to_pylist()
+    t1, t2 = (float(vals[0]), float(vals[1])) if vals else (0.0, 0.0)
+
+    def label(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        lp = b["logprob_r"].to_numpy(zero_copy_only=False)
+        bucket = np.where(lp >= t2, "head",
+                          np.where(lp >= t1, "middle", "tail"))
+        return b.append_column("bucket", pa.array(bucket.tolist(), pa.string()))
+
+    return scored.map_batches(label, batch_format="pyarrow")
+
+
 def dsir_weights(docs: "ray.data.Dataset", id_col: str = "doc_id",
                  text_col: str = "text", lang_col: str = "lang",
                  target_langs: tuple = ("en",), round_digits: int = 6):

@@ -91,6 +91,7 @@ def test_query_and_oracle_keys_align(entry):
         "bm25_segments", "bm25_blend", "phrase", "proximity", "fuzzy", "exact_dedup",
         "lang_counts",
         "text_stats", "doc_keywords", "doc_logprob", "dsir_weights",
+        "ccnet_buckets",
         "host_stats", "host_cap", "canonical_urls",
         "stratified_sample", "pack_sequences", "shuffle",
         "collocations", "prune_postings",

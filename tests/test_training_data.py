@@ -457,3 +457,23 @@ class TestDsirWeights:
         assert lr.loc[200] > lr.loc[201]
         assert np.isfinite(lr).all()
         assert (out["n_tokens"].loc[[0, 100]] == 20).all()
+
+
+class TestCcnetBuckets:
+    def test_tertile_labels(self, ray_session):
+        import ray.data
+
+        from search_engine_ray.pipelines.training_data import ccnet_buckets
+
+        # common-vocabulary docs score high (head); rare-token soup low
+        rows = ([{"doc_id": i, "text": "the quick brown fox " * 4}
+                 for i in range(6)]
+                + [{"doc_id": 10 + i, "text": f"the quick zq{i}x vb{i}k " * 4}
+                   for i in range(6)]
+                + [{"doc_id": 20 + i, "text": f"xq{i}a wj{i}b kz{i}c pv{i}d"}
+                   for i in range(6)])
+        docs = ray.data.from_items(rows, override_num_blocks=3)
+        out = ccnet_buckets(docs).to_pandas().set_index("doc_id")
+        assert set(out["bucket"]) == {"head", "middle", "tail"}
+        assert (out.loc[range(6), "bucket"] == "head").all()
+        assert (out.loc[range(20, 26), "bucket"] == "tail").all()
