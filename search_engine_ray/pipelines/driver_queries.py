@@ -270,6 +270,20 @@ def q_bm25_topk(sf_dir: str):
     return _ranked(scores, 4)
 
 
+def q_bm25_distributed(sf_dir: str):
+    """Distributed per-shard-actor serving — must be rank-identical to the
+    local engine, so it shares bm25_topk's oracle SQL."""
+    from search_engine_ray.query.service import DistributedSearchEngine
+
+    eng = engine_for(sf_dir)  # ensures the index exists in the cache dir
+    dist = DistributedSearchEngine(eng.paths.out_dir, n_actors=4)
+    try:
+        scores = dist.bm25_topk(Q_TEXT, k=10_000_000)
+    finally:
+        dist.shutdown()
+    return _ranked(scores, 4)
+
+
 def q_bm25_wand(sf_dir: str):
     """Block-max WAND BM25 (query/wand.py) — must equal the exhaustive
     scorer row-for-row, so it shares bm25_topk's oracle SQL."""
@@ -1569,6 +1583,7 @@ def oracle_queries() -> dict[str, str]:
             """
         )),
         "bm25_wand": out_bm25,
+        "bm25_distributed": out_bm25,
         "bm25_segments": out_bm25,
         "bm25_blend": _with(
             f"""
@@ -2502,6 +2517,7 @@ RAY_QUERIES = {
     "more_like_this": q_more_like_this,
     "tfidf_topk": q_tfidf_topk,
     "bm25_topk": q_bm25_topk,
+    "bm25_distributed": q_bm25_distributed,
     "bm25_wand": q_bm25_wand,
     "bm25_segments": q_bm25_segments,
     "bm25_blend": q_bm25_blend,
