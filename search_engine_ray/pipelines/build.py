@@ -305,7 +305,7 @@ def _stage(paths_dir: str, name: str, fp: str, resume: bool, producer) -> None:
     # per-stage wall time + derived rows/s ride the lineage manifest
     # (north-rule: per-partition lineage + METRICS)
     manifests.write_manifest(paths_dir, name, fp,
-                             extra={"elapsed_s": round(elapsed, 3)})
+                             extra={"elapsed_s": round(elapsed, 6)})
 
 
 def build_index(
@@ -449,7 +449,7 @@ def build_index(
             runs_ds.write_parquet(paths.runs, partition_cols=["sgroup"])
         for t in threads:
             t.join()
-        wave_s = round(time.perf_counter() - t_s1, 3)
+        wave_s = round(time.perf_counter() - t_s1, 6)
         if os.environ.get("SE_RAY_TIMING"):
             print(f"[ docs+runs/wave+write] {wave_s:.1f}s", flush=True)
         # the fused wave produces all three stages in one execution; each
@@ -746,7 +746,7 @@ def build_index(
                     )
                     chunks.write_parquet(paths.postings, partition_cols=["shard"],
                                          **write_kwargs)
-            el = round(time.perf_counter() - t0, 3)
+            el = round(time.perf_counter() - t0, 6)
             for k in range(n_shards):
                 os.makedirs(paths.postings_shard(k), exist_ok=True)
                 manifests.write_manifest(
@@ -791,7 +791,7 @@ def build_index(
                 # one write fans chunk rows out to the unit's shard= dirs
                 chunks.write_parquet(paths.postings, partition_cols=["shard"],
                                      **write_kwargs)
-            el_u = round(time.perf_counter() - t_u, 3)
+            el_u = round(time.perf_counter() - t_u, 6)
             for k in shards:
                 os.makedirs(paths.postings_shard(k), exist_ok=True)
                 manifests.write_manifest(
@@ -807,7 +807,7 @@ def build_index(
         # stage-level manifest on top of the per-shard ones (written last:
         # its presence implies every shard completed for this fingerprint)
         manifests.write_manifest(paths.postings, "postings", in_fp,
-                                 extra={"elapsed_s": round(time.perf_counter() - t0, 3)})
+                                 extra={"elapsed_s": round(time.perf_counter() - t0, 6)})
         if os.environ.get("SE_RAY_TIMING"):
             print(f"[stage postings] {time.perf_counter() - t0:.1f}s "
                   f"({len(todo)}/{n_units} units)", flush=True)
