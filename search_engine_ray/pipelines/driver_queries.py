@@ -407,6 +407,35 @@ def q_doc_keywords(sf_dir: str):
                .sort_values(["doc_id", "rank"]).reset_index(drop=True))
 
 
+_PROJ_DIM = 8  # driver-query projection width (keeps the oracle SQL compact)
+
+
+def q_project_embeddings(sf_dir: str):
+    """Seeded JL random projection of the embeddings table to 8 dims."""
+    import ray.data
+
+    from search_engine_ray.pipelines.training_data import project_embeddings
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    out = project_embeddings(ds, out_dim=_PROJ_DIM).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def _project_embeddings_sql(in_dim: int = 64) -> str:
+    from search_engine_ray.pipelines.training_data import projection_matrix
+
+    r = projection_matrix(in_dim, _PROJ_DIM)
+    exprs = ",\n                   ".join(
+        "round(list_dot_product(list_transform(embedding, x -> x::DOUBLE), ["
+        + ",".join(repr(float(v)) for v in r[j]) + f"]), 6) AS p{j}"
+        for j in range(_PROJ_DIM))
+    return f"""
+        SELECT vec_id, {exprs}
+        FROM embeddings ORDER BY vec_id
+    """
+
+
 def q_ccnet_buckets(sf_dir: str):
     """CCNet head/middle/tail perplexity buckets over the unigram-LM
     quality score (quantile_cont tertile thresholds)."""
@@ -1795,6 +1824,7 @@ def oracle_queries() -> dict[str, str]:
             SELECT doc_id, rank, term, score_r FROM r WHERE rank <= 3
             """
         ),
+        "project_embeddings": _project_embeddings_sql(),
         "ccnet_buckets": _with(
             """
             , ctf AS (SELECT term, SUM(tf) AS ctf FROM postings GROUP BY term),
@@ -2532,6 +2562,7 @@ RAY_QUERIES = {
     "doc_logprob": q_doc_logprob,
     "dsir_weights": q_dsir_weights,
     "ccnet_buckets": q_ccnet_buckets,
+    "project_embeddings": q_project_embeddings,
     "host_stats": q_host_stats,
     "canonical_urls": q_canonical_urls,
     "host_cap": q_host_cap,

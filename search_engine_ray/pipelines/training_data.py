@@ -452,6 +452,48 @@ def doc_logprob(docs: "ray.data.Dataset", id_col: str = "doc_id",
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def projection_matrix(in_dim: int, out_dim: int = 16, seed: int = 7) -> np.ndarray:
+    """Seeded Gaussian Johnson–Lindenstrauss projection, rounded to 6
+    decimals so the SQL oracle can inline the SAME constants exactly."""
+    rng = np.random.default_rng(seed)
+    return np.round(rng.standard_normal((out_dim, in_dim)) / np.sqrt(out_dim), 6)
+
+
+def project_embeddings(ds: "ray.data.Dataset", out_dim: int = 16, seed: int = 7,
+                       id_col: str = "vec_id", emb_col: str = "embedding",
+                       round_digits: int = 6):
+    """Random-projection dimensionality reduction (Johnson–Lindenstrauss):
+    y = R·x with a seeded Gaussian R — the standard scale-path preprocessor
+    before LSH banding or k-means on very wide embeddings (map-only, one
+    batched matmul per block, R built once per call from the seed; nothing
+    shuffles). → (vec_id, p0..p{out_dim-1}) as rounded doubles (wide
+    columns so the driver compare is exact per column)."""
+    proj: dict[int, np.ndarray] = {}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        emb = batch[emb_col]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        n = batch.num_rows
+        cols = {id_col: batch[id_col].cast(pa.int64())}
+        if n == 0:
+            for j in range(out_dim):
+                cols[f"p{j}"] = pa.array([], pa.float64())
+            return pa.table(cols)
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        in_dim = len(flat) // n
+        r = proj.get(in_dim)
+        if r is None:
+            r = proj[in_dim] = projection_matrix(in_dim, out_dim, seed)
+        y = np.round(flat.reshape(n, in_dim) @ r.T, round_digits)
+        for j in range(out_dim):
+            cols[f"p{j}"] = pa.array(y[:, j], pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def ccnet_buckets(docs: "ray.data.Dataset", id_col: str = "doc_id",
                   text_col: str = "text"):
     """CCNet-style perplexity bucketing (Wenzek et al. 2020): docs are

@@ -477,3 +477,27 @@ class TestCcnetBuckets:
         assert set(out["bucket"]) == {"head", "middle", "tail"}
         assert (out.loc[range(6), "bucket"] == "head").all()
         assert (out.loc[range(20, 26), "bucket"] == "tail").all()
+
+
+class TestProjectEmbeddings:
+    def test_jl_distance_preservation(self, ray_session):
+        """The projection is linear with the seeded matrix (exact per-row
+        matmul check) and deterministic across partitionings."""
+        import ray.data
+
+        from search_engine_ray.pipelines.training_data import (
+            project_embeddings,
+            projection_matrix,
+        )
+
+        rng = np.random.default_rng(3)
+        X = rng.standard_normal((40, 64)).astype(np.float32)
+        rows = [{"vec_id": i, "embedding": X[i].tolist()} for i in range(40)]
+        for blocks in (1, 5):
+            ds = ray.data.from_items(rows, override_num_blocks=blocks)
+            out = (project_embeddings(ds, out_dim=8).to_pandas()
+                   .sort_values("vec_id").reset_index(drop=True))
+            R = projection_matrix(64, 8)
+            want = np.round(X.astype(np.float64) @ R.T, 6)
+            got = out[[f"p{j}" for j in range(8)]].to_numpy()
+            np.testing.assert_array_equal(got, want)
