@@ -152,3 +152,56 @@ class TestDedupLinesGlobal:
         got = {int(r.doc_id): (r.text_clean, int(r.n_removed))
                for r in out.itertuples()}
         assert got == self.WANT
+
+
+def _dedup_lines_spec(rows):
+    """Scalar reference: first (doc_id, line_idx) occurrence of each
+    non-empty line survives; empty lines always survive."""
+    first = {}
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        for i, ln in enumerate(r["text"].split("\n")):
+            if ln and ln not in first:
+                first[ln] = (r["doc_id"], i)
+    out = {}
+    for r in rows:
+        kept, removed = [], 0
+        for i, ln in enumerate(r["text"].split("\n")):
+            if ln == "" or first.get(ln) == (r["doc_id"], i):
+                kept.append(ln)
+            else:
+                removed += 1
+        out[r["doc_id"]] = ("\n".join(kept), removed)
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_dedup_lines_matches_scalar_spec(ray_session, seed):
+    """Randomized corpora (shared boilerplate pool + unique lines + empties)
+    through BOTH distributed paths equal the scalar first-occurrence spec."""
+    import numpy as np
+    import ray.data
+
+    from search_engine_ray.pipelines.corpus_clean import dedup_lines_global
+
+    rng = np.random.default_rng(seed)
+    pool = [f"boilerplate line {i}" for i in range(8)]
+    rows = []
+    for d in range(30):
+        n = int(rng.integers(0, 6))
+        lines = []
+        for _ in range(n):
+            r = rng.random()
+            if r < 0.4:
+                lines.append(pool[int(rng.integers(len(pool)))])
+            elif r < 0.55:
+                lines.append("")
+            else:
+                lines.append(f"unique d{d} {int(rng.integers(1 << 30))}")
+        rows.append({"doc_id": d, "text": "\n".join(lines)})
+    want = _dedup_lines_spec(rows)
+    ds = ray.data.from_items(rows, override_num_blocks=4)
+    for cap in (2_000_000, 0):
+        out = dedup_lines_global(ds, broadcast_cap=cap).to_pandas()
+        got = {int(r.doc_id): (r.text_clean, int(r.n_removed))
+               for r in out.itertuples()}
+        assert got == want, f"cap={cap} seed={seed}"
