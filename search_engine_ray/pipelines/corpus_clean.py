@@ -382,21 +382,22 @@ def dedup_lines_global(docs: "ray.data.Dataset", id_col: str = "doc_id",
 
     def _rebuild(batch: pa.Table, drop_flat: np.ndarray) -> pa.Table:
         """doc batch + boolean drop mask over its flattened lines →
-        (doc_id, text_clean, n_removed)."""
+        (doc_id, text_clean, n_removed). One Arrow binary_join across all
+        docs — no per-doc Python (split of "" yields one empty line, so
+        counts ≥ 1 and the reduceat segments are well-formed)."""
         flat, counts, doc_ix, _local = _line_parts(batch, text_col)
         keep = ~drop_flat
-        kept_lines = flat.filter(pa.array(keep)).to_pylist()
         kept_counts = (np.add.reduceat(keep.astype(np.int64),
                                        np.concatenate(([0], np.cumsum(counts)[:-1])))
                        if len(counts) else np.zeros(0, np.int64))
-        kept_counts = np.where(counts == 0, 0, kept_counts)
-        out, pos = [], 0
-        for c in kept_counts:
-            out.append("\n".join(kept_lines[pos:pos + int(c)]))
-            pos += int(c)
+        k_off = np.zeros(len(counts) + 1, np.int64)
+        np.cumsum(kept_counts, out=k_off[1:])
+        kept_vals = flat.filter(pa.array(keep))
+        kept_list = pa.ListArray.from_arrays(pa.array(k_off, pa.int32()), kept_vals)
+        text_clean = pc.binary_join(kept_list, "\n")
         return pa.table({
             id_col: batch[id_col].cast(pa.int64()),
-            "text_clean": pa.array(out, pa.string()),
+            "text_clean": text_clean.cast(pa.string()),
             "n_removed": pa.array(counts - kept_counts, pa.int64()),
         })
 

@@ -317,30 +317,33 @@ def deterministic_shuffle(docs, id_col: str = "doc_id", salt: str = "shuf",
 _URL_AUTH_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*"
 
 
+def _canonical_url_arrow(urls: "pa.Array | pa.ChunkedArray") -> pa.Array:
+    """Whole-batch canonicalization: every rule is an Arrow RE2 kernel
+    (replace_substring_regex); the lowercase-authority rule composes
+    extract + utf8_lower + element-wise join (RE2 rewrites can't change
+    case). No per-url Python — this is the hot-path form."""
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    u = pc.fill_null(urls, "").cast(pa.string())
+    u = pc.replace_substring_regex(u, r"#.*$", "")
+    for _ in range(2):
+        u = pc.replace_substring_regex(u, r"([?&])utm_[^&#]*&", r"\1")
+    u = pc.replace_substring_regex(u, r"[?&]utm_[^&#]*$", "")
+    # lowercase scheme://authority: split at the authority boundary
+    head = pc.fill_null(
+        pc.struct_field(pc.extract_regex(u, f"(?P<a>{_URL_AUTH_RE})"), "a"), "")
+    rest = pc.replace_substring_regex(u, _URL_AUTH_RE, "", max_replacements=1)
+    u = pc.binary_join_element_wise(pc.utf8_lower(head), rest, "")
+    u = pc.replace_substring_regex(u, r"^(http://[^/:?#]+):80($|[/?])", r"\1\2")
+    u = pc.replace_substring_regex(u, r"^(https://[^/:?#]+):443($|[/?])", r"\1\2")
+    u = pc.replace_substring_regex(u, r"^([a-z][a-z0-9+.\-]*://[^/?#]+)/$", r"\1")
+    return pc.replace_substring_regex(u, r"[?&]$", "")
+
+
 def canonical_url_batch(urls: list) -> list:
-    import re
-
-    frag = re.compile(r"#.*$", re.S)
-    utm_mid = re.compile(r"([?&])utm_[^&#]*&")
-    utm_end = re.compile(r"[?&]utm_[^&#]*$")
-    auth = re.compile(_URL_AUTH_RE)
-    p80 = re.compile(r"^(http://[^/:?#]+):80($|[/?])")
-    p443 = re.compile(r"^(https://[^/:?#]+):443($|[/?])")
-    slash = re.compile(r"^([a-z][a-z0-9+.\-]*://[^/?#]+)/$")
-    dangle = re.compile(r"[?&]$")
-
-    out = []
-    for u in urls:
-        u = frag.sub("", u or "")
-        u = utm_mid.sub(r"\1", utm_mid.sub(r"\1", u))
-        u = utm_end.sub("", u)
-        u = auth.sub(lambda m: m.group(0).lower(), u, count=1)
-        u = p80.sub(r"\1\2", u)
-        u = p443.sub(r"\1\2", u)
-        u = slash.sub(r"\1", u)
-        u = dangle.sub("", u)
-        out.append(u)
-    return out
+    """List-in/list-out twin of :func:`_canonical_url_arrow` (same kernels
+    under one pa.array round-trip; kept for scalar callers and tests)."""
+    return _canonical_url_arrow(pa.array(urls, pa.string())).to_pylist()
 
 
 def canonicalize_urls(pages, url_col: str = "url", out_col: str = "url_canon"):
@@ -350,7 +353,6 @@ def canonicalize_urls(pages, url_col: str = "url", out_col: str = "url_canon"):
 
     def fn(batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
-        canon = canonical_url_batch(batch[url_col].to_pylist())
-        return batch.append_column(out_col, pa.array(canon, pa.string()))
+        return batch.append_column(out_col, _canonical_url_arrow(batch[url_col]))
 
     return pages.map_batches(fn, batch_format="pyarrow")
