@@ -683,7 +683,11 @@ def build_index(
                 os.remove(p)
         if not todo:
             if not manifests.stage_complete(paths.postings, in_fp):
-                manifests.write_manifest(paths.postings, "postings", in_fp)
+                # resume no-op: every unit already complete, only the
+                # stage-level manifest was missing — zero merge work done
+                manifests.write_manifest(paths.postings, "postings", in_fp,
+                                         extra={"elapsed_s": 0.0,
+                                                "resume_noop": True})
             return
 
         # The dictionary is hive-partitioned by merge unit (ugroup =
