@@ -370,6 +370,26 @@ def q_fuzzy(sf_dir: str):
     return pd.DataFrame({"term": eng.fuzzy(term, d)})
 
 
+#: misspelled probes for the did-you-mean query (pre-normalized tokens;
+#: the corpus vocabulary contains their intended targets)
+SUGGEST_TERMS = ["tabel", "merg", "qury", "windw", "grup"]
+
+
+def q_spell_correct(sf_dir: str):
+    """'Did you mean' over the BK-tree: best in-vocabulary correction per
+    probe — min edit distance, ties by max df then lexicographic."""
+    eng = engine_for(sf_dir)
+    rows = []
+    for t in SUGGEST_TERMS:
+        s = eng.suggest(t, max_distance=2)
+        if s is not None:
+            rows.append({"query_term": t, "suggestion": s[0],
+                         "distance": s[1], "df": s[2]})
+    return (pd.DataFrame(rows, columns=["query_term", "suggestion", "distance", "df"])
+            .astype({"distance": np.int64, "df": np.int64})
+            .sort_values("query_term").reset_index(drop=True))
+
+
 def q_exact_dedup(sf_dir: str):
     from search_engine_ray.pipelines.training_data import exact_dedup
 
@@ -1690,6 +1710,17 @@ def oracle_queries() -> dict[str, str]:
         "fuzzy": _with(
             f"SELECT DISTINCT term FROM term_df WHERE levenshtein(term, '{FUZZY[0]}') <= {FUZZY[1]} ORDER BY term"
         ),
+        "spell_correct": _with(
+            f"""
+            , probes(q) AS (VALUES {",".join(f"('{t}')" for t in SUGGEST_TERMS)})
+            SELECT q AS query_term, term AS suggestion,
+                   levenshtein(q, term)::BIGINT AS distance, df
+            FROM probes JOIN term_df ON levenshtein(q, term) <= 2
+            QUALIFY row_number() OVER (
+              PARTITION BY q ORDER BY levenshtein(q, term), df DESC, term) = 1
+            ORDER BY query_term
+            """
+        ),
         "exact_dedup": """
             SELECT md5(text) AS text_hash, min(doc_id)::BIGINT AS keep_doc_id,
                    count(*)::BIGINT AS n_dupes
@@ -2555,6 +2586,7 @@ RAY_QUERIES = {
     "phrase": q_phrase,
     "proximity": q_proximity,
     "fuzzy": q_fuzzy,
+    "spell_correct": q_spell_correct,
     "exact_dedup": q_exact_dedup,
     "lang_counts": q_lang_counts,
     "text_stats": q_text_stats,

@@ -469,6 +469,29 @@ class SearchEngine:
         key = self.tokenizer.normalize(term)
         return sorted(self.bktree.find(key, edit_distance))
 
+    def suggest(self, term: str, max_distance: int = 2):
+        """'Did you mean': normalized probe → the best in-vocabulary
+        correction — smallest edit distance first (an in-vocabulary probe
+        suggests itself at distance 0), ties broken by largest df, then
+        lexicographic. → (term, distance, df) or None when nothing lies
+        within ``max_distance``."""
+        from search_engine_ray.query.bktree import levenshtein
+
+        if self.bktree is None:
+            raise RuntimeError("engine built with build_bktree=False")
+        key = self.tokenizer.normalize(term)
+        best = None
+        for cand in self.bktree.find(key, max_distance):
+            meta = self.lookup(cand)
+            if meta is None:  # pragma: no cover - bktree is built from vocab
+                continue
+            rank = (levenshtein(key, cand), -meta[1], cand)
+            if best is None or rank < best[0]:
+                best = (rank, cand, meta[1])
+        if best is None:
+            return None
+        return best[1], best[0][0], best[2]
+
     def fuzzy_boolean(self, term: str, edit_distance: int) -> np.ndarray:
         """Docs containing ANY term within edit_distance (fuzzy OR)."""
         docs = [self.get_postings(t).doc_ids for t in self.fuzzy(term, edit_distance)]

@@ -355,3 +355,16 @@ def test_manifests_carry_stage_metrics(built):
             assert doc.get("rows_per_s", 0) > 0, sub
         found += 1
     assert found >= 4
+
+
+def test_suggest_did_you_mean(built):
+    """suggest(): in-vocabulary probes suggest themselves at distance 0;
+    near-misses correct to the vocabulary term; far garbage returns None."""
+    engine, _oracle, _paths = built
+    s = engine.suggest("hello")
+    assert s is not None and s[0] == "hello" and s[1] == 0
+    s = engine.suggest("helo")  # corpus plants 'helo' AND 'hello' — min df? no:
+    assert s is not None and s[1] == 0  # 'helo' itself is in the corpus
+    s = engine.suggest("wrold")
+    assert s is not None and s[0] in {"wrld", "world"} and s[1] >= 1
+    assert engine.suggest("zzzzzzzzzq") is None
