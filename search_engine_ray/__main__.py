@@ -87,10 +87,22 @@ def main(argv: list[str] | None = None) -> int:
     ray = _ray_session(args.num_cpus)
     try:
         if args.cmd == "build":
+            import os
+
             from search_engine_ray.config import EngineConfig
             from search_engine_ray.pipelines.build import build_index, load_stats
 
-            build_index(args.input, args.out,
+            src = args.input
+            # convenience: a testdata-style dir holding documents.parquet
+            # builds through the webpages synthesizer instead of failing
+            # on the missing (url, html) columns
+            if os.path.isdir(src) and not os.path.exists(
+                    os.path.join(src, "_MANIFEST.json")) and os.path.exists(
+                    os.path.join(src, "documents.parquet")):
+                from search_engine_ray.sources.webpages import webpages_from_documents
+
+                src = webpages_from_documents(src)
+            build_index(src, args.out,
                         EngineConfig(chunk_size=args.chunk_size), resume=args.resume)
             print(json.dumps(load_stats(args.out)))
         elif args.cmd == "query":
