@@ -355,6 +355,17 @@ def q_phrase(sf_dir: str):
     return pd.DataFrame({"doc_id": eng.phrase(" ".join(PHRASE)).astype(np.int64)})
 
 
+SLOP = 3  # ordered-window slop for the phrase_slop query
+
+
+def q_phrase_slop(sf_dir: str):
+    """Ordered sloppy phrase: all query terms in order with ≤ SLOP extra
+    tokens inside the span (greedy minimal searchsorted chains)."""
+    eng = engine_for(sf_dir)
+    return pd.DataFrame(
+        {"doc_id": eng.ordered_window(Q_TEXT, slop=SLOP).astype(np.int64)})
+
+
 def q_proximity(sf_dir: str):
     """Q4/Q5: one-directional proximity window (pp2 > pp1, pp2-pp1 <= k)."""
     eng = engine_for(sf_dir)
@@ -1699,6 +1710,17 @@ def oracle_queries() -> dict[str, str]:
             WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
             """
         ),
+        "phrase_slop": _with(
+            f"""
+            SELECT DISTINCT a.doc_id + 1 AS doc_id
+            FROM lem a JOIN lem b ON b.doc_id = a.doc_id
+                       JOIN lem c ON c.doc_id = a.doc_id
+            WHERE a.term = '{Q_TERMS[0]}' AND b.term = '{Q_TERMS[1]}'
+              AND c.term = '{Q_TERMS[2]}'
+              AND a.position < b.position AND b.position < c.position
+              AND c.position - a.position - 2 <= {SLOP}
+            """
+        ),
         "proximity": _with(
             f"""
             SELECT a.doc_id + 1 AS doc_id, a.position AS pp1, b.position AS pp2
@@ -2584,6 +2606,7 @@ RAY_QUERIES = {
     "bm25_blend": q_bm25_blend,
     "cosine_norms": q_cosine_norms,
     "phrase": q_phrase,
+    "phrase_slop": q_phrase_slop,
     "proximity": q_proximity,
     "fuzzy": q_fuzzy,
     "spell_correct": q_spell_correct,

@@ -439,6 +439,46 @@ class SearchEngine:
             out.append((doc_id, score, s, e, n))
         return out
 
+    def ordered_window(self, query: str, slop: int = 0) -> np.ndarray:
+        """Ordered sloppy phrase (Lucene-style): docs where the query terms
+        appear IN ORDER with at most ``slop`` extra tokens inside the span —
+        ∃ positions p_1 < p_2 < … < p_n (one per term, strictly increasing)
+        with p_n − p_1 − (n−1) ≤ slop. slop=0 forces consecutive positions
+        (ordered-distinct phrase). Per doc, a greedy searchsorted chain from
+        every start p_1 (always take the SMALLEST next position > previous)
+        minimizes p_n per start, so existence is decided exactly with one
+        vectorized pass per term — no per-position Python."""
+        words = [t.word for t in self.tokenizer.tokenize(query)]
+        if not words:
+            return np.zeros(0, np.int64)
+        tps = []
+        for w in words:
+            tp = self.get_postings(w)
+            if tp is None:
+                return np.zeros(0, np.int64)
+            tps.append(tp)
+        if len(words) == 1:
+            return tps[0].doc_ids
+        candidates = tps[0].doc_ids
+        for tp in tps[1:]:
+            candidates = np.intersect1d(candidates, tp.doc_ids, assume_unique=True)
+        _FAR = np.int64(1) << 62
+        out = []
+        for doc in candidates:
+            doc = int(doc)
+            starts = np.asarray(tps[0].positions_for_doc(doc), np.int64)
+            cur = starts
+            for i in range(1, len(tps)):
+                pos = np.asarray(tps[i].positions_for_doc(doc), np.int64)
+                idx = np.searchsorted(pos, cur, side="right")
+                valid = idx < len(pos)
+                cur = np.where(valid, pos[np.minimum(idx, len(pos) - 1)], _FAR)
+                if not valid.any():
+                    break
+            if np.any(cur - starts - (len(tps) - 1) <= slop):
+                out.append(doc)
+        return np.asarray(out, np.int64)
+
     # ------------------------------------------------------------------ proximity
     def proximity(self, term1: str, term2: str, k: int) -> list[tuple[int, int, int]]:
         """positional_intersect (positional_intersect/mod.rs:322-343,579-604):

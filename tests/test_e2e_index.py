@@ -368,3 +368,34 @@ def test_suggest_did_you_mean(built):
     s = engine.suggest("wrold")
     assert s is not None and s[0] in {"wrld", "world"} and s[1] >= 1
     assert engine.suggest("zzzzzzzzzq") is None
+
+
+def test_ordered_window_slop(built):
+    """Greedy searchsorted chains equal a brute-force spec: doc matches
+    iff ordered positions exist with span - (n-1) <= slop."""
+    import itertools
+
+    engine, oracle, _paths = built
+
+    def brute(words, slop):
+        out = []
+        pls_by_doc = {}
+        for t in words:
+            if t not in oracle.postings:
+                return []
+        docs = set.intersection(*(set(oracle.postings[t]) for t in words))
+        for doc_id in sorted(docs):
+            pls = [oracle.postings[t][doc_id] for t in words]
+            for combo in itertools.product(*pls):
+                if all(a < b for a, b in zip(combo, combo[1:])) and \
+                        combo[-1] - combo[0] - (len(words) - 1) <= slop:
+                    out.append(doc_id)
+                    break
+        return out
+
+    for q, slop in [("hello world", 0), ("hello world", 2),
+                    ("alpha gamma", 1), ("alpha beta gamma", 4),
+                    ("common common", 0)]:
+        words = [t.word for t in engine.tokenizer.tokenize(q)]
+        got = engine.ordered_window(q, slop=slop).tolist()
+        assert got == brute(words, slop), (q, slop)
