@@ -366,6 +366,17 @@ def q_phrase_slop(sf_dir: str):
         {"doc_id": eng.ordered_window(Q_TEXT, slop=SLOP).astype(np.int64)})
 
 
+WINDOW_W = 6  # unordered co-occurrence window width (token positions)
+
+
+def q_within_window(sf_dir: str):
+    """Unordered window: all query terms co-occur within WINDOW_W token
+    positions in any order (minimal-cover two-pointer sweep per doc)."""
+    eng = engine_for(sf_dir)
+    return pd.DataFrame(
+        {"doc_id": eng.within_window(Q_TEXT, window=WINDOW_W).astype(np.int64)})
+
+
 def q_proximity(sf_dir: str):
     """Q4/Q5: one-directional proximity window (pp2 > pp1, pp2-pp1 <= k)."""
     eng = engine_for(sf_dir)
@@ -1721,6 +1732,17 @@ def oracle_queries() -> dict[str, str]:
               AND c.position - a.position - 2 <= {SLOP}
             """
         ),
+        "within_window": _with(
+            f"""
+            SELECT DISTINCT a.doc_id + 1 AS doc_id
+            FROM lem a JOIN lem b ON b.doc_id = a.doc_id
+                       JOIN lem c ON c.doc_id = a.doc_id
+            WHERE a.term = '{Q_TERMS[0]}' AND b.term = '{Q_TERMS[1]}'
+              AND c.term = '{Q_TERMS[2]}'
+              AND greatest(a.position, b.position, c.position)
+                  - least(a.position, b.position, c.position) + 1 <= {WINDOW_W}
+            """
+        ),
         "proximity": _with(
             f"""
             SELECT a.doc_id + 1 AS doc_id, a.position AS pp1, b.position AS pp2
@@ -2607,6 +2629,7 @@ RAY_QUERIES = {
     "cosine_norms": q_cosine_norms,
     "phrase": q_phrase,
     "phrase_slop": q_phrase_slop,
+    "within_window": q_within_window,
     "proximity": q_proximity,
     "fuzzy": q_fuzzy,
     "spell_correct": q_spell_correct,

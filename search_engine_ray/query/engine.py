@@ -439,6 +439,37 @@ class SearchEngine:
             out.append((doc_id, score, s, e, n))
         return out
 
+    def within_window(self, query: str, window: int) -> np.ndarray:
+        """Unordered window match: docs where ALL query terms co-occur
+        inside some span of at most ``window`` token positions (any
+        order). Reuses the snippet minimal-cover sweep: the smallest
+        window covering every term list decides membership — one
+        O(total positions) two-pointer pass per doc."""
+        words = [t.word for t in self.tokenizer.tokenize(query)]
+        if not words:
+            return np.zeros(0, np.int64)
+        tps = []
+        for w in words:
+            tp = self.get_postings(w)
+            if tp is None:
+                return np.zeros(0, np.int64)
+            tps.append(tp)
+        candidates = tps[0].doc_ids
+        for tp in tps[1:]:
+            candidates = np.intersect1d(candidates, tp.doc_ids, assume_unique=True)
+        out = []
+        n = len(set(words))
+        for doc in candidates:
+            doc = int(doc)
+            # dedup terms: repeated query words share one position list
+            pos_lists = [np.asarray(tps[i].positions_for_doc(doc), np.int64)
+                         for i, w in enumerate(words)
+                         if w not in words[:i]]
+            s, e, cover = _min_cover_window(pos_lists)
+            if cover == n and e - s + 1 <= window:
+                out.append(doc)
+        return np.asarray(out, np.int64)
+
     def ordered_window(self, query: str, slop: int = 0) -> np.ndarray:
         """Ordered sloppy phrase (Lucene-style): docs where the query terms
         appear IN ORDER with at most ``slop`` extra tokens inside the span —

@@ -399,3 +399,30 @@ def test_ordered_window_slop(built):
         words = [t.word for t in engine.tokenizer.tokenize(q)]
         got = engine.ordered_window(q, slop=slop).tolist()
         assert got == brute(words, slop), (q, slop)
+
+
+def test_within_window_brute(built):
+    """Unordered window equals the brute-force min-span spec (and repeated
+    query words collapse to one term)."""
+    import itertools
+
+    engine, oracle, _paths = built
+
+    def brute(words, w):
+        terms = list(dict.fromkeys(words))
+        if any(t not in oracle.postings for t in terms):
+            return []
+        docs = set.intersection(*(set(oracle.postings[t]) for t in terms))
+        out = []
+        for doc_id in sorted(docs):
+            pls = [oracle.postings[t][doc_id] for t in terms]
+            if any(max(c) - min(c) + 1 <= w for c in itertools.product(*pls)):
+                out.append(doc_id)
+        return out
+
+    for q, w in [("hello world", 2), ("alpha gamma", 3),
+                 ("alpha beta gamma", 5), ("common common", 1),
+                 ("quick lazy", 8)]:
+        words = [t.word for t in engine.tokenizer.tokenize(q)]
+        got = engine.within_window(q, window=w).tolist()
+        assert got == brute(words, w), (q, w)
