@@ -58,6 +58,44 @@ def _min_cover_window(pos_lists: list[np.ndarray]) -> tuple[int, int, int]:
     return (best[2], best[2] + best[1], cover) if cover else (0, 0, 0)
 
 
+def _ordered_window_docs(tps, candidates, slop: int) -> np.ndarray:
+    """Shared kernel: docs in ``candidates`` with an in-order chain across
+    ``tps`` whose span has ≤ ``slop`` extra tokens (greedy minimal chains —
+    the one positional kernel local, distributed and segmented serving all
+    call, so parity is by construction)."""
+    _FAR = np.int64(1) << 62
+    out = []
+    for doc in candidates:
+        doc = int(doc)
+        starts = np.asarray(tps[0].positions_for_doc(doc), np.int64)
+        cur = starts
+        for i in range(1, len(tps)):
+            pos = np.asarray(tps[i].positions_for_doc(doc), np.int64)
+            idx = np.searchsorted(pos, cur, side="right")
+            valid = idx < len(pos)
+            cur = np.where(valid, pos[np.minimum(idx, len(pos) - 1)], _FAR)
+            if not valid.any():
+                break
+        if np.any(cur - starts - (len(tps) - 1) <= slop):
+            out.append(doc)
+    return np.asarray(out, np.int64)
+
+
+def _within_window_docs(words, tps, candidates, window: int) -> np.ndarray:
+    """Shared kernel: docs in ``candidates`` whose minimal cover window over
+    the DISTINCT query terms is ≤ ``window`` positions wide."""
+    n = len(set(words))
+    out = []
+    for doc in candidates:
+        doc = int(doc)
+        pos_lists = [np.asarray(tps[i].positions_for_doc(doc), np.int64)
+                     for i, w in enumerate(words) if w not in words[:i]]
+        s, e, cover = _min_cover_window(pos_lists)
+        if cover == n and e - s + 1 <= window:
+            out.append(doc)
+    return np.asarray(out, np.int64)
+
+
 class SearchEngine:
     def __init__(
         self,
@@ -446,29 +484,11 @@ class SearchEngine:
         window covering every term list decides membership — one
         O(total positions) two-pointer pass per doc."""
         words = [t.word for t in self.tokenizer.tokenize(query)]
-        if not words:
+        got = self._positional_tps(words)
+        if got is None:
             return np.zeros(0, np.int64)
-        tps = []
-        for w in words:
-            tp = self.get_postings(w)
-            if tp is None:
-                return np.zeros(0, np.int64)
-            tps.append(tp)
-        candidates = tps[0].doc_ids
-        for tp in tps[1:]:
-            candidates = np.intersect1d(candidates, tp.doc_ids, assume_unique=True)
-        out = []
-        n = len(set(words))
-        for doc in candidates:
-            doc = int(doc)
-            # dedup terms: repeated query words share one position list
-            pos_lists = [np.asarray(tps[i].positions_for_doc(doc), np.int64)
-                         for i, w in enumerate(words)
-                         if w not in words[:i]]
-            s, e, cover = _min_cover_window(pos_lists)
-            if cover == n and e - s + 1 <= window:
-                out.append(doc)
-        return np.asarray(out, np.int64)
+        tps, candidates = got
+        return _within_window_docs(words, tps, candidates, window)
 
     def ordered_window(self, query: str, slop: int = 0) -> np.ndarray:
         """Ordered sloppy phrase (Lucene-style): docs where the query terms
@@ -480,35 +500,30 @@ class SearchEngine:
         minimizes p_n per start, so existence is decided exactly with one
         vectorized pass per term — no per-position Python."""
         words = [t.word for t in self.tokenizer.tokenize(query)]
-        if not words:
+        got = self._positional_tps(words)
+        if got is None:
             return np.zeros(0, np.int64)
+        tps, candidates = got
+        if len(words) == 1:
+            return tps[0].doc_ids
+        return _ordered_window_docs(tps, candidates, slop)
+
+    def _positional_tps(self, words: list[str]):
+        """(postings per word, candidate doc intersection) or None when a
+        word is out of vocabulary — the shared setup of every positional
+        operator."""
+        if not words:
+            return None
         tps = []
         for w in words:
             tp = self.get_postings(w)
             if tp is None:
-                return np.zeros(0, np.int64)
+                return None
             tps.append(tp)
-        if len(words) == 1:
-            return tps[0].doc_ids
         candidates = tps[0].doc_ids
         for tp in tps[1:]:
             candidates = np.intersect1d(candidates, tp.doc_ids, assume_unique=True)
-        _FAR = np.int64(1) << 62
-        out = []
-        for doc in candidates:
-            doc = int(doc)
-            starts = np.asarray(tps[0].positions_for_doc(doc), np.int64)
-            cur = starts
-            for i in range(1, len(tps)):
-                pos = np.asarray(tps[i].positions_for_doc(doc), np.int64)
-                idx = np.searchsorted(pos, cur, side="right")
-                valid = idx < len(pos)
-                cur = np.where(valid, pos[np.minimum(idx, len(pos) - 1)], _FAR)
-                if not valid.any():
-                    break
-            if np.any(cur - starts - (len(tps) - 1) <= slop):
-                out.append(doc)
-        return np.asarray(out, np.int64)
+        return tps, candidates
 
     # ------------------------------------------------------------------ proximity
     def proximity(self, term1: str, term2: str, k: int) -> list[tuple[int, int, int]]:

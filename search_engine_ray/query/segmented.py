@@ -251,6 +251,16 @@ class SegmentedSearchEngine:
         docs = np.concatenate(parts) if parts else np.zeros(0, np.int64)
         return docs[self._live(docs)]
 
+    def ordered_window(self, query: str, slop: int = 0) -> np.ndarray:
+        parts = [eng.ordered_window(query, slop) for eng in self.engines]
+        docs = np.concatenate(parts) if parts else np.zeros(0, np.int64)
+        return docs[self._live(docs)]
+
+    def within_window(self, query: str, window: int) -> np.ndarray:
+        parts = [eng.within_window(query, window) for eng in self.engines]
+        docs = np.concatenate(parts) if parts else np.zeros(0, np.int64)
+        return docs[self._live(docs)]
+
     def proximity(self, term1: str, term2: str, k: int):
         out = []
         for eng in self.engines:

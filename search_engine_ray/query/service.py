@@ -511,6 +511,62 @@ class DistributedSearchEngine:
                 out.append(doc)
         return np.asarray(out, np.int64)
 
+    def _positional_fanout(self, words: list[str]):
+        """(postings per word, candidate doc intersection) or None — the
+        distributed twin of SearchEngine._positional_tps: doc_id lists fan
+        out first, positions are fetched ONLY for the intersection docs."""
+        from search_engine_ray.query.postings_codec import TermPostings
+
+        if not words:
+            return None
+        uniq = list(dict.fromkeys(words))
+        per_ids = self._fan_out(uniq, "term_doc_ids")
+        if len(per_ids) < len(uniq):
+            return None
+        candidates = np.asarray(per_ids[words[0]], np.int64)
+        for w in uniq[1:]:
+            if len(candidates) == 0:
+                break
+            candidates = np.intersect1d(
+                candidates, np.asarray(per_ids[w], np.int64), assume_unique=True)
+        if len(candidates) == 0:
+            return [], np.zeros(0, np.int64)
+        per_pos = self._fan_out_args(uniq, "term_positions_for_docs", candidates)
+        tps = []
+        for w in words:
+            d, o, v = per_pos[w]
+            tps.append(TermPostings(np.asarray(d, np.int64),
+                                    np.zeros(len(d), np.int64),
+                                    np.asarray(o, np.int64),
+                                    np.asarray(v, np.int64)))
+        return tps, candidates
+
+    def ordered_window(self, query: str, slop: int = 0) -> np.ndarray:
+        """Distributed ordered sloppy phrase — candidate-bounded fan-out
+        feeding the SAME kernel as SearchEngine.ordered_window."""
+        from search_engine_ray.query.engine import _ordered_window_docs
+
+        words = [t.word for t in self.tokenizer.tokenize(query)]
+        got = self._positional_fanout(words)
+        if got is None:
+            return np.zeros(0, np.int64)
+        tps, candidates = got
+        if len(words) == 1:
+            return candidates
+        return _ordered_window_docs(tps, candidates, slop)
+
+    def within_window(self, query: str, window: int) -> np.ndarray:
+        """Distributed unordered window — candidate-bounded fan-out feeding
+        the SAME kernel as SearchEngine.within_window."""
+        from search_engine_ray.query.engine import _within_window_docs
+
+        words = [t.word for t in self.tokenizer.tokenize(query)]
+        got = self._positional_fanout(words)
+        if got is None:
+            return np.zeros(0, np.int64)
+        tps, candidates = got
+        return _within_window_docs(words, tps, candidates, window)
+
     def snippets(self, query: str, k: int = 10
                  ) -> list[tuple[int, float, int, int, int]]:
         """Distributed best-window snippets: bounded BM25 top-k first, then

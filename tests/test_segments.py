@@ -104,6 +104,17 @@ class TestAppend:
         assert sorted(seg.proximity("alpha", "beta", 3)) == \
             sorted(full.proximity("alpha", "beta", 3))
 
+    def test_window_modes_identical(self, built):
+        full, seg, _root, _fd = built
+        for slop in (0, 2):
+            np.testing.assert_array_equal(
+                np.sort(seg.ordered_window("quick brown", slop)),
+                np.sort(full.ordered_window("quick brown", slop)))
+        for w in (2, 5):
+            np.testing.assert_array_equal(
+                np.sort(seg.within_window("quick brown", w)),
+                np.sort(full.within_window("quick brown", w)))
+
     @pytest.mark.parametrize("q", QUERIES)
     def test_boolean_or_identical(self, built, q):
         full, seg, _root, _fd = built

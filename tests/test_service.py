@@ -114,6 +114,20 @@ class TestDistributedPhraseProximity:
         assert dist.proximity("bababa", "cababa", 3) == local.proximity("bababa", "cababa", 3)
         assert dist.proximity("bababa", "nosuch", 3) == local.proximity("bababa", "nosuch", 3)
 
+    @pytest.mark.parametrize("q,slop", [("bababa cababa", 0), ("bababa cababa", 3),
+                                        ("dababa fababa", 2), ("bababa", 0)])
+    def test_ordered_window_identical_to_local(self, built, q, slop):
+        local, dist = built
+        np.testing.assert_array_equal(dist.ordered_window(q, slop),
+                                      local.ordered_window(q, slop))
+
+    @pytest.mark.parametrize("q,w", [("bababa cababa", 2), ("bababa cababa", 6),
+                                     ("dababa fababa", 4)])
+    def test_within_window_identical_to_local(self, built, q, w):
+        local, dist = built
+        np.testing.assert_array_equal(dist.within_window(q, w),
+                                      local.within_window(q, w))
+
 
 class TestDistributedModeParity:
     """tfidf / blended / fuzzy distributed modes == the local engine."""
