@@ -52,10 +52,12 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--index", required=True)
     q.add_argument("--mode", default="bm25",
                    choices=["bm25", "bm25_wand", "bm25_blend", "tfidf", "boolean",
-                            "boolean_or", "phrase", "proximity", "fuzzy",
-                            "snippets", "mlt"])
+                            "boolean_or", "phrase", "phrase_slop", "window",
+                            "proximity", "fuzzy", "suggest", "snippets", "mlt"])
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--prox-k", type=int, default=3)
+    q.add_argument("--slop", type=int, default=2)
+    q.add_argument("--window", type=int, default=8)
     q.add_argument("--edit-dist", type=int, default=1)
     q.add_argument("text", nargs="+")
 
@@ -108,7 +110,8 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "query":
             from search_engine_ray.query.engine import SearchEngine
 
-            eng = SearchEngine(args.index, build_bktree=(args.mode == "fuzzy"))
+            eng = SearchEngine(args.index,
+                               build_bktree=args.mode in ("fuzzy", "suggest"))
             text = " ".join(args.text)
             if args.mode == "bm25":
                 out = eng.bm25_topk(text, args.k)
@@ -128,6 +131,13 @@ def main(argv: list[str] | None = None) -> int:
                 out = eng.more_like_this(text, args.k)
             elif args.mode == "phrase":
                 out = eng.phrase(text).tolist()[: args.k]
+            elif args.mode == "phrase_slop":
+                out = eng.ordered_window(text, slop=args.slop).tolist()[: args.k]
+            elif args.mode == "window":
+                out = eng.within_window(text, window=args.window).tolist()[: args.k]
+            elif args.mode == "suggest":
+                out = [eng.suggest(w, max_distance=args.edit_dist)
+                       for w in text.split()]
             elif args.mode == "proximity":
                 words = text.split()
                 out = eng.proximity(words[0], words[1], args.prox_k)[: args.k]
@@ -135,7 +145,7 @@ def main(argv: list[str] | None = None) -> int:
                 out = eng.fuzzy(text.split()[0], args.edit_dist)
             doc = {"mode": args.mode, "query": text, "results": out}
             if (out and isinstance(out[0], (tuple, list))
-                    and args.mode not in ("proximity", "snippets")):
+                    and args.mode not in ("proximity", "snippets", "suggest")):
                 doc["urls"] = eng.doc_urls([d for d, _s in out])
             print(json.dumps(doc))
         elif args.cmd == "dedup":
