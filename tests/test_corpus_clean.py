@@ -205,3 +205,26 @@ def test_dedup_lines_matches_scalar_spec(ray_session, seed):
         got = {int(r.doc_id): (r.text_clean, int(r.n_removed))
                for r in out.itertuples()}
         assert got == want, f"cap={cap} seed={seed}"
+
+
+def test_dedup_lines_hot_line_skew(ray_session):
+    """One boilerplate line shared by HALF the corpus (a Zipf-hot group
+    whose occurrences straddle every block boundary) still resolves to
+    exactly one surviving copy — the sorted_group_map boundary repair
+    handles the hot hash group."""
+    import ray.data
+
+    from search_engine_ray.pipelines.corpus_clean import dedup_lines_global
+
+    rows = []
+    for d in range(400):
+        lines = [f"unique content {d}"]
+        if d % 2 == 0:
+            lines.append("subscribe to our newsletter")
+        rows.append({"doc_id": d, "text": "\n".join(lines)})
+    ds = ray.data.from_items(rows, override_num_blocks=8)
+    for cap in (2_000_000, 0):
+        out = dedup_lines_global(ds, broadcast_cap=cap).to_pandas()
+        survivors = out[out["text_clean"].str.contains("newsletter")]
+        assert len(survivors) == 1 and int(survivors["doc_id"].iloc[0]) == 0, cap
+        assert int(out["n_removed"].sum()) == 199, cap
