@@ -488,6 +488,16 @@ def q_ccnet_buckets(sf_dir: str):
                .sort_values("doc_id").reset_index(drop=True))
 
 
+def q_doc_novelty(sf_dir: str):
+    """Per-doc 5-gram novelty: fraction of the doc's distinct token
+    5-grams that occur in no other document."""
+    from search_engine_ray.pipelines.training_data import doc_novelty
+
+    out = doc_novelty(_read_docs(sf_dir), n=5).to_pandas()
+    return (out.astype({"doc_id": np.int64, "n_grams": np.int64})
+               .sort_values("doc_id").reset_index(drop=True))
+
+
 def q_dsir_weights(sf_dir: str):
     """DSIR-style per-doc log importance ratios, target = lang 'en' docs
     vs the whole corpus under Laplace-smoothed unigram LMs."""
@@ -1920,6 +1930,26 @@ def oracle_queries() -> dict[str, str]:
             FROM lp CROSS JOIN th
             """
         ),
+        "doc_novelty": """
+            WITH raw AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ),
+            g AS (
+              SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(t) - 4),
+                              i -> array_to_string(t[i:i+4], ' '))) AS gram
+                FROM raw WHERE len(t) >= 5)
+            ),
+            df AS (SELECT gram, count(*) AS dc FROM g GROUP BY gram)
+            SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+                   round((count(*) FILTER (WHERE df.dc = 1))::DOUBLE
+                         / count(*), 6) AS novelty_r
+            FROM g JOIN df USING (gram) GROUP BY g.doc_id
+        """,
         "dsir_weights": _with(
             """
             , f AS (
@@ -2639,6 +2669,7 @@ RAY_QUERIES = {
     "doc_keywords": q_doc_keywords,
     "doc_logprob": q_doc_logprob,
     "dsir_weights": q_dsir_weights,
+    "doc_novelty": q_doc_novelty,
     "ccnet_buckets": q_ccnet_buckets,
     "project_embeddings": q_project_embeddings,
     "host_stats": q_host_stats,

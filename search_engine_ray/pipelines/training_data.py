@@ -452,6 +452,147 @@ def doc_logprob(docs: "ray.data.Dataset", id_col: str = "doc_id",
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def doc_novelty(docs: "ray.data.Dataset", n: int = 5, id_col: str = "doc_id",
+                text_col: str = "text", broadcast_cap: int = 50_000_000,
+                round_digits: int = 6):
+    """Per-doc n-gram novelty: the fraction of a doc's DISTINCT token
+    n-grams that occur in NO other document — a dedup-aware curation
+    signal (1.0 = fully novel text; boilerplate-heavy or templated docs
+    score low). → (doc_id, n_grams, novelty_r); docs with < n tokens have
+    no grams and are excluded.
+
+    Scale shape: per-block (gram, doc-count) partials → grouped reduce →
+    the DUPLICATED grams (doc-count ≥ 2) feed back — the novel grams are
+    the overwhelming majority, so broadcasting the much smaller dup set
+    (the clean_corpus drop-list trick) keeps the payload O(duplicated
+    grams); above ``broadcast_cap`` the verdict comes from one
+    sort-co-group exchange instead. Gram identity is the 64-bit shingle
+    hash (the corpus convention, collision ~2^-64)."""
+    from search_engine_ray.functions.hashing import batch_shingle_hashes
+    from search_engine_ray.stages.grouped import grouped_reduce, sorted_group_map
+
+    def _doc_grams(batch: pa.Table):
+        """(ids, per-doc distinct gram arrays flattened, offsets)."""
+        offs, th = _batch_tok_hashes(batch[text_col])
+        sh_offs, sh = batch_shingle_hashes(offs, th, n)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        parts, counts = [], np.zeros(batch.num_rows, np.int64)
+        for i in range(batch.num_rows):
+            g = np.unique(sh[sh_offs[i]:sh_offs[i + 1]])
+            parts.append(g)
+            counts[i] = len(g)
+        flat = np.concatenate(parts) if parts else np.zeros(0, _U64)
+        return ids, flat.view(np.int64), counts
+
+    def partials(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        empty = pa.table({"gram": pa.array([], pa.int64()),
+                          "dc_part": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        _ids, flat, _counts = _doc_grams(batch)
+        if len(flat) == 0:
+            return empty
+        u, c = np.unique(flat, return_counts=True)  # per-doc-distinct ⇒ doc counts
+        return pa.table({"gram": pa.array(u, pa.int64()),
+                         "dc_part": pa.array(c, pa.int64())})
+
+    dup = grouped_reduce(docs.map_batches(partials, batch_format="pyarrow"),
+                         ["gram"], sums=[("dc_part", "dc")]).map_batches(
+        lambda b: b.filter(pc.greater_equal(b["dc"], 2)),
+        batch_format="pyarrow").materialize()
+
+    def _finish_table(ids, counts, dup_hits):
+        keep = counts > 0
+        nov = np.round((counts[keep] - dup_hits[keep]) / counts[keep],
+                       round_digits)
+        return pa.table({id_col: pa.array(ids[keep], pa.int64()),
+                         "n_grams": pa.array(counts[keep], pa.int64()),
+                         "novelty_r": pa.array(nov, pa.float64())})
+
+    if dup.count() <= broadcast_cap:
+        pdf = dup.to_pandas()
+        arr = (np.sort(pdf["gram"].to_numpy(np.int64))
+               if "gram" in pdf.columns else np.zeros(0, np.int64))
+        ref = ray.put(arr)
+
+        def score(batch: pa.Table) -> pa.Table:
+            batch = batch.combine_chunks()
+            if batch.num_rows == 0:
+                return _finish_table(np.zeros(0, np.int64),
+                                     np.zeros(0, np.int64), np.zeros(0, np.int64))
+            dup_sorted = ray.get(ref)
+            ids, flat, counts = _doc_grams(batch)
+            hit = np.zeros(len(flat), bool)
+            if len(dup_sorted) and len(flat):
+                idx = np.minimum(np.searchsorted(dup_sorted, flat),
+                                 len(dup_sorted) - 1)
+                hit = dup_sorted[idx] == flat
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            dup_hits = (np.add.reduceat(hit.astype(np.int64), starts)
+                        if len(flat) else np.zeros(len(counts), np.int64))
+            dup_hits = np.where(counts == 0, 0, dup_hits)
+            return _finish_table(ids, counts, dup_hits)
+
+        return docs.map_batches(score, batch_format="pyarrow")
+
+    # scale path: doc-gram rows ∪ dup-gram markers co-grouped by gram →
+    # per-doc dup-hit counts, then a doc-cardinality reduce + finish.
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        empty = pa.table({"gram": pa.array([], pa.int64()),
+                          id_col: pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        ids, flat, counts = _doc_grams(batch)
+        return pa.table({"gram": pa.array(flat, pa.int64()),
+                         id_col: pa.array(np.repeat(ids, counts), pa.int64())})
+
+    def tag_dup(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        return pa.table({"gram": t["gram"],
+                         id_col: pa.array(np.full(t.num_rows, -1), pa.int64())})
+
+    u = docs.map_batches(gram_rows, batch_format="pyarrow").union(
+        dup.map_batches(tag_dup, batch_format="pyarrow"))
+
+    def mark(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "n_part": pa.array([], pa.int64()),
+                          "dup_part": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        g = t["gram"].to_numpy(zero_copy_only=False)
+        d = t[id_col].to_numpy(zero_copy_only=False)
+        new = np.empty(len(g), bool)
+        new[0] = True
+        new[1:] = g[1:] != g[:-1]
+        gid = np.cumsum(new) - 1
+        is_dup_gram = np.zeros(int(gid[-1]) + 1, bool)
+        is_dup_gram[gid[d == -1]] = True
+        sel = d != -1
+        dd = d[sel]
+        flag = is_dup_gram[gid[sel]].astype(np.int64)
+        uids, inv = np.unique(dd, return_inverse=True)
+        return pa.table({id_col: pa.array(uids, pa.int64()),
+                         "n_part": pa.array(np.bincount(inv), pa.int64()),
+                         "dup_part": pa.array(np.bincount(inv, weights=flag)
+                                              .astype(np.int64), pa.int64())})
+
+    agg = grouped_reduce(sorted_group_map(u, ["gram"], mark), [id_col],
+                         sums=[("n_part", "n_grams"), ("dup_part", "dup")])
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        cnt = b["n_grams"].to_numpy(zero_copy_only=False)
+        dup_c = b["dup"].to_numpy(zero_copy_only=False)
+        return _finish_table(b[id_col].to_numpy(zero_copy_only=False), cnt,
+                             dup_c)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def projection_matrix(in_dim: int, out_dim: int = 16, seed: int = 7) -> np.ndarray:
     """Seeded Gaussian Johnson–Lindenstrauss projection, rounded to 6
     decimals so the SQL oracle can inline the SAME constants exactly."""

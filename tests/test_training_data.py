@@ -501,3 +501,32 @@ class TestProjectEmbeddings:
             want = np.round(X.astype(np.float64) @ R.T, 6)
             got = out[[f"p{j}" for j in range(8)]].to_numpy()
             np.testing.assert_array_equal(got, want)
+
+
+class TestDocNovelty:
+    @pytest.mark.parametrize("cap", [50_000_000, 0])
+    def test_novelty_fractions(self, ray_session, cap):
+        """Fully-shared docs score 0, fully-unique docs score 1, and a
+        half-boilerplate doc lands in between — identical on the broadcast
+        and sort-co-group paths."""
+        import ray.data
+
+        from search_engine_ray.pipelines.training_data import doc_novelty
+
+        boiler = "the quick brown fox jumps over the lazy dog"
+        rows = [
+            {"doc_id": 1, "text": boiler},
+            {"doc_id": 2, "text": boiler},                       # exact twin → 0
+            {"doc_id": 3, "text": "completely novel words appear "
+                                  "here nowhere else at all"},    # → 1
+            {"doc_id": 4, "text": boiler + " with some extra novel tail "
+                                           "tokens here"},        # mixed
+            {"doc_id": 5, "text": "tiny"},                        # <5 tokens: absent
+        ]
+        ds = ray.data.from_items(rows, override_num_blocks=3)
+        out = doc_novelty(ds, n=5, broadcast_cap=cap).to_pandas().set_index("doc_id")
+        assert 5 not in out.index
+        assert out.loc[1, "novelty_r"] == 0.0
+        assert out.loc[2, "novelty_r"] == 0.0
+        assert out.loc[3, "novelty_r"] == 1.0
+        assert 0.0 < out.loc[4, "novelty_r"] < 1.0
