@@ -488,6 +488,21 @@ def q_ccnet_buckets(sf_dir: str):
                .sort_values("doc_id").reset_index(drop=True))
 
 
+def q_bpe_tokens(sf_dir: str):
+    """Train a 100-merge BPE vocabulary on the corpus (one distributed
+    word-count pass + driver-side merge loop over the distinct-word table)
+    and count per-doc tokens under it. Iterative training is not
+    SQL-expressible — rows-only (the merge algebra is scalar-spec
+    pytest-verified against the canonical Sennrich example)."""
+    from search_engine_ray.pipelines.training_data import bpe_token_counts, train_bpe
+
+    docs = _read_docs(sf_dir)
+    merges = train_bpe(docs, num_merges=100)
+    out = bpe_token_counts(docs, merges).to_pandas()
+    return (out.astype({"doc_id": np.int64, "n_bpe_tokens": np.int64})
+               .sort_values("doc_id").reset_index(drop=True))
+
+
 def q_doc_novelty(sf_dir: str):
     """Per-doc 5-gram novelty: fraction of the doc's distinct token
     5-grams that occur in no other document."""
@@ -2670,6 +2685,7 @@ RAY_QUERIES = {
     "doc_logprob": q_doc_logprob,
     "dsir_weights": q_dsir_weights,
     "doc_novelty": q_doc_novelty,
+    "bpe_tokens": q_bpe_tokens,
     "ccnet_buckets": q_ccnet_buckets,
     "project_embeddings": q_project_embeddings,
     "host_stats": q_host_stats,
