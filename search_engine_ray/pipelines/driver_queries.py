@@ -503,6 +503,25 @@ def q_bpe_tokens(sf_dir: str):
                .sort_values("doc_id").reset_index(drop=True))
 
 
+def q_training_shards(sf_dir: str):
+    """Last-mile pipeline: BPE-encode the corpus and emit fixed-length
+    packed token-id rows (concat-and-chunk). Rows-only (iterative BPE);
+    the pack algebra is scalar-spec pytest-verified. Returns per-pack
+    scalars so the check is partition-stable."""
+    from search_engine_ray.pipelines.training_data import (
+        tokenize_and_pack,
+        train_bpe_with_vocab,
+    )
+
+    docs = _read_docs(sf_dir)
+    merges, vocab = train_bpe_with_vocab(docs, num_merges=100)
+    out = tokenize_and_pack(docs, merges, vocab, max_len=128).to_pandas()
+    out["n_ids"] = out["token_ids"].map(len).astype(np.int64)
+    out["ids_sum"] = out["token_ids"].map(lambda x: int(np.sum(x))).astype(np.int64)
+    return (out[["pack_id", "n_ids", "ids_sum"]]
+            .sort_values("pack_id").reset_index(drop=True))
+
+
 def q_doc_novelty(sf_dir: str):
     """Per-doc 5-gram novelty: fraction of the doc's distinct token
     5-grams that occur in no other document."""
@@ -2686,6 +2705,7 @@ RAY_QUERIES = {
     "dsir_weights": q_dsir_weights,
     "doc_novelty": q_doc_novelty,
     "bpe_tokens": q_bpe_tokens,
+    "training_shards": q_training_shards,
     "ccnet_buckets": q_ccnet_buckets,
     "project_embeddings": q_project_embeddings,
     "host_stats": q_host_stats,

@@ -503,6 +503,145 @@ def train_bpe(docs: "ray.data.Dataset", num_merges: int = 200,
     return train_bpe_from_counts(wc, num_merges)
 
 
+def train_bpe_with_vocab(docs: "ray.data.Dataset", num_merges: int = 200,
+                         id_col: str = "doc_id", text_col: str = "text"):
+    """One word-count pass → (merges, sorted symbol vocabulary): the vocab
+    is every subword symbol the trained merges produce over the corpus's
+    distinct words, sorted — symbol→id = rank, deterministic across runs
+    and partitionings."""
+    from search_engine_ray.functions.bpe import (
+        bpe_encode_word,
+        merge_ranks,
+        train_bpe_from_counts,
+    )
+
+    wc = {}
+    for b in word_count_table(docs, id_col, text_col).iter_batches(
+            batch_format="pyarrow"):
+        for w, c in zip(b["word"].to_pylist(), b["cnt"].to_pylist()):
+            wc[w] = int(c)
+    merges = train_bpe_from_counts(wc, num_merges)
+    ranks = merge_ranks(merges)
+    symbols = set()
+    for w in wc:
+        symbols.update(bpe_encode_word(w, ranks))
+    return merges, sorted(symbols)
+
+
+def tokenize_and_pack(docs: "ray.data.Dataset", merges, vocab: list,
+                      max_len: int = 128, id_col: str = "doc_id",
+                      text_col: str = "text"):
+    """The training-data last mile: encode every doc to BPE token ids,
+    concatenate in ``id_col`` order and cut into fixed ``max_len``-id
+    packs → (pack_id, token_ids:list<int32>) rows, every pack full except
+    the final one. Composition of existing machinery: per-block
+    distinct-word encode memoization → a distributed prefix sum over BPE
+    counts gives each doc its global offset (two streaming passes, only
+    block totals touch the driver) → docs emit per-pack FRAGMENT rows
+    (pack_id, offset, ids slice) → ONE sort-co-group by pack_id assembles
+    packs. Fragment cardinality is O(packs + docs); the only shuffle is
+    the pack assembly itself."""
+    from search_engine_ray.functions.bpe import bpe_encode_word, merge_ranks
+    from search_engine_ray.stages.grouped import sorted_group_map
+    from search_engine_ray.stages.scan import ordered_prefix_sum
+
+    ranks = merge_ranks(list(merges))
+    sym_id = {s: i for i, s in enumerate(vocab)}
+
+    def _doc_ids_arrays(b: pa.Table):
+        """per-row int32 id arrays (distinct-word memoized)."""
+        texts = pc.fill_null(b[text_col], "").cast(pa.string())
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+        lens = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        flat = pc.utf8_trim_whitespace(flat)
+        doc_ix = np.repeat(np.arange(b.num_rows), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False).astype(bool)
+        flat, doc_ix = flat.filter(pa.array(keep)), doc_ix[keep]
+        per_doc: list[list[int]] = [[] for _ in range(b.num_rows)]
+        if len(flat):
+            enc = flat.dictionary_encode()
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            word_ids = [
+                [sym_id[s] for s in bpe_encode_word(w, ranks)]
+                for w in enc.dictionary.to_pylist()
+            ]
+            for d, wi in zip(doc_ix, enc.indices.to_numpy(zero_copy_only=False)):
+                per_doc[int(d)].extend(word_ids[wi])
+        return [np.asarray(x, np.int32) for x in per_doc]
+
+    def count(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        if b.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             text_col: pa.array([], pa.string()),
+                             "n_ids": pa.array([], pa.int64())})
+        ids = _doc_ids_arrays(b)
+        return pa.table({id_col: b[id_col].cast(pa.int64()),
+                         text_col: pc.fill_null(b[text_col], "").cast(pa.string()),
+                         "n_ids": pa.array([len(x) for x in ids], pa.int64())})
+
+    counted = docs.map_batches(count, batch_format="pyarrow")
+    planned = ordered_prefix_sum(counted, id_col, "n_ids", out_col="start_off")
+
+    def fragments(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        empty = pa.table({"pack_id": pa.array([], pa.int64()),
+                          "off": pa.array([], pa.int64()),
+                          "ids": pa.array([], pa.list_(pa.int32()))})
+        if b.num_rows == 0:
+            return empty
+        ids = _doc_ids_arrays(b)
+        starts = b["start_off"].to_numpy(zero_copy_only=False)
+        pk, off, frags = [], [], []
+        for s, arr in zip(starts, ids):
+            pos = 0
+            while pos < len(arr):
+                g = int(s) + pos
+                pack = g // max_len
+                take = min(len(arr) - pos, (pack + 1) * max_len - g)
+                pk.append(pack)
+                off.append(g - pack * max_len)
+                frags.append(arr[pos:pos + take])
+                pos += take
+        return pa.table({"pack_id": pa.array(pk, pa.int64()),
+                         "off": pa.array(off, pa.int64()),
+                         "ids": pa.array([f.tolist() for f in frags],
+                                         pa.list_(pa.int32()))})
+
+    frag_ds = planned.map_batches(fragments, batch_format="pyarrow")
+
+    def assemble(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        empty = pa.table({"pack_id": pa.array([], pa.int64()),
+                          "token_ids": pa.array([], pa.list_(pa.int32()))})
+        if t.num_rows == 0:
+            return empty
+        pk = t["pack_id"].to_numpy(zero_copy_only=False)
+        new = np.empty(len(pk), bool)
+        new[0] = True
+        new[1:] = pk[1:] != pk[:-1]
+        bounds = np.flatnonzero(new).tolist() + [len(pk)]
+        ids_col = t["ids"]
+        out_pk, out_ids = [], []
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            merged: list[int] = []
+            for j in range(lo, hi):
+                merged.extend(ids_col[j].as_py())
+            out_pk.append(int(pk[lo]))
+            out_ids.append(merged)
+        return pa.table({"pack_id": pa.array(out_pk, pa.int64()),
+                         "token_ids": pa.array(out_ids, pa.list_(pa.int32()))})
+
+    return sorted_group_map(frag_ds, ["pack_id"], assemble,
+                            sort_cols=["pack_id", "off"])
+
+
 def bpe_token_counts(docs: "ray.data.Dataset", merges, id_col: str = "doc_id",
                      text_col: str = "text"):
     """Per-doc token count under a trained BPE vocabulary → (doc_id,

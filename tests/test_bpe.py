@@ -70,3 +70,36 @@ class TestBpePipeline:
         m1 = train_bpe(ray.data.from_items(rows, override_num_blocks=1), 20)
         m8 = train_bpe(ray.data.from_items(rows, override_num_blocks=8), 20)
         assert m1 == m8
+
+
+class TestTokenizeAndPack:
+    @pytest.mark.parametrize("blocks", [1, 4])
+    def test_packs_equal_scalar_chunking(self, ray_session, blocks):
+        """Assembled packs equal concatenating every doc's ids in doc_id
+        order and chunking by max_len — partition-invariant."""
+        import ray.data
+
+        from search_engine_ray.pipelines.training_data import (
+            tokenize_and_pack,
+            train_bpe_with_vocab,
+        )
+
+        rows = [{"doc_id": i, "text": f"low lower newest widest tail{i % 5} "
+                                      f"extra words number {i}"}
+                for i in range(25)]
+        ds = ray.data.from_items(rows, override_num_blocks=blocks)
+        merges, vocab = train_bpe_with_vocab(ds, num_merges=30)
+        out = (tokenize_and_pack(ds, merges, vocab, max_len=16)
+               .to_pandas().sort_values("pack_id").reset_index(drop=True))
+
+        r = merge_ranks(merges)
+        sym = {s: i for i, s in enumerate(vocab)}
+        stream = []
+        for row in rows:  # doc_id order == list order
+            for w in row["text"].lower().split():
+                stream.extend(sym[s] for s in bpe_encode_word(w, r))
+        want = [stream[i:i + 16] for i in range(0, len(stream), 16)]
+        got = [list(x) for x in out["token_ids"]]
+        assert out["pack_id"].tolist() == list(range(len(want)))
+        assert got == want
+        assert all(len(p) == 16 for p in got[:-1])
