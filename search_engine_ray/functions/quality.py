@@ -340,3 +340,146 @@ def batch_repetition_stats(texts) -> dict:
         gz = g_counts > 0
         out["dup_5gram_frac"][gz] = 1.0 - distinct[gz] / g_counts[gz]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models", App. A —
+# the document-level heuristics of MassiveWeb). Deterministic, SQL-mirrorable.
+# ---------------------------------------------------------------------------
+
+#: Gopher's "contains at least two of" stop-word list (distinct membership).
+GOPHER_STOP8: tuple[str, ...] = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+#: Line-shape patterns. Written to mean the same thing in Python `re`, Arrow
+#: RE2 and DuckDB RE2: explicit [ \t] instead of \s (unicode-aware in `re`,
+#: ASCII in RE2).
+GOPHER_BULLET_RE = r"^[ \t]*[-•*] "
+GOPHER_ELLIPSIS_RE = r"(\.\.\.|…)[ \t]*$"
+
+_BULLET_C = re.compile(GOPHER_BULLET_RE)
+_ELLIPSIS_C = re.compile(GOPHER_ELLIPSIS_RE)
+_ALPHA_C = re.compile(r"[A-Za-z]")
+
+
+def gopher_stats(text: str) -> dict:
+    """Scalar spec of the Gopher rule inputs over one document:
+
+    - words = whitespace tokens (``str.split``); lines = ``'\\n'``-split
+      segments INCLUDING empties (DuckDB ``string_split`` semantics), so
+      n_lines ≥ 1 always.
+    - symbol_ratio = (# of '#' + non-overlapping '...' + '…') / n_words.
+    - bullet_line_frac / ellipsis_line_frac match GOPHER_BULLET_RE /
+      GOPHER_ELLIPSIS_RE.
+    - alpha_word_frac = words containing ≥1 [A-Za-z] char / n_words.
+    - n_stop_hits = DISTINCT members of GOPHER_STOP8 present (lowercased).
+
+    All ratios are raw IEEE quotients of int64 (bit-identical in DuckDB);
+    zero-word docs define every word-denominated ratio as 0.0."""
+    toks = text.split()
+    n = len(toks)
+    lines = text.split("\n")
+    n_lines = len(lines)
+    n_sym = text.count("#") + text.count("...") + text.count("…")
+    low = {t.lower() for t in toks}
+    stats = {
+        "n_words": n,
+        "mean_word_len": (sum(len(t) for t in toks) / n) if n else 0.0,
+        "symbol_ratio": (n_sym / n) if n else 0.0,
+        "bullet_line_frac": sum(bool(_BULLET_C.search(l)) for l in lines) / n_lines,
+        "ellipsis_line_frac": sum(bool(_ELLIPSIS_C.search(l)) for l in lines) / n_lines,
+        "alpha_word_frac": (sum(bool(_ALPHA_C.search(t)) for t in toks) / n) if n else 0.0,
+        "n_stop_hits": sum(w in low for w in GOPHER_STOP8),
+    }
+    return stats
+
+
+def gopher_pass(stats: dict) -> bool:
+    """The Gopher accept decision over :func:`gopher_stats` output (the
+    paper's rule thresholds, App. A.1.1)."""
+    return (
+        50 <= stats["n_words"] <= 100_000
+        and 3.0 <= stats["mean_word_len"] <= 10.0
+        and stats["symbol_ratio"] <= 0.1
+        and stats["bullet_line_frac"] <= 0.9
+        and stats["ellipsis_line_frac"] <= 0.3
+        and stats["alpha_word_frac"] >= 0.8
+        and stats["n_stop_hits"] >= 2
+    )
+
+
+def batch_gopher_stats(texts) -> dict:
+    """Vectorized :func:`gopher_stats` over a batch column → dict of numpy
+    arrays (property-tested ≡ the scalar spec). Null texts behave as ''."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    n = len(texts)
+    counts, flat, doc_idx = _flat_tokens(texts)
+    denom = np.maximum(counts, 1).astype(np.float64)
+    nz = counts > 0
+
+    if len(flat):
+        tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        len_sum = np.bincount(doc_idx, weights=tok_lens, minlength=n)
+        alpha_m = pc.match_substring_regex(flat, _ALPHA_C.pattern).to_numpy(
+            zero_copy_only=False).astype(bool)
+        alpha = np.bincount(doc_idx[alpha_m], minlength=n).astype(np.float64)
+        low = pc.utf8_lower(flat)
+        stop_hits = np.zeros(n, np.int64)
+        for w in GOPHER_STOP8:
+            m = pc.equal(low, w).to_numpy(zero_copy_only=False).astype(bool)
+            stop_hits += np.bincount(doc_idx[m], minlength=n) > 0
+    else:
+        len_sum = alpha = np.zeros(n, np.float64)
+        stop_hits = np.zeros(n, np.int64)
+
+    n_sym = sum(
+        pc.count_substring(texts, pattern=p).to_numpy(zero_copy_only=False).astype(np.int64)
+        for p in ("#", "...", "…")
+    )
+
+    split = pc.split_pattern(texts, pattern="\n")
+    lcounts = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+    lflat = pc.list_flatten(split)
+    if isinstance(lflat, pa.ChunkedArray):
+        lflat = lflat.combine_chunks()
+    line_idx = np.repeat(np.arange(n), lcounts)
+    if len(lflat):
+        bullet_m = pc.match_substring_regex(lflat, GOPHER_BULLET_RE).to_numpy(
+            zero_copy_only=False).astype(bool)
+        ell_m = pc.match_substring_regex(lflat, GOPHER_ELLIPSIS_RE).to_numpy(
+            zero_copy_only=False).astype(bool)
+        bullet = np.bincount(line_idx[bullet_m], minlength=n).astype(np.float64)
+        ell = np.bincount(line_idx[ell_m], minlength=n).astype(np.float64)
+    else:  # pragma: no cover — split always yields ≥1 segment per row
+        bullet = ell = np.zeros(n, np.float64)
+    ldenom = np.maximum(lcounts, 1).astype(np.float64)
+
+    return {
+        "n_words": counts,
+        "mean_word_len": np.where(nz, len_sum / denom, 0.0),
+        "symbol_ratio": np.where(nz, n_sym / denom, 0.0),
+        "bullet_line_frac": bullet / ldenom,
+        "ellipsis_line_frac": ell / ldenom,
+        "alpha_word_frac": np.where(nz, alpha / denom, 0.0),
+        "n_stop_hits": stop_hits,
+    }
+
+
+def batch_gopher_pass(stats: dict):
+    """Vectorized :func:`gopher_pass` → int64 0/1 array."""
+    import numpy as np
+
+    return (
+        (stats["n_words"] >= 50) & (stats["n_words"] <= 100_000)
+        & (stats["mean_word_len"] >= 3.0) & (stats["mean_word_len"] <= 10.0)
+        & (stats["symbol_ratio"] <= 0.1)
+        & (stats["bullet_line_frac"] <= 0.9)
+        & (stats["ellipsis_line_frac"] <= 0.3)
+        & (stats["alpha_word_frac"] >= 0.8)
+        & (stats["n_stop_hits"] >= 2)
+    ).astype(np.int64)

@@ -439,6 +439,22 @@ def q_text_stats(sf_dir: str):
     ].astype({"n_tokens": np.int64, "n_chars": np.int64, "bpe_tokens": np.int64})
 
 
+def q_gopher_rules(sf_dir: str):
+    """Gopher/MassiveWeb document-quality rules (Rae et al. 2021) — per-doc
+    rule inputs + the accept decision; map-only vectorized kernels."""
+    from search_engine_ray.pipelines.training_data import gopher_rules_table
+
+    out = gopher_rules_table(_read_docs(sf_dir)).to_pandas()
+    for c in ("mean_word_len", "symbol_ratio", "bullet_line_frac",
+              "ellipsis_line_frac", "alpha_word_frac"):
+        out[c + "_r"] = out[c].round(6)
+    return out[
+        ["doc_id", "n_words", "mean_word_len_r", "symbol_ratio_r",
+         "bullet_line_frac_r", "ellipsis_line_frac_r", "alpha_word_frac_r",
+         "n_stop_hits", "gopher_pass"]
+    ].astype({"n_words": np.int64, "n_stop_hits": np.int64, "gopher_pass": np.int64})
+
+
 def q_doc_keywords(sf_dir: str):
     """Per-doc top-3 TF-IDF keywords (postings ⋈ df hash join + vectorized
     per-group top-k; no vocab broadcast, no per-group Python)."""
@@ -1833,6 +1849,48 @@ def oracle_queries() -> dict[str, str]:
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9_\\s]'))::BIGINT AS bpe_tokens
             FROM raw
         """,
+        # Gopher rules (Rae et al. 2021): every metric mirrors the scalar
+        # spec in functions/quality.py::gopher_stats — whitespace words,
+        # '\n'-split lines INCLUDING empties, non-overlapping substring
+        # counts via the replace trick, RE2 line-shape patterns.
+        "gopher_rules": """
+            WITH raw AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
+                     string_split(text, chr(10)) AS lines
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id,
+                len(toks)::BIGINT AS n_words,
+                CASE WHEN len(toks) = 0 THEN 0.0
+                     ELSE list_aggregate(list_transform(toks, t -> length(t)), 'sum')::DOUBLE / len(toks) END AS mwl,
+                CASE WHEN len(toks) = 0 THEN 0.0
+                     ELSE ((length(text) - length(replace(text, '#', '')))
+                         + (length(text) - length(replace(text, '...', ''))) // 3
+                         + (length(text) - length(replace(text, '…', ''))))::DOUBLE / len(toks) END AS sym,
+                len(list_filter(lines, l -> regexp_matches(l, '^[ \t]*[-•*] ')))::DOUBLE
+                    / len(lines) AS bullet,
+                len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)[ \t]*$')))::DOUBLE
+                    / len(lines) AS ell,
+                CASE WHEN len(toks) = 0 THEN 0.0
+                     ELSE len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE / len(toks) END AS alphaw,
+                len(list_filter(['the','be','to','of','and','that','have','with'],
+                    w -> list_contains(list_transform(toks, t -> lower(t)), w)))::BIGINT AS n_stop_hits
+              FROM raw
+            )
+            SELECT doc_id, n_words,
+                   round(mwl, 6) AS mean_word_len_r,
+                   round(sym, 6) AS symbol_ratio_r,
+                   round(bullet, 6) AS bullet_line_frac_r,
+                   round(ell, 6) AS ellipsis_line_frac_r,
+                   round(alphaw, 6) AS alpha_word_frac_r,
+                   n_stop_hits,
+                   (n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+                    AND sym <= 0.1 AND bullet <= 0.9 AND ell <= 0.3
+                    AND alphaw >= 0.8 AND n_stop_hits >= 2)::BIGINT AS gopher_pass
+            FROM m
+        """,
         "decontaminate": """
             WITH tk AS (
               SELECT doc_id,
@@ -2700,6 +2758,7 @@ RAY_QUERIES = {
     "exact_dedup": q_exact_dedup,
     "lang_counts": q_lang_counts,
     "text_stats": q_text_stats,
+    "gopher_rules": q_gopher_rules,
     "doc_keywords": q_doc_keywords,
     "doc_logprob": q_doc_logprob,
     "dsir_weights": q_dsir_weights,

@@ -203,6 +203,28 @@ def repetition_table(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col:
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
+def gopher_rules_table(docs: "ray.data.Dataset", id_col: str = "doc_id",
+                       text_col: str = "text"):
+    """(doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+    ellipsis_line_frac, alpha_word_frac, n_stop_hits, gopher_pass) — the
+    Gopher / MassiveWeb document-quality rules (Rae et al. 2021, App. A).
+    Map-only and whole-batch vectorized (functions/quality.py twins,
+    property-tested ≡ the scalar specs); every threshold decision is
+    row-local so the stage streams at any scale."""
+    from search_engine_ray.functions.quality import batch_gopher_pass, batch_gopher_stats
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        s = batch_gopher_stats(batch[text_col])
+        cols = {id_col: batch[id_col]}
+        for k, v in s.items():
+            cols[k] = pa.array(v, pa.int64() if v.dtype == np.int64 else pa.float64())
+        cols["gopher_pass"] = pa.array(batch_gopher_pass(s), pa.int64())
+        return pa.table(cols)
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
 def _winnow_mins(h: np.ndarray, window: int) -> np.ndarray:
     """Distinct sliding-window minima of a per-doc gram-hash sequence.
     String dtypes (md5-hex mode) reduce through lexicographic ranks —

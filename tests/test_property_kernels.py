@@ -127,6 +127,45 @@ class TestQualityBatchTwins:
                 got = s[k][i]
                 assert got == pytest.approx(want[k]), (k, repr(t))
 
+    # gopher-shaped text: mixes bullets, ellipses, '#', stopwords, newlines
+    gopher_texts = st.lists(
+        st.one_of(
+            texts,
+            st.sampled_from(["- item", "• punkt", "* star", "tail...", "x…",
+                             "## h", "the", "be", "to", "of", "and", "that",
+                             "have", "with", "  - sp", "...", "\t* t"]),
+        ),
+        max_size=8,
+    ).map(lambda parts: "\n".join(parts))
+
+    @given(st.lists(st.one_of(texts, gopher_texts), min_size=1, max_size=12))
+    @settings(max_examples=100, deadline=None)
+    def test_batch_gopher_stats_matches_spec(self, docs):
+        import pyarrow as pa
+
+        from search_engine_ray.functions.quality import (
+            batch_gopher_pass,
+            batch_gopher_stats,
+            gopher_pass,
+            gopher_stats,
+        )
+
+        s = batch_gopher_stats(pa.array(docs, pa.string()))
+        flags = batch_gopher_pass(s)
+        for i, t in enumerate(docs):
+            want = gopher_stats(t)
+            for k in want:
+                assert s[k][i] == pytest.approx(want[k]), (k, repr(t))
+            assert bool(flags[i]) == gopher_pass(want), repr(t)
+
+    def test_gopher_pass_accepts_clean_prose(self):
+        from search_engine_ray.functions.quality import gopher_pass, gopher_stats
+
+        doc = ("the quick brown fox jumps over that lazy dog with vigor and "
+               "grace to be seen of all observers every single day ") * 5
+        s = gopher_stats(doc)
+        assert s["n_words"] >= 50 and gopher_pass(s)
+
     @given(st.lists(texts, min_size=1, max_size=12))
     @settings(max_examples=60, deadline=None)
     def test_batch_lang_id_matches_spec(self, docs):
