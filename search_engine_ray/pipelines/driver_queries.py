@@ -688,6 +688,21 @@ def q_collocations(sf_dir: str):
             .reset_index(drop=True))
 
 
+_COOC_W, _COOC_K, _COOC_MIN = 3, 20, 2
+
+
+def q_cooccurrence(sf_dir: str):
+    """Top-k windowed co-occurrence pairs (GloVe-style context counts):
+    unordered pairs within 3 positions; per-batch searchsorted pairing +
+    combiners; only k rows reach the driver."""
+    from search_engine_ray.pipelines.training_data import cooccurrence
+
+    out = cooccurrence(_read_docs(sf_dir), window=_COOC_W, k=_COOC_K,
+                       min_count=_COOC_MIN).to_pandas()
+    return (out[["w1", "w2", "n_pair"]].astype({"n_pair": np.int64})
+            .reset_index(drop=True))
+
+
 def q_prune_postings(sf_dir: str):
     """Static index pruning: top-2 postings per term by (tf desc, doc_id)."""
     from search_engine_ray.pipelines.training_data import prune_postings
@@ -2262,6 +2277,24 @@ def oracle_queries() -> dict[str, str]:
                    MAX(doc_id)::BIGINT AS doc_id
             FROM documents GROUP BY 1
         """,
+        # windowed co-occurrence: unordered pair counts over the SAME
+        # emitted-token position space the index stores (lem CTE); pair
+        # canonicalization = binary-collation least/greatest, matching the
+        # kernel's sorted-rank min/max on lowercase-normalized terms
+        "cooccurrence": _with(
+            f"""
+            , pairs AS (
+              SELECT least(a.term, b.term) AS w1, greatest(a.term, b.term) AS w2
+              FROM lem a JOIN lem b ON a.doc_id = b.doc_id
+              WHERE b.position > a.position
+                AND b.position - a.position <= {_COOC_W}
+            ),
+            cnt AS (SELECT w1, w2, count(*)::BIGINT AS n_pair
+                    FROM pairs GROUP BY w1, w2)
+            SELECT w1, w2, n_pair FROM cnt WHERE n_pair >= {_COOC_MIN}
+            ORDER BY n_pair DESC, w1, w2 LIMIT {_COOC_K}
+            """
+        ),
         "collocations": _with(
             f"""
             , seq AS (
@@ -2773,6 +2806,7 @@ RAY_QUERIES = {
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
     "collocations": q_collocations,
+    "cooccurrence": q_cooccurrence,
     "prune_postings": q_prune_postings,
     "pagerank": q_pagerank,
     "anchor_terms": q_anchor_terms,

@@ -1142,6 +1142,90 @@ def collocations(docs: "ray.data.Dataset", k: int = 20, min_count: int = 5,
     return pruned.sort(["pmi_r", "bigram"], descending=[True, False]).limit(k)
 
 
+def cooccurrence(docs: "ray.data.Dataset", window: int = 4, k: int = 20,
+                 min_count: int = 5, id_col: str = "doc_id",
+                 text_col: str = "text"):
+    """Top-k windowed co-occurrence pairs (GloVe / word2vec context-count
+    style): unordered term pairs (w1 ≤ w2, byte order) co-occurring within
+    ``window`` POSITIONS in a doc (0 < pos_b − pos_a ≤ window over the
+    emitted-token positions, the same position space the index stores) →
+    (w1, w2, n_pair), n_pair ≥ min_count, ordered (n_pair desc, w1, w2),
+    k rows.
+
+    Distributed shape: one tokenize wave; per batch, pairs are found with
+    ONE searchsorted per gap d over the fused (doc, position) key — no
+    per-doc Python — and combined to per-block (w1, w2, c_part) partials
+    (≤ distinct-pair cardinality per block, ~O(V·window)); a sort+reduceat
+    grouped_reduce finishes counts, and per-block top-k pruning bounds the
+    final sort's input to k rows per block."""
+    from search_engine_ray.stages.grouped import grouped_reduce
+    from search_engine_ray.stages.tokenize import get_worker_tokenizer, tokenized_stream
+
+    w = int(window)
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        tok = get_worker_tokenizer()
+        d, c, p, norm_terms, _ids = tokenized_stream(batch, tok, text_col=text_col,
+                                                     id_col=id_col)
+        empty = pa.table({"w1": pa.array([], pa.string()),
+                          "w2": pa.array([], pa.string()),
+                          "c_part": pa.array([], pa.int64())})
+        n = len(d)
+        if n == 0:
+            return empty
+        # canonical pair order = BYTE order of the term strings: map the
+        # factorize codes to sorted-rank so min/max on ranks == min/max on
+        # strings (argsort of object strings is bytewise for ASCII-normalized
+        # terms; normalized forms are lowercase so this matches DuckDB's
+        # binary collation, same argument the dictionary sort relies on)
+        sorter = np.argsort(norm_terms.astype(object))
+        rank = np.empty(len(sorter), np.int64)
+        rank[sorter] = np.arange(len(sorter))
+        r = rank[c]
+        # fused strictly-increasing key: docs arrive grouped, positions
+        # ascending per doc
+        pmax = np.int64(p.max()) + np.int64(w) + 2
+        key = d * pmax + p
+        pairs = []
+        for gap in range(1, w + 1):
+            tgt = key + gap
+            idx = np.searchsorted(key, tgt)
+            ok = idx < n
+            ok[ok] &= key[idx[ok]] == tgt[ok]
+            src = np.flatnonzero(ok)
+            if len(src):
+                ra, rb = r[src], r[idx[src]]
+                lo = np.minimum(ra, rb)
+                hi = np.maximum(ra, rb)
+                pairs.append(lo * np.int64(len(sorter)) + hi)
+        if not pairs:
+            return empty
+        allp = np.concatenate(pairs)
+        uniq, cnt = np.unique(allp, return_counts=True)
+        terms_sorted = norm_terms.astype(object)[sorter]
+        return pa.table({
+            "w1": pa.array(terms_sorted[(uniq // len(sorter)).astype(np.int64)], pa.string()),
+            "w2": pa.array(terms_sorted[(uniq % len(sorter)).astype(np.int64)], pa.string()),
+            "c_part": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    parts = docs.map_batches(pair_partials, batch_format="pyarrow")
+    counts = grouped_reduce(parts, ["w1", "w2"], sums=[("c_part", "n_pair")])
+    counts = counts.filter(expr=f"n_pair >= {int(min_count)}")
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        if b.num_rows <= k:
+            return b
+        order = np.lexsort((np.asarray(b["w2"].to_pylist(), dtype=object),
+                            np.asarray(b["w1"].to_pylist(), dtype=object),
+                            -b["n_pair"].to_numpy(zero_copy_only=False)))
+        return b.take(pa.array(np.sort(order[:k])))
+
+    pruned = counts.map_batches(block_topk, batch_format="pyarrow")
+    return pruned.sort(["n_pair", "w1", "w2"], descending=[True, False, False]).limit(k)
+
+
 def prune_postings(docs: "ray.data.Dataset", keep_n: int = 2,
                    id_col: str = "doc_id", text_col: str = "text"):
     """Static index pruning (Carmel et al.-style top-N-by-tf): for each

@@ -69,21 +69,18 @@ def get_worker_tokenizer(lemma_path: str | None = None) -> Tokenizer:
     return tok
 
 
-def tokenize_batch(
+def tokenized_stream(
     batch: pa.Table,
     tokenizer: Tokenizer,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bigrams: bool = False,
-) -> pa.Table:
-    """Fully Arrow-vectorized tokenization: the raw split, token→unique
-    coding and position arithmetic never materialize Python objects — only
-    the (small, memoized) per-UNIQUE-token normalization runs in Python.
-    Semantics match Rust ``split_whitespace`` / Python ``str.split``:
-    Arrow's ``utf8_split_whitespace`` emits empty tokens at string edges, so
-    empties are masked out and positions are the rank among non-empty raw
-    tokens (bit-identical to the spec in functions/tokenizer.py —
-    pytest-enforced)."""
+):
+    """The flat EMITTED token stream of a batch, pre-grouping: returns
+    ``(doc_idx, term_code, pos, norm_terms, doc_ids)`` where rows are in
+    original order (ascending position per doc), ``term_code`` indexes
+    ``norm_terms`` (factorized normalized forms), and dropped tokens
+    (normalize → '') are already removed. Shared by :func:`tokenize_batch`
+    and stream-shaped consumers (windowed co-occurrence)."""
     import pyarrow.compute as pc
 
     batch = batch.combine_chunks()
@@ -110,8 +107,8 @@ def tokenize_batch(
     total = len(flat)
 
     if total == 0:
-        return _emit(tokenizer, np.array([], np.int64), np.array([], np.int64),
-                     np.array([], np.int64), [], np.zeros(n_docs, np.int64), doc_ids)
+        empty = np.array([], np.int64)
+        return empty, empty, empty, np.zeros(0, dtype=object), doc_ids
 
     doc_idx = np.repeat(np.arange(n_docs), counts_raw)
     keep_raw = pc.not_equal(flat, "").to_numpy(zero_copy_only=False).astype(bool)
@@ -135,8 +132,29 @@ def tokenize_batch(
     norm_codes_u, norm_terms = pd.factorize(np.asarray(norm_unique, dtype=object), use_na_sentinel=False)
     tok_norm_code = norm_codes_u[codes]
     keep = keep_raw & (np.asarray(norm_terms, dtype=object)[tok_norm_code] != "")
+    return doc_idx[keep], tok_norm_code[keep], pos[keep], norm_terms, doc_ids
 
-    uni = _emit(tokenizer, doc_idx[keep], tok_norm_code[keep], pos[keep],
+
+def tokenize_batch(
+    batch: pa.Table,
+    tokenizer: Tokenizer,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bigrams: bool = False,
+) -> pa.Table:
+    """Fully Arrow-vectorized tokenization: the raw split, token→unique
+    coding and position arithmetic never materialize Python objects — only
+    the (small, memoized) per-UNIQUE-token normalization runs in Python.
+    Semantics match Rust ``split_whitespace`` / Python ``str.split``:
+    Arrow's ``utf8_split_whitespace`` emits empty tokens at string edges, so
+    empties are masked out and positions are the rank among non-empty raw
+    tokens (bit-identical to the spec in functions/tokenizer.py —
+    pytest-enforced)."""
+    d_k, c_k, p_k, norm_terms, doc_ids = tokenized_stream(
+        batch, tokenizer, text_col=text_col, id_col=id_col)
+    n_docs = len(doc_ids)
+
+    uni = _emit(tokenizer, d_k, c_k, p_k,
                 norm_terms, np.zeros(n_docs, np.int64), doc_ids)
     if not bigrams:
         return uni
@@ -145,7 +163,7 @@ def tokenize_batch(
     # consecutive EMITTED tokens of one doc pair up as "{prev} {cur}" at
     # position cur.position - 1. Composite int codes keep the grouping
     # vectorized; only the (small) unique set materializes strings.
-    d, c, p = doc_idx[keep], tok_norm_code[keep], pos[keep]
+    d, c, p = d_k, c_k, p_k
     if len(d) >= 2:
         adj = d[1:] == d[:-1]
         bd = d[1:][adj]

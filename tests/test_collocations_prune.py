@@ -56,6 +56,47 @@ def test_collocations_matches_spec(ray_session, parts):
     assert [(b, int(np_), int(n1), int(n2), round(p, 6)) for b, np_, n1, n2, p in got] == exp
 
 
+@pytest.mark.parametrize("parts", [1, 6])
+def test_cooccurrence_matches_spec(ray_session, parts):
+    from collections import Counter
+
+    from search_engine_ray.pipelines.training_data import cooccurrence
+
+    ds, texts = _docs(parts)
+    W, MIN, K = 3, 3, 15
+    out = cooccurrence(ds, window=W, k=K, min_count=MIN).to_pandas()
+    pairs = Counter()
+    for t in texts:
+        toks = t.split()
+        for i in range(len(toks)):
+            for j in range(i + 1, min(i + W + 1, len(toks))):
+                a, b = sorted((toks[i], toks[j]))
+                pairs[(a, b)] += 1
+    exp = sorted(((w1, w2, c) for (w1, w2), c in pairs.items() if c >= MIN),
+                 key=lambda r: (-r[2], r[0], r[1]))[:K]
+    got = [(w1, w2, int(c)) for w1, w2, c in
+           out[["w1", "w2", "n_pair"]].itertuples(index=False, name=None)]
+    assert got == exp
+
+
+def test_cooccurrence_skips_dropped_positions(ray_session):
+    """A token normalizing to '' (pure punctuation) leaves a position GAP:
+    its neighbours pair only if their position distance fits the window."""
+    import ray.data
+
+    from search_engine_ray.pipelines.training_data import cooccurrence
+
+    # 'aaa . bbb' — '.' normalizes to '' but still holds position 1, so
+    # aaa(0)–bbb(2) has gap 2: found at window=2, absent at window=1
+    tbl = pa.table({"doc_id": pa.array([0], pa.int64()),
+                    "text": pa.array(["aaa . bbb"], pa.string())})
+    ds = ray.data.from_arrow(tbl)
+    w2 = cooccurrence(ds, window=2, k=5, min_count=1).to_pandas()
+    assert ("aaa", "bbb", 1) in list(w2.itertuples(index=False, name=None))
+    w1 = cooccurrence(ds, window=1, k=5, min_count=1).to_pandas()
+    assert len(w1) == 0
+
+
 def _spec_remove_repeated(tokens, n=3):
     """Scalar spec: token t removed iff covered by ≥1 window and by NO
     first-occurrence window (first = smallest start of that gram value)."""

@@ -96,7 +96,7 @@ def test_query_and_oracle_keys_align(entry):
         "ccnet_buckets", "doc_novelty",
         "host_stats", "host_cap", "canonical_urls",
         "stratified_sample", "pack_sequences", "shuffle",
-        "collocations", "prune_postings",
+        "collocations", "cooccurrence", "prune_postings",
         "pagerank", "anchor_terms", "latest_snapshot", "degree_stats", "bm25f",
         "remove_repeated_ngrams", "remove_global_ngrams",
         "heavy_hitters_exact", "vocab_size",
