@@ -270,6 +270,17 @@ def q_bm25_topk(sf_dir: str):
     return _ranked(scores, 4)
 
 
+_MSM = 2
+
+
+def q_bm25_msm(sf_dir: str):
+    """Minimum-should-match BM25: docs matching ≥ 2 of the 3 query terms,
+    scored over their matched terms (Lucene minimum_should_match)."""
+    eng = engine_for(sf_dir)
+    scores = eng.bm25_topk_msm(Q_TEXT, k=10_000_000, min_match=_MSM)
+    return _ranked(scores, 4)
+
+
 def q_bm25_distributed(sf_dir: str):
     """Distributed per-shard-actor serving — must be rank-identical to the
     local engine, so it shares bm25_topk's oracle SQL."""
@@ -1731,6 +1742,31 @@ def oracle_queries() -> dict[str, str]:
         "bm25_wand": out_bm25,
         "bm25_distributed": out_bm25,
         "bm25_segments": out_bm25,
+        # minimum-should-match: the same BM25 sum restricted to docs with
+        # ≥ _MSM distinct matched query terms (postings has one row per
+        # (doc, term), so count(*) counts distinct matched terms)
+        "bm25_msm": _with(
+            f"""
+            , {doclen_cte}
+            , stats AS (SELECT avg(doc_length) AS avgdl FROM doclen)
+            , scores AS (
+              SELECT p.doc_id,
+                     sum( ln(({n_docs} - t.df + 0.5) / (t.df + 0.5) + 1.0)
+                          * p.tf * (1.2 + 1.0)
+                          / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_length / s.avgdl)) ) AS s
+              FROM postings p
+              JOIN term_df t USING (term)
+              JOIN doclen dl ON dl.doc_id = p.doc_id
+              CROSS JOIN stats s
+              WHERE p.term IN ({qterms})
+              GROUP BY p.doc_id
+              HAVING count(*) >= {_MSM}
+            )
+            SELECT ROW_NUMBER() OVER (ORDER BY round(s, 4) DESC, doc_id)::BIGINT AS rank,
+                   doc_id + 1 AS doc_id, round(s, 4) AS score_r
+            FROM scores ORDER BY round(s, 4) DESC, doc_id LIMIT {TOPK}
+            """
+        ),
         "bm25_blend": _with(
             f"""
             , {doclen_cte}
@@ -2777,6 +2813,7 @@ RAY_QUERIES = {
     "more_like_this": q_more_like_this,
     "tfidf_topk": q_tfidf_topk,
     "bm25_topk": q_bm25_topk,
+    "bm25_msm": q_bm25_msm,
     "bm25_distributed": q_bm25_distributed,
     "bm25_wand": q_bm25_wand,
     "bm25_segments": q_bm25_segments,

@@ -314,6 +314,44 @@ class SearchEngine:
         ids, scores = topk_docs(np.concatenate(doc_parts), np.concatenate(score_parts), k)
         return [(int(d), float(s)) for d, s in zip(ids, scores)]
 
+    def bm25_topk_msm(self, query: str, k: int = 10,
+                      min_match: int = 2) -> list[tuple[int, float]]:
+        """Minimum-should-match BM25 (Lucene ``minimum_should_match``
+        semantics): only docs containing ≥ ``min_match`` DISTINCT query
+        terms are candidates, scored by the usual BM25 sum over their
+        matched terms. ``min_match=1`` ≡ :meth:`bm25_topk`;
+        ``min_match=len(terms)`` scores exactly the AND set. Per-query work
+        is the same postings union as bm25_topk plus one np.unique — no
+        extra index reads."""
+        terms = self.query_terms(query)
+        doc_parts, score_parts = [], []
+        for t in terms:
+            tp = self.get_postings(t)
+            if tp is None or tp.df == 0:
+                continue
+            dl = self.doc_length(tp.doc_ids)
+            w = bm25_weights(
+                tp.tfs, dl, tp.df, self.num_docs, self.avgdl,
+                self.config.bm25_k1, self.config.bm25_b,
+            )
+            doc_parts.append(tp.doc_ids)
+            score_parts.append(w)
+        if not doc_parts:
+            return []
+        docs = np.concatenate(doc_parts)
+        sc = np.concatenate(score_parts)
+        # each term's doc_ids are distinct, so multiplicity in the concat
+        # IS the distinct-matched-term count
+        uniq, cnt = np.unique(docs, return_counts=True)
+        keep = uniq[cnt >= int(min_match)]
+        if len(keep) == 0:
+            return []
+        pos = np.searchsorted(keep, docs)
+        pos[pos >= len(keep)] = 0
+        mask = keep[pos] == docs
+        ids, scores = topk_docs(docs[mask], sc[mask], k)
+        return [(int(d), float(s)) for d, s in zip(ids, scores)]
+
     def more_like_this(self, text: str, k: int = 10, n_terms: int = 3,
                        exclude: int | None = None) -> list[tuple[int, float]]:
         """Similar-document retrieval: extract the text's top ``n_terms``

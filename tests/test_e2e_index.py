@@ -120,6 +120,20 @@ class TestQueriesMatchOracle:
         assert [d for d, _ in got] == [d for d, _ in want], q
         np.testing.assert_allclose([s for _, s in got], [s for _, s in want], rtol=1e-12)
 
+    @pytest.mark.parametrize("q", QUERIES)
+    def test_bm25_msm_bounds(self, built, q):
+        """min_match=1 ≡ bm25_topk; min_match=#terms keeps exactly the AND
+        set, scored identically to the union scorer on those docs."""
+        engine, _oracle, _ = built
+        assert engine.bm25_topk_msm(q, 10, min_match=1) == engine.bm25_topk(q, 10)
+        terms = engine.query_terms(q)
+        strict = engine.bm25_topk_msm(q, 10_000, min_match=len(terms))
+        and_set = set(engine.boolean_and(q).tolist())
+        assert {d for d, _ in strict} == and_set, q
+        full = dict(engine.bm25_topk(q, 10_000_000))
+        for d, s in strict:
+            assert s == pytest.approx(full[d], rel=0, abs=0), (q, d)
+
     @pytest.mark.parametrize(
         "q", ["quick brown", "phrase target", "the quick brown fox", "brown fox",
               "hello world", "alpha beta", "beta alpha", "word1 word2", "common word"]
