@@ -1379,6 +1379,22 @@ def q_jaccard_verify(sf_dir: str):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+_CONT_T = 0.6
+
+
+def q_containment_verify(sf_dir: str):
+    """Exact token-2-gram MAX-CONTAINMENT (|A∩B|/min set size) over the
+    deterministic pair window — the asymmetric quote/partial-dup signal;
+    shares ngram_jaccard_verify's distributed shape (different kernel)."""
+    from search_engine_ray.pipelines.training_data import ngram_containment_verify
+
+    docs = _read_docs(sf_dir)
+    out = ngram_containment_verify(_window_pairs(sf_dir), docs,
+                                   shingle_k=2, threshold=_CONT_T).to_pandas()
+    out["containment_exact"] = out["containment_exact"].round(6)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def q_cosine_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs (hyperplane-LSH buckets, exact
     cosine verify, MinHash-style de-amplified shuffle)."""
@@ -2724,6 +2740,35 @@ def oracle_queries() -> dict[str, str]:
         """) + """
             SELECT a, b, round(j, 6) AS jaccard_exact FROM jkeep
         """,
+        # max-containment: same gram construction as jaccard_verify,
+        # asymmetric denominator (min set size); the hashed-shingle kernel
+        # equals the string-gram formula absent 64-bit collisions
+        # (property-tested)
+        "containment_verify": rf"""
+            WITH jraw AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS g
+              FROM jraw
+            ),
+            jpairs AS (
+              SELECT a.doc_id AS a, b.doc_id AS b, a.g AS ga, b.g AS gb
+              FROM grams a JOIN grams b
+                ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + {JWIN}
+            ),
+            scored AS (
+              SELECT a, b,
+                     CASE WHEN least(len(ga), len(gb)) = 0 THEN 1.0
+                          ELSE len(list_intersect(ga, gb))::DOUBLE /
+                               least(len(ga), len(gb)) END AS j
+              FROM jpairs
+            )
+            SELECT a, b, round(j, 6) AS containment_exact
+            FROM scored WHERE j >= {_CONT_T}
+        """,
         "cosine_verify": f"""
             SELECT e1.vec_id AS a, e2.vec_id AS b,
                    round(list_cosine_similarity(e1.embedding::DOUBLE[],
@@ -2875,6 +2920,7 @@ RAY_QUERIES = {
     "clean_corpus_full": q_clean_corpus_full,
     "dedup_clusters": q_dedup_clusters,
     "jaccard_verify": q_jaccard_verify,
+    "containment_verify": q_containment_verify,
     "cosine_verify": q_cosine_verify,
     "ann_ivf_full": q_ann_ivf_full,
     "ann_lsh_full": q_ann_lsh_full,

@@ -2193,7 +2193,8 @@ def simhash_dedup(docs, max_hamming=3, bands=4, id_col="doc_id", text_col="text"
 
 def ngram_jaccard_verify(pairs_ds, docs, shingle_k=3, threshold=0.5,
                          id_col="doc_id", text_col="text",
-                         semi_join_cap: int = 5_000_000) -> "ray.data.Dataset":
+                         semi_join_cap: int = 5_000_000,
+                         metric: str = "jaccard") -> "ray.data.Dataset":
     """Exact n-gram Jaccard for candidate pairs → Dataset
     (a, b, jaccard_exact), fully distributed (no driver-side scoring, no
     candidate cap).
@@ -2261,32 +2262,49 @@ def ngram_jaccard_verify(pairs_ds, docs, shingle_k=3, threshold=0.5,
     j2 = j1.join(sets_ds, join_type="inner", num_partitions=npart,
                  on=("b",), right_on=(id_col,), right_suffix="_b")
 
+    kernel = {"jaccard": batch_pair_jaccard,
+              "containment": batch_pair_containment}[metric]
+    out_col = {"jaccard": "jaccard_exact", "containment": "containment_exact"}[metric]
+
     def score(batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
         empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                          "jaccard_exact": pa.array([], pa.float64())})
+                          out_col: pa.array([], pa.float64())})
         if batch.num_rows == 0:
             return empty
         a = batch["a"].to_numpy(zero_copy_only=False)
         b = batch["b"].to_numpy(zero_copy_only=False)
-        jac = batch_pair_jaccard(batch["sh"], batch["sh_b"])
+        jac = kernel(batch["sh"], batch["sh_b"])
         keep = jac >= threshold
         if not keep.any():
             return empty
         return pa.table({"a": pa.array(a[keep], pa.int64()),
                          "b": pa.array(b[keep], pa.int64()),
-                         "jaccard_exact": pa.array(jac[keep], pa.float64())})
+                         out_col: pa.array(jac[keep], pa.float64())})
 
     return j2.map_batches(score, batch_format="pyarrow")
 
 
-def batch_pair_jaccard(sh_a, sh_b) -> np.ndarray:
-    """Jaccard of per-pair sorted-UNIQUE uint64 sets stored as binary
-    columns — one segmented lexsort over the whole batch instead of a
-    Python loop per pair. A value occurs at most once per side, so the
-    intersection count per pair is the number of adjacent (pair, value)
-    equalities in (pair, value) order. Empty∩empty is defined as 1.0 (the
-    per-pair spec this is property-tested against)."""
+def ngram_containment_verify(pairs_ds, docs, shingle_k=3, threshold=0.8,
+                             id_col="doc_id", text_col="text",
+                             semi_join_cap: int = 5_000_000) -> "ray.data.Dataset":
+    """Exact n-gram MAX-CONTAINMENT (|A∩B| / min(|A|,|B|)) for candidate
+    pairs → (a, b, containment_exact): the asymmetric near-dup signal that
+    catches quotes and partial duplication Jaccard under-scores when the
+    two docs differ in length. Same fully-distributed shape as
+    :func:`ngram_jaccard_verify` (shared code path, different kernel)."""
+    return ngram_jaccard_verify(pairs_ds, docs, shingle_k=shingle_k,
+                                threshold=threshold, id_col=id_col,
+                                text_col=text_col, semi_join_cap=semi_join_cap,
+                                metric="containment")
+
+
+def _pair_set_counts(sh_a, sh_b) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(intersection count, |A|, |B|) of per-pair sorted-UNIQUE uint64 sets
+    stored as binary columns — one segmented lexsort over the whole batch
+    instead of a Python loop per pair. A value occurs at most once per
+    side, so the intersection count per pair is the number of adjacent
+    (pair, value) equalities in (pair, value) order."""
     from search_engine_ray.functions.vb import binary_column_parts
 
     sh_a = sh_a.combine_chunks() if isinstance(sh_a, pa.ChunkedArray) else sh_a
@@ -2305,8 +2323,25 @@ def batch_pair_jaccard(sh_a, sh_b) -> np.ndarray:
     sv, sp = vals[order], pids[order]
     eq = np.zeros(0, bool) if len(sv) < 2 else (sv[1:] == sv[:-1]) & (sp[1:] == sp[:-1])
     inter = np.bincount(sp[:-1][eq], minlength=n) if len(sv) >= 2 else np.zeros(n, np.int64)
+    return inter, na, nb
+
+
+def batch_pair_jaccard(sh_a, sh_b) -> np.ndarray:
+    """Jaccard over :func:`_pair_set_counts`. Empty∩empty is defined as 1.0
+    (the per-pair spec this is property-tested against)."""
+    inter, na, nb = _pair_set_counts(sh_a, sh_b)
     union = na + nb - inter
     return np.where(union == 0, 1.0, inter / np.maximum(union, 1))
+
+
+def batch_pair_containment(sh_a, sh_b) -> np.ndarray:
+    """Max-containment over :func:`_pair_set_counts`:
+    |A∩B| / min(|A|, |B|) — 1.0 when the smaller shingle set is entirely
+    inside the larger (quote / partial-duplicate detection, Broder'97's
+    asymmetric twin of resemblance). Either side empty → 1.0 (vacuous)."""
+    inter, na, nb = _pair_set_counts(sh_a, sh_b)
+    mn = np.minimum(na, nb)
+    return np.where(mn == 0, 1.0, inter / np.maximum(mn, 1))
 
 
 def cosine_neardup_pairs(embeddings, threshold: float = 0.9, n_planes: int = 16,

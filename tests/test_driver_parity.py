@@ -105,7 +105,8 @@ def test_query_and_oracle_keys_align(entry):
         "grouped_quantiles",
         "event_sessions", "event_asof", "event_range",
         "clean_corpus", "clean_corpus_full", "new_vs_snapshot", "dedup_lines",
-        "cosine_norms", "jaccard_verify", "dedup_clusters", "cosine_verify",
+        "cosine_norms", "jaccard_verify", "containment_verify", "dedup_clusters",
+        "cosine_verify",
         "fingerprints", "minhash_pairs", "simhash_pairs",
         "ann_ivf_full", "ann_lsh_full", "langid", "pii_scrub", "repetition",
         "decontaminate",

@@ -340,6 +340,43 @@ class TestBatchPairJaccard:
         got = batch_pair_jaccard(pa.array([], pa.binary()), pa.array([], pa.binary()))
         assert len(got) == 0
 
+    def test_containment_matches_per_pair_spec(self, ray_session):
+        import pyarrow as pa
+
+        from search_engine_ray.pipelines.training_data import batch_pair_containment
+
+        rng = np.random.default_rng(7)
+        sh_a, sh_b, expect = [], [], []
+        for _ in range(500):
+            sx = np.unique(rng.integers(0, 200, rng.integers(0, 30), dtype=np.uint64))
+            sy = np.unique(rng.integers(0, 200, rng.integers(0, 30), dtype=np.uint64))
+            sh_a.append(sx.tobytes())
+            sh_b.append(sy.tobytes())
+            mn = min(len(sx), len(sy))
+            if mn == 0:
+                expect.append(1.0)
+            else:
+                expect.append(len(np.intersect1d(sx, sy, assume_unique=True)) / mn)
+        got = batch_pair_containment(pa.array(sh_a, pa.binary()), pa.array(sh_b, pa.binary()))
+        assert np.allclose(got, np.asarray(expect))
+
+    def test_containment_detects_subset(self, ray_session):
+        """A doc fully quoted inside a longer doc: containment 1.0 even
+        though Jaccard is far below any dedup threshold."""
+        import pyarrow as pa
+
+        from search_engine_ray.pipelines.training_data import (
+            batch_pair_containment,
+            batch_pair_jaccard,
+        )
+
+        small = np.arange(10, dtype=np.uint64)
+        big = np.arange(100, dtype=np.uint64)
+        a = pa.array([small.tobytes()], pa.binary())
+        b = pa.array([big.tobytes()], pa.binary())
+        assert batch_pair_containment(a, b)[0] == 1.0
+        assert batch_pair_jaccard(a, b)[0] == pytest.approx(0.1)
+
 
 class TestIVFSampleUniform:
     def test_centroids_cover_sorted_table(self, ray_session):
