@@ -672,6 +672,19 @@ def q_stratified_sample(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_split_assign(sf_dir: str):
+    """Deterministic md5-keyed train/val/test assignment (pure row rule —
+    a doc never changes split as the corpus grows)."""
+    from search_engine_ray.pipelines.webcorpus import split_assign
+
+    out = split_assign(_read_docs(sf_dir, columns=("doc_id",)), _SPLITS).to_pandas()
+    return (out[["doc_id", "split"]].astype({"doc_id": np.int64})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def q_pack_sequences(sf_dir: str):
     """Concat-and-chunk packing plan via the distributed prefix sum."""
     from search_engine_ray.pipelines.webcorpus import pack_sequences
@@ -2205,6 +2218,24 @@ def oracle_queries() -> dict[str, str]:
                     ELSE '{min(int(_STRATA_DEFAULT * 2**32), 2**32 - 1):08x}'
                   END
         """,
+        # split bounds accumulate EXACTLY like split_assign's kernel (same
+        # float additions), so bound hex strings are identical by construction
+        "split_assign": """
+            SELECT doc_id,
+                   CASE {} ELSE '{}' END AS split
+            FROM documents
+        """.format(
+            " ".join(
+                f"WHEN substr(md5(doc_id::VARCHAR), 1, 8) < "
+                f"'{min(int(c * 2**32), 2**32 - 1):08x}' THEN '{name}'"
+                for name, c in zip(
+                    list(_SPLITS)[:-1],
+                    (lambda fr: [sum(fr[: i + 1]) for i in range(len(fr) - 1)])(
+                        list(_SPLITS.values())),
+                )
+            ),
+            list(_SPLITS)[-1],
+        ),
         "pack_sequences": rf"""
             WITH tc AS (
               SELECT doc_id,
@@ -2886,6 +2917,7 @@ RAY_QUERIES = {
     "canonical_urls": q_canonical_urls,
     "host_cap": q_host_cap,
     "stratified_sample": q_stratified_sample,
+    "split_assign": q_split_assign,
     "pack_sequences": q_pack_sequences,
     "collocations": q_collocations,
     "cooccurrence": q_cooccurrence,

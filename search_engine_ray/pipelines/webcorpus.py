@@ -181,6 +181,52 @@ def stratified_sample(docs, fractions: dict[str, float],
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
+def split_assign(docs, splits: dict[str, float] | None = None,
+                 id_col: str = "doc_id", method: str = "md5"):
+    """Deterministic train/val/test split assignment: each row gets the
+    split whose cumulative hash-unit range contains u(doc). A pure row
+    rule (partition- and order-invariant, stable under re-runs and corpus
+    growth — a doc never changes split when other docs are added), the
+    property that makes held-out sets trustworthy at 100 TB.
+
+    ``splits`` maps name → fraction in DECLARATION order (must sum to ~1;
+    the last split absorbs rounding). method='md5' compares fixed-width
+    hex strings (exact DuckDB oracle twin); method='mix64' is the
+    vectorized no-Python production path under the same contract."""
+    from search_engine_ray.functions.hashing import md5_hex_batch, mix64
+
+    if splits is None:
+        splits = {"train": 0.9, "val": 0.05, "test": 0.05}
+    names = list(splits)
+    cum, bounds_hex, bounds_int = 0.0, [], []
+    for name in names[:-1]:
+        cum += splits[name]
+        v = min(int(cum * 2**32), 2**32 - 1)
+        bounds_hex.append(f"{v:08x}")
+        bounds_int.append(np.uint64(v))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "split": pa.array([], pa.string())})
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if method == "md5":
+            hx = [h[:8] for h in md5_hex_batch([str(int(i)) for i in ids])]
+            # first bound the unit is below = the split (searchsorted on
+            # the sorted cumulative bounds; bounds are ascending hex)
+            idx = np.searchsorted(np.array(bounds_hex, dtype=object), np.array(hx, dtype=object),
+                                  side="right")
+        else:
+            u = mix64(ids.view(np.uint64)) >> np.uint64(32)
+            idx = np.searchsorted(np.array(bounds_int, np.uint64), u, side="right")
+        name_arr = np.array(names, dtype=object)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "split": pa.array(name_arr[idx], pa.string())})
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
 def pack_sequences(docs, max_len: int, id_col: str = "doc_id",
                    text_col: str = "text"):
     """GPT-style concat-and-chunk packing plan: documents are concatenated

@@ -95,6 +95,36 @@ def test_stratified_sample_rule_and_invariance(ray_session):
     assert abs((m.lang == "en").sum() - 0.4 * n_en) < 0.1 * n_en
 
 
+def test_split_assign_rule_stability_and_coverage(ray_session):
+    import hashlib
+
+    from search_engine_ray.pipelines.webcorpus import split_assign
+
+    tbl = _pages(n=1000)
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = split_assign(_ds(tbl, 5), splits).to_pandas().set_index("doc_id")["split"]
+    out2 = split_assign(_ds(tbl, 17), splits).to_pandas().set_index("doc_id")["split"]
+    assert out.sort_index().equals(out2.sort_index())  # partition-invariant
+    # scalar spec: cumulative md5-hex bounds
+    b0, b1 = f"{int(0.8 * 2**32):08x}", f"{int((0.8 + 0.1) * 2**32):08x}"
+    for i in out.index[:200]:
+        h = hashlib.md5(str(int(i)).encode()).hexdigest()[:8]
+        want = "train" if h < b0 else ("val" if h < b1 else "test")
+        assert out[i] == want, i
+    # every row assigned exactly one split; fractions in the right ballpark
+    assert set(out.unique()) <= set(splits)
+    assert abs((out == "train").mean() - 0.8) < 0.06
+    # GROWTH STABILITY: adding docs never reassigns existing ones
+    bigger = _pages(n=2000)
+    out_big = split_assign(_ds(bigger, 7), splits).to_pandas().set_index("doc_id")["split"]
+    assert out_big.loc[out.index].sort_index().equals(out.sort_index())
+    # mix64 twin: same contract, vectorized path
+    m = split_assign(_ds(tbl, 5), splits, method="mix64").to_pandas()
+    m2 = split_assign(_ds(tbl, 9), splits, method="mix64").to_pandas()
+    assert m.sort_values("doc_id").split.tolist() == m2.sort_values("doc_id").split.tolist()
+    assert abs((m.split == "train").mean() - 0.8) < 0.06
+
+
 @pytest.mark.parametrize("parts", [1, 4, 19])
 def test_ordered_prefix_sum_matches_numpy(ray_session, parts):
     import ray.data
