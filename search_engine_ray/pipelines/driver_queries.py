@@ -423,6 +423,20 @@ def q_spell_correct(sf_dir: str):
             .sort_values("query_term").reset_index(drop=True))
 
 
+def q_facet_counts(sf_dir: str):
+    """Faceted search: language distribution of the docs matching ANY query
+    term (index OR retrieval → broadcast id probe over the corpus →
+    combiner groupby)."""
+    from search_engine_ray.pipelines.webcorpus import facet_counts
+
+    eng = engine_for(sf_dir)
+    ids = eng.boolean_or(Q_TEXT) - 1  # index doc_id = documents.doc_id + 1
+    docs = _read_docs(sf_dir, columns=("doc_id", "lang"))
+    out = facet_counts(docs, ids, "lang").to_pandas()
+    return (out.astype({"n_docs": np.int64})
+            .sort_values("lang").reset_index(drop=True))
+
+
 def q_exact_dedup(sf_dir: str):
     from search_engine_ray.pipelines.training_data import exact_dedup
 
@@ -1905,6 +1919,14 @@ def oracle_queries() -> dict[str, str]:
             ORDER BY query_term
             """
         ),
+        "facet_counts": _with(
+            f"""
+            , m AS (SELECT DISTINCT doc_id FROM postings WHERE term IN ({qterms}))
+            SELECT d.lang, count(*)::BIGINT AS n_docs
+            FROM m JOIN documents d USING (doc_id)
+            GROUP BY d.lang ORDER BY d.lang
+            """
+        ),
         "exact_dedup": """
             SELECT md5(text) AS text_hash, min(doc_id)::BIGINT AS keep_doc_id,
                    count(*)::BIGINT AS n_dupes
@@ -2901,6 +2923,7 @@ RAY_QUERIES = {
     "proximity": q_proximity,
     "fuzzy": q_fuzzy,
     "spell_correct": q_spell_correct,
+    "facet_counts": q_facet_counts,
     "exact_dedup": q_exact_dedup,
     "lang_counts": q_lang_counts,
     "text_stats": q_text_stats,

@@ -181,6 +181,50 @@ def stratified_sample(docs, fractions: dict[str, float],
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
+def facet_counts(docs, ids: "np.ndarray", facet_col: str,
+                 id_col: str = "doc_id"):
+    """Faceted counts over a retrieval result: (facet value, n_docs) for
+    the rows of ``docs`` whose ``id_col`` is in ``ids`` (the matched-doc
+    set of a search). The id array is broadcast ONCE (ray.put) and probed
+    by searchsorted inside map_batches — the corpus streams, nothing
+    corpus-sized moves; per-batch partial counts reduce in one tiny
+    groupby. Payload is O(result set): bound it with a selective query or
+    a top-k cut before faceting when results can approach corpus size."""
+    import ray
+
+    from search_engine_ray.stages.grouped import grouped_reduce
+
+    wanted = np.sort(np.asarray(ids, np.int64))
+    ref = ray.put(wanted)
+
+    def part(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        empty = pa.table({facet_col: pa.array([], pa.string()),
+                          "n_part": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        w = ray.get(ref)
+        v = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(w) == 0:
+            return empty
+        pos = np.searchsorted(w, v)
+        pos[pos >= len(w)] = 0
+        mask = w[pos] == v
+        if not mask.any():
+            return empty
+        fv = batch[facet_col].filter(pa.array(mask))
+        if isinstance(fv, pa.ChunkedArray):
+            fv = fv.combine_chunks()
+        enc = fv.dictionary_encode()
+        cnt = np.bincount(enc.indices.to_numpy(zero_copy_only=False),
+                          minlength=len(enc.dictionary))
+        return pa.table({facet_col: enc.dictionary.cast(pa.string()),
+                         "n_part": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    parts = docs.map_batches(part, batch_format="pyarrow")
+    return grouped_reduce(parts, [facet_col], sums=[("n_part", "n_docs")])
+
+
 def split_assign(docs, splits: dict[str, float] | None = None,
                  id_col: str = "doc_id", method: str = "md5"):
     """Deterministic train/val/test split assignment: each row gets the
