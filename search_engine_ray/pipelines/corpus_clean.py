@@ -273,6 +273,117 @@ def new_vs_snapshot(new_docs: "ray.data.Dataset",
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter membership sketch (Bloom 1970) — the O(bits)-broadcast
+# alternative to new_vs_snapshot's O(N) shuffle when the snapshot is huge
+# but re-shuffling it every crawl is too expensive.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(texts, n_bits: int, k: int) -> np.ndarray:
+    """(rows, k) uint64 bit positions via double hashing (Kirsch &
+    Mitzenmacher 2006): pos_i = (h1 + i·h2) mod n_bits with h2 forced odd.
+    Deterministic — the corpus poly hash seeds it."""
+    from search_engine_ray.functions.hashing import hash_strings_arrow, mix64
+
+    h1 = hash_strings_arrow(texts)
+    h2 = mix64(h1) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    return (h1[:, None] + i * h2[:, None]) % np.uint64(n_bits)
+
+
+def bloom_filter_build(ds, text_col: str = "text", n_bits: int = 1 << 22,
+                       k: int = 4) -> np.ndarray:
+    """Build a Bloom bitmap over md-hashed ``text_col`` values →
+    packed uint64 word array of length n_bits/64. MERGEABLE shape: each
+    block emits its DISTINCT set-bit positions (≤ k·rows, ≤ n_bits);
+    a grouped_reduce dedups them globally; a second wave packs bits into
+    (word, lo32, hi32) partials whose per-word SUM equals the bitwise OR
+    (every bit occurs exactly once globally — no overflow, each 32-bit
+    half sums distinct powers of two). The driver only ever holds the
+    ≤ n_bits/64-row nonzero word table, i.e. the bitmap itself."""
+    from search_engine_ray.stages.grouped import grouped_reduce
+
+    if n_bits % 64:
+        raise ValueError("n_bits must be a multiple of 64")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return pa.table({"bit": pa.array([], pa.int64())})
+        pos = _bloom_positions(batch[text_col], n_bits, k)
+        return pa.table({"bit": pa.array(np.unique(pos).astype(np.int64), pa.int64())})
+
+    bits = grouped_reduce(ds.map_batches(partial, batch_format="pyarrow"), ["bit"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        if b.num_rows == 0:
+            return pa.table({"word": pa.array([], pa.int64()),
+                             "lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        bit = b["bit"].to_numpy(zero_copy_only=False).astype(np.int64)
+        word = bit >> 6
+        off = (bit & 63).astype(np.uint64)
+        lo = np.where(off < 32, np.uint64(1) << off, np.uint64(0)).astype(np.int64)
+        hi = np.where(off >= 32, np.uint64(1) << (off - np.uint64(32)),
+                      np.uint64(0)).astype(np.int64)
+        order = np.argsort(word, kind="stable")
+        word, lo, hi = word[order], lo[order], hi[order]
+        starts = np.flatnonzero(np.r_[True, word[1:] != word[:-1]])
+        return pa.table({"word": pa.array(word[starts], pa.int64()),
+                         "lo": pa.array(np.add.reduceat(lo, starts), pa.int64()),
+                         "hi": pa.array(np.add.reduceat(hi, starts), pa.int64())})
+
+    words = grouped_reduce(bits.map_batches(pack, batch_format="pyarrow"),
+                           ["word"], sums=[("lo", "lo"), ("hi", "hi")])
+    bitmap = np.zeros(n_bits // 64, np.uint64)
+    for b in words.iter_batches(batch_format="pyarrow"):
+        w = b["word"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = b["lo"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hi = b["hi"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bitmap[w] = lo | (hi << np.uint64(32))
+    return bitmap
+
+
+def new_vs_snapshot_bloom(new_docs: "ray.data.Dataset",
+                          snapshot_docs: "ray.data.Dataset",
+                          id_col: str = "doc_id", text_col: str = "text",
+                          n_bits: int = 1 << 22, k: int = 4):
+    """Incremental-crawl dedup via a Bloom sketch of the snapshot: rows of
+    ``new_docs`` whose text is DEFINITELY not in ``snapshot_docs`` → (id).
+    NO FALSE NEGATIVES (every true duplicate is suppressed — Bloom
+    membership has no misses); a small deterministic false-positive
+    fraction of genuinely-new docs is also suppressed (rate ≈
+    (1 − e^(−k·n/m))^k; size n_bits ≈ 10 bits/doc for <1%).
+
+    Scale shape vs :func:`new_vs_snapshot`: the snapshot never shuffles —
+    it reduces to an n_bits/8-byte bitmap broadcast once (ray.put) and the
+    new side streams through a vectorized probe. Use the exact anti-join
+    when FPs are unacceptable; use this when the snapshot side dominates
+    and an O(bits) broadcast beats an O(N) exchange."""
+    bitmap = bloom_filter_build(snapshot_docs, text_col=text_col,
+                                n_bits=n_bits, k=k)
+    ref = ray.put(bitmap)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "probe_hits": pa.array([], pa.int64())})
+        bm = ray.get(ref)
+        pos = _bloom_positions(batch[text_col], n_bits, k)
+        word = (pos >> np.uint64(6)).astype(np.int64)
+        bitsel = (np.uint64(1) << (pos & np.uint64(63)))
+        hits = ((bm[word] & bitsel) != 0).sum(axis=1)
+        idx = np.flatnonzero(hits < k)  # any unset bit ⇒ definitely new
+        return pa.table({id_col: batch[id_col].take(pa.array(idx)).cast(pa.int64()),
+                         # how close each kept doc came to a false positive
+                         "probe_hits": pa.array(hits[idx].astype(np.int64), pa.int64())})
+
+    return new_docs.map_batches(probe, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # Cross-document line-level dedup (CCNet-style paragraph dedup)
 # ---------------------------------------------------------------------------
 

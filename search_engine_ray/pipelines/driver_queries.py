@@ -1089,6 +1089,30 @@ def q_new_vs_snapshot(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_bloom_new_docs(sf_dir: str):
+    """Bloom-sketch incremental dedup (rows-only: FP set depends on the
+    sketch, pytest bounds it): odd-id docs probed against an even-id
+    snapshot bitmap — O(bits) broadcast, the snapshot never shuffles.
+    Generous sizing (≥32 bits/key at sf0.01) keeps FPs ~0 here; the
+    no-false-negative guarantee is structural."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from search_engine_ray.pipelines.corpus_clean import new_vs_snapshot_bloom
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def half(parity):
+        return lambda b: b.filter(
+            pc.equal(pc.bit_wise_and(b["doc_id"], 1), parity))
+
+    snap = docs.map_batches(half(0), batch_format="pyarrow")
+    new = docs.map_batches(half(1), batch_format="pyarrow")
+    out = new_vs_snapshot_bloom(new, snap, n_bits=1 << 20, k=4).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_dedup_lines(sf_dir: str):
     """CCNet-style cross-document line dedup: every non-empty line survives
     exactly once corpus-wide, in its smallest (doc_id, line_idx)."""
@@ -2980,6 +3004,7 @@ RAY_QUERIES = {
     "ann_ivf_full": q_ann_ivf_full,
     "ann_lsh_full": q_ann_lsh_full,
     # rows-only (no SQL oracle): stateful/approx/sketch operators
+    "bloom_new_docs": q_bloom_new_docs,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "cosine_neardup": q_cosine_neardup,

@@ -121,6 +121,64 @@ class TestNewVsSnapshot:
         assert len(out) == 0
 
 
+class TestNewVsSnapshotBloom:
+    def test_no_false_negatives_and_bounded_fps(self, ray_session):
+        """Every true duplicate is suppressed (Bloom has no misses); at
+        10+ bits/key the definitely-new set loses <5% to false positives;
+        the result is a subset of the exact anti-join's."""
+        import ray.data
+
+        from search_engine_ray.pipelines.corpus_clean import (
+            new_vs_snapshot,
+            new_vs_snapshot_bloom,
+        )
+
+        snap = ray.data.from_items(
+            [{"doc_id": i, "text": f"snapshot page {i}"} for i in range(2000)],
+            override_num_blocks=5,
+        )
+        new_rows = (
+            [{"doc_id": 10_000 + i, "text": f"snapshot page {i}"} for i in range(300)]
+            + [{"doc_id": 20_000 + i, "text": f"fresh page {i}"} for i in range(700)]
+        )
+        new = ray.data.from_items(new_rows, override_num_blocks=4)
+        kw = dict(n_bits=1 << 16, k=4)  # 65536 bits / 2000 keys ≈ 32 b/key
+        got = set(new_vs_snapshot_bloom(new, snap, **kw).to_pandas()["doc_id"])
+        exact = set(new_vs_snapshot(new, snap).to_pandas()["doc_id"])
+        truly_new = {20_000 + i for i in range(700)}
+        assert exact == truly_new
+        assert got <= exact                      # no false negatives ever
+        assert len(got) >= 0.95 * len(exact)     # FP loss bounded
+        # partition invariance: the sketch + probe are layout-independent
+        got2 = set(new_vs_snapshot_bloom(new.repartition(11),
+                                         snap.repartition(7), **kw)
+                   .to_pandas()["doc_id"])
+        assert got2 == got
+
+    def test_bitmap_build_matches_direct_or(self, ray_session):
+        """The distributed two-wave pack (distinct bits → summed 32-bit
+        halves) equals a direct single-process bitmap OR."""
+        import pyarrow as pa
+        import ray.data
+
+        from search_engine_ray.pipelines.corpus_clean import (
+            _bloom_positions,
+            bloom_filter_build,
+        )
+
+        texts = [f"page {i}" for i in range(500)]
+        ds = ray.data.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+        n_bits, k = 1 << 12, 5
+        got = bloom_filter_build(ds.repartition(9), n_bits=n_bits, k=k)
+        want = np.zeros(n_bits // 64, np.uint64)
+        pos = _bloom_positions(pa.array(texts, pa.string()), n_bits, k).ravel()
+        for p in pos:
+            want[int(p) >> 6] |= np.uint64(1) << np.uint64(int(p) & 63)
+        assert (got == want).all()
+        # bit 63 of a word (the hi-half top bit) must survive the packing
+        assert any((int(p) & 63) >= 32 for p in pos)
+
+
 class TestDedupLinesGlobal:
     ROWS = [
         {"doc_id": 1, "text": "alpha beta\nshared boilerplate\nunique one"},

@@ -120,6 +120,7 @@ def test_sql_parity(entry, con, name):
 
 @pytest.mark.parametrize(
     "name", ["heavy_hitters", "ann_ivf_topk", "bpe_tokens", "training_shards",
+             "bloom_new_docs",
              "ann_lsh_topk", "cosine_neardup", "value_quantiles_approx", "vocab_size_hll",
              "embedding_clusters", "semdedup_pairs"]
 )
