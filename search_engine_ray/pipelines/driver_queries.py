@@ -490,6 +490,20 @@ def q_doc_keywords(sf_dir: str):
                .sort_values(["doc_id", "rank"]).reset_index(drop=True))
 
 
+_KNN_K, _KNN_CAP = 3, 1000
+
+
+def q_sparse_knn(sf_dir: str):
+    """Per-doc top-k TF-IDF-cosine neighbours through the inverted index
+    (sparse all-pairs similarity; df-pruned pair generation, segmented
+    enumeration inside whole-term-group batches)."""
+    from search_engine_ray.pipelines.training_data import sparse_knn
+
+    out = sparse_knn(_read_docs(sf_dir), k=_KNN_K, df_cap=_KNN_CAP).to_pandas()
+    return (out.astype({"doc_id": np.int64, "rank": np.int64, "nbr_id": np.int64})
+            .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+
+
 _PROJ_DIM = 8  # driver-query projection width (keeps the oracle SQL compact)
 
 
@@ -2406,6 +2420,39 @@ def oracle_queries() -> dict[str, str]:
                    MAX(doc_id)::BIGINT AS doc_id
             FROM documents GROUP BY 1
         """,
+        # sparse kNN: tf-idf cosine through the posting lists; weights,
+        # norms and the pair space all restricted to 2 ≤ df ≤ cap so the
+        # cosine is exact in the pruned vector space on both sides
+        "sparse_knn": _with(
+            f"""
+            , nd AS (SELECT count(*)::DOUBLE AS n FROM documents)
+            , dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term)
+            , w AS (
+                SELECT p.doc_id, p.term, p.tf * log10(nd.n / dfs.df) AS ww
+                FROM postings p JOIN dfs USING (term) CROSS JOIN nd
+                WHERE dfs.df BETWEEN 2 AND {_KNN_CAP}
+            )
+            , nrm AS (SELECT doc_id, sqrt(sum(ww * ww)) AS nn FROM w GROUP BY doc_id)
+            , dots AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, sum(x.ww * y.ww) AS dot
+                FROM w x JOIN w y ON x.term = y.term AND y.doc_id > x.doc_id
+                GROUP BY x.doc_id, y.doc_id
+            )
+            , sims AS (
+                SELECT a, b, round(dot / (na.nn * nb.nn), 6) AS sim_r
+                FROM dots JOIN nrm na ON na.doc_id = a
+                          JOIN nrm nb ON nb.doc_id = b
+                WHERE na.nn > 0 AND nb.nn > 0
+            )
+            , sym AS (SELECT a AS doc_id, b AS nbr_id, sim_r FROM sims
+                      UNION ALL SELECT b, a, sim_r FROM sims)
+            , r AS (SELECT doc_id, nbr_id, sim_r,
+                           ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY sim_r DESC, nbr_id)::BIGINT AS rank
+                    FROM sym)
+            SELECT doc_id, rank, nbr_id, sim_r FROM r WHERE rank <= {_KNN_K}
+            """
+        ),
         # windowed co-occurrence: unordered pair counts over the SAME
         # emitted-token position space the index stores (lem CTE); pair
         # canonicalization = binary-collation least/greatest, matching the
@@ -2953,6 +3000,7 @@ RAY_QUERIES = {
     "text_stats": q_text_stats,
     "gopher_rules": q_gopher_rules,
     "doc_keywords": q_doc_keywords,
+    "sparse_knn": q_sparse_knn,
     "doc_logprob": q_doc_logprob,
     "dsir_weights": q_dsir_weights,
     "doc_novelty": q_doc_novelty,

@@ -392,6 +392,179 @@ def doc_keywords(docs: "ray.data.Dataset", k: int = 3, id_col: str = "doc_id",
     return sorted_group_map(scored, [id_col], topk_block)
 
 
+def sparse_knn(docs: "ray.data.Dataset", k: int = 3, df_cap: int = 10_000,
+               id_col: str = "doc_id", text_col: str = "text",
+               round_digits: int = 6):
+    """Per-doc top-``k`` nearest neighbours by TF-IDF cosine computed
+    THROUGH the inverted index (sparse all-pairs similarity, the
+    DISCO/Lin'09 shape): two docs only meet where they share a term, so
+    the pair space is generated per posting-list group instead of N².
+
+    → (doc_id, rank, nbr_id, sim_r); rank by (sim_r desc, nbr_id asc),
+    sim rounded BEFORE ranking (float64 both sides, oracle-identical).
+
+    The vector space is the terms with 2 ≤ df ≤ ``df_cap``: df=1 terms
+    cannot pair, and df > df_cap posting lists are pruned BEFORE pair
+    generation (the standard stop-word guard — a term with df=d emits
+    d(d−1)/2 pairs, so one hot term would otherwise dominate the exchange;
+    weights and norms use the same pruned space so the cosine is exact in
+    it). Distributed shape: one tokenize wave → sorted_group_map over
+    whole term groups (segmented pair enumeration, no per-group Python;
+    df = group size, so no df join) → (a, b) grouped_reduce for dots,
+    b = −1 rows reduce to norms² in the same exchange → two hash joins
+    attach norms → per-doc top-k via one more sorted_group_map."""
+    import pyarrow.compute as pc
+
+    from search_engine_ray.stages.grouped import grouped_reduce, sorted_group_map
+    from search_engine_ray.stages.tokenize import tokenize_stage
+
+    n_docs = docs.count()
+    postings = tokenize_stage(docs).map_batches(
+        lambda b: b.filter(pc.not_equal(b["term"], "")).select(["term", id_col, "tf"]),
+        batch_format="pyarrow")
+
+    empty_pairs = pa.table({"a": pa.array([], pa.int64()),
+                            "b": pa.array([], pa.int64()),
+                            "v": pa.array([], pa.float64())})
+
+    def pair_kernel(batch: pa.Table) -> pa.Table:
+        """Whole term groups, rows sorted (term, doc_id). Emits pair dot
+        contributions (a < b by in-group doc order) and per-doc norm²
+        rows tagged b = −1 — one table, one downstream exchange."""
+        batch = batch.combine_chunks()
+        n = batch.num_rows
+        if n == 0:
+            return empty_pairs
+        enc = batch["term"].dictionary_encode().combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        change = np.empty(n, bool)
+        change[0] = True
+        np.not_equal(codes[1:], codes[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        sizes = np.diff(np.r_[starts, n])
+        m = np.repeat(sizes, sizes)                      # group size per row
+        keep = (m >= 2) & (m <= df_cap)
+        if not keep.any():
+            return empty_pairs
+        gstart = np.repeat(starts, sizes)
+        w = tf * np.log10(float(n_docs) / m)             # df == group size
+        # norm² contributions (pruned space only)
+        na = dids[keep]
+        nv = (w * w)[keep]
+        # segmented pair enumeration over kept rows, re-segmented
+        kidx = np.flatnonzero(keep)
+        kd, kw = dids[kidx], w[kidx]
+        kg = gstart[kidx]
+        kn = len(kidx)
+        gchange = np.empty(kn, bool)
+        gchange[0] = True
+        np.not_equal(kg[1:], kg[:-1], out=gchange[1:])
+        kstarts = np.flatnonzero(gchange)
+        ksizes = np.diff(np.r_[kstarts, kn])
+        l = np.arange(kn) - np.repeat(kstarts, ksizes)   # local rank in group
+        rep = np.repeat(ksizes, ksizes) - 1 - l          # pairs led by each row
+        P = int(rep.sum())
+        if P:
+            ai = np.repeat(np.arange(kn), rep)
+            excl = np.concatenate(([0], np.cumsum(rep)[:-1]))
+            bi = np.arange(P) - excl[ai] + ai + 1
+            pa_ = kd[ai]
+            pb_ = kd[bi]
+            pv = kw[ai] * kw[bi]
+        else:
+            pa_ = pb_ = np.zeros(0, np.int64)
+            pv = np.zeros(0, np.float64)
+        return pa.table({
+            "a": pa.array(np.concatenate([pa_, na]), pa.int64()),
+            "b": pa.array(np.concatenate([pb_, np.full(len(na), -1, np.int64)]),
+                          pa.int64()),
+            "v": pa.array(np.concatenate([pv, nv]), pa.float64()),
+        })
+
+    parts = sorted_group_map(postings, ["term"], pair_kernel,
+                             sort_cols=["term", id_col])
+    red = grouped_reduce(parts, ["a", "b"], sums=[("v", "s")]).materialize()
+
+    def norm_fn(t: pa.Table) -> pa.Table:
+        # explicit empty schema: pa.table over zero-chunk ChunkedArrays
+        # degrades to a SCHEMALESS empty block, which poisons the join's
+        # hash partitions ("No match for FieldRef doc_id")
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "nrm": pa.array([], pa.float64())})
+        return pa.table({id_col: t["a"], "nrm": pc.sqrt(t["s"])})
+
+    norms = red.filter(expr="b == -1").map_batches(norm_fn, batch_format="pyarrow")
+    dots = red.filter(expr="b >= 0")
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:  # pragma: no cover
+        ncpu = 8
+    npart = max(4, ncpu // 2)
+    from search_engine_ray.stages.grouped import coalesce_for_join
+
+    norms = coalesce_for_join(norms, npart).materialize()
+    dots = coalesce_for_join(dots, npart)
+    j = (dots.join(norms, join_type="inner", num_partitions=npart,
+                   on=("a",), right_on=(id_col,))
+             .join(norms, join_type="inner", num_partitions=npart,
+                   on=("b",), right_on=(id_col,), right_suffix="_b"))
+
+    def sym(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "nbr_id": pa.array([], pa.int64()),
+                             "sim_r": pa.array([], pa.float64())})
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        na = batch["nrm"].to_numpy(zero_copy_only=False)
+        nb = batch["nrm_b"].to_numpy(zero_copy_only=False)
+        # zero-norm docs (every pruned term at df == N has weight 0) have
+        # no defined direction — drop, matching the oracle's nn > 0 guard
+        ok = (na > 0) & (nb > 0)
+        a, b, s, na, nb = a[ok], b[ok], s[ok], na[ok], nb[ok]
+        sim = np.round(s / (na * nb), round_digits)
+        return pa.table({id_col: pa.array(np.concatenate([a, b]), pa.int64()),
+                         "nbr_id": pa.array(np.concatenate([b, a]), pa.int64()),
+                         "sim_r": pa.array(np.concatenate([sim, sim]), pa.float64())})
+
+    sims = j.map_batches(sym, batch_format="pyarrow")
+    empty_out = pa.table({id_col: pa.array([], pa.int64()),
+                          "rank": pa.array([], pa.int64()),
+                          "nbr_id": pa.array([], pa.int64()),
+                          "sim_r": pa.array([], pa.float64())})
+
+    def topk_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty_out
+        batch = batch.combine_chunks()
+        dids = batch[id_col].to_numpy(zero_copy_only=False)
+        nbr = batch["nbr_id"].to_numpy(zero_copy_only=False)
+        sim = batch["sim_r"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nbr, -sim, dids))
+        sd = dids[order]
+        n = len(sd)
+        change = np.empty(n, bool)
+        change[0] = True
+        change[1:] = sd[1:] != sd[:-1]
+        gstart = np.maximum.accumulate(np.where(change, np.arange(n), 0))
+        rank = np.arange(n) - gstart + 1
+        keep = rank <= k
+        sel = order[keep]
+        return pa.table({id_col: batch[id_col].take(pa.array(sel)).cast(pa.int64()),
+                         "rank": pa.array(rank[keep], pa.int64()),
+                         "nbr_id": batch["nbr_id"].take(pa.array(sel)).cast(pa.int64()),
+                         "sim_r": batch["sim_r"].take(pa.array(sel))})
+
+    return sorted_group_map(sims, [id_col], topk_block,
+                            sort_cols=[id_col, "nbr_id"])
+
+
 def doc_logprob(docs: "ray.data.Dataset", id_col: str = "doc_id",
                 text_col: str = "text", round_digits: int = 6):
     """CCNet-style unigram-LM quality proxy: per-doc mean token
@@ -2251,12 +2424,17 @@ def ngram_jaccard_verify(pairs_ds, docs, shingle_k=3, threshold=0.5,
                for i in range(batch.num_rows)]
         return pa.table({id_col: batch[id_col], "sh": pa.array(out, pa.binary())})
 
-    sets_ds = docs.map_batches(shingle_sets, batch_format="pyarrow").materialize()
     try:
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     except Exception:  # pragma: no cover
         ncpu = 8
     npart = max(4, ncpu // 2)
+    from search_engine_ray.stages.grouped import coalesce_for_join
+
+    # the semi-join filter can empty whole blocks → schemaless empties that
+    # poison the join's hash partitions (see coalesce_for_join)
+    sets_ds = coalesce_for_join(
+        docs.map_batches(shingle_sets, batch_format="pyarrow"), npart).materialize()
     j1 = pairs_ds.join(sets_ds, join_type="inner", num_partitions=npart,
                        on=("a",), right_on=(id_col,))
     j2 = j1.join(sets_ds, join_type="inner", num_partitions=npart,

@@ -24,6 +24,20 @@ import numpy as np
 import pyarrow as pa
 
 
+def coalesce_for_join(ds, n_parts: int):
+    """Workaround for a Ray Data wart on the road to ``Dataset.join``:
+    map_batches normalizes EMPTY output blocks to zero-column (schemaless)
+    blocks — even when the UDF returns a correctly-typed empty table — and
+    the hash-shuffle join then fails with "No match or multiple matches for
+    key field reference ... on right side" when such a block lands in a
+    partition. ``repartition`` rebuilds blocks and drops the schemaless
+    empties; call this on any join input produced by a filter/map chain
+    that can yield empty blocks (only reachable with tiny data — at scale
+    these datasets have no empty blocks — so the extra exchange is cheap
+    exactly when it triggers)."""
+    return ds.repartition(max(2, int(n_parts)))
+
+
 def _group_change_mask(batch: pa.Table, key_cols: list[str]) -> np.ndarray:
     """bool[n]: True where a new (key_cols) group starts (batch sorted)."""
     n = batch.num_rows

@@ -378,6 +378,86 @@ class TestBatchPairJaccard:
         assert batch_pair_jaccard(a, b)[0] == pytest.approx(0.1)
 
 
+class TestSparseKnn:
+    TEXTS = ["red apple pie", "red apple tart", "green pear pie",
+             "pear tart snack", "red red apple", "unique zebra",
+             "apple pie pie", "green apple snack"]
+
+    def _brute(self, texts, k, cap):
+        import math
+        from collections import Counter
+
+        N = len(texts)
+        tfs = [Counter(t.split()) for t in texts]
+        df = Counter()
+        for c in tfs:
+            df.update(c.keys())
+        vocab = [w for w in df if 2 <= df[w] <= cap]
+        V = {w: i for i, w in enumerate(vocab)}
+        M = np.zeros((N, len(vocab)))
+        for i, c in enumerate(tfs):
+            for w, f in c.items():
+                if w in V:
+                    M[i, V[w]] = f * math.log10(N / df[w])
+        nrm = np.linalg.norm(M, axis=1)
+        want = {}
+        for i in range(N):
+            sims = []
+            for j in range(N):
+                if j == i or nrm[i] == 0 or nrm[j] == 0:
+                    continue
+                if not any(M[i, V[w]] and M[j, V[w]] for w in vocab):
+                    continue  # never meet in any posting list
+                sims.append((round(float(M[i] @ M[j]) / (nrm[i] * nrm[j]), 6), j))
+            sims.sort(key=lambda t: (-t[0], t[1]))
+            want[i] = [(j, s) for s, j in sims[:k]]
+        return want
+
+    @pytest.mark.parametrize("parts", [1, 4])
+    def test_matches_brute_force(self, ray_session, parts):
+        import pyarrow as pa
+        import ray.data
+
+        from search_engine_ray.pipelines.training_data import sparse_knn
+
+        tbl = pa.table({"doc_id": pa.array(np.arange(len(self.TEXTS)), pa.int64()),
+                        "text": pa.array(self.TEXTS, pa.string())})
+        out = (sparse_knn(ray.data.from_arrow(tbl).repartition(parts), k=2, df_cap=100)
+               .to_pandas().sort_values(["doc_id", "rank"]))
+        want = self._brute(self.TEXTS, 2, 100)
+        for i, exp in want.items():
+            got = [(int(r.nbr_id), r.sim_r) for r in out[out.doc_id == i].itertuples()]
+            assert [g[0] for g in got] == [w[0] for w in exp], i
+            assert np.allclose([g[1] for g in got], [w[1] for w in exp]), i
+        # df=1-only doc has no neighbours
+        assert (out.doc_id != 5).all()
+
+    def test_df_cap_prunes_hot_terms(self, ray_session):
+        """With cap=2 the df-3 'red'/'pie' lists are pruned: doc 4
+        ('red red apple') only meets others through 'apple' (df... >cap too)
+        — shrink to a corpus where the cap bites measurably."""
+        import pyarrow as pa
+        import ray.data
+
+        from search_engine_ray.pipelines.training_data import sparse_knn
+
+        # 'hot' df=3 < N=4 so its full-space weight is positive; cap=2
+        # prunes it and the sims genuinely change
+        texts = ["a b hot", "a c hot", "b c hot", "solo only"]
+        tbl = pa.table({"doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                        "text": pa.array(texts, pa.string())})
+        ds = ray.data.from_arrow(tbl)
+        full = sparse_knn(ds, k=2, df_cap=3).to_pandas()
+        pruned = sparse_knn(ds, k=2, df_cap=2).to_pandas()
+        # pruned space excludes 'hot': sims now come only from a/b/c overlap
+        want = self._brute(texts, 2, 2)
+        for i, exp in want.items():
+            got = [(int(r.nbr_id), r.sim_r) for r in
+                   pruned[pruned.doc_id == i].sort_values("rank").itertuples()]
+            assert got == [(j, pytest.approx(s)) for j, s in exp], i
+        assert not full.equals(pruned)
+
+
 class TestIVFSampleUniform:
     def test_centroids_cover_sorted_table(self, ray_session):
         """On a SORTED table whose first sample_size rows are one cluster,
