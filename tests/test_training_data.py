@@ -378,6 +378,64 @@ class TestBatchPairJaccard:
         assert batch_pair_jaccard(a, b)[0] == pytest.approx(0.1)
 
 
+class TestLinearTextScorer:
+    TEXTS = ["Red Apple pie", "green tea", "", "one", "a b a b"]
+
+    def _spec(self, scorer, texts):
+        """Per-doc mean hashed-feature weight, scalar reference."""
+        import pyarrow as pa
+
+        out = {}
+        for i, t in enumerate(texts):
+            toks = t.lower().split()
+            feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            if not feats:
+                continue
+            bk = scorer._buckets(pa.array(feats, pa.string()))
+            s = float(np.mean(scorer.w[bk]))
+            out[i] = (len(feats), round(s, 6), int(s > 0))
+        return out
+
+    @pytest.mark.parametrize("mode", ["poly", "md5"])
+    @pytest.mark.parametrize("parts", [1, 3])
+    def test_matches_spec(self, ray_session, mode, parts):
+        import pyarrow as pa
+        import ray.data
+
+        from search_engine_ray.pipelines.training_data import (
+            LinearTextScorer,
+            classifier_scores,
+        )
+
+        tbl = pa.table({"doc_id": pa.array(np.arange(len(self.TEXTS)), pa.int64()),
+                        "text": pa.array(self.TEXTS, pa.string())})
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        out = classifier_scores(ds, n_buckets=512, mode=mode).to_pandas()
+        scorer = LinearTextScorer(n_buckets=512, mode=mode)
+        want = self._spec(scorer, self.TEXTS)
+        got = {int(r.doc_id): (int(r.n_features), r.score_r, int(r.label))
+               for r in out.itertuples()}
+        assert got.keys() == want.keys()   # empty doc absent
+        for i in want:
+            assert got[i][0] == want[i][0], i
+            assert got[i][1] == pytest.approx(want[i][1], abs=1e-9), i
+            assert got[i][2] == want[i][2], i
+
+    def test_custom_weights_injection(self, ray_session):
+        """The model-load seam: injected weights drive the scores."""
+        import pyarrow as pa
+        import ray.data
+
+        from search_engine_ray.pipelines.training_data import classifier_scores
+
+        tbl = pa.table({"doc_id": pa.array([0], pa.int64()),
+                        "text": pa.array(["x y"], pa.string())})
+        ds = ray.data.from_arrow(tbl)
+        ones = np.ones(512, np.float64)
+        out = classifier_scores(ds, n_buckets=512, weights=ones).to_pandas()
+        assert out.score_r.tolist() == [1.0] and out.label.tolist() == [1]
+
+
 class TestSparseKnn:
     TEXTS = ["red apple pie", "red apple tart", "green pear pie",
              "pear tart snack", "red red apple", "unique zebra",
