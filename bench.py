@@ -218,6 +218,55 @@ def run_bench() -> dict:
                    k=8, iters=6).count()
     results["semdedup"] = time.perf_counter() - t0
 
+    # --- round-3-late ops ---------------------------------------------------
+    import pyarrow.compute as pc
+
+    from search_engine_ray.pipelines.training_data import (
+        classifier_scores,
+        cooccurrence,
+        gopher_rules_table,
+        sparse_knn,
+    )
+
+    t0 = time.perf_counter()
+    gopher_rules_table(docs).count()
+    results["gopher_rules"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    classifier_scores(docs, n_buckets=1 << 16, mode="poly").count()
+    results["classifier_scores"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    cooccurrence(docs, window=3, k=20, min_count=5).count()
+    results["cooccurrence"] = time.perf_counter() - t0
+
+    # sparse_knn on the ZIPF corpus (realistic 30k vocab; the sf tables'
+    # 31-word vocab makes every df huge and the pair space degenerate).
+    # df_cap=256 prunes the Zipf head — the op's intended operating point.
+    import pyarrow as pa
+
+    def _zipf_docs(batch: pa.Table) -> pa.Table:
+        ids = pc.utf8_slice_codeunits(batch["url"], 16, 25)  # example-%09d
+        return pa.table({"doc_id": pc.cast(ids, pa.int64()),
+                         "text": batch["text"]})
+
+    zdocs = ray.data.read_parquet(corpus, columns=["url", "text"]).map_batches(
+        _zipf_docs, batch_format="pyarrow")
+    t0 = time.perf_counter()
+    sparse_knn(zdocs, k=3, df_cap=256).count()
+    results["sparse_knn_zipf"] = time.perf_counter() - t0
+
+    from search_engine_ray.pipelines.corpus_clean import new_vs_snapshot_bloom
+
+    t0 = time.perf_counter()
+    new_vs_snapshot_bloom(
+        docs.map_batches(lambda b: b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 1), 1)),
+                         batch_format="pyarrow"),
+        docs.map_batches(lambda b: b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 1), 0)),
+                         batch_format="pyarrow"),
+        n_bits=1 << 22, k=4).count()
+    results["bloom_new_docs"] = time.perf_counter() - t0
+
     # --- incremental indexing: append a ~10% delta, then compact ----------
     import pyarrow.compute as pc
 

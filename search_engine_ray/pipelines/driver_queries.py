@@ -2480,16 +2480,18 @@ def oracle_queries() -> dict[str, str]:
                 WHERE dfs.df BETWEEN 2 AND {_KNN_CAP}
             )
             , nrm AS (SELECT doc_id, sqrt(sum(ww * ww)) AS nn FROM w GROUP BY doc_id)
-            , dots AS (
-                SELECT x.doc_id AS a, y.doc_id AS b, sum(x.ww * y.ww) AS dot
-                FROM w x JOIN w y ON x.term = y.term AND y.doc_id > x.doc_id
-                GROUP BY x.doc_id, y.doc_id
+            -- mirror the kernel's float path: each doc vector is unit-
+            -- normalized BEFORE pairing (ŵ = ww/nn), the pair sum IS the
+            -- cosine — same multiplies/divides, same round
+            , wu AS (
+                SELECT w.doc_id, w.term, w.ww / nrm.nn AS wn
+                FROM w JOIN nrm USING (doc_id) WHERE nrm.nn > 0
             )
             , sims AS (
-                SELECT a, b, round(dot / (na.nn * nb.nn), 6) AS sim_r
-                FROM dots JOIN nrm na ON na.doc_id = a
-                          JOIN nrm nb ON nb.doc_id = b
-                WHERE na.nn > 0 AND nb.nn > 0
+                SELECT x.doc_id AS a, y.doc_id AS b,
+                       round(sum(x.wn * y.wn), 6) AS sim_r
+                FROM wu x JOIN wu y ON x.term = y.term AND y.doc_id > x.doc_id
+                GROUP BY x.doc_id, y.doc_id
             )
             , sym AS (SELECT a AS doc_id, b AS nbr_id, sim_r FROM sims
                       UNION ALL SELECT b, a, sim_r FROM sims)
