@@ -295,6 +295,27 @@ def q_bm25_distributed(sf_dir: str):
     return _ranked(scores, 4)
 
 
+_PRF_DOCS, _PRF_TERMS = 3, 2
+
+
+def q_bm25_prf(sf_dir: str):
+    """Pseudo-relevance-feedback BM25 (Rocchio-style expansion): pool tf
+    over the top-3 hits, add the 2 best pooled TF-IDF terms, re-score."""
+    import pyarrow.parquet as pqt
+
+    eng = engine_for(sf_dir)
+
+    def fetch(ids):
+        want = {int(i) - 1 for i in ids}  # index doc_id = documents.doc_id + 1
+        t = pqt.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return [tx for d, tx in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+                if d in want]
+
+    scores = eng.bm25_prf(Q_TEXT, fetch, k=10_000_000,
+                          fb_docs=_PRF_DOCS, fb_terms=_PRF_TERMS)
+    return _ranked(scores, 4)
+
+
 def q_bm25_wand(sf_dir: str):
     """Block-max WAND BM25 (query/wand.py) — must equal the exhaustive
     scorer row-for-row, so it shares bm25_topk's oracle SQL."""
@@ -1839,6 +1860,57 @@ def oracle_queries() -> dict[str, str]:
         "bm25_wand": out_bm25,
         "bm25_distributed": out_bm25,
         "bm25_segments": out_bm25,
+        # PRF: stage-1 bm25 → top fb_docs by (round(s,4) desc, doc) →
+        # pooled tf over those docs' postings (== tokenizing their texts;
+        # same tokenize produced the postings) → expansion terms by
+        # (round(tf·idf,6) desc, term) → stage-2 bm25 over the union set
+        "bm25_prf": _with(
+            f"""
+            , {doclen_cte}
+            , stats AS (SELECT avg(doc_length) AS avgdl FROM doclen)
+            , s1 AS (
+              SELECT p.doc_id,
+                     sum( ln(({n_docs} - t.df + 0.5) / (t.df + 0.5) + 1.0)
+                          * p.tf * (1.2 + 1.0)
+                          / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_length / s.avgdl)) ) AS s
+              FROM postings p
+              JOIN term_df t USING (term)
+              JOIN doclen dl ON dl.doc_id = p.doc_id
+              CROSS JOIN stats s
+              WHERE p.term IN ({qterms})
+              GROUP BY p.doc_id
+            )
+            , topr AS (SELECT doc_id FROM s1
+                       ORDER BY round(s, 4) DESC, doc_id LIMIT {_PRF_DOCS})
+            , pool AS (SELECT p.term, sum(p.tf)::BIGINT AS f
+                       FROM postings p JOIN topr USING (doc_id)
+                       GROUP BY p.term)
+            , exp_scored AS (
+              SELECT pool.term, round(pool.f * log10({n_docs} / t.df), 6) AS sc
+              FROM pool JOIN term_df t USING (term)
+              WHERE pool.term NOT IN ({qterms})
+            )
+            , expansion AS (SELECT term FROM exp_scored
+                            ORDER BY sc DESC, term LIMIT {_PRF_TERMS})
+            , qset AS (SELECT term FROM expansion
+                       UNION SELECT unnest([{qterms}]))
+            , s2 AS (
+              SELECT p.doc_id,
+                     sum( ln(({n_docs} - t.df + 0.5) / (t.df + 0.5) + 1.0)
+                          * p.tf * (1.2 + 1.0)
+                          / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_length / s.avgdl)) ) AS s
+              FROM postings p
+              JOIN term_df t USING (term)
+              JOIN doclen dl ON dl.doc_id = p.doc_id
+              CROSS JOIN stats s
+              WHERE p.term IN (SELECT term FROM qset)
+              GROUP BY p.doc_id
+            )
+            SELECT ROW_NUMBER() OVER (ORDER BY round(s, 4) DESC, doc_id)::BIGINT AS rank,
+                   doc_id + 1 AS doc_id, round(s, 4) AS score_r
+            FROM s2 ORDER BY round(s, 4) DESC, doc_id LIMIT {TOPK}
+            """
+        ),
         # minimum-should-match: the same BM25 sum restricted to docs with
         # ≥ _MSM distinct matched query terms (postings has one row per
         # (doc, term), so count(*) counts distinct matched terms)
@@ -3032,6 +3104,7 @@ RAY_QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "bm25_topk": q_bm25_topk,
     "bm25_msm": q_bm25_msm,
+    "bm25_prf": q_bm25_prf,
     "bm25_distributed": q_bm25_distributed,
     "bm25_wand": q_bm25_wand,
     "bm25_segments": q_bm25_segments,

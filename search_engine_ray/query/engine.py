@@ -378,6 +378,46 @@ class SearchEngine:
             hits = [h for h in hits if h[0] != exclude]
         return hits[:k]
 
+    def bm25_prf(self, query: str, fetch_texts, k: int = 10,
+                 fb_docs: int = 3, fb_terms: int = 2,
+                 select_digits: int = 4) -> list[tuple[int, float]]:
+        """Pseudo-relevance-feedback BM25 (Rocchio'71 / RM-style expansion):
+        run the query, pool the term frequencies of the top ``fb_docs``
+        hits, add the ``fb_terms`` highest-TF·IDF pooled terms not already
+        in the query, and re-score. ``fetch_texts(doc_ids) -> list[str]``
+        supplies the feedback docs' raw text (the index is posting-
+        addressed; it has no forward index, and PRF only ever needs
+        ``fb_docs`` texts — an O(1) point lookup, not a corpus pass).
+
+        Determinism contract (shared with the SQL oracle): feedback docs
+        are the top ``fb_docs`` by (score rounded to ``select_digits``
+        desc, doc_id asc); expansion terms rank by (pooled tf·idf rounded
+        to 6 desc, term asc)."""
+        first = self.bm25_topk(query, 10_000_000)
+        first.sort(key=lambda t: (-round(t[1], select_digits), t[0]))
+        fb_ids = [d for d, _ in first[:fb_docs]]
+        if not fb_ids:
+            return []
+        tf: dict[str, int] = {}
+        for text in fetch_texts(fb_ids):
+            for tok in self.tokenizer.tokenize(text):
+                if tok.word:
+                    tf[tok.word] = tf.get(tok.word, 0) + 1
+        orig = self.query_terms(query)
+        orig_set = set(orig)
+        scored = []
+        for term, f in tf.items():
+            if term in orig_set:
+                continue
+            m = self.lookup(term)
+            if m is None or m[1] == 0:
+                continue
+            s = round(float(f) * float(np.log10(float(self.num_docs) / float(m[1]))), 6)
+            scored.append((-s, term))
+        scored.sort()
+        expansion = [t for _s, t in scored[:fb_terms]]
+        return self.bm25_topk_terms(orig + expansion, k)
+
     def bm25_topk_wand(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """Block-max WAND top-k BM25 (query/wand.py): identical results to
         :meth:`bm25_topk` (ties included — pytest-enforced), but skips whole

@@ -134,6 +134,36 @@ class TestQueriesMatchOracle:
         for d, s in strict:
             assert s == pytest.approx(full[d], rel=0, abs=0), (q, d)
 
+    def test_bm25_prf_expands_and_reduces(self, built):
+        """fb_terms=0 ≡ plain bm25; with expansion the result equals bm25
+        over (query ∪ expansion) terms computed by a transparent spec."""
+        import math
+
+        engine, _oracle, _ = built
+        fetch = lambda ids: [TEXTS[i - 1] for i in ids]  # noqa: E731
+        q = "quick brown"
+        assert engine.bm25_prf(q, fetch, 10, fb_docs=3, fb_terms=0) \
+            == engine.bm25_topk(q, 10)
+        got = engine.bm25_prf(q, fetch, 10, fb_docs=3, fb_terms=2)
+        # spec: top-3 docs by rounded score, pooled tf, top-2 tf·idf terms
+        first = engine.bm25_topk(q, 10_000)
+        first.sort(key=lambda t: (-round(t[1], 4), t[0]))
+        fb = [d for d, _ in first[:3]]
+        tf = {}
+        for d in fb:
+            for tok in engine.tokenizer.tokenize(TEXTS[d - 1]):
+                if tok.word:
+                    tf[tok.word] = tf.get(tok.word, 0) + 1
+        orig = engine.query_terms(q)
+        scored = sorted(
+            (-round(f * math.log10(engine.num_docs / engine.lookup(t)[1]), 6), t)
+            for t, f in tf.items() if t not in set(orig) and engine.lookup(t)
+        )
+        expansion = [t for _s, t in scored[:2]]
+        assert expansion, "fixture should produce expansion terms"
+        assert got == engine.bm25_topk_terms(orig + expansion, 10)
+        assert got != engine.bm25_topk(q, 10)  # expansion changed ranking
+
     @pytest.mark.parametrize(
         "q", ["quick brown", "phrase target", "the quick brown fox", "brown fox",
               "hello world", "alpha beta", "beta alpha", "word1 word2", "common word"]
