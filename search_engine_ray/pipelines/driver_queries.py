@@ -417,6 +417,17 @@ def q_proximity(sf_dir: str):
     return pd.DataFrame(rows, columns=["doc_id", "pp1", "pp2"]).astype(np.int64)
 
 
+_PREFIX = "s"
+
+
+def q_prefix_search(sf_dir: str):
+    """Autocomplete: dictionary range scan for terms starting with a
+    prefix, ranked (df desc, term asc)."""
+    eng = engine_for(sf_dir)
+    rows = eng.prefix_search(_PREFIX, k=TOPK)
+    return pd.DataFrame(rows, columns=["term", "df"]).astype({"df": np.int64})
+
+
 def q_fuzzy(sf_dir: str):
     """J3: BK-tree Levenshtein term lookup."""
     eng = engine_for(sf_dir)
@@ -2031,6 +2042,13 @@ def oracle_queries() -> dict[str, str]:
               AND b.position > a.position AND b.position - a.position <= {PROX[2]}
             """
         ),
+        "prefix_search": _with(
+            f"""
+            SELECT term, df FROM term_df
+            WHERE starts_with(term, '{_PREFIX}')
+            ORDER BY df DESC, term LIMIT {TOPK}
+            """
+        ),
         "fuzzy": _with(
             f"SELECT DISTINCT term FROM term_df WHERE levenshtein(term, '{FUZZY[0]}') <= {FUZZY[1]} ORDER BY term"
         ),
@@ -3115,6 +3133,7 @@ RAY_QUERIES = {
     "within_window": q_within_window,
     "proximity": q_proximity,
     "fuzzy": q_fuzzy,
+    "prefix_search": q_prefix_search,
     "spell_correct": q_spell_correct,
     "facet_counts": q_facet_counts,
     "exact_dedup": q_exact_dedup,

@@ -129,6 +129,10 @@ class SearchEngine:
         else:
             self._sdict = None
             self._dict = {t: (tid, df) for t, tid, df in zip(terms, tids, dfs)}
+            # sorted view for range scans (prefix_search); the hash repr
+            # already holds every string, so this adds only the list spine
+            self._sorted_terms = terms
+            self._sorted_dfs = dfs
         # bounded memo over front-coded lookups: the blocked dict is ~8x
         # smaller but each probe pays a block binary-search + decode
         # (measured 12x slower on the cache-hot query path); Zipfian query
@@ -225,6 +229,38 @@ class SearchEngine:
             self._cache.pop(next(iter(self._cache)))
         self._cache[term] = tp
         return tp
+
+    def prefix_search(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+        """Autocomplete: dictionary terms starting with ``prefix``
+        (lowercased — index terms are post-normalization lowercase),
+        ranked (df desc, term asc), top ``k``. A RANGE SCAN on the sorted
+        dictionary — O(log V) seek + O(matches) walk, no full-vocabulary
+        pass (the reference's sorted on-disk dictionary supports the same
+        access; its engine never exposed it)."""
+        import bisect
+
+        p = prefix.lower()
+        if not p:
+            return []
+        out: list[tuple[str, int]] = []
+        if self._sdict is not None:
+            i = self._sdict.lower_bound(p)
+            while i < self._sdict.n:
+                t = self._sdict.term_at(i)
+                if not t.startswith(p):
+                    break
+                out.append((t, int(self._sdict.dfs[i])))
+                i += 1
+        else:
+            i = bisect.bisect_left(self._sorted_terms, p)
+            while i < len(self._sorted_terms):
+                t = self._sorted_terms[i]
+                if not t.startswith(p):
+                    break
+                out.append((t, int(self._sorted_dfs[i])))
+                i += 1
+        out.sort(key=lambda e: (-e[1], e[0]))
+        return out[:k]
 
     def query_terms(self, query: str) -> list[str]:
         """Distinct query terms in first-occurrence order."""

@@ -94,6 +94,34 @@ class BlockedStringDict:
             return None
         return int(self.term_ids[i]), int(self.dfs[i])
 
+    def lower_bound(self, key: str) -> int:
+        """Index of the first term ≥ key (== n when every term < key).
+        Block binary search + in-block scan, same access pattern as
+        :meth:`lookup`."""
+        kb = key.encode("utf-8")
+        if self.n == 0:
+            return 0
+        lo, hi = 0, len(self.heads) - 1
+        blk = -1
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            if self._head_terms[mid] <= kb:
+                blk = mid
+                lo = mid + 1
+            else:
+                hi = mid - 1
+        if blk < 0:
+            return 0  # every head > key ⇒ first term ≥ key is index 0
+        off = int(self.heads[blk])
+        base = blk * self.block_size
+        for i in range(self.block_size):
+            if base + i >= self.n:
+                return self.n
+            t, off = self._term_at_offset(off)
+            if t >= kb:
+                return base + i
+        return min(base + self.block_size, self.n)
+
     def term_at(self, index: int) -> str:
         """Inverse lookup by dense index (block seek + scan)."""
         if not 0 <= index < self.n:

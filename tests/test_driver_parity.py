@@ -89,7 +89,7 @@ def test_query_and_oracle_keys_align(entry):
         "doc_lengths", "top_terms", "boolean_and", "boolean_or", "more_like_this",
         "tfidf_topk", "bm25_topk", "bm25_msm", "bm25_prf", "bm25_wand", "bm25_distributed",
         "bm25_segments", "bm25_blend", "phrase", "phrase_slop", "within_window",
-        "proximity", "fuzzy",
+        "proximity", "fuzzy", "prefix_search",
         "spell_correct", "facet_counts", "exact_dedup",
         "lang_counts",
         "text_stats", "classifier_scores", "gopher_rules", "doc_keywords", "sparse_knn",

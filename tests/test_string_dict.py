@@ -94,3 +94,27 @@ def test_engine_front_coded_mode(ray_session, tmp_path):
     q = "alpha gamma"
     assert fc_eng.bm25_topk(q, 5) == hash_eng.bm25_topk(q, 5)
     assert fc_eng.bm25_topk_wand(q, 5) == hash_eng.bm25_topk_wand(q, 5)
+    # prefix range scan: both representations, vs a brute-force spec
+    import pyarrow.parquet as pqt
+
+    dic = pqt.read_table(fc_eng.paths.dictionary, columns=["term", "df"]).to_pandas()
+    for pref in ["doc", "doc1", "a", "zzz", "DOC"]:
+        want = sorted(((t, int(d)) for t, d in zip(dic.term, dic.df)
+                       if t.startswith(pref.lower())),
+                      key=lambda e: (-e[1], e[0]))[:7]
+        assert fc_eng.prefix_search(pref, 7) == want, pref
+        assert hash_eng.prefix_search(pref, 7) == want, pref
+    assert fc_eng.prefix_search("", 5) == []
+
+
+class TestLowerBound:
+    def test_lower_bound_positions(self):
+        terms = [f"t{i:03d}" for i in range(13)]
+        d = make(terms, block_size=4)
+        assert d.lower_bound("a") == 0           # before everything
+        assert d.lower_bound("t000") == 0        # exact first
+        assert d.lower_bound("t0005") == 1       # between entries
+        assert d.lower_bound("t004") == 4        # exact block head
+        assert d.lower_bound("t0035") == 4       # just before a head
+        assert d.lower_bound("t012") == 12       # exact last
+        assert d.lower_bound("zzz") == 13        # past the end
