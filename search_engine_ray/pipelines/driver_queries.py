@@ -455,6 +455,24 @@ def q_spell_correct(sf_dir: str):
             .sort_values("query_term").reset_index(drop=True))
 
 
+def q_cluster_best(sf_dir: str):
+    """Quality-aware near-dup cluster representative: keep the highest-
+    quality member per connected component (packed-int argmax rides one
+    grouped_reduce MAX; members fetched by one hash join)."""
+    from search_engine_ray.pipelines.training_data import (
+        cluster_best,
+        ngram_jaccard_verify,
+    )
+
+    docs = _read_docs(sf_dir)
+    pairs = ngram_jaccard_verify(_window_pairs(sf_dir), docs,
+                                 shingle_k=2, threshold=JTHRESH)
+    out = cluster_best(docs, pairs).to_pandas()
+    return (out.astype({"cluster_id": np.int64, "keep_doc_id": np.int64,
+                        "n_members": np.int64})
+            .sort_values("cluster_id").reset_index(drop=True))
+
+
 def q_facet_counts(sf_dir: str):
     """Faceted search: language distribution of the docs matching ANY query
     term (index OR retrieval → broadcast id probe over the corpus →
@@ -3094,6 +3112,53 @@ def oracle_queries() -> dict[str, str]:
             SELECT node::BIGINT AS doc_id, min(lbl)::BIGINT AS cluster_id
             FROM reach GROUP BY node
         """,
+        # quality-aware cluster representative: argmax quality per near-dup
+        # component (window ORDER BY round(q,6) DESC, doc_id ≡ the kernel's
+        # packed q6·2^41 MAX); quality = functions/quality.quality_score
+        "cluster_best": "WITH RECURSIVE " + jaccard_cte.split("WITH", 1)[1] + """
+            , edges AS (
+              SELECT a AS src, b AS dst FROM jkeep
+              UNION ALL SELECT b, a FROM jkeep
+            ),
+            reach(node, lbl) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+            ),
+            clusters AS (
+              SELECT node::BIGINT AS doc_id, min(lbl)::BIGINT AS cluster_id
+              FROM reach GROUP BY node
+            ),
+            qst AS (
+              SELECT d.doc_id,
+                     list_filter(string_split_regex(d.text, '\\s+'), x -> x <> '') AS toks
+              FROM documents d JOIN clusters c USING (doc_id)
+            ),
+            qm AS (
+              SELECT doc_id, len(toks)::BIGINT AS n,
+                     CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE len(list_filter(toks, t -> regexp_matches(t, '^[A-Za-z]+$')))::DOUBLE / len(toks) END AS alphar,
+                     CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+$')))::DOUBLE / len(toks) END AS digitr
+              FROM qst
+            ),
+            qq AS (
+              SELECT doc_id,
+                     round(0.5 * least(n / 50.0, 1.0)
+                               * (CASE WHEN n <= 10000 THEN 1.0 ELSE 0.5 END)
+                           + 0.4 * alphar + 0.1 * (1.0 - digitr), 6) AS qr
+              FROM qm
+            ),
+            rr AS (
+              SELECT c.cluster_id, c.doc_id, qq.qr,
+                     ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                        ORDER BY qq.qr DESC, c.doc_id) AS rn,
+                     count(*) OVER (PARTITION BY c.cluster_id)::BIGINT AS n_members
+              FROM clusters c JOIN qq USING (doc_id)
+            )
+            SELECT cluster_id, doc_id AS keep_doc_id, n_members, qr AS quality_r
+            FROM rr WHERE rn = 1
+        """,
         "media_frames": f"""
             WITH h AS (SELECT doc_id, {HTML_SQL} AS p FROM documents),
             f AS (SELECT doc_id, p,
@@ -3137,6 +3202,7 @@ RAY_QUERIES = {
     "spell_correct": q_spell_correct,
     "facet_counts": q_facet_counts,
     "exact_dedup": q_exact_dedup,
+    "cluster_best": q_cluster_best,
     "lang_counts": q_lang_counts,
     "text_stats": q_text_stats,
     "classifier_scores": q_classifier_scores,

@@ -1967,6 +1967,80 @@ def exact_dedup(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str 
                           mins=[(id_col, "keep_doc_id")], count="n_dupes")
 
 
+def cluster_best(docs: "ray.data.Dataset", pairs, id_col: str = "doc_id",
+                 text_col: str = "text"):
+    """Quality-aware near-dup cluster representative selection: for each
+    connected component of the near-dup pair graph, keep the
+    HIGHEST-quality member (composite quality_score rounded to 6, tie →
+    smaller doc_id) — the curation upgrade over min-id keeps (near-dup
+    members genuinely differ, so picking the best-scored copy keeps the
+    cleanest variant of a boilerplate-mangled mirror set).
+    → (cluster_id, keep_doc_id, n_members, quality_r).
+
+    Distributed shape: clusters via min-label propagation
+    (:func:`clusters_distributed`), members' texts arrive by ONE hash
+    join (docs ⋈ members, member-cardinality — near-dup docs are a small
+    corpus slice); quality is row-local; the per-cluster argmax rides one
+    grouped_reduce as MAX over a packed int64 (q6·2^41 + (2^41−1−id),
+    q6 = quality in millionths ≤ 2^20) so the reduction stays a plain
+    mergeable max. doc_ids ≥ 2^40 would corrupt the packing and raise."""
+    from search_engine_ray.functions.quality import batch_doc_stats, batch_quality_score
+    from search_engine_ray.stages.grouped import coalesce_for_join, grouped_reduce
+
+    clusters = clusters_distributed(pairs)
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:  # pragma: no cover
+        ncpu = 8
+    npart = max(4, ncpu // 2)
+    j = coalesce_for_join(docs, npart).join(
+        coalesce_for_join(clusters, npart), join_type="inner",
+        num_partitions=npart, on=(id_col,))
+
+    SHIFT = np.int64(1 << 41)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return pa.table({"cluster_id": pa.array([], pa.int64()),
+                             "packed": pa.array([], pa.int64()),
+                             "n_part": pa.array([], pa.int64())})
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and int(ids.max()) >= (1 << 40):
+            raise ValueError("cluster_best packs doc_id into 41 bits; "
+                             "ids >= 2^40 need a wider packing")
+        q = batch_quality_score(batch_doc_stats(batch[text_col]))
+        q6 = np.rint(q * 1e6).astype(np.int64)
+        packed = q6 * SHIFT + (SHIFT - np.int64(1) - ids)
+        return pa.table({
+            "cluster_id": batch["cluster_id"].cast(pa.int64()),
+            "packed": pa.array(packed, pa.int64()),
+            "n_part": pa.array(np.ones(len(ids), np.int64), pa.int64()),
+        })
+
+    red = grouped_reduce(j.map_batches(partial, batch_format="pyarrow"),
+                         ["cluster_id"], maxs=[("packed", "packed")],
+                         sums=[("n_part", "n_members")])
+
+    def decode(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.table({"cluster_id": pa.array([], pa.int64()),
+                             "keep_doc_id": pa.array([], pa.int64()),
+                             "n_members": pa.array([], pa.int64()),
+                             "quality_r": pa.array([], pa.float64())})
+        packed = t["packed"].to_numpy(zero_copy_only=False)
+        q6 = packed // SHIFT
+        ids = SHIFT - np.int64(1) - (packed - q6 * SHIFT)
+        return pa.table({"cluster_id": t["cluster_id"],
+                         "keep_doc_id": pa.array(ids, pa.int64()),
+                         "n_members": t["n_members"],
+                         "quality_r": pa.array(q6.astype(np.float64) / 1e6,
+                                               pa.float64())})
+
+    return red.map_batches(decode, batch_format="pyarrow")
+
+
 class _MinHashStage:
     """Actor: permutations built once; whole batch → signature rows in four
     vectorized passes (token hash → shingle → per-doc segmented min → rows);
@@ -2277,7 +2351,12 @@ def clusters_distributed(pairs, max_iters: int = 100) -> "ray.data.Dataset":
              "dst": pa.array(np.concatenate([b, a]), pa.int64())}
         )
 
-    edges = pairs.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    from search_engine_ray.stages.grouped import coalesce_for_join
+
+    # the per-iteration hash join chokes on schemaless empty blocks (see
+    # coalesce_for_join) — both sides get coalesced
+    edges = coalesce_for_join(
+        pairs.map_batches(symmetrize, batch_format="pyarrow"), npart)
 
     # initial labels: min(self, direct neighbours)
     def init_lbl(batch: pa.Table) -> pa.Table:
@@ -2293,8 +2372,9 @@ def clusters_distributed(pairs, max_iters: int = 100) -> "ray.data.Dataset":
 
     # node-cardinality min — per ITERATION, so the hash-groupby cliff would
     # multiply by the graph diameter; sort+reduceat instead
-    labels = grouped_reduce(edges.map_batches(init_lbl, batch_format="pyarrow"),
-                            ["node"], mins=[("label", "label")]).materialize()
+    labels = coalesce_for_join(
+        grouped_reduce(edges.map_batches(init_lbl, batch_format="pyarrow"),
+                       ["node"], mins=[("label", "label")]), npart)
     prev_sum = labels.aggregate(ASum("label", alias_name="s"))["s"]
 
     for _ in range(max_iters):
@@ -2305,8 +2385,9 @@ def clusters_distributed(pairs, max_iters: int = 100) -> "ray.data.Dataset":
             return pa.table({"node": batch["dst"], "label": batch["label"]})
 
         cand = msgs.map_batches(to_node, batch_format="pyarrow")
-        labels = grouped_reduce(labels.union(cand), ["node"],
-                                mins=[("label", "label")]).materialize()
+        labels = coalesce_for_join(
+            grouped_reduce(labels.union(cand), ["node"],
+                           mins=[("label", "label")]), npart)
         cur_sum = labels.aggregate(ASum("label", alias_name="s"))["s"]
         if cur_sum == prev_sum:
             break

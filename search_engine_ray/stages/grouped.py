@@ -31,11 +31,25 @@ def coalesce_for_join(ds, n_parts: int):
     the hash-shuffle join then fails with "No match or multiple matches for
     key field reference ... on right side" when such a block lands in a
     partition. ``repartition`` rebuilds blocks and drops the schemaless
-    empties; call this on any join input produced by a filter/map chain
-    that can yield empty blocks (only reachable with tiny data — at scale
-    these datasets have no empty blocks — so the extra exchange is cheap
-    exactly when it triggers)."""
-    return ds.repartition(max(2, int(n_parts)))
+    empties — but itself PADS with schemaless empties when asked for more
+    partitions than there are rows, so the partition count is clamped to
+    the row count (and an all-empty dataset is rebuilt from its known
+    schema). Call this on any join input produced by a filter/map chain
+    that can yield empty blocks; only tiny data ever has them — at scale
+    every block is full — so the extra exchange is cheap exactly when it
+    triggers."""
+    ds = ds.materialize()
+    n = ds.count()
+    if n == 0:
+        import ray.data as _rd
+
+        sch = ds.schema()
+        if sch is None or not sch.names:  # pragma: no cover — nothing recoverable
+            return ds
+        empty = pa.table({name: pa.array([], type=t)
+                          for name, t in zip(sch.names, sch.types)})
+        return _rd.from_arrow(empty)
+    return ds.repartition(max(1, min(int(n_parts), n)))
 
 
 def _group_change_mask(batch: pa.Table, key_cols: list[str]) -> np.ndarray:

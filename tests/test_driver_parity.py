@@ -90,7 +90,7 @@ def test_query_and_oracle_keys_align(entry):
         "tfidf_topk", "bm25_topk", "bm25_msm", "bm25_prf", "bm25_wand", "bm25_distributed",
         "bm25_segments", "bm25_blend", "phrase", "phrase_slop", "within_window",
         "proximity", "fuzzy", "prefix_search",
-        "spell_correct", "facet_counts", "exact_dedup",
+        "spell_correct", "facet_counts", "exact_dedup", "cluster_best",
         "lang_counts",
         "text_stats", "classifier_scores", "gopher_rules", "doc_keywords", "sparse_knn",
         "doc_logprob", "dsir_weights",

@@ -378,6 +378,53 @@ class TestBatchPairJaccard:
         assert batch_pair_jaccard(a, b)[0] == pytest.approx(0.1)
 
 
+class TestClusterBest:
+    def test_keeps_best_quality_not_min_id(self, ray_session):
+        """A near-dup cluster whose HIGHER-id member has better quality:
+        cluster_best must pick it (exact_dedup's min-id rule would not)."""
+        import pyarrow as pa
+        import ray.data
+
+        from search_engine_ray.functions.quality import batch_doc_stats, batch_quality_score
+        from search_engine_ray.pipelines.training_data import cluster_best
+
+        base = "the quick brown fox jumps over the lazy dog near the river bank today"
+        texts = [
+            base + " 111 222 333 444",   # doc 0: digit-heavy variant (lower quality)
+            base + " with calm grace",   # doc 1: clean variant (higher quality)
+            "unrelated standalone page about gardens",  # doc 2: not in any pair
+        ]
+        q = batch_quality_score(batch_doc_stats(pa.array(texts, pa.string())))
+        assert q[1] > q[0], "fixture must make doc 1 the better copy"
+        docs = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }))
+        pairs = ray.data.from_arrow(pa.table({"a": pa.array([0], pa.int64()),
+                                              "b": pa.array([1], pa.int64())}))
+        out = cluster_best(docs, pairs).to_pandas()
+        assert len(out) == 1
+        row = out.iloc[0]
+        assert (int(row.cluster_id), int(row.keep_doc_id), int(row.n_members)) == (0, 1, 2)
+        assert row.quality_r == pytest.approx(round(float(q[1]), 6))
+
+    def test_tie_breaks_to_min_id(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from search_engine_ray.pipelines.training_data import cluster_best
+
+        t = "identical words here make identical quality scores for both docs"
+        docs = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([5, 9], pa.int64()),
+            "text": pa.array([t, t], pa.string()),
+        }))
+        pairs = ray.data.from_arrow(pa.table({"a": pa.array([5], pa.int64()),
+                                              "b": pa.array([9], pa.int64())}))
+        out = cluster_best(docs, pairs).to_pandas()
+        assert out.keep_doc_id.tolist() == [5]
+
+
 class TestLinearTextScorer:
     TEXTS = ["Red Apple pie", "green tea", "", "one", "a b a b"]
 
