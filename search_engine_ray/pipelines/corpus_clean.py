@@ -638,3 +638,74 @@ def dedup_lines_global(docs: "ray.data.Dataset", id_col: str = "doc_id",
 
     return sorted_group_map(u2, [id_col], rebuild_group,
                             sort_cols=[id_col, "rm_ix"])
+
+
+# ---------------------------------------------------------------------------
+# Unicode + whitespace normalization (pre-dedup canonicalization)
+# ---------------------------------------------------------------------------
+
+#: C0 control characters (minus \t \n \r, which are whitespace and handled
+#: by the \s+ collapse) plus DEL — stripped outright
+_CTRL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def _nfc_compose(arr: pa.Array) -> pa.Array:
+    """NFC-compose a string array with two short-circuits: a vectorized
+    ASCII mask (ASCII is NFC by definition), then the Unicode quick-check
+    (``unicodedata.is_normalized`` — no allocation for already-composed
+    text). Per-row Python touches ONLY rows that actually recompose —
+    rare in web text, so the hot path stays Arrow-side. pyarrow's own
+    ``utf8_normalize(form='NFC')`` is NOT used: utf8proc in pa 16 leaves
+    'e'+U+0301 decomposed, i.e. it does not compose."""
+    import unicodedata
+
+    import pyarrow.compute as pc
+
+    ascii_mask = pc.string_is_ascii(arr).to_numpy(zero_copy_only=False)
+    if ascii_mask.all():
+        return arr
+    check = np.flatnonzero(~ascii_mask)
+    fixed: dict[int, str] = {}
+    for i, s in zip(check, arr.take(pa.array(check)).to_pylist()):
+        if s is not None and not unicodedata.is_normalized("NFC", s):
+            fixed[int(i)] = unicodedata.normalize("NFC", s)
+    if not fixed:
+        return arr
+    vals = arr.to_pylist()
+    for i, s in fixed.items():
+        vals[i] = s
+    return pa.array(vals, type=pa.string())
+
+
+def normalize_text(docs: "ray.data.Dataset", id_col: str = "doc_id",
+                   text_col: str = "text") -> "ray.data.Dataset":
+    """Unicode + whitespace canonicalization — the cleaning stage that runs
+    BEFORE any hashing/dedup (C4/CCNet normalize before fingerprinting so
+    byte-variant copies of one text collide): NFC-compose, strip C0/DEL
+    control characters, collapse every ``\\s+`` run to one space, trim
+    ASCII spaces. → (id, text, changed).
+
+    Row-local (no shuffle); control-strip / collapse / trim are Arrow RE2
+    kernels over zero-copy batches; NFC composition pays per-row Python
+    only for rows that fail the Unicode quick-check (:func:`_nfc_compose`).
+    The DuckDB oracle is the same steps verbatim: ``nfc_normalize`` →
+    two ``regexp_replace`` → ``trim(.., ' ')`` (both engines run RE2-class
+    regexes, so ``\\s`` agrees)."""
+    import pyarrow.compute as pc
+
+    def norm(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "text": pa.array([], pa.string()),
+                             "changed": pa.array([], pa.bool_())})
+        raw = batch[text_col].cast(pa.string()).combine_chunks()
+        t = _nfc_compose(raw)
+        t = pc.replace_substring_regex(t, _CTRL_RE, "")
+        t = pc.replace_substring_regex(t, r"\s+", " ")
+        t = pc.utf8_trim(t, characters=" ")
+        return pa.table({id_col: batch[id_col].cast(pa.int64()),
+                         "text": t,
+                         "changed": pc.not_equal(t, raw)})
+
+    return docs.map_batches(norm, batch_format="pyarrow")

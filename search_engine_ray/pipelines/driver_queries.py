@@ -473,6 +473,52 @@ def q_cluster_best(sf_dir: str):
             .sort_values("cluster_id").reset_index(drop=True))
 
 
+#: deterministic mess applied to the (pure-ASCII, single-spaced) testdata
+#: text so normalize_text has real work: DECOMPOSED e+U+0301 (NFC must
+#: compose it), a C0 control char, doubled spaces, trailing space+tab.
+#: The oracle builds the identical string in SQL (chr(769) = U+0301).
+_MESSY_PREFIX = " é\x01 "
+_MESSY_SQL = "' e' || chr(769) || chr(1) || ' ' || replace(text, ' ', '  ') || ' ' || chr(9)"
+
+
+def q_normalize_text(sf_dir: str):
+    """Unicode + whitespace canonicalization over a deterministically
+    messied twin of the documents table (NFC compose, control strip,
+    whitespace collapse, trim)."""
+    import pyarrow.compute as pc
+
+    from search_engine_ray.pipelines.corpus_clean import normalize_text
+
+    def messy(batch: pa.Table) -> pa.Table:
+        t = pc.binary_join_element_wise(
+            _MESSY_PREFIX, pc.replace_substring(batch["text"], " ", "  "),
+            " \t", "")
+        return pa.table({"doc_id": batch["doc_id"], "text": t})
+
+    docs = _read_docs(sf_dir).map_batches(messy, batch_format="pyarrow")
+    out = normalize_text(docs).to_pandas()
+    return out.astype({"doc_id": np.int64}).sort_values("doc_id").reset_index(drop=True)
+
+
+_FILTER_LANGS = ("en", "fr")
+
+
+def q_bm25_filtered(sf_dir: str):
+    """Filtered search: BM25 top-k over docs whose lang ∈ {en, fr}, filter
+    applied BEFORE top-k (true top-k of the filtered corpus); idf stays
+    corpus-level (Lucene filter semantics)."""
+    import pyarrow.parquet as pqt
+
+    eng = engine_for(sf_dir)
+    t = pqt.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    # index doc_id = documents.doc_id + 1
+    eng.set_doc_attr("lang", t["doc_id"].to_numpy(zero_copy_only=False) + 1,
+                     t["lang"].to_pylist())
+    scores = eng.bm25_topk_filtered(Q_TEXT, k=10_000_000, attr="lang",
+                                    allowed=_FILTER_LANGS)
+    return _ranked(scores, 4)
+
+
 def q_facet_counts(sf_dir: str):
     """Faceted search: language distribution of the docs matching ANY query
     term (index OR retrieval → broadcast id probe over the corpus →
@@ -1965,6 +2011,43 @@ def oracle_queries() -> dict[str, str]:
             FROM scores ORDER BY round(s, 4) DESC, doc_id LIMIT {TOPK}
             """
         ),
+        # filtered search: the bm25_topk sum restricted to docs whose lang
+        # is allowed — filter BEFORE top-k; idf/avgdl stay corpus-level
+        # (Lucene filter semantics, mirrored by bm25_topk_filtered)
+        "bm25_filtered": _with(
+            f"""
+            , {doclen_cte}
+            , stats AS (SELECT avg(doc_length) AS avgdl FROM doclen)
+            , scores AS (
+              SELECT p.doc_id,
+                     sum( ln(({n_docs} - t.df + 0.5) / (t.df + 0.5) + 1.0)
+                          * p.tf * (1.2 + 1.0)
+                          / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_length / s.avgdl)) ) AS s
+              FROM postings p
+              JOIN term_df t USING (term)
+              JOIN doclen dl ON dl.doc_id = p.doc_id
+              CROSS JOIN stats s
+              WHERE p.term IN ({qterms})
+                AND p.doc_id IN (SELECT doc_id FROM documents
+                                 WHERE lang IN {_FILTER_LANGS!r})
+              GROUP BY p.doc_id
+            )
+            SELECT ROW_NUMBER() OVER (ORDER BY round(s, 4) DESC, doc_id)::BIGINT AS rank,
+                   doc_id + 1 AS doc_id, round(s, 4) AS score_r
+            FROM scores ORDER BY round(s, 4) DESC, doc_id LIMIT {TOPK}
+            """
+        ),
+        # normalize_text: the identical messy synthesis + normalization
+        # steps in SQL (chr(769) = the decomposed U+0301 the prefix uses)
+        "normalize_text": f"""
+            WITH m AS (SELECT doc_id, {_MESSY_SQL} AS text FROM documents),
+            n AS (SELECT doc_id, text,
+                         trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                              '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+                              '\\s+', ' ', 'g'), ' ') AS t
+                  FROM m)
+            SELECT doc_id, t AS text, (t <> text) AS changed FROM n
+        """,
         "bm25_blend": _with(
             f"""
             , {doclen_cte}
@@ -3187,6 +3270,7 @@ RAY_QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "bm25_topk": q_bm25_topk,
     "bm25_msm": q_bm25_msm,
+    "bm25_filtered": q_bm25_filtered,
     "bm25_prf": q_bm25_prf,
     "bm25_distributed": q_bm25_distributed,
     "bm25_wand": q_bm25_wand,
@@ -3201,6 +3285,7 @@ RAY_QUERIES = {
     "prefix_search": q_prefix_search,
     "spell_correct": q_spell_correct,
     "facet_counts": q_facet_counts,
+    "normalize_text": q_normalize_text,
     "exact_dedup": q_exact_dedup,
     "cluster_best": q_cluster_best,
     "lang_counts": q_lang_counts,

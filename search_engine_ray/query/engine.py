@@ -388,6 +388,67 @@ class SearchEngine:
         ids, scores = topk_docs(docs[mask], sc[mask], k)
         return [(int(d), float(s)) for d, s in zip(ids, scores)]
 
+    # ---------------------------------------------------------------- filtered
+    def set_doc_attr(self, name: str, doc_ids, values) -> None:
+        """Register a per-doc attribute column (e.g. lang, host, split) for
+        filtered retrieval. Stored once per engine as (sorted ids, dense
+        value codes) — the same O(num_docs) footprint discipline as the
+        doc_length array, loaded at init, never per query. Values
+        dictionary-encode to int codes so the per-query mask is a pure
+        integer ``np.isin``."""
+        ids = np.asarray(doc_ids, np.int64)
+        order = np.argsort(ids, kind="stable")
+        vals = np.asarray(values, object)[order]
+        uniq, codes = np.unique(vals, return_inverse=True)
+        if not hasattr(self, "_doc_attrs"):
+            self._doc_attrs: dict[str, tuple] = {}
+        self._doc_attrs[name] = (
+            ids[order], codes.astype(np.int64),
+            {v: i for i, v in enumerate(uniq.tolist())},
+        )
+
+    def _attr_mask(self, attr: str, allowed, doc_ids: np.ndarray) -> np.ndarray:
+        """Boolean keep-mask over candidate doc_ids: attr(doc) ∈ allowed.
+        Docs absent from the attribute table never match (no unwrap-panic,
+        same contract as :meth:`lookup`)."""
+        ids, codes, vocab = self._doc_attrs[attr]
+        want = np.array(sorted(vocab[v] for v in allowed if v in vocab), np.int64)
+        if len(want) == 0 or len(doc_ids) == 0:
+            return np.zeros(len(doc_ids), bool)
+        i = np.clip(np.searchsorted(ids, doc_ids), 0, len(ids) - 1)
+        return (ids[i] == doc_ids) & np.isin(codes[i], want)
+
+    def bm25_topk_filtered(self, query: str, k: int = 10, *, attr: str,
+                           allowed) -> list[tuple[int, float]]:
+        """BM25 top-k restricted to docs whose registered attribute
+        (:meth:`set_doc_attr`) is in ``allowed`` — filtered search (lang /
+        host / split predicates), with the filter applied BEFORE top-k so
+        the result is the true top-k of the filtered corpus, not a
+        post-filtered unfiltered top-k. Per-query cost is the bm25_topk
+        postings union plus one O(candidates) integer mask — the allowed
+        SET never materializes (no keep-list; the attribute array is
+        engine-resident like doc lengths)."""
+        doc_parts, score_parts = [], []
+        for t in self.query_terms(query):
+            tp = self.get_postings(t)
+            if tp is None or tp.df == 0:
+                continue
+            keep = self._attr_mask(attr, allowed, tp.doc_ids)
+            if not keep.any():
+                continue
+            docs, tfs = tp.doc_ids[keep], tp.tfs[keep]
+            dl = self.doc_length(docs)
+            w = bm25_weights(
+                tfs, dl, tp.df, self.num_docs, self.avgdl,
+                self.config.bm25_k1, self.config.bm25_b,
+            )
+            doc_parts.append(docs)
+            score_parts.append(w)
+        if not doc_parts:
+            return []
+        ids, scores = topk_docs(np.concatenate(doc_parts), np.concatenate(score_parts), k)
+        return [(int(d), float(s)) for d, s in zip(ids, scores)]
+
     def more_like_this(self, text: str, k: int = 10, n_terms: int = 3,
                        exclude: int | None = None) -> list[tuple[int, float]]:
         """Similar-document retrieval: extract the text's top ``n_terms``

@@ -286,3 +286,45 @@ def test_dedup_lines_hot_line_skew(ray_session):
         survivors = out[out["text_clean"].str.contains("newsletter")]
         assert len(survivors) == 1 and int(survivors["doc_id"].iloc[0]) == 0, cap
         assert int(out["n_removed"].sum()) == 199, cap
+
+
+class TestNormalizeText:
+    def _run(self, ray_session, texts):
+        import pyarrow as pa
+        import ray.data
+
+        from search_engine_ray.pipelines.corpus_clean import normalize_text
+
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }))
+        out = normalize_text(ds).to_pandas().sort_values("doc_id")
+        return out.text.tolist(), out.changed.tolist()
+
+    def test_fixtures(self, ray_session):
+        texts = [
+            "école française",        # decomposed → NFC composes
+            "a\x00b\x07c\x1fd\x7fe",              # C0 + DEL stripped
+            "  lots   of\t\nspace  ",             # collapse + trim
+            "plain ascii already clean",           # untouched
+            "nbsp stays",                     # NBSP is not \s and survives
+            "",
+        ]
+        got, changed = self._run(ray_session, texts)
+        assert got == [
+            "école française",
+            "abcde",
+            "lots of space",
+            "plain ascii already clean",
+            "nbsp stays",
+            "",
+        ]
+        assert changed == [True, True, True, False, False, False]
+
+    def test_idempotent(self, ray_session):
+        texts = ["école  \x01 x", "café ok", "  a  b  "]
+        once, _ = self._run(ray_session, texts)
+        twice, changed = self._run(ray_session, once)
+        assert twice == once
+        assert not any(changed)

@@ -87,11 +87,12 @@ def test_query_and_oracle_keys_align(entry):
     [
         "extract_text", "doc_ids", "term_postings", "term_df", "dictionary",
         "doc_lengths", "top_terms", "boolean_and", "boolean_or", "more_like_this",
-        "tfidf_topk", "bm25_topk", "bm25_msm", "bm25_prf", "bm25_wand", "bm25_distributed",
+        "tfidf_topk", "bm25_topk", "bm25_msm", "bm25_filtered", "bm25_prf",
+        "bm25_wand", "bm25_distributed",
         "bm25_segments", "bm25_blend", "phrase", "phrase_slop", "within_window",
         "proximity", "fuzzy", "prefix_search",
         "spell_correct", "facet_counts", "exact_dedup", "cluster_best",
-        "lang_counts",
+        "normalize_text", "lang_counts",
         "text_stats", "classifier_scores", "gopher_rules", "doc_keywords", "sparse_knn",
         "doc_logprob", "dsir_weights",
         "ccnet_buckets", "doc_novelty",

@@ -470,3 +470,33 @@ def test_within_window_brute(built):
         words = [t.word for t in engine.tokenizer.tokenize(q)]
         got = engine.within_window(q, window=w).tolist()
         assert got == brute(words, w), (q, w)
+
+
+class TestBM25Filtered:
+    def test_filter_before_topk_matches_postfiltered_full_list(self, built):
+        """Filtered top-k == the allowed entries of the FULL (k=∞) ranked
+        list, scores bit-identical (same weights code path, corpus idf)."""
+        engine, _oracle, _ = built
+        n = engine.num_docs
+        ids = np.arange(1, n + 1)
+        engine.set_doc_attr("parity", ids, ["even" if i % 2 == 0 else "odd" for i in ids])
+        for q in ["common", "quick brown", "fox", "common word"]:
+            full = engine.bm25_topk(q, 10_000_000)
+            want = [(d, s) for d, s in full if d % 2 == 0][:3]
+            got = engine.bm25_topk_filtered(q, 3, attr="parity", allowed=("even",))
+            assert got == want, q
+
+    def test_docs_absent_from_attr_never_match(self, built):
+        engine, _oracle, _ = built
+        # attribute registered for doc 1 only → every other doc filtered out
+        engine.set_doc_attr("only1", np.array([1]), ["yes"])
+        got = engine.bm25_topk_filtered("common word", 100, attr="only1",
+                                        allowed=("yes",))
+        assert {d for d, _ in got} <= {1}
+
+    def test_unknown_value_returns_empty(self, built):
+        engine, _oracle, _ = built
+        n = engine.num_docs
+        engine.set_doc_attr("lang", np.arange(1, n + 1), ["en"] * n)
+        assert engine.bm25_topk_filtered("common", 10, attr="lang",
+                                         allowed=("zz",)) == []
