@@ -812,6 +812,23 @@ def q_stratified_sample(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+#: mixture weights exercising all regimes: >1 with fraction (up-sample),
+#: exactly 1, pure fraction (down-sample), 0 (drop), plus a default
+_MIX = {"en": 2.5, "de": 1.0, "fr": 0.4, "zh": 0.0}
+_MIX_DEFAULT = 1.25
+
+
+def q_upsample_mix(sf_dir: str):
+    """Epoch-weighted training mixture (up-sampling allowed): doc appears
+    floor(w)+[u<frac(w)] times, epoch = copy index."""
+    from search_engine_ray.pipelines.webcorpus import upsample_mix
+
+    docs = _read_docs(sf_dir, columns=("doc_id", "lang"))
+    out = upsample_mix(docs, _MIX, default_weight=_MIX_DEFAULT).to_pandas()
+    return (out.astype({"doc_id": np.int64, "epoch": np.int64})
+            .sort_values(["doc_id", "epoch"]).reset_index(drop=True))
+
+
 _SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
@@ -2485,6 +2502,25 @@ def oracle_queries() -> dict[str, str]:
                     ELSE '{min(int(_STRATA_DEFAULT * 2**32), 2**32 - 1):08x}'
                   END
         """,
+        # epoch-weighted mixture: base copies + the same hex-string keep
+        # rule as stratified_sample for the fractional copy; range(n)
+        # unnests to 0..n-1 (empty for n=0, dropping w=0 strata)
+        "upsample_mix": f"""
+            WITH c AS (
+              SELECT doc_id, lang,
+                     CASE lang
+                       {" ".join(f"WHEN '{k}' THEN {int(np.floor(v))}" for k, v in _MIX.items())}
+                       ELSE {int(np.floor(_MIX_DEFAULT))}
+                     END
+                     + CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8) <
+                         CASE lang
+                           {" ".join("WHEN '{}' THEN '{:08x}'".format(k, min(int((v - np.floor(v)) * 2**32), 2**32 - 1)) for k, v in _MIX.items())}
+                           ELSE '{min(int((_MIX_DEFAULT - np.floor(_MIX_DEFAULT)) * 2**32), 2**32 - 1):08x}'
+                         END THEN 1 ELSE 0 END AS copies
+              FROM documents
+            )
+            SELECT doc_id, lang, unnest(range(copies))::BIGINT AS epoch FROM c
+        """,
         # split bounds accumulate EXACTLY like split_assign's kernel (same
         # float additions), so bound hex strings are identical by construction
         "split_assign": """
@@ -3305,6 +3341,7 @@ RAY_QUERIES = {
     "canonical_urls": q_canonical_urls,
     "host_cap": q_host_cap,
     "stratified_sample": q_stratified_sample,
+    "upsample_mix": q_upsample_mix,
     "split_assign": q_split_assign,
     "pack_sequences": q_pack_sequences,
     "collocations": q_collocations,

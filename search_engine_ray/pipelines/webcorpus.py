@@ -181,6 +181,69 @@ def stratified_sample(docs, fractions: dict[str, float],
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
+def upsample_mix(docs, weights: dict[str, float], default_weight: float = 1.0,
+                 key_col: str = "lang", id_col: str = "doc_id",
+                 method: str = "md5"):
+    """Epoch-weighted corpus mixing WITH up-sampling — the training-mixture
+    step LLM data recipes need that :func:`stratified_sample` cannot do
+    (weights may exceed 1: e.g. 2.5 'epochs' of a high-quality stratum,
+    0.3 of a low one). Each doc is emitted ``floor(w)`` or ``ceil(w)``
+    times; the fractional copy is decided by the SAME hash-unit rule as
+    stratified_sample (u(doc) < frac(w)), so E[copies] = w exactly and the
+    expansion is a pure row function — deterministic, partition- and
+    order-invariant, stable as the corpus grows. → one row per copy with
+    ``epoch`` = 0..copies-1 (consumers interleave/shuffle by it; epoch 0
+    is precisely the stratified_sample keep-set for frac(w) when
+    floor(w)=0).
+
+    Scale shape: row-local ``map_batches`` flat expansion (np.repeat on the
+    take indices) — no shuffle, no driver state; output size is
+    Σ w(stratum)·|stratum| by construction.
+
+    method='md5' compares fixed-width lowercase hex STRINGS so the DuckDB
+    oracle reproduces the rule exactly; method='mix64' is the vectorized
+    no-Python-per-row twin (same contract, no SQL oracle)."""
+    from search_engine_ray.functions.hashing import md5_hex_batch, mix64
+
+    def _parts(w: float) -> tuple[int, str, np.uint64]:
+        if w < 0:
+            raise ValueError(f"negative mixture weight {w}")
+        base = int(np.floor(w))
+        frac = w - base
+        lim = min(int(frac * 2**32), 2**32 - 1)
+        return base, f"{lim:08x}", np.uint64(lim)
+
+    parts = {k: _parts(v) for k, v in weights.items()}
+    dflt = _parts(default_weight)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        epoch_f = pa.field("epoch", pa.int64())
+        if batch.num_rows == 0:
+            return batch.append_column(epoch_f, pa.array([], pa.int64()))
+        keys = batch[key_col].to_pylist()
+        base = np.array([parts.get(k, dflt)[0] for k in keys], np.int64)
+        if method == "md5":
+            hx = md5_hex_batch([str(int(i)) for i in
+                                batch[id_col].to_numpy(zero_copy_only=False)])
+            extra = np.array([h[:8] < parts.get(k, dflt)[1]
+                              for h, k in zip(hx, keys)], np.int64)
+        else:
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            u = mix64(ids.view(np.uint64)) >> np.uint64(32)
+            lim = np.array([parts.get(k, dflt)[2] for k in keys], np.uint64)
+            extra = (u < lim).astype(np.int64)
+        copies = base + extra
+        take = np.repeat(np.arange(len(copies)), copies)
+        ends = np.cumsum(copies)
+        epoch = np.arange(int(ends[-1]) if len(ends) else 0, dtype=np.int64) \
+            - np.repeat(ends - copies, copies)
+        return batch.take(pa.array(take)).append_column(
+            epoch_f, pa.array(epoch, pa.int64()))
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
 def facet_counts(docs, ids: "np.ndarray", facet_col: str,
                  id_col: str = "doc_id"):
     """Faceted counts over a retrieval result: (facet value, n_docs) for

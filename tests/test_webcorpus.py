@@ -268,3 +268,43 @@ class TestCanonicalUrls:
                               url_col="url_canon").to_pandas()
         kept = set(out["doc_id"])
         assert kept == {2, 3}  # doc 2 is the newer capture of doc 1's page
+
+
+def test_upsample_mix_rule_invariance_and_epochs(ray_session):
+    import hashlib
+
+    from search_engine_ray.pipelines.webcorpus import stratified_sample, upsample_mix
+
+    tbl = _pages(n=600)
+    w = {"en": 2.5, "fr": 0.4}
+    out = upsample_mix(_ds(tbl, 5), w, default_weight=1.0).to_pandas()
+    out2 = upsample_mix(_ds(tbl, 17), w, default_weight=1.0).to_pandas()
+    key = lambda d: sorted(zip(d.doc_id, d.epoch))  # noqa: E731
+    assert key(out) == key(out2)  # partition-invariant
+
+    # scalar spec: copies = floor(w) + [md5 prefix < frac threshold]
+    df = tbl.to_pandas()
+    thr = {"en": f"{int(0.5 * 2**32):08x}", "fr": f"{int(0.4 * 2**32):08x}"}
+    base = {"en": 2, "fr": 0}
+    exp = []
+    for i, l in zip(df.doc_id, df.lang):
+        c = base.get(l, 1) + (hashlib.md5(str(int(i)).encode()).hexdigest()[:8]
+                              < thr.get(l, "00000000"))
+        exp += [(int(i), e) for e in range(c)]
+    assert key(out) == sorted(exp)
+    # every doc's epochs are contiguous 0..c-1
+    g = out.groupby("doc_id").epoch
+    assert (g.min() == 0).all() and (g.max() + 1 == g.count()).all()
+
+    # pure-fraction stratum ≡ stratified_sample keep-set at that fraction
+    ss = stratified_sample(_ds(tbl, 5), {"fr": 0.4}, default_frac=0.0).to_pandas()
+    fr_mix = out[(out.lang == "fr")]
+    assert sorted(fr_mix.doc_id) == sorted(ss.doc_id)
+
+    # w=0 drops the stratum entirely; mix64 twin keeps the same E[copies]
+    z = upsample_mix(_ds(tbl, 5), {"en": 0.0, "fr": 0.0},
+                     default_weight=0.0).to_pandas()
+    assert len(z) == 0
+    m = upsample_mix(_ds(tbl, 9), w, default_weight=1.0, method="mix64").to_pandas()
+    n_en = (df.lang == "en").sum()
+    assert abs((m.lang == "en").sum() - 2.5 * n_en) < 0.15 * n_en
