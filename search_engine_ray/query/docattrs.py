@@ -1,0 +1,40 @@
+"""Per-doc attribute registry shared by the three serving paths (local
+engine, distributed shard actors, segmented engine) — the state behind
+filtered retrieval (``bm25_topk_filtered``): one sorted doc_id array plus
+dense value codes per attribute, O(num_docs) like the doc_length array,
+built once and probed per query with a pure integer mask."""
+
+from __future__ import annotations
+
+import numpy as np
+
+#: registry entry: (sorted doc_ids, value codes aligned to them, value→code)
+AttrEntry = tuple
+
+
+def build_doc_attr(doc_ids, values) -> AttrEntry:
+    """(doc_ids, values) → (sorted ids, dense codes, vocab). Values
+    dictionary-encode so per-query masks are integer ``np.isin``."""
+    ids = np.asarray(doc_ids, np.int64)
+    order = np.argsort(ids, kind="stable")
+    vals = np.asarray(values, object)[order]
+    uniq, codes = np.unique(vals, return_inverse=True)
+    return ids[order], codes.astype(np.int64), {v: i for i, v in enumerate(uniq.tolist())}
+
+
+def allowed_codes(entry: AttrEntry, allowed) -> np.ndarray:
+    """The sorted code set for the allowed values (unknown values drop —
+    they can never match, same no-panic contract as dictionary lookups)."""
+    vocab = entry[2]
+    return np.array(sorted(vocab[v] for v in allowed if v in vocab), np.int64)
+
+
+def doc_attr_mask(entry: AttrEntry, want: np.ndarray,
+                  doc_ids: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask over candidate doc_ids: attr(doc) ∈ want (codes).
+    Docs absent from the registry never match."""
+    ids, codes, _vocab = entry
+    if len(want) == 0 or len(doc_ids) == 0:
+        return np.zeros(len(doc_ids), bool)
+    i = np.clip(np.searchsorted(ids, doc_ids), 0, len(ids) - 1)
+    return (ids[i] == doc_ids) & np.isin(codes[i], want)

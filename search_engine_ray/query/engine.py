@@ -396,27 +396,20 @@ class SearchEngine:
         doc_length array, loaded at init, never per query. Values
         dictionary-encode to int codes so the per-query mask is a pure
         integer ``np.isin``."""
-        ids = np.asarray(doc_ids, np.int64)
-        order = np.argsort(ids, kind="stable")
-        vals = np.asarray(values, object)[order]
-        uniq, codes = np.unique(vals, return_inverse=True)
+        from search_engine_ray.query.docattrs import build_doc_attr
+
         if not hasattr(self, "_doc_attrs"):
             self._doc_attrs: dict[str, tuple] = {}
-        self._doc_attrs[name] = (
-            ids[order], codes.astype(np.int64),
-            {v: i for i, v in enumerate(uniq.tolist())},
-        )
+        self._doc_attrs[name] = build_doc_attr(doc_ids, values)
 
     def _attr_mask(self, attr: str, allowed, doc_ids: np.ndarray) -> np.ndarray:
         """Boolean keep-mask over candidate doc_ids: attr(doc) ∈ allowed.
         Docs absent from the attribute table never match (no unwrap-panic,
         same contract as :meth:`lookup`)."""
-        ids, codes, vocab = self._doc_attrs[attr]
-        want = np.array(sorted(vocab[v] for v in allowed if v in vocab), np.int64)
-        if len(want) == 0 or len(doc_ids) == 0:
-            return np.zeros(len(doc_ids), bool)
-        i = np.clip(np.searchsorted(ids, doc_ids), 0, len(ids) - 1)
-        return (ids[i] == doc_ids) & np.isin(codes[i], want)
+        from search_engine_ray.query.docattrs import allowed_codes, doc_attr_mask
+
+        ent = self._doc_attrs[attr]
+        return doc_attr_mask(ent, allowed_codes(ent, allowed), doc_ids)
 
     def bm25_topk_filtered(self, query: str, k: int = 10, *, attr: str,
                            allowed) -> list[tuple[int, float]]:

@@ -203,6 +203,50 @@ class SegmentedSearchEngine:
             hits = [h for h in hits if h[0] != exclude]
         return hits[:k]
 
+    def set_doc_attr(self, name: str, doc_ids, values) -> None:
+        """Per-doc attribute registry for filtered retrieval (global
+        doc_id space — segment bases already applied), same contract as
+        ``SearchEngine.set_doc_attr``."""
+        from search_engine_ray.query.docattrs import build_doc_attr
+
+        if not hasattr(self, "_doc_attrs"):
+            self._doc_attrs: dict[str, tuple] = {}
+        self._doc_attrs[name] = build_doc_attr(doc_ids, values)
+
+    def bm25_topk_filtered(self, query: str, k: int = 10, *, attr: str,
+                           allowed) -> list[tuple[int, float]]:
+        """Filtered BM25 over all live segments: the attribute mask ANDs
+        with the tombstone mask per segment-postings slice; df/avgdl stay
+        global corpus-level (same Lucene filter semantics as the local
+        engine — rank-identical on an equivalent monolithic index)."""
+        from search_engine_ray.query.docattrs import allowed_codes, doc_attr_mask
+
+        ent = getattr(self, "_doc_attrs", {})[attr]
+        want = allowed_codes(ent, allowed)
+        if len(want) == 0:
+            return []
+        doc_parts, score_parts = [], []
+        for t in self.query_terms(query):
+            tps = self._term_postings(t)
+            df_g = sum(tp.df for _e, tp in tps)
+            if df_g == 0:
+                continue
+            for eng, tp in tps:
+                keep = doc_attr_mask(ent, want, tp.doc_ids) & self._live(tp.doc_ids)
+                if not keep.any():
+                    continue
+                docs, tfs = tp.doc_ids[keep], tp.tfs[keep]
+                dl = eng.doc_length(docs)
+                w = bm25_weights(tfs, dl, df_g, self.num_docs, self.avgdl,
+                                 self.config.bm25_k1, self.config.bm25_b)
+                doc_parts.append(docs)
+                score_parts.append(w)
+        if not doc_parts:
+            return []
+        ids, scores = topk_docs(np.concatenate(doc_parts),
+                                np.concatenate(score_parts), k)
+        return [(int(d), float(s)) for d, s in zip(ids, scores)]
+
     def _bm25_terms(self, terms: list[str], k: int) -> list[tuple[int, float]]:
         doc_parts, score_parts = [], []
         for t in terms:

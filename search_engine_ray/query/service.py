@@ -67,19 +67,45 @@ class ShardServingActor:
         self._cache_cap = 1024
         # per-term (doc_ids, weights, impact order) cache for bounded serving
         self._impact_cache: dict = {}
+        # per-doc attribute registry for filtered retrieval (docattrs.py);
+        # arrays arrive as ObjectRef args → object-store shared, zero-copy
+        self._doc_attrs: dict = {}
 
     def n_terms(self) -> int:
         return len(self._dict)
 
-    def _impact(self, term: str, kind: str = "bm25"):
+    def set_doc_attr(self, name: str, ids_sorted, codes) -> None:
+        """Install one attribute (pre-sorted ids + dense codes; the
+        value→code vocab stays coordinator-side — actors only ever see
+        code sets)."""
+        self._doc_attrs[name] = (np.asarray(ids_sorted, np.int64),
+                                 np.asarray(codes, np.int64), None)
+
+    def _impact(self, term: str, kind: str = "bm25", flt=None):
         """(doc_ids, weights, impact_order) of one owned term — weights for
         ALL postings plus their descending-weight permutation, computed once
         and cached per (term, kind). ``kind`` selects the scoring family:
         bm25 (f64), tfidf32 (the engine's f32 reference-parity weights) or
-        tfidf64 (the oracle-parity f64 formula). Everything here is
+        tfidf64 (the oracle-parity f64 formula). ``flt`` = (attr_name,
+        sorted code tuple) restricts the VIEW to allowed docs — weights are
+        computed on the full postings first (df/tf/dl are corpus-level,
+        Lucene filter semantics), then masked, so an allowed doc's weight
+        is bit-identical to the unfiltered one. Everything here is
         actor-LOCAL compute; what leaves the actor is bounded by the
         page/candidate sizes below."""
-        ent = self._impact_cache.get((term, kind))
+        key = (term, kind) if flt is None else (term, kind, flt)
+        ent = self._impact_cache.get(key)
+        if ent is None and flt is not None:
+            from search_engine_ray.query.docattrs import doc_attr_mask
+
+            ids, w, _order = self._impact(term, kind)
+            keep = doc_attr_mask(self._doc_attrs[flt[0]],
+                                 np.asarray(flt[1], np.int64), ids)
+            ids, w = ids[keep], w[keep]
+            ent = (ids, w, np.argsort(-w, kind="stable"))
+            if len(self._impact_cache) >= self._cache_cap:
+                self._impact_cache.pop(next(iter(self._impact_cache)))
+            self._impact_cache[key] = ent
         if ent is None:
             df = self._dict[term]
             tp = self._postings(term)
@@ -104,7 +130,8 @@ class ShardServingActor:
         return ent
 
     def term_impact_page(self, terms: list[str], start: int, stop: int,
-                         small_df_cap: int = 0, kind: str = "bm25") -> dict:
+                         small_df_cap: int = 0, kind: str = "bm25",
+                         flt=None) -> dict:
         """For each OWNED term: its postings at impact ranks [start, stop)
         — (doc_ids, weights, tail_bound, exhausted). ``tail_bound`` is the
         weight of the first UNFETCHED posting (0.0 when exhausted): any doc
@@ -119,7 +146,7 @@ class ShardServingActor:
         for t in terms:
             if t not in self._dict:
                 continue
-            ids, w, order = self._impact(t, kind)
+            ids, w, order = self._impact(t, kind, flt)
             stop_eff = len(order) if len(order) <= small_df_cap else stop
             page = order[start:stop_eff]
             exhausted = stop_eff >= len(order)
@@ -284,6 +311,39 @@ class DistributedSearchEngine:
         return self._bounded_topk([(t, 1.0) for t in terms], k, page,
                                   small_df_cap, "bm25", np.float64)
 
+    def set_doc_attr(self, name: str, doc_ids, values) -> None:
+        """Register a per-doc attribute on every shard actor for filtered
+        retrieval: the sorted-id/code arrays are ``ray.put`` ONCE and shared
+        through the object store (zero-copy reads actor-side); the
+        value→code vocab stays coordinator-side so queries ship only small
+        code tuples."""
+        from search_engine_ray.query.docattrs import build_doc_attr
+
+        ids_sorted, codes, vocab = build_doc_attr(doc_ids, values)
+        if not hasattr(self, "_attr_vocabs"):
+            self._attr_vocabs: dict[str, dict] = {}
+        self._attr_vocabs[name] = vocab
+        ids_ref, codes_ref = ray.put(ids_sorted), ray.put(codes)
+        ray.get([a.set_doc_attr.remote(name, ids_ref, codes_ref)
+                 for a in self.actors])
+
+    def bm25_topk_filtered(self, query: str, k: int = 10, *, attr: str,
+                           allowed) -> list[tuple[int, float]]:
+        """Distributed filtered BM25 — pytest-identical to
+        ``SearchEngine.bm25_topk_filtered``: actors page the FILTERED
+        impact order (disallowed docs never ship), weights stay
+        corpus-level (computed pre-mask), and the threshold loop's tail
+        bounds remain exact upper bounds for unseen ALLOWED docs."""
+        vocab = getattr(self, "_attr_vocabs", {})[attr]
+        want = tuple(sorted(vocab[v] for v in allowed if v in vocab))
+        if not want:
+            return []
+        terms = self.query_terms(query)
+        if not terms:
+            return []
+        return self._bounded_topk([(t, 1.0) for t in terms], k, None, None,
+                                  "bm25", np.float64, flt=(attr, want))
+
     def tfidf_topk(self, query: str, k: int = 10, dtype=np.float32,
                    page: int | None = None,
                    small_df_cap: int | None = None) -> list[tuple[int, float]]:
@@ -318,7 +378,7 @@ class DistributedSearchEngine:
 
     def _bounded_topk(self, weighted: list[tuple[str, float]], k: int,
                       page: int | None, small_df_cap: int | None,
-                      kind: str, dtype) -> list[tuple[int, float]]:
+                      kind: str, dtype, flt=None) -> list[tuple[int, float]]:
         """Shared threshold loop (see :meth:`bm25_topk` for the algorithm).
         ``weighted`` is (term, scale) in accumulation order; scales are
         applied coordinator-side. The outside bound gets a relative
@@ -342,7 +402,8 @@ class DistributedSearchEngine:
             live = ([t for t in present if not exhausted[t]]
                     if present is not None else terms)
             got = self._fan_out_args(live, "term_impact_page",
-                                     start, start + page, small_df_cap, kind)
+                                     start, start + page, small_df_cap, kind,
+                                     flt)
             if present is None:
                 present = [t for t in terms if t in got]
                 if not present:

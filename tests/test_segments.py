@@ -224,3 +224,20 @@ class TestCompactWithDeletes:
         docs = pq.read_table(IndexPaths(seg_dir).docs, columns=["doc_id"])
         ids = set(docs["doc_id"].to_pylist())
         assert 9 not in ids and 20 not in ids and 10 in ids
+
+
+class TestFilteredSegmented:
+    @pytest.mark.parametrize("q", QUERIES)
+    def test_bm25_filtered_rank_identical(self, built, q):
+        full, seg, _root, _fd = built
+        n = full.num_docs
+        ids = np.arange(1, n + 1)
+        vals = ["x" if i % 2 else "y" for i in ids]
+        full.set_doc_attr("par", ids, vals)
+        seg.set_doc_attr("par", ids, vals)
+        for allowed in [("x",), ("x", "y"), ("none",)]:
+            got = seg.bm25_topk_filtered(q, 10, attr="par", allowed=allowed)
+            want = full.bm25_topk_filtered(q, 10, attr="par", allowed=allowed)
+            assert [d for d, _ in got] == [d for d, _ in want], (q, allowed)
+            np.testing.assert_allclose([s for _, s in got],
+                                       [s for _, s in want], rtol=1e-12)

@@ -196,3 +196,35 @@ class TestBoundedPositions:
                 break
         else:
             pytest.fail("no actor owns the probe term")
+
+
+class TestFilteredServing:
+    @pytest.mark.parametrize("q", QUERIES)
+    def test_bm25_filtered_identical_to_local(self, built, q):
+        local, dist = built
+        n = local.num_docs
+        ids = np.arange(1, n + 1)
+        vals = ["a" if i % 3 == 0 else ("b" if i % 3 == 1 else "c") for i in ids]
+        local.set_doc_attr("grp", ids, vals)
+        dist.set_doc_attr("grp", ids, vals)
+        for allowed in [("a",), ("a", "c"), ("zz",), ()]:
+            got = dist.bm25_topk_filtered(q, 10, attr="grp", allowed=allowed)
+            want = local.bm25_topk_filtered(q, 10, attr="grp", allowed=allowed)
+            assert got == want, (q, allowed)
+
+    def test_filtered_pages_never_ship_disallowed_docs(self, built):
+        """Impact pages under a filter contain only allowed docs — the
+        bounded-bytes contract extends to filtered retrieval."""
+        local, dist = built
+        n = local.num_docs
+        ids = np.arange(1, n + 1)
+        vals = ["keep" if i % 50 == 0 else "drop" for i in ids]
+        dist.set_doc_attr("sparse", ids, vals)
+        local.set_doc_attr("sparse", ids, vals)
+        q = "bababa"
+        got = dist.bm25_topk_filtered(q, 5, attr="sparse", allowed=("keep",))
+        assert got == local.bm25_topk_filtered(q, 5, attr="sparse", allowed=("keep",))
+        # 2% of docs allowed → fetched rows bounded by the allowed df, far
+        # below the unfiltered posting length
+        assert dist.last_fetch_rows <= 4 * (n // 50 + 1)
+        assert all(d % 50 == 0 for d, _s in got)
