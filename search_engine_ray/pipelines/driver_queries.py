@@ -1543,6 +1543,35 @@ def _window_pairs(sf_dir: str):
     return _read_docs(sf_dir, ["doc_id"]).map_batches(gen, batch_format="pyarrow")
 
 
+def q_lsh_recall(sf_dir: str):
+    """Dedup-quality evaluation: recall/precision of md5-mode MinHash-LSH
+    pairs against exact 2-gram Jaccard ground truth, both restricted to
+    the deterministic window universe (the bounded universe is what makes
+    exact truth computable — the standard sampled-recall methodology)."""
+    import pyarrow.compute as pc
+
+    from search_engine_ray.pipelines.training_data import (
+        dedup_pair_eval,
+        minhash_lsh_dedup,
+        ngram_jaccard_verify,
+    )
+
+    docs = _read_docs(sf_dir)
+    truth = ngram_jaccard_verify(_window_pairs(sf_dir), docs,
+                                 shingle_k=2, threshold=JTHRESH)
+    pred = minhash_lsh_dedup(docs, shingle_k=2, threshold=JTHRESH,
+                             hash_mode="md5")
+
+    def in_window(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        d = pc.subtract(batch["b"].cast(pa.int64()), batch["a"].cast(pa.int64()))
+        keep = pc.and_(pc.greater_equal(d, 1), pc.less_equal(d, JWIN))
+        return batch.filter(keep)
+
+    return dedup_pair_eval(truth, pred.map_batches(in_window,
+                                                   batch_format="pyarrow"))
+
+
 def q_dedup_clusters(sf_dir: str):
     """Connected components of the exact-Jaccard near-dup graph over the
     deterministic pair window, computed by the DISTRIBUTED
@@ -3218,6 +3247,25 @@ def oracle_queries() -> dict[str, str]:
             )
             SELECT query_id, rank, vec_id, score_r FROM r WHERE rank <= {TOPK}
         """,
+        # dedup-quality evaluation: the exact-Jaccard truth CTE and the
+        # md5 MinHash oracle (as a nested-WITH subquery), window-aligned,
+        # reduced to confusion counts; empty denominators → 1.0
+        "lsh_recall": "WITH " + jaccard_cte.split("WITH", 1)[1] + f"""
+            , pred AS (
+              SELECT a, b FROM ({_minhash_pairs_sql(threshold=JTHRESH)})
+              WHERE b - a BETWEEN 1 AND {JWIN}
+            ),
+            hits AS (SELECT t.a, t.b FROM jkeep t JOIN pred p USING (a, b)),
+            c AS (SELECT (SELECT count(*) FROM jkeep)::BIGINT AS n_truth,
+                         (SELECT count(*) FROM pred)::BIGINT AS n_pred,
+                         (SELECT count(*) FROM hits)::BIGINT AS n_hit)
+            SELECT n_truth, n_pred, n_hit,
+                   CASE WHEN n_truth = 0 THEN 1.0
+                        ELSE round(n_hit::DOUBLE / n_truth, 6) END AS recall_r,
+                   CASE WHEN n_pred = 0 THEN 1.0
+                        ELSE round(n_hit::DOUBLE / n_pred, 6) END AS precision_r
+            FROM c
+        """,
         "dedup_clusters": "WITH RECURSIVE " + jaccard_cte.split("WITH", 1)[1] + """
             , edges AS (
               SELECT a AS src, b AS dst FROM jkeep
@@ -3376,6 +3424,7 @@ RAY_QUERIES = {
     "dedup_lines": q_dedup_lines,
     "clean_corpus_full": q_clean_corpus_full,
     "dedup_clusters": q_dedup_clusters,
+    "lsh_recall": q_lsh_recall,
     "jaccard_verify": q_jaccard_verify,
     "containment_verify": q_containment_verify,
     "cosine_verify": q_cosine_verify,

@@ -1947,6 +1947,67 @@ def remove_global_ngrams(docs: "ray.data.Dataset", n: int = 3,
     return sorted_group_map(u2, [id_col], rebuild, sort_cols=[id_col, "rm_start"])
 
 
+def dedup_pair_eval(truth_pairs, pred_pairs, a_col: str = "a",
+                    b_col: str = "b") -> "pd.DataFrame":
+    """Dedup-quality evaluation — recall/precision of a PREDICTED near-dup
+    pair set (e.g. MinHash-LSH output) against a GROUND-TRUTH pair set
+    (e.g. exact n-gram Jaccard over a bounded candidate universe): the
+    completeness check a sketch-based dedup pipeline needs before it runs
+    at 100 TB. → one row (n_truth, n_pred, n_hit, recall_r, precision_r);
+    empty denominators score 1.0 (a system that predicts nothing when
+    nothing is true is perfect).
+
+    Scale shape: tag each side row-locally, union, ONE sorted-group reduce
+    at pair cardinality (O(near-dup pairs), both sides stay distributed —
+    no driver pair list), then per-batch partial counters summed by a tiny
+    aggregate; only three integers reach the driver."""
+    from search_engine_ray.stages.grouped import grouped_reduce
+
+    def tag(is_truth: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = batch.combine_chunks()
+            n = batch.num_rows
+            one = np.ones(n, np.int64) if is_truth else np.zeros(n, np.int64)
+            return pa.table({
+                "a": batch[a_col].cast(pa.int64()),
+                "b": batch[b_col].cast(pa.int64()),
+                "t": pa.array(one, pa.int64()),
+                "p": pa.array(np.ones(n, np.int64) - one, pa.int64()),
+            })
+        return fn
+
+    both = (truth_pairs.map_batches(tag(True), batch_format="pyarrow")
+            .union(pred_pairs.map_batches(tag(False), batch_format="pyarrow")))
+    per_pair = grouped_reduce(both, ["a", "b"],
+                              sums=[("t", "t"), ("p", "p")])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        t = batch["t"].to_numpy(zero_copy_only=False) > 0
+        p = batch["p"].to_numpy(zero_copy_only=False) > 0
+        return pa.table({
+            "n_truth": pa.array([int(t.sum())], pa.int64()),
+            "n_pred": pa.array([int(p.sum())], pa.int64()),
+            "n_hit": pa.array([int((t & p).sum())], pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = per_pair.map_batches(counts, batch_format="pyarrow").aggregate(
+        Sum("n_truth", alias_name="n_truth"),
+        Sum("n_pred", alias_name="n_pred"),
+        Sum("n_hit", alias_name="n_hit"),
+    )
+    nt = int(agg["n_truth"] or 0)
+    npr = int(agg["n_pred"] or 0)
+    nh = int(agg["n_hit"] or 0)
+    return pd.DataFrame({
+        "n_truth": [nt], "n_pred": [npr], "n_hit": [nh],
+        "recall_r": [round(nh / nt, 6) if nt else 1.0],
+        "precision_r": [round(nh / npr, 6) if npr else 1.0],
+    })
+
+
 def exact_dedup(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"):
     """Hash-partitioned exact dedup: one row per distinct md5(text) with the
     minimum doc_id as keeper and the duplicate count."""

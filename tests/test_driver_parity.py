@@ -108,6 +108,7 @@ def test_query_and_oracle_keys_align(entry):
         "event_sessions", "event_asof", "event_range",
         "clean_corpus", "clean_corpus_full", "new_vs_snapshot", "dedup_lines",
         "cosine_norms", "jaccard_verify", "containment_verify", "dedup_clusters",
+        "lsh_recall",
         "cosine_verify",
         "fingerprints", "minhash_pairs", "simhash_pairs",
         "ann_ivf_full", "ann_lsh_full", "langid", "pii_scrub", "repetition",

@@ -752,3 +752,37 @@ class TestDocNovelty:
         assert out.loc[2, "novelty_r"] == 0.0
         assert out.loc[3, "novelty_r"] == 1.0
         assert 0.0 < out.loc[4, "novelty_r"] < 1.0
+
+
+class TestDedupPairEval:
+    def _pairs(self, rows):
+        import pyarrow as pa
+        import ray.data
+
+        a = [x for x, _ in rows]
+        b = [y for _, y in rows]
+        return ray.data.from_arrow(pa.table({"a": pa.array(a, pa.int64()),
+                                             "b": pa.array(b, pa.int64())}))
+
+    def test_confusion_counts(self, ray_session):
+        from search_engine_ray.pipelines.training_data import dedup_pair_eval
+
+        truth = self._pairs([(1, 2), (3, 4), (5, 6), (7, 8)])
+        pred = self._pairs([(1, 2), (5, 6), (9, 10)])
+        out = dedup_pair_eval(truth, pred)
+        row = out.iloc[0]
+        assert (row.n_truth, row.n_pred, row.n_hit) == (4, 3, 2)
+        assert row.recall_r == 0.5
+        assert row.precision_r == round(2 / 3, 6)
+
+    def test_empty_sides_score_one(self, ray_session):
+        from search_engine_ray.pipelines.training_data import dedup_pair_eval
+
+        none = self._pairs([])
+        some = self._pairs([(1, 2)])
+        both_empty = dedup_pair_eval(none, none).iloc[0]
+        assert (both_empty.recall_r, both_empty.precision_r) == (1.0, 1.0)
+        miss = dedup_pair_eval(some, none).iloc[0]
+        assert (miss.recall_r, miss.precision_r) == (0.0, 1.0)
+        spurious = dedup_pair_eval(none, some).iloc[0]
+        assert (spurious.recall_r, spurious.precision_r) == (1.0, 0.0)
