@@ -209,6 +209,32 @@ def q_doc_lengths(sf_dir: str):
     )
 
 
+def q_index_stats(sf_dir: str):
+    """Physical index-layout introspection, oracle-validated from first
+    principles: per term, the chunk count must equal
+    Σ_salt ceil(group_postings / chunk_size) (the 128-cap per (term, salt)
+    group, merge.py), n_postings must equal df, and the chunk max_tf
+    metadata (WAND's upper bound) must equal the true max tf. Reads ONLY
+    the 3 metadata columns of the chunk rows — no posting bytes move."""
+    import ray.data
+
+    from search_engine_ray.stages.grouped import grouped_reduce
+
+    eng = engine_for(sf_dir)
+    chunks = ray.data.read_parquet(eng.paths.postings,
+                                   columns=["term", "n_postings", "max_tf"])
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.table({"term": batch["term"],
+                         "n_postings": batch["n_postings"].cast(pa.int64()),
+                         "max_tf": batch["max_tf"].cast(pa.int64())})
+
+    out = grouped_reduce(chunks.map_batches(widen, batch_format="pyarrow"),
+                         ["term"], sums=[("n_postings", "n_postings")],
+                         maxs=[("max_tf", "max_tf")], count="n_chunks")
+    return out.to_pandas().sort_values("term").reset_index(drop=True)
+
+
 def q_top_terms(sf_dir: str):
     """K1/K2-style: top 20 terms by (df desc, term asc)."""
     df = q_term_df(sf_dir).to_pandas()
@@ -1900,6 +1926,22 @@ def oracle_queries() -> dict[str, str]:
             f",{doclen_cte} SELECT doc_id + 1 AS doc_id, doc_length FROM doclen"
         ),
         "top_terms": _with("SELECT term, df FROM term_df ORDER BY df DESC, term LIMIT 20"),
+        # physical layout recomputed from first principles: chunks cap at
+        # chunk_size per (term, salt = engine_doc_id // salt_span) group
+        "index_stats": _with(
+            f"""
+            , s AS (
+              SELECT term, (doc_id + 1) // {EngineConfig().salt_span} AS salt,
+                     count(*) AS n, max(tf) AS mt
+              FROM postings GROUP BY term, salt
+            )
+            SELECT term,
+                   sum(CAST(ceil(n / {EngineConfig().chunk_size}.0) AS BIGINT))::BIGINT AS n_chunks,
+                   sum(n)::BIGINT AS n_postings,
+                   max(mt)::BIGINT AS max_tf
+            FROM s GROUP BY term
+            """
+        ),
         "boolean_and": _with(
             f"""
             SELECT doc_id + 1 AS doc_id FROM postings
@@ -3348,6 +3390,7 @@ RAY_QUERIES = {
     "dictionary": q_dictionary,
     "doc_lengths": q_doc_lengths,
     "top_terms": q_top_terms,
+    "index_stats": q_index_stats,
     "boolean_and": q_boolean_and,
     "boolean_or": q_boolean_or,
     "more_like_this": q_more_like_this,
