@@ -545,6 +545,23 @@ def q_bm25_filtered(sf_dir: str):
     return _ranked(scores, 4)
 
 
+_CAP_PER_LANG = 2
+
+
+def q_bm25_capped(sf_dir: str):
+    """Diversified retrieval: BM25 top-k with at most 2 results per lang
+    (greedy down the round-4 ranked order, the oracle's QUALIFY window)."""
+    import pyarrow.parquet as pqt
+
+    eng = engine_for(sf_dir)
+    t = pqt.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    eng.set_doc_attr("lang", t["doc_id"].to_numpy(zero_copy_only=False) + 1,
+                     t["lang"].to_pylist())
+    scores = eng.bm25_topk_capped(Q_TEXT, TOPK, attr="lang",
+                                  cap=_CAP_PER_LANG, digits=4)
+    return _ranked(scores, 4)
+
+
 def q_facet_counts(sf_dir: str):
     """Faceted search: language distribution of the docs matching ANY query
     term (index OR retrieval → broadcast id probe over the corpus →
@@ -2099,6 +2116,36 @@ def oracle_queries() -> dict[str, str]:
             FROM scores ORDER BY round(s, 4) DESC, doc_id LIMIT {TOPK}
             """
         ),
+        # diversified search: global round-4 rank order, per-lang QUALIFY
+        # cap (≡ the greedy "fewer than cap better-ranked docs share the
+        # value"), then the usual top-k contract
+        "bm25_capped": _with(
+            f"""
+            , {doclen_cte}
+            , stats AS (SELECT avg(doc_length) AS avgdl FROM doclen)
+            , scores AS (
+              SELECT p.doc_id,
+                     sum( ln(({n_docs} - t.df + 0.5) / (t.df + 0.5) + 1.0)
+                          * p.tf * (1.2 + 1.0)
+                          / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_length / s.avgdl)) ) AS s
+              FROM postings p
+              JOIN term_df t USING (term)
+              JOIN doclen dl ON dl.doc_id = p.doc_id
+              CROSS JOIN stats s
+              WHERE p.term IN ({qterms})
+              GROUP BY p.doc_id
+            )
+            , capped AS (
+              SELECT sc.doc_id, round(sc.s, 4) AS score_r
+              FROM scores sc JOIN documents d ON d.doc_id = sc.doc_id
+              QUALIFY row_number() OVER (PARTITION BY d.lang
+                        ORDER BY round(sc.s, 4) DESC, sc.doc_id) <= {_CAP_PER_LANG}
+            )
+            SELECT ROW_NUMBER() OVER (ORDER BY score_r DESC, doc_id)::BIGINT AS rank,
+                   doc_id + 1 AS doc_id, score_r
+            FROM capped ORDER BY score_r DESC, doc_id LIMIT {TOPK}
+            """
+        ),
         # filtered search: the bm25_topk sum restricted to docs whose lang
         # is allowed — filter BEFORE top-k; idf/avgdl stay corpus-level
         # (Lucene filter semantics, mirrored by bm25_topk_filtered)
@@ -3398,6 +3445,7 @@ RAY_QUERIES = {
     "bm25_topk": q_bm25_topk,
     "bm25_msm": q_bm25_msm,
     "bm25_filtered": q_bm25_filtered,
+    "bm25_capped": q_bm25_capped,
     "bm25_prf": q_bm25_prf,
     "bm25_distributed": q_bm25_distributed,
     "bm25_wand": q_bm25_wand,

@@ -442,6 +442,43 @@ class SearchEngine:
         ids, scores = topk_docs(np.concatenate(doc_parts), np.concatenate(score_parts), k)
         return [(int(d), float(s)) for d, s in zip(ids, scores)]
 
+    def bm25_topk_capped(self, query: str, k: int = 10, *, attr: str,
+                         cap: int, digits: int | None = None
+                         ) -> list[tuple[int, float]]:
+        """Diversified BM25 top-k: at most ``cap`` results per value of the
+        registered attribute (host-capped / per-source-capped serving —
+        the result-side twin of host_cap_filter's corpus-side dominance
+        cap). Greedy down the ranked list — the standard diversification
+        contract: a doc is kept iff fewer than ``cap`` better-ranked docs
+        share its value. Docs absent from the registry form one shared
+        'unknown' group. ``digits`` rounds scores before ranking (ties →
+        doc_id asc) so an external contract (e.g. the SQL oracle's
+        round-4 window) can be matched exactly; None keeps raw f64 order.
+
+        The greedy is vectorized: one lexsort for the order, one stable
+        group-split for within-group occurrence indexes — no Python loop
+        over candidates."""
+        full = self.bm25_topk(query, 1 << 62)
+        if not full:
+            return []
+        d = np.fromiter((x for x, _ in full), np.int64, len(full))
+        s = np.fromiter((y for _, y in full), np.float64, len(full))
+        if digits is not None:
+            order = np.lexsort((d, -np.round(s, digits)))
+            d, s = d[order], s[order]
+        ids, codes, _vocab = self._doc_attrs[attr]
+        i = np.clip(np.searchsorted(ids, d), 0, len(ids) - 1)
+        hit = ids[i] == d
+        dc = np.where(hit, codes[i], -1)
+        o = np.argsort(dc, kind="stable")
+        grp = dc[o]
+        starts = np.flatnonzero(np.r_[True, grp[1:] != grp[:-1]])
+        sizes = np.diff(np.r_[starts, len(o)])
+        occ = np.empty(len(o), np.int64)
+        occ[o] = np.arange(len(o)) - np.repeat(starts, sizes)
+        kept = np.flatnonzero(occ < int(cap))[:k]
+        return [(int(d[i]), float(s[i])) for i in kept]
+
     def more_like_this(self, text: str, k: int = 10, n_terms: int = 3,
                        exclude: int | None = None) -> list[tuple[int, float]]:
         """Similar-document retrieval: extract the text's top ``n_terms``

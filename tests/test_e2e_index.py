@@ -500,3 +500,46 @@ class TestBM25Filtered:
         engine.set_doc_attr("lang", np.arange(1, n + 1), ["en"] * n)
         assert engine.bm25_topk_filtered("common", 10, attr="lang",
                                          allowed=("zz",)) == []
+
+
+class TestBM25Capped:
+    def test_greedy_cap_matches_scalar_spec(self, built):
+        """cap-greedy == 'keep iff fewer than cap better-ranked docs share
+        the value', checked against a transparent Python spec."""
+        engine, _oracle, _ = built
+        n = engine.num_docs
+        ids = np.arange(1, n + 1)
+        vals = [f"g{i % 4}" for i in ids]
+        engine.set_doc_attr("grp4", ids, vals)
+        for q in ["common", "common word", "quick brown", "fox"]:
+            full = engine.bm25_topk(q, 10_000_000)
+            for cap in (1, 2, 3):
+                seen: dict = {}
+                want = []
+                for d, s in full:
+                    g = vals[d - 1]
+                    if seen.get(g, 0) < cap:
+                        seen[g] = seen.get(g, 0) + 1
+                        want.append((d, s))
+                    if len(want) == 5:
+                        break
+                got = engine.bm25_topk_capped(q, 5, attr="grp4", cap=cap)
+                assert got == want, (q, cap)
+
+    def test_large_cap_equals_plain_topk(self, built):
+        engine, _oracle, _ = built
+        n = engine.num_docs
+        engine.set_doc_attr("one", np.arange(1, n + 1), ["v"] * n)
+        q = "common word"
+        assert engine.bm25_topk_capped(q, 10, attr="one", cap=10 ** 9) \
+            == engine.bm25_topk(q, 10)
+        # cap=1 on a single shared value → only the best doc
+        got = engine.bm25_topk_capped(q, 10, attr="one", cap=1)
+        assert got == engine.bm25_topk(q, 1)
+
+    def test_unregistered_docs_share_unknown_group(self, built):
+        engine, _oracle, _ = built
+        engine.set_doc_attr("partial", np.array([1]), ["x"])
+        got = engine.bm25_topk_capped("common word", 10, attr="partial", cap=1)
+        # at most 1 hit from the registered group and 1 from 'unknown'
+        assert len(got) <= 2
