@@ -1539,6 +1539,31 @@ def q_fingerprints(sf_dir: str):
     return fingerprints(_read_docs(sf_dir), hash_mode="md5")
 
 
+#: deterministic eval-set twin for fuzzy decontamination (every ~41st doc)
+_FUZZY_EVAL_MOD = 41
+_FUZZY_DECON_T = 0.5
+
+
+def q_decontaminate_fuzzy(sf_dir: str):
+    """Paraphrase-robust decontamination (md5 twin): MinHash-LSH match of
+    the corpus against the deterministic eval subset, eval side broadcast
+    — no corpus shuffle; self-pairs (eval ⊆ corpus here) score 1.0."""
+    from search_engine_ray.pipelines.training_data import decontaminate_fuzzy
+
+    docs = _read_docs(sf_dir)
+
+    def eval_subset(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(ids % _FUZZY_EVAL_MOD == 0))
+
+    ev = docs.map_batches(eval_subset, batch_format="pyarrow")
+    out = decontaminate_fuzzy(docs, ev, shingle_k=2,
+                              threshold=_FUZZY_DECON_T,
+                              hash_mode="md5").to_pandas()
+    return (out.astype({"doc_id": np.int64, "eval_id": np.int64})
+            .sort_values(["doc_id", "eval_id"]).reset_index(drop=True))
+
+
 def q_decontaminate(sf_dir: str):
     from search_engine_ray.pipelines.training_data import decontaminate
 
@@ -1881,6 +1906,59 @@ def _minhash_pairs_sql(num_perm: int = 128, bands: int = 32, k: int = 2,
         )
         SELECT a, b, jac AS jaccard FROM j
         WHERE jac >= {threshold} ORDER BY a, b
+    """
+
+
+def _fuzzy_decon_sql(num_perm: int = 128, bands: int = 32, k: int = 2,
+                     threshold: float = 0.5, eval_mod: int = 41) -> str:
+    """DuckDB twin of q_decontaminate_fuzzy: the asymmetric variant of
+    _minhash_pairs_sql — corpus bands join ONLY eval-side bands (exact
+    r-tuple keys ≡ the Python 64-bit fold up to a 2^-64 collision), no
+    bucket cap (pairs are bounded by the eval set size), signature
+    estimate ≥ threshold; eval = doc_id % eval_mod = 0."""
+    from search_engine_ray.pipelines.training_data import md5_minhash_perms
+
+    a, b = md5_minhash_perms(num_perm)
+    vals = ",".join(f"({i},{int(a[i])},{int(b[i])})" for i in range(num_perm))
+    rows = num_perm // bands
+    return f"""
+        WITH perms(i, a, b) AS (VALUES {vals}),
+        toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                     x -> x <> '') AS t
+          FROM documents
+        ),
+        g AS (
+          SELECT DISTINCT doc_id,
+                 ('0x' || substr(md5(array_to_string(t[i:i+{k - 1}], ' ')), 1, 12))::BIGINT AS h
+          FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {k - 1})) AS i
+                FROM toks WHERE len(t) >= {k})
+        ),
+        sig AS (
+          SELECT doc_id, p.i,
+                 min((p.a::HUGEINT * g.h + p.b) % 2305843009213693951)::BIGINT AS v
+          FROM g CROSS JOIN perms p GROUP BY doc_id, p.i
+        ),
+        bk AS (
+          SELECT doc_id, i // {rows} AS band,
+                 string_agg(v::VARCHAR, ',' ORDER BY i) AS key
+          FROM sig GROUP BY doc_id, i // {rows}
+        ),
+        cand AS (
+          SELECT DISTINCT c.doc_id AS doc_id, e.doc_id AS eval_id
+          FROM bk c JOIN bk e ON c.band = e.band AND c.key = e.key
+          WHERE e.doc_id % {eval_mod} = 0
+        ),
+        j AS (
+          SELECT c.doc_id, c.eval_id,
+                 (sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END)::DOUBLE / {num_perm}) AS jac
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.doc_id
+          JOIN sig sb ON sb.doc_id = c.eval_id AND sb.i = sa.i
+          GROUP BY c.doc_id, c.eval_id
+        )
+        SELECT doc_id, eval_id, jac AS jaccard FROM j
+        WHERE jac >= {threshold} ORDER BY doc_id, eval_id
     """
 
 
@@ -2928,6 +3006,8 @@ def oracle_queries() -> dict[str, str]:
             FROM documents
         """,
         "minhash_pairs": _minhash_pairs_sql(),
+        "decontaminate_fuzzy": _fuzzy_decon_sql(
+            threshold=_FUZZY_DECON_T, eval_mod=_FUZZY_EVAL_MOD),
         "simhash_pairs": """
             WITH toks AS (
               SELECT doc_id,
@@ -3532,6 +3612,7 @@ RAY_QUERIES = {
     "langid": q_langid,
     "pii_scrub": q_pii_scrub,
     "decontaminate": q_decontaminate,
+    "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "repetition": q_repetition,
     "ann_ivf_topk": q_ann_ivf,
     "ann_lsh_topk": q_ann_lsh,

@@ -2209,6 +2209,19 @@ def _bucket_candidate_pairs_batch(batch: pa.Table, max_bucket: int,
     )
 
 
+def _fold_band_keys(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(n × num_perm) signature matrix → (n × bands) 64-bit band keys:
+    vectorized fold of each band's rows; the band index is mixed into the
+    key (<<56 xor) so keys from different bands never bucket together."""
+    n, num_perm = sig.shape
+    rows = int(num_perm) // bands
+    folded = np.zeros((n, bands), _U64)
+    view = sig[:, : bands * rows].reshape(n, bands, rows)
+    for j in range(rows):
+        folded = folded * _U64(1099511628211) + mix64(view[:, :, j])
+    return mix64(mix64(folded) ^ (np.arange(bands, dtype=_U64)[None, :] << _U64(56)))
+
+
 def minhash_band_rows(sig_ds, bands=32):
     """Signatures → (band_key, doc_id) rows — 16 bytes/row. The signature
     deliberately does NOT ride the band shuffle: carrying it in every band
@@ -2232,13 +2245,7 @@ def minhash_band_rows(sig_ds, bands=32):
                              "doc_id": pa.array([], pa.int64())})
         num_perm = (offs[1] - offs[0]) // 8
         sig = data[offs[0]:].view(_U64).reshape(n, int(num_perm))
-        # vectorized banding across the whole batch: fold each band's rows
-        rows = int(num_perm) // bands
-        folded = np.zeros((n, bands), _U64)
-        view = sig[:, : bands * rows].reshape(n, bands, rows)
-        for j in range(rows):
-            folded = folded * _U64(1099511628211) + mix64(view[:, :, j])
-        keys = mix64(mix64(folded) ^ (np.arange(bands, dtype=_U64)[None, :] << _U64(56)))
+        keys = _fold_band_keys(sig, bands)
         return pa.table(
             {
                 "band_key": pa.array(keys.reshape(-1).view(np.int64), pa.int64()),
@@ -2299,6 +2306,96 @@ def _sig_matrix(sig_arr: pa.Array, n: int) -> np.ndarray:
     offs, data = binary_column_parts(sig_arr)
     num_perm = (offs[1] - offs[0]) // 8 if n else 0
     return data[offs[0] if n else 0:].view(_U64).reshape(n, int(num_perm))
+
+
+def decontaminate_fuzzy(docs, eval_docs, shingle_k: int = 2,
+                        num_perm: int = 128, bands: int = 32,
+                        threshold: float = 0.5, id_col: str = "doc_id",
+                        text_col: str = "text", eval_id_col: str = "eval_id",
+                        hash_mode: str = "poly",
+                        eval_cap: int = 2_000_000) -> "ray.data.Dataset":
+    """Paraphrase-robust benchmark decontamination: MinHash-LSH match of
+    every corpus doc against a SMALL eval/benchmark set — the fuzzy twin
+    of :func:`decontaminate` (whose exact gram hashes miss paraphrased or
+    lightly-edited leakage). → (doc_id, eval_id, jaccard) for signature
+    estimates ≥ threshold.
+
+    Scale shape (the asymmetric LSH): eval signatures + band keys are
+    computed once and broadcast via ``ray.put`` (eval sets are ≤ millions
+    of rows by definition — guarded by ``eval_cap``); the corpus streams
+    through ONE map_batches that probes the sorted eval key table by
+    searchsorted and verifies estimate candidates against the broadcast
+    signature matrix — NO corpus shuffle at all, unlike minhash_lsh_dedup
+    whose band exchange moves every doc's keys. Everything per batch is
+    vectorized (fold → searchsorted range expansion → pair dedup →
+    lane-equality mean). ``hash_mode='md5'`` uses the SQL-reproducible
+    signature twin for the DuckDB oracle."""
+    sig_fn = minhash_signatures_md5 if hash_mode == "md5" else minhash_signatures
+    try:
+        ev = sig_fn(eval_docs, shingle_k, num_perm, 1, id_col, text_col) \
+            .to_pandas(limit=eval_cap)
+    except ValueError as err:
+        raise ValueError(
+            f"eval set exceeds eval_cap={eval_cap}; decontaminate_fuzzy "
+            "broadcasts the eval side — use minhash_lsh_dedup shapes instead"
+        ) from err
+    if len(ev):
+        ids_e = ev[id_col].to_numpy().astype(np.int64)
+        sig_e = _sig_matrix(pa.array(ev["sig"], pa.binary()), len(ev))
+    else:  # empty (or schemaless-empty) eval frame
+        ids_e = np.zeros(0, np.int64)
+        sig_e = np.zeros((0, num_perm), _U64)
+    if len(ev):
+        keys_flat = _fold_band_keys(sig_e, bands).reshape(-1)
+        order = np.argsort(keys_flat, kind="stable")
+        keys_sorted = keys_flat[order]
+        rows_sorted = (order // bands).astype(np.int64)
+    else:
+        keys_sorted = np.zeros(0, _U64)
+        rows_sorted = np.zeros(0, np.int64)
+    ref = ray.put((ids_e, sig_e, keys_sorted, rows_sorted))
+    n_e = len(ev)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          eval_id_col: pa.array([], pa.int64()),
+                          "jaccard": pa.array([], pa.float64())})
+        n = batch.num_rows
+        if n == 0 or n_e == 0:
+            return empty
+        e_ids, e_sig, e_keys, e_rows = ray.get(ref)
+        sig = _sig_matrix(batch["sig"].combine_chunks()
+                          if isinstance(batch["sig"], pa.ChunkedArray)
+                          else batch["sig"], n)
+        flat = _fold_band_keys(sig, bands).reshape(-1)
+        lo = np.searchsorted(e_keys, flat, "left")
+        hi = np.searchsorted(e_keys, flat, "right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        # expand bucket ranges: candidate (corpus row, eval row) pairs
+        ends = np.cumsum(cnt)
+        within = np.arange(total, dtype=np.int64) - np.repeat(ends - cnt, cnt)
+        er = e_rows[np.repeat(lo, cnt) + within]
+        cr = np.repeat(np.arange(n * bands, dtype=np.int64) // bands, cnt)
+        packed = np.unique(cr * np.int64(n_e) + er)  # dedup multi-band hits
+        cr_u = packed // n_e
+        er_u = packed - cr_u * n_e
+        est = (sig[cr_u] == e_sig[er_u]).mean(axis=1)
+        keep = est >= threshold
+        if not keep.any():
+            return empty
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(ids[cr_u[keep]], pa.int64()),
+            eval_id_col: pa.array(e_ids[er_u[keep]], pa.int64()),
+            "jaccard": pa.array(est[keep], pa.float64()),
+        })
+
+    sigs = sig_fn(docs, shingle_k, num_perm, 1, id_col, text_col)
+    return sigs.map_batches(probe, batch_format="pyarrow")
 
 
 def _verify_pairs_broadcast(cand, sig_ds, threshold: float, pdf=None):

@@ -113,7 +113,7 @@ def test_query_and_oracle_keys_align(entry):
         "cosine_verify",
         "fingerprints", "minhash_pairs", "simhash_pairs",
         "ann_ivf_full", "ann_lsh_full", "langid", "pii_scrub", "repetition",
-        "decontaminate",
+        "decontaminate", "decontaminate_fuzzy",
     ],
 )
 def test_sql_parity(entry, con, name):

@@ -786,3 +786,54 @@ class TestDedupPairEval:
         assert (miss.recall_r, miss.precision_r) == (0.0, 1.0)
         spurious = dedup_pair_eval(none, some).iloc[0]
         assert (spurious.recall_r, spurious.precision_r) == (1.0, 0.0)
+
+
+class TestDecontaminateFuzzy:
+    def _ds(self, rows):
+        import pyarrow as pa
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }))
+
+    BENCH = "what is the capital city of france and where is it located today"
+
+    def test_finds_exact_and_near_copies(self, ray_session):
+        from search_engine_ray.pipelines.training_data import decontaminate_fuzzy
+
+        near = "what is the capital city of france and where is it situated today"
+        corpus = self._ds([
+            (1, self.BENCH),                          # exact leak
+            (2, near),                                # paraphrased leak
+            (3, "completely unrelated text about gardening and soil quality"),
+            (4, "another unrelated document mentioning france once only here"),
+        ])
+        ev = self._ds([(100, self.BENCH)])
+        for mode in ("poly", "md5"):
+            out = decontaminate_fuzzy(corpus, ev, shingle_k=2, threshold=0.5,
+                                      hash_mode=mode).to_pandas()
+            got = set(zip(out.doc_id, out.eval_id))
+            assert (1, 100) in got, mode
+            assert (2, 100) in got, mode
+            assert all(d in (1, 2) for d in out.doc_id), mode
+            exact = out[out.doc_id == 1].jaccard.iloc[0]
+            assert exact == 1.0, mode
+
+    def test_empty_eval_set_matches_nothing(self, ray_session):
+        from search_engine_ray.pipelines.training_data import decontaminate_fuzzy
+
+        corpus = self._ds([(1, self.BENCH)])
+        ev = self._ds([])
+        assert decontaminate_fuzzy(corpus, ev).count() == 0
+
+    def test_eval_cap_guard(self, ray_session):
+        import pytest as _pt
+
+        from search_engine_ray.pipelines.training_data import decontaminate_fuzzy
+
+        corpus = self._ds([(1, self.BENCH)])
+        ev = self._ds([(i, f"doc number {i} words here") for i in range(5)])
+        with _pt.raises(ValueError, match="eval_cap"):
+            decontaminate_fuzzy(corpus, ev, eval_cap=2)
