@@ -1245,6 +1245,62 @@ def q_ann_topk(sf_dir: str):
     return out[["query_id", "rank", "vec_id", "score_r"]]
 
 
+def q_quantize_embeddings(sf_dir: str):
+    """Per-vector int8 max-abs quantization, unnested to (vec_id, i, code,
+    scale) rows so every code is value-checked exactly (half-away rounding
+    == SQL round())."""
+    import ray.data
+
+    from search_engine_ray.pipelines.training_data import quantize_embeddings
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+
+    def unnest(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        codes = batch["codes"]
+        if isinstance(codes, pa.ChunkedArray):
+            codes = codes.combine_chunks()
+        flat = codes.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = codes.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        lens = np.diff(offs)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        scale = batch["scale"].to_numpy(zero_copy_only=False)
+        i = np.arange(int(offs[-1]), dtype=np.int64) - np.repeat(offs[:-1], lens) + 1
+        return pa.table({"vec_id": pa.array(np.repeat(ids, lens), pa.int64()),
+                         "i": pa.array(i, pa.int64()),
+                         "code": pa.array(flat, pa.int64()),
+                         "scale": pa.array(np.repeat(scale, lens), pa.float64())})
+
+    out = quantize_embeddings(emb).map_batches(unnest, batch_format="pyarrow")
+    return out.to_pandas().sort_values(["vec_id", "i"]).reset_index(drop=True)
+
+
+def q_ann_quantized_topk(sf_dir: str):
+    """Brute-force cosine top-k over DEQUANTIZED int8 embeddings (the
+    quantized serving path end-to-end); queries = dequantized vec_id 0..2,
+    scores in f64, round(3) absorbing summation-order differences."""
+    import ray.data
+
+    from search_engine_ray.pipelines.training_data import (
+        ann_brute_force,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    deq = dequantize_embeddings(quantize_embeddings(emb)).materialize()
+    qrows = sorted(deq.filter(expr="vec_id < 3").take_all(),
+                   key=lambda r: r["vec_id"])
+    qm = np.stack([np.asarray(r["embedding"], np.float64) for r in qrows])
+    out = ann_brute_force(deq, qm, k=TOPK, round_digits=3).to_pandas()
+    out["query_id"] = out["query_id"].astype(np.int64)
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "vec_id", "score_r"]]
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: binary payload → deterministic features."""
     from search_engine_ray.pipelines.multimodal import media_features, media_from_documents
@@ -3008,6 +3064,60 @@ def oracle_queries() -> dict[str, str]:
         "minhash_pairs": _minhash_pairs_sql(),
         "decontaminate_fuzzy": _fuzzy_decon_sql(
             threshold=_FUZZY_DECON_T, eval_mod=_FUZZY_EVAL_MOD),
+        # int8 max-abs quantization recomputed per dimension: scale =
+        # max|x| (f64), code = round(x/scale*127) — SQL round() IS
+        # half-away, the convention the kernel matches
+        "quantize_embeddings": """
+            WITH s AS (
+              SELECT vec_id,
+                     coalesce(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 0.0) AS scale
+              FROM embeddings
+            ),
+            u AS (
+              SELECT e.vec_id, unnest(generate_series(1, len(e.embedding))) AS i,
+                     unnest(list_transform(e.embedding, x -> x::DOUBLE)) AS x, s.scale
+              FROM embeddings e JOIN s USING (vec_id)
+            )
+            SELECT vec_id, i::BIGINT AS i,
+                   CASE WHEN scale = 0 THEN 0
+                        ELSE round(x / scale * 127.0)::BIGINT END AS code,
+                   scale
+            FROM u
+        """,
+        # quantized ANN: dequantize (code*scale/127) then exact f64 cosine
+        # per (query, vector) via per-dim join; queries = vec_id 0..2
+        "ann_quantized_topk": """
+            WITH s AS (
+              SELECT vec_id,
+                     coalesce(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 0.0) AS scale
+              FROM embeddings
+            ),
+            u AS (
+              SELECT e.vec_id, unnest(generate_series(1, len(e.embedding))) AS i,
+                     unnest(list_transform(e.embedding, x -> x::DOUBLE)) AS x, s.scale
+              FROM embeddings e JOIN s USING (vec_id)
+            ),
+            dq AS (
+              SELECT vec_id, i,
+                     CASE WHEN scale = 0 THEN 0.0
+                          ELSE round(x / scale * 127.0) * scale / 127.0 END AS v
+              FROM u
+            ),
+            sims AS (
+              SELECT q.vec_id AS query_id, d.vec_id,
+                     sum(q.v * d.v) /
+                     (sqrt(sum(q.v * q.v)) * sqrt(sum(d.v * d.v))) AS score
+              FROM dq q JOIN dq d USING (i)
+              WHERE q.vec_id < 3
+              GROUP BY q.vec_id, d.vec_id
+            )
+            SELECT query_id, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY round(score, 3) DESC, vec_id)::BIGINT AS rank,
+                   vec_id, round(score, 3) AS score_r
+            FROM sims
+            QUALIFY rank <= 10
+            ORDER BY query_id, rank
+        """,
         "simhash_pairs": """
             WITH toks AS (
               SELECT doc_id,
@@ -3578,6 +3688,8 @@ RAY_QUERIES = {
     "vocab_size": q_vocab_size,
     "vocab_size_hll": q_vocab_size_hll,
     "ann_topk": q_ann_topk,
+    "quantize_embeddings": q_quantize_embeddings,
+    "ann_quantized_topk": q_ann_quantized_topk,
     "media_features": q_media_features,
     "media_resize": q_media_resize,
     "media_frames": q_media_frames,

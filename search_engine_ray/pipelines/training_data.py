@@ -3114,6 +3114,66 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def quantize_embeddings(embeddings, id_col: str = "vec_id",
+                        emb_col: str = "embedding") -> "ray.data.Dataset":
+    """Symmetric per-vector int8 max-abs quantization → (id, scale,
+    codes:list<int8>): code_i = round_half_away(x_i / scale · 127), scale
+    = max|x| (float64; 0 for the zero vector, whose codes are all 0). The
+    memory lever for embedding ops at scale — a broadcast query/centroid
+    matrix or a resident ANN shard drops 4× vs f32 (8× vs the f64 matmul
+    matrices). Row-local, fully vectorized (one reshape + one reduce per
+    batch). Half-AWAY rounding is chosen over numpy's banker's rounding
+    because it is what SQL ``round()`` computes — the DuckDB oracle
+    reproduces every code exactly."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "scale": pa.array([], pa.float64()),
+                             "codes": pa.array([], pa.list_(pa.int8()))})
+        m = _to_matrix(batch[emb_col])
+        n, d = m.shape
+        scale = np.abs(m).max(axis=1)
+        safe = np.where(scale == 0, 1.0, scale)
+        y = m / safe[:, None] * 127.0
+        codes = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int8)
+        offsets = pa.array(np.arange(n + 1, dtype=np.int32) * d)
+        codes_col = pa.ListArray.from_arrays(offsets, pa.array(codes.reshape(-1), pa.int8()))
+        return pa.table({id_col: batch[id_col].cast(pa.int64()),
+                         "scale": pa.array(scale, pa.float64()),
+                         "codes": codes_col})
+
+    return embeddings.map_batches(fn, batch_format="pyarrow")
+
+
+def dequantize_embeddings(quantized, id_col: str = "vec_id"
+                          ) -> "ray.data.Dataset":
+    """(id, scale, codes) → (id, embedding:list<double>) with
+    x̂_i = code_i · scale / 127 — the reconstruction every quantized
+    consumer (ANN, k-means assignment) scores against. Row-local."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "embedding": pa.array([], pa.list_(pa.float64()))})
+        codes = batch["codes"]
+        if isinstance(codes, pa.ChunkedArray):
+            codes = codes.combine_chunks()
+        flat = codes.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        offs = codes.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]  # flatten() already dropped any slice prefix
+        scale = batch["scale"].to_numpy(zero_copy_only=False)
+        vals = flat * np.repeat(scale, np.diff(offs)) / 127.0
+        emb = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                       pa.array(vals, pa.float64()))
+        return pa.table({id_col: batch[id_col].cast(pa.int64()),
+                         "embedding": emb})
+
+    return quantized.map_batches(fn, batch_format="pyarrow")
+
+
 def ann_brute_force(embeddings, query_matrix: np.ndarray, k: int = 10,
                     id_col: str = "vec_id", emb_col: str = "embedding",
                     round_digits: int = 6):

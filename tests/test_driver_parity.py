@@ -103,7 +103,8 @@ def test_query_and_oracle_keys_align(entry):
         "pagerank", "anchor_terms", "latest_snapshot", "degree_stats", "bm25f",
         "remove_repeated_ngrams", "remove_global_ngrams",
         "heavy_hitters_exact", "vocab_size",
-        "ann_topk", "project_embeddings", "media_features", "media_resize",
+        "ann_topk", "quantize_embeddings", "ann_quantized_topk",
+        "project_embeddings", "media_features", "media_resize",
         "media_frames", "event_windows", "event_hopping", "value_quantiles",
         "grouped_quantiles",
         "event_sessions", "event_asof", "event_range",

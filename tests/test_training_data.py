@@ -837,3 +837,55 @@ class TestDecontaminateFuzzy:
         ev = self._ds([(i, f"doc number {i} words here") for i in range(5)])
         with _pt.raises(ValueError, match="eval_cap"):
             decontaminate_fuzzy(corpus, ev, eval_cap=2)
+
+
+class TestQuantizeEmbeddings:
+    def _emb(self, mat):
+        import pyarrow as pa
+        import ray.data
+
+        n, d = mat.shape
+        offs = pa.array(np.arange(n + 1, dtype=np.int32) * d)
+        col = pa.ListArray.from_arrays(offs, pa.array(mat.reshape(-1).astype(np.float32), pa.float32()))
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "embedding": col,
+        }))
+
+    def test_roundtrip_error_bound_and_zero_vector(self, ray_session):
+        from search_engine_ray.pipelines.training_data import (
+            dequantize_embeddings,
+            quantize_embeddings,
+        )
+
+        rng = np.random.default_rng(11)
+        mat = rng.normal(size=(40, 16))
+        mat[7] = 0.0  # zero vector: scale 0, codes 0, reconstruction 0
+        ds = self._emb(mat)
+        out = dequantize_embeddings(quantize_embeddings(ds)).to_pandas() \
+            .sort_values("vec_id")
+        rec = np.stack([np.asarray(v, np.float64) for v in out.embedding])
+        x = mat.astype(np.float32).astype(np.float64)
+        scale = np.abs(x).max(axis=1, keepdims=True)
+        # max-abs int8: per-component error <= scale/(2*127)
+        assert np.abs(rec - x).max() <= (scale / 254.0 + 1e-12).max()
+        assert (rec[7] == 0).all()
+
+    def test_quantized_ann_recall(self, ray_session):
+        from search_engine_ray.pipelines.training_data import (
+            ann_brute_force,
+            dequantize_embeddings,
+            quantize_embeddings,
+        )
+
+        rng = np.random.default_rng(5)
+        mat = rng.normal(size=(300, 32))
+        ds = self._emb(mat)
+        qm = mat[:2].astype(np.float32).astype(np.float64)
+        exact = ann_brute_force(ds, qm, k=10).to_pandas()
+        deq = dequantize_embeddings(quantize_embeddings(ds))
+        quant = ann_brute_force(deq, qm, k=10).to_pandas()
+        for qid in (0, 1):
+            e = set(exact[exact.query_id == qid].vec_id)
+            g = set(quant[quant.query_id == qid].vec_id)
+            assert len(e & g) >= 8, f"recall@10 too low for query {qid}"
