@@ -872,6 +872,16 @@ def q_upsample_mix(sf_dir: str):
             .sort_values(["doc_id", "epoch"]).reset_index(drop=True))
 
 
+def q_curriculum_order(sf_dir: str):
+    """Curriculum schedule: global 0-based position in (quality desc,
+    doc_id) order via one sort + the distributed prefix-sum primitive."""
+    from search_engine_ray.pipelines.webcorpus import curriculum_order
+
+    out = curriculum_order(_read_docs(sf_dir)).to_pandas()
+    return (out.astype({"doc_id": np.int64, "position": np.int64})
+            .sort_values("position").reset_index(drop=True))
+
+
 _SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
@@ -2754,6 +2764,33 @@ def oracle_queries() -> dict[str, str]:
                     ELSE '{min(int(_STRATA_DEFAULT * 2**32), 2**32 - 1):08x}'
                   END
         """,
+        # curriculum ordering: the composite quality score (same spec as
+        # cluster_best's qq CTE) ranked globally, 0-based
+        "curriculum_order": """
+            WITH qst AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            qm AS (
+              SELECT doc_id, len(toks)::BIGINT AS n,
+                     CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE len(list_filter(toks, t -> regexp_matches(t, '^[A-Za-z]+$')))::DOUBLE / len(toks) END AS alphar,
+                     CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+$')))::DOUBLE / len(toks) END AS digitr
+              FROM qst
+            ),
+            qq AS (
+              SELECT doc_id,
+                     round(0.5 * least(n / 50.0, 1.0)
+                               * (CASE WHEN n <= 10000 THEN 1.0 ELSE 0.5 END)
+                           + 0.4 * alphar + 0.1 * (1.0 - digitr), 6) AS quality_r
+              FROM qm
+            )
+            SELECT doc_id, quality_r,
+                   (ROW_NUMBER() OVER (ORDER BY quality_r DESC, doc_id) - 1)::BIGINT AS position
+            FROM qq
+        """,
         # epoch-weighted mixture: base copies + the same hex-string keep
         # rule as stratified_sample for the fractional copy; range(n)
         # unnests to 0..n-1 (empty for n=0, dropping w=0 strata)
@@ -3671,6 +3708,7 @@ RAY_QUERIES = {
     "host_cap": q_host_cap,
     "stratified_sample": q_stratified_sample,
     "upsample_mix": q_upsample_mix,
+    "curriculum_order": q_curriculum_order,
     "split_assign": q_split_assign,
     "pack_sequences": q_pack_sequences,
     "collocations": q_collocations,

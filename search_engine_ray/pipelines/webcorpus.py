@@ -181,6 +181,51 @@ def stratified_sample(docs, fractions: dict[str, float],
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
+def curriculum_order(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Curriculum ordering: every doc's global position in
+    (quality desc, id asc) order — the deterministic 'clean examples
+    first' training schedule. → (doc_id, quality_r, position), position
+    0-based and gap-free.
+
+    Distributed shape: quality is row-local; the global rank rides
+    :func:`~search_engine_ray.stages.scan.ordered_prefix_sum` over a
+    packed int64 order key ((10^6 − q6)·2^41 + doc_id — ascending key ≡
+    the curriculum order; q6 = quality in millionths), so the only wide
+    step is ONE sort and only per-block totals ever reach the driver.
+    doc_ids ≥ 2^40 would corrupt the packing and raise."""
+    from search_engine_ray.functions.quality import batch_doc_stats, batch_quality_score
+    from search_engine_ray.stages.scan import ordered_prefix_sum
+
+    SHIFT = np.int64(1 << 41)
+
+    def key(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "quality_r": pa.array([], pa.float64()),
+                             "okey": pa.array([], pa.int64()),
+                             "one": pa.array([], pa.int64())})
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and int(ids.max()) >= (1 << 40):
+            raise ValueError("curriculum_order packs doc_id into 41 bits; "
+                             "ids >= 2^40 need a wider packing")
+        q = batch_quality_score(batch_doc_stats(batch[text_col]))
+        q6 = np.rint(q * 1e6).astype(np.int64)
+        okey = (np.int64(1_000_000) - q6) * SHIFT + ids
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "quality_r": pa.array(q, pa.float64()),
+                         "okey": pa.array(okey, pa.int64()),
+                         "one": pa.array(np.ones(len(ids), np.int64), pa.int64())})
+
+    ranked = ordered_prefix_sum(docs.map_batches(key, batch_format="pyarrow"),
+                                "okey", "one", out_col="position")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.select([id_col, "quality_r", "position"])
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
+
+
 def upsample_mix(docs, weights: dict[str, float], default_weight: float = 1.0,
                  key_col: str = "lang", id_col: str = "doc_id",
                  method: str = "md5"):

@@ -308,3 +308,20 @@ def test_upsample_mix_rule_invariance_and_epochs(ray_session):
     m = upsample_mix(_ds(tbl, 9), w, default_weight=1.0, method="mix64").to_pandas()
     n_en = (df.lang == "en").sum()
     assert abs((m.lang == "en").sum() - 2.5 * n_en) < 0.15 * n_en
+
+
+@pytest.mark.parametrize("parts", [3, 11])
+def test_curriculum_order_matches_pandas_rank(ray_session, parts):
+    from search_engine_ray.functions.quality import batch_doc_stats, batch_quality_score
+    from search_engine_ray.pipelines.webcorpus import curriculum_order
+
+    tbl = _pages(n=400)
+    out = curriculum_order(_ds(tbl, parts)).to_pandas().sort_values("position")
+    # gap-free 0-based positions
+    assert out.position.tolist() == list(range(len(tbl)))
+    # matches the transparent spec rank
+    q = batch_quality_score(batch_doc_stats(tbl["text"]))
+    df = tbl.to_pandas().assign(q=q)
+    spec = df.sort_values(["q", "doc_id"], ascending=[False, True]).doc_id.tolist()
+    assert out.doc_id.tolist() == spec
+    np.testing.assert_allclose(np.sort(out.quality_r), np.sort(q))
