@@ -677,6 +677,49 @@ def _nfc_compose(arr: pa.Array) -> pa.Array:
     return pa.array(vals, type=pa.string())
 
 
+def quality_percentile_filter(docs: "ray.data.Dataset", pct: float = 0.5,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> "ray.data.Dataset":
+    """Percentile-calibrated quality filtering: keep docs whose composite
+    quality score is ≥ the corpus-wide ``pct`` quantile (quantile_cont
+    interpolation) — self-calibrating across corpora where a fixed
+    threshold is not (a web crawl and a books dump have different score
+    distributions; 'drop the worst 60%' transfers, '< 0.8' does not).
+    → (doc_id, quality_r).
+
+    Two streaming passes, no materialized corpus: pass 1 computes quality
+    row-locally and runs the exact distributed quantile (one sorted pass;
+    only rank rows leave workers) to get ONE cutoff scalar; pass 2
+    re-derives quality row-locally and filters. The cutoff is rounded to
+    the score's own 1e-6 grid so the keep rule is engine-stable."""
+    from search_engine_ray.functions.quality import batch_doc_stats, batch_quality_score
+    from search_engine_ray.pipelines.events import value_quantiles
+
+    def qcol(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return pa.table({"value": pa.array([], pa.float64())})
+        q = batch_quality_score(batch_doc_stats(batch[text_col]))
+        return pa.table({"value": pa.array(q, pa.float64())})
+
+    qt = value_quantiles(docs.map_batches(qcol, batch_format="pyarrow"),
+                         [float(pct)])
+    cutoff = round(float(qt["value"][0].as_py()), 6)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "quality_r": pa.array([], pa.float64())})
+        q = batch_quality_score(batch_doc_stats(batch[text_col]))
+        m = q >= cutoff
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({id_col: pa.array(ids[m], pa.int64()),
+                         "quality_r": pa.array(q[m], pa.float64())})
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
 def normalize_text(docs: "ray.data.Dataset", id_col: str = "doc_id",
                    text_col: str = "text") -> "ray.data.Dataset":
     """Unicode + whitespace canonicalization — the cleaning stage that runs

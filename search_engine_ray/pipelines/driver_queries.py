@@ -872,6 +872,19 @@ def q_upsample_mix(sf_dir: str):
             .sort_values(["doc_id", "epoch"]).reset_index(drop=True))
 
 
+_QPCT = 0.6
+
+
+def q_quality_filter(sf_dir: str):
+    """Percentile-calibrated quality filter: keep docs at or above the
+    corpus-wide 60th-percentile composite quality score."""
+    from search_engine_ray.pipelines.corpus_clean import quality_percentile_filter
+
+    out = quality_percentile_filter(_read_docs(sf_dir), pct=_QPCT).to_pandas()
+    return (out.astype({"doc_id": np.int64})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def q_curriculum_order(sf_dir: str):
     """Curriculum schedule: global 0-based position in (quality desc,
     doc_id) order via one sort + the distributed prefix-sum primitive."""
@@ -2764,6 +2777,32 @@ def oracle_queries() -> dict[str, str]:
                     ELSE '{min(int(_STRATA_DEFAULT * 2**32), 2**32 - 1):08x}'
                   END
         """,
+        # percentile quality filter: same quality CTE, cutoff = round-6
+        # quantile_cont at _QPCT, keep rule quality_r >= cutoff
+        "quality_filter": f"""
+            WITH qst AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            qm AS (
+              SELECT doc_id, len(toks)::BIGINT AS n,
+                     CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE len(list_filter(toks, t -> regexp_matches(t, '^[A-Za-z]+$')))::DOUBLE / len(toks) END AS alphar,
+                     CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+$')))::DOUBLE / len(toks) END AS digitr
+              FROM qst
+            ),
+            qq AS (
+              SELECT doc_id,
+                     round(0.5 * least(n / 50.0, 1.0)
+                               * (CASE WHEN n <= 10000 THEN 1.0 ELSE 0.5 END)
+                           + 0.4 * alphar + 0.1 * (1.0 - digitr), 6) AS quality_r
+              FROM qm
+            ),
+            c AS (SELECT round(quantile_cont(quality_r, {_QPCT}), 6) AS cut FROM qq)
+            SELECT doc_id, quality_r FROM qq, c WHERE quality_r >= cut
+        """,
         # curriculum ordering: the composite quality score (same spec as
         # cluster_best's qq CTE) ranked globally, 0-based
         "curriculum_order": """
@@ -3709,6 +3748,7 @@ RAY_QUERIES = {
     "stratified_sample": q_stratified_sample,
     "upsample_mix": q_upsample_mix,
     "curriculum_order": q_curriculum_order,
+    "quality_filter": q_quality_filter,
     "split_assign": q_split_assign,
     "pack_sequences": q_pack_sequences,
     "collocations": q_collocations,

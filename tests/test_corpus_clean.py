@@ -328,3 +328,30 @@ class TestNormalizeText:
         twice, changed = self._run(ray_session, once)
         assert twice == once
         assert not any(changed)
+
+
+class TestQualityPercentileFilter:
+    def test_cutoff_rule_and_partition_invariance(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from search_engine_ray.functions.quality import batch_doc_stats, batch_quality_score
+        from search_engine_ray.pipelines.corpus_clean import quality_percentile_filter
+
+        rng = np.random.default_rng(3)
+        texts = []
+        for i in range(200):
+            n_words = int(rng.integers(1, 80))
+            n_digits = int(rng.integers(0, n_words + 1))
+            toks = ["word"] * (n_words - n_digits) + ["123"] * n_digits
+            rng.shuffle(toks)
+            texts.append(" ".join(toks))
+        tbl = pa.table({"doc_id": pa.array(range(200), pa.int64()),
+                        "text": pa.array(texts, pa.string())})
+        q = batch_quality_score(batch_doc_stats(tbl["text"]))
+        cut = round(float(np.quantile(q, 0.5)), 6)
+        spec = sorted(int(i) for i, v in zip(range(200), q) if v >= cut)
+        for parts in (3, 13):
+            ds = ray.data.from_arrow(tbl).repartition(parts)
+            out = quality_percentile_filter(ds, pct=0.5).to_pandas()
+            assert sorted(out.doc_id) == spec, parts
