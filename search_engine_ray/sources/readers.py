@@ -53,8 +53,11 @@ def parse_article_stream(data: bytes) -> list[dict]:
 
 def article_body(article: dict) -> str:
     """WikiArticle.text ([[sentence]]) → one string, reference joining
-    semantics (indexer.rs:59-66)."""
+    semantics (indexer.rs:59-66). A plain-string ``text`` (C4/JSONL-style
+    ``{url, text}`` docs) passes through unchanged."""
     paragraphs = article.get("text") or []
+    if isinstance(paragraphs, str):
+        return paragraphs
     return "\n\n".join("".join(p) for p in paragraphs)
 
 
@@ -64,48 +67,62 @@ def read_wiki_bz2(path: str) -> "ray.data.Dataset":
     ``html`` carries the raw joined article body (may contain markup);
     extraction happens in the extract stage like the reference."""
     files = ray.data.read_binary_files(path, file_extensions=["bz2"])
+    return files.map_batches(_expand_articles, batch_format="pyarrow")
 
-    def expand(batch: pa.Table) -> pa.Table:
-        urls, ts, htmls, texts, langs = [], [], [], [], []
-        for payload in batch["bytes"].to_pylist():
-            if payload[:3] == b"BZh":
-                try:
-                    raw = bz2.decompress(payload)
-                except OSError:
-                    continue  # corrupt bz2 stream — skip file
-            else:
-                # Arrow's filesystem layer auto-decompresses by extension;
-                # bytes may already be plain JSON
-                raw = payload
-            for art in parse_article_stream(raw):
-                from search_engine_ray.functions.hashing import poly_hash_str
 
-                body = article_body(art)
-                url = art.get("url")
-                if not url:
-                    # `is not None`, not truthiness: id 0 is a legitimate id.
-                    # Last resort derives from CONTENT, not a per-file
-                    # enumeration index — same body ⇒ same url across files,
-                    # distinct bodies never collide on "article-<i>" (the
-                    # build's url-uniqueness determinism precondition).
-                    aid = art.get("id")
-                    url = str(aid) if aid is not None else f"article-{poly_hash_str(body):016x}"
-                url = str(url)
+def read_wiki_jsonl(path: str) -> "ray.data.Dataset":
+    """Uncompressed .jsonl / .json article reader — the same article
+    semantics and malformed-skip as :func:`read_wiki_bz2` over the plain
+    files public corpora commonly ship (one read task per file; both
+    ``{url, text: [[sentence]]}`` wiki articles and C4-style
+    ``{url, text: str}`` docs parse)."""
+    files = ray.data.read_binary_files(path, file_extensions=["jsonl", "json"])
+    return files.map_batches(_expand_articles, batch_format="pyarrow")
 
-                urls.append(url)
-                # deterministic pseudo-timestamp (hash() is seed-dependent)
-                ts.append(EPOCH_US + (poly_hash_str(url) % 1_000_000) * 1_000_000)
-                htmls.append(body.encode("utf-8"))
-                texts.append("")
-                langs.append("und")
-        return pa.table(
-            {
-                "url": pa.array(urls, pa.string()),
-                "warc_ts": pa.array(ts, pa.timestamp("us")),
-                "html": pa.array(htmls, pa.binary()),
-                "text": pa.array(texts, pa.string()),
-                "lang": pa.array(langs, pa.string()),
-            }
-        )
 
-    return files.map_batches(expand, batch_format="pyarrow")
+def _expand_articles(batch: pa.Table) -> pa.Table:
+    """bytes column → webpages rows (shared by the bz2 and jsonl readers):
+    decompress when the payload is a bz2 stream, stream-parse articles,
+    derive deterministic urls/timestamps (see read_wiki_bz2)."""
+    urls, ts, htmls, texts, langs = [], [], [], [], []
+    for payload in batch["bytes"].to_pylist():
+        if payload[:3] == b"BZh":
+            try:
+                raw = bz2.decompress(payload)
+            except OSError:
+                continue  # corrupt bz2 stream — skip file
+        else:
+            # Arrow's filesystem layer auto-decompresses by extension;
+            # bytes may already be plain JSON
+            raw = payload
+        for art in parse_article_stream(raw):
+            from search_engine_ray.functions.hashing import poly_hash_str
+
+            body = article_body(art)
+            url = art.get("url")
+            if not url:
+                # `is not None`, not truthiness: id 0 is a legitimate id.
+                # Last resort derives from CONTENT, not a per-file
+                # enumeration index — same body ⇒ same url across files,
+                # distinct bodies never collide on "article-<i>" (the
+                # build's url-uniqueness determinism precondition).
+                aid = art.get("id")
+                url = str(aid) if aid is not None else f"article-{poly_hash_str(body):016x}"
+            url = str(url)
+
+            urls.append(url)
+            # deterministic pseudo-timestamp (hash() is seed-dependent)
+            ts.append(EPOCH_US + (poly_hash_str(url) % 1_000_000) * 1_000_000)
+            htmls.append(body.encode("utf-8"))
+            texts.append("")
+            langs.append("und")
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+

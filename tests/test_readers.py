@@ -76,3 +76,25 @@ class TestEndToEnd:
         assert eng.lookup("bold") is not None
         docs = eng.boolean_and("table")
         assert len(docs) == 2
+
+
+class TestJsonlReader:
+    def test_jsonl_and_c4_style_docs(self, ray_session, tmp_path):
+        from search_engine_ray.sources.readers import read_wiki_jsonl
+
+        d = str(tmp_path / "jl")
+        os.makedirs(d)
+        with open(os.path.join(d, "wiki.jsonl"), "w") as f:
+            for a in ARTICLES[:2]:
+                f.write(json.dumps(a) + "\n")
+        with open(os.path.join(d, "c4.jsonl"), "w") as f:
+            f.write(json.dumps({"url": "https://c4/x",
+                                "text": "plain string body here"}) + "\n")
+            f.write("{broken json\n")  # malformed line skipped
+            f.write(json.dumps({"url": "https://c4/y", "text": "another doc"}) + "\n")
+        rows = read_wiki_jsonl(d).to_pandas().sort_values("url").reset_index(drop=True)
+        assert list(rows["url"]) == ["https://c4/x", "https://c4/y",
+                                     "https://w/a", "https://w/b"]
+        by_url = dict(zip(rows["url"], rows["html"]))
+        assert by_url["https://c4/x"] == b"plain string body here"
+        assert by_url["https://w/a"] == article_body(ARTICLES[0]).encode()
