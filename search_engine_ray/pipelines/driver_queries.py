@@ -872,6 +872,19 @@ def q_upsample_mix(sf_dir: str):
             .sort_values(["doc_id", "epoch"]).reset_index(drop=True))
 
 
+_TOKEN_BUDGET = 10_000
+
+
+def q_token_budget(sf_dir: str):
+    """'Best 10k tokens': maximal quality-ordered prefix under the token
+    budget (one sort + prefix sum; row-local cut)."""
+    from search_engine_ray.pipelines.webcorpus import token_budget_head
+
+    out = token_budget_head(_read_docs(sf_dir), _TOKEN_BUDGET).to_pandas()
+    cols = {"doc_id": np.int64, "n_tokens": np.int64, "cum_tokens": np.int64}
+    return (out.astype(cols).sort_values("cum_tokens").reset_index(drop=True))
+
+
 _QPCT = 0.6
 
 
@@ -2777,6 +2790,38 @@ def oracle_queries() -> dict[str, str]:
                     ELSE '{min(int(_STRATA_DEFAULT * 2**32), 2**32 - 1):08x}'
                   END
         """,
+        # token-budget head: inclusive running token total in curriculum
+        # order, kept while <= budget
+        "token_budget": f"""
+            WITH qst AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            qm AS (
+              SELECT doc_id, len(toks)::BIGINT AS n,
+                     CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE len(list_filter(toks, t -> regexp_matches(t, '^[A-Za-z]+$')))::DOUBLE / len(toks) END AS alphar,
+                     CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+$')))::DOUBLE / len(toks) END AS digitr
+              FROM qst
+            ),
+            qq AS (
+              SELECT doc_id, n,
+                     round(0.5 * least(n / 50.0, 1.0)
+                               * (CASE WHEN n <= 10000 THEN 1.0 ELSE 0.5 END)
+                           + 0.4 * alphar + 0.1 * (1.0 - digitr), 6) AS quality_r
+              FROM qm
+            ),
+            r AS (
+              SELECT doc_id, quality_r, n AS n_tokens,
+                     sum(n) OVER (ORDER BY quality_r DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+              FROM qq
+            )
+            SELECT doc_id, quality_r, n_tokens, cum_tokens
+            FROM r WHERE cum_tokens <= {_TOKEN_BUDGET}
+        """,
         # percentile quality filter: same quality CTE, cutoff = round-6
         # quantile_cont at _QPCT, keep rule quality_r >= cutoff
         "quality_filter": f"""
@@ -3749,6 +3794,7 @@ RAY_QUERIES = {
     "upsample_mix": q_upsample_mix,
     "curriculum_order": q_curriculum_order,
     "quality_filter": q_quality_filter,
+    "token_budget": q_token_budget,
     "split_assign": q_split_assign,
     "pack_sequences": q_pack_sequences,
     "collocations": q_collocations,

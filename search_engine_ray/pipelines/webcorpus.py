@@ -226,6 +226,67 @@ def curriculum_order(docs, id_col: str = "doc_id", text_col: str = "text"):
     return ranked.map_batches(finish, batch_format="pyarrow")
 
 
+def token_budget_head(docs, budget: int, id_col: str = "doc_id",
+                      text_col: str = "text"):
+    """'The best N tokens': the maximal quality-ordered prefix of the
+    corpus whose cumulative token count fits ``budget`` — how a training
+    run selects data when compute (tokens), not storage, is the limit.
+    Keep rule: inclusive cumulative n_tokens ≤ budget in
+    (quality desc, doc_id) order; cumulative counts are monotone, so the
+    kept set is a true prefix. → (doc_id, quality_r, n_tokens,
+    cum_tokens) with cum_tokens the inclusive running total.
+
+    Same distributed shape as :func:`curriculum_order`: row-local quality
+    + packed order key, ONE sort via ordered_prefix_sum (over n_tokens
+    this time), then a row-local budget filter."""
+    from search_engine_ray.functions.quality import batch_doc_stats, batch_quality_score
+    from search_engine_ray.stages.scan import ordered_prefix_sum
+
+    SHIFT = np.int64(1 << 41)
+
+    def key(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "quality_r": pa.array([], pa.float64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "okey": pa.array([], pa.int64())})
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and int(ids.max()) >= (1 << 40):
+            raise ValueError("token_budget_head packs doc_id into 41 bits; "
+                             "ids >= 2^40 need a wider packing")
+        st = batch_doc_stats(batch[text_col])
+        q = batch_quality_score(st)
+        q6 = np.rint(q * 1e6).astype(np.int64)
+        okey = (np.int64(1_000_000) - q6) * SHIFT + ids
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "quality_r": pa.array(q, pa.float64()),
+                         "n_tokens": pa.array(st["n_tokens"].astype(np.int64), pa.int64()),
+                         "okey": pa.array(okey, pa.int64())})
+
+    ranked = ordered_prefix_sum(docs.map_batches(key, batch_format="pyarrow"),
+                                "okey", "n_tokens", out_col="cum_excl")
+
+    def cut(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "quality_r": pa.array([], pa.float64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "cum_tokens": pa.array([], pa.int64())})
+        n = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        cum = batch["cum_excl"].to_numpy(zero_copy_only=False) + n
+        m = cum <= int(budget)
+        return pa.table({
+            id_col: batch[id_col].filter(pa.array(m)),
+            "quality_r": batch["quality_r"].filter(pa.array(m)),
+            "n_tokens": batch["n_tokens"].filter(pa.array(m)),
+            "cum_tokens": pa.array(cum[m], pa.int64()),
+        })
+
+    return ranked.map_batches(cut, batch_format="pyarrow")
+
+
 def upsample_mix(docs, weights: dict[str, float], default_weight: float = 1.0,
                  key_col: str = "lang", id_col: str = "doc_id",
                  method: str = "md5"):

@@ -99,7 +99,7 @@ def test_query_and_oracle_keys_align(entry):
         "ccnet_buckets", "doc_novelty",
         "host_stats", "host_cap", "canonical_urls",
         "stratified_sample", "upsample_mix", "curriculum_order", "quality_filter",
-        "split_assign",
+        "token_budget", "split_assign",
         "pack_sequences", "shuffle",
         "collocations", "cooccurrence", "prune_postings",
         "pagerank", "anchor_terms", "latest_snapshot", "degree_stats", "bm25f",

@@ -325,3 +325,28 @@ def test_curriculum_order_matches_pandas_rank(ray_session, parts):
     spec = df.sort_values(["q", "doc_id"], ascending=[False, True]).doc_id.tolist()
     assert out.doc_id.tolist() == spec
     np.testing.assert_allclose(np.sort(out.quality_r), np.sort(q))
+
+
+@pytest.mark.parametrize("parts", [3, 9])
+def test_token_budget_head_prefix_property(ray_session, parts):
+    from search_engine_ray.functions.quality import batch_doc_stats, batch_quality_score
+    from search_engine_ray.pipelines.webcorpus import token_budget_head
+
+    tbl = _pages(n=300)
+    budget = 400
+    out = token_budget_head(_ds(tbl, parts), budget).to_pandas() \
+        .sort_values("cum_tokens").reset_index(drop=True)
+    # spec: sort by (quality desc, id), cumulative n_tokens <= budget
+    st = batch_doc_stats(tbl["text"])
+    q = batch_quality_score(st)
+    df = tbl.to_pandas().assign(q=q, n=st["n_tokens"].astype(np.int64))
+    df = df.sort_values(["q", "doc_id"], ascending=[False, True])
+    df["cum"] = df.n.cumsum()
+    spec = df[df.cum <= budget]
+    assert out.doc_id.tolist() == spec.doc_id.tolist()
+    assert out.cum_tokens.tolist() == spec.cum.tolist()
+    assert out.cum_tokens.iloc[-1] <= budget
+    # maximality: adding the next doc would overflow
+    if len(spec) < len(df):
+        nxt = df.iloc[len(spec)]
+        assert out.cum_tokens.iloc[-1] + nxt.n > budget
