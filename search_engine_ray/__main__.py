@@ -104,6 +104,17 @@ def main(argv: list[str] | None = None) -> int:
                 from search_engine_ray.sources.webpages import webpages_from_documents
 
                 src = webpages_from_documents(src)
+            elif isinstance(src, str) and os.path.isdir(src) and any(
+                    f.endswith((".jsonl", ".json", ".bz2"))
+                    for f in os.listdir(src)):
+                # article-shard dirs: .bz2 (reference ingest) or plain
+                # .jsonl/.json (common public-corpus shape)
+                from search_engine_ray.sources.readers import read_wiki_bz2, read_wiki_jsonl
+
+                if any(f.endswith(".bz2") for f in os.listdir(src)):
+                    src = read_wiki_bz2(src)
+                else:
+                    src = read_wiki_jsonl(src)
             build_index(src, args.out,
                         EngineConfig(chunk_size=args.chunk_size), resume=args.resume)
             print(json.dumps(load_stats(args.out)))
