@@ -104,11 +104,23 @@ def main(argv: list[str] | None = None) -> int:
                 from search_engine_ray.sources.webpages import webpages_from_documents
 
                 src = webpages_from_documents(src)
-            elif isinstance(src, str) and os.path.isdir(src) and any(
-                    f.endswith((".jsonl", ".json", ".bz2"))
-                    for f in os.listdir(src)):
+            elif (isinstance(src, str) and os.path.isdir(src)
+                  and any(f.endswith(".parquet") for f in os.listdir(src))
+                  and any(not f.endswith(".parquet") for f in os.listdir(src))):
+                # parquet corpus with metadata sidecars (stats.json, ...):
+                # read only the parquet — a sidecar must neither hijack
+                # the dir as an article-shard input nor break the read
+                import ray.data
+
+                src = ray.data.read_parquet(src, file_extensions=["parquet"])
+            elif (isinstance(src, str) and os.path.isdir(src)
+                  and not any(f.endswith(".parquet") for f in os.listdir(src))
+                  and any(f.endswith((".jsonl", ".json", ".bz2"))
+                          for f in os.listdir(src))):
                 # article-shard dirs: .bz2 (reference ingest) or plain
-                # .jsonl/.json (common public-corpus shape)
+                # .jsonl/.json (common public-corpus shape). Parquet wins
+                # when present — a metadata sidecar like stats.json must
+                # not hijack a parquet corpus dir.
                 from search_engine_ray.sources.readers import read_wiki_bz2, read_wiki_jsonl
 
                 if any(f.endswith(".bz2") for f in os.listdir(src)):

@@ -483,3 +483,50 @@ def batch_gopher_pass(stats: dict):
         & (stats["alpha_word_frac"] >= 0.8)
         & (stats["n_stop_hits"] >= 2)
     ).astype(np.int64)
+
+
+#: quality-packing constants shared by cluster_best / curriculum_order /
+#: token_budget_head: q6 = quality in millionths (≤ 2^20), doc_id in the
+#: low 41 bits — one int64 carries (quality, id) through MIN/MAX/sort.
+QPACK_SHIFT = 1 << 41
+
+
+def pack_quality_desc_key(doc_ids, q) -> "object":
+    """(ids, quality scores) → int64 keys ascending in (quality DESC,
+    doc_id ASC) order: (10^6 − round(q·10^6)) · 2^41 + doc_id. Raises on
+    ids ≥ 2^40 (they would corrupt the packing) — the single source of
+    truth for the packing width and rounding convention."""
+    import numpy as np
+
+    ids = np.asarray(doc_ids, np.int64)
+    if len(ids) and int(ids.max()) >= (1 << 40):
+        raise ValueError("quality packing holds doc_id in 41 bits; "
+                         "ids >= 2^40 need a wider packing")
+    q6 = np.rint(np.asarray(q, np.float64) * 1e6).astype(np.int64)
+    return (np.int64(1_000_000) - q6) * np.int64(QPACK_SHIFT) + ids
+
+
+def pack_quality_max_key(doc_ids, q) -> "object":
+    """(ids, quality) → int64 keys whose MAX selects (quality DESC, id
+    ASC): q6 · 2^41 + (2^41 − 1 − doc_id). Same width/rounding contract
+    as :func:`pack_quality_desc_key`."""
+    import numpy as np
+
+    ids = np.asarray(doc_ids, np.int64)
+    if len(ids) and int(ids.max()) >= (1 << 40):
+        raise ValueError("quality packing holds doc_id in 41 bits; "
+                         "ids >= 2^40 need a wider packing")
+    q6 = np.rint(np.asarray(q, np.float64) * 1e6).astype(np.int64)
+    shift = np.int64(QPACK_SHIFT)
+    return q6 * shift + (shift - np.int64(1) - ids)
+
+
+def unpack_quality_max_key(packed) -> tuple:
+    """Inverse of :func:`pack_quality_max_key` → (doc_ids, quality)."""
+    import numpy as np
+
+    packed = np.asarray(packed, np.int64)
+    shift = np.int64(QPACK_SHIFT)
+    q6 = packed // shift
+    ids = shift - np.int64(1) - (packed - q6 * shift)
+    return ids, q6.astype(np.float64) / 1e6

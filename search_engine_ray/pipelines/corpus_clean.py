@@ -743,12 +743,15 @@ def normalize_text(docs: "ray.data.Dataset", id_col: str = "doc_id",
                              "text": pa.array([], pa.string()),
                              "changed": pa.array([], pa.bool_())})
         raw = batch[text_col].cast(pa.string()).combine_chunks()
-        t = _nfc_compose(raw)
+        # nulls pass through as nulls with changed=false (the cleaning
+        # stage exists FOR dirty data; it must not die on a null row)
+        t = _nfc_compose(pc.fill_null(raw, ""))
         t = pc.replace_substring_regex(t, _CTRL_RE, "")
         t = pc.replace_substring_regex(t, r"\s+", " ")
         t = pc.utf8_trim(t, characters=" ")
+        t = pc.if_else(pc.is_null(raw), raw, t)
         return pa.table({id_col: batch[id_col].cast(pa.int64()),
                          "text": t,
-                         "changed": pc.not_equal(t, raw)})
+                         "changed": pc.fill_null(pc.not_equal(t, raw), False)})
 
     return docs.map_batches(norm, batch_format="pyarrow")

@@ -1997,10 +1997,10 @@ def dedup_pair_eval(truth_pairs, pred_pairs, a_col: str = "a",
         Sum("n_truth", alias_name="n_truth"),
         Sum("n_pred", alias_name="n_pred"),
         Sum("n_hit", alias_name="n_hit"),
-    )
-    nt = int(agg["n_truth"] or 0)
-    npr = int(agg["n_pred"] or 0)
-    nh = int(agg["n_hit"] or 0)
+    ) or {}  # Dataset.aggregate returns None on zero-block inputs
+    nt = int(agg.get("n_truth") or 0)
+    npr = int(agg.get("n_pred") or 0)
+    nh = int(agg.get("n_hit") or 0)
     return pd.DataFrame({
         "n_truth": [nt], "n_pred": [npr], "n_hit": [nh],
         "recall_r": [round(nh / nt, 6) if nt else 1.0],
@@ -2045,7 +2045,12 @@ def cluster_best(docs: "ray.data.Dataset", pairs, id_col: str = "doc_id",
     grouped_reduce as MAX over a packed int64 (q6·2^41 + (2^41−1−id),
     q6 = quality in millionths ≤ 2^20) so the reduction stays a plain
     mergeable max. doc_ids ≥ 2^40 would corrupt the packing and raise."""
-    from search_engine_ray.functions.quality import batch_doc_stats, batch_quality_score
+    from search_engine_ray.functions.quality import (
+        batch_doc_stats,
+        batch_quality_score,
+        pack_quality_max_key,
+        unpack_quality_max_key,
+    )
     from search_engine_ray.stages.grouped import coalesce_for_join, grouped_reduce
 
     clusters = clusters_distributed(pairs)
@@ -2058,8 +2063,6 @@ def cluster_best(docs: "ray.data.Dataset", pairs, id_col: str = "doc_id",
         coalesce_for_join(clusters, npart), join_type="inner",
         num_partitions=npart, on=(id_col,))
 
-    SHIFT = np.int64(1 << 41)
-
     def partial(batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
         if batch.num_rows == 0:
@@ -2067,12 +2070,8 @@ def cluster_best(docs: "ray.data.Dataset", pairs, id_col: str = "doc_id",
                              "packed": pa.array([], pa.int64()),
                              "n_part": pa.array([], pa.int64())})
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(ids) and int(ids.max()) >= (1 << 40):
-            raise ValueError("cluster_best packs doc_id into 41 bits; "
-                             "ids >= 2^40 need a wider packing")
         q = batch_quality_score(batch_doc_stats(batch[text_col]))
-        q6 = np.rint(q * 1e6).astype(np.int64)
-        packed = q6 * SHIFT + (SHIFT - np.int64(1) - ids)
+        packed = pack_quality_max_key(ids, q)
         return pa.table({
             "cluster_id": batch["cluster_id"].cast(pa.int64()),
             "packed": pa.array(packed, pa.int64()),
@@ -2090,14 +2089,11 @@ def cluster_best(docs: "ray.data.Dataset", pairs, id_col: str = "doc_id",
                              "keep_doc_id": pa.array([], pa.int64()),
                              "n_members": pa.array([], pa.int64()),
                              "quality_r": pa.array([], pa.float64())})
-        packed = t["packed"].to_numpy(zero_copy_only=False)
-        q6 = packed // SHIFT
-        ids = SHIFT - np.int64(1) - (packed - q6 * SHIFT)
+        ids, qual = unpack_quality_max_key(t["packed"].to_numpy(zero_copy_only=False))
         return pa.table({"cluster_id": t["cluster_id"],
                          "keep_doc_id": pa.array(ids, pa.int64()),
                          "n_members": t["n_members"],
-                         "quality_r": pa.array(q6.astype(np.float64) / 1e6,
-                                               pa.float64())})
+                         "quality_r": pa.array(qual, pa.float64())})
 
     return red.map_batches(decode, batch_format="pyarrow")
 
@@ -2331,14 +2327,15 @@ def decontaminate_fuzzy(docs, eval_docs, shingle_k: int = 2,
     lane-equality mean). ``hash_mode='md5'`` uses the SQL-reproducible
     signature twin for the DuckDB oracle."""
     sig_fn = minhash_signatures_md5 if hash_mode == "md5" else minhash_signatures
-    try:
-        ev = sig_fn(eval_docs, shingle_k, num_perm, 1, id_col, text_col) \
-            .to_pandas(limit=eval_cap)
-    except ValueError as err:
+    sig_ev = sig_fn(eval_docs, shingle_k, num_perm, 1, id_col, text_col).materialize()
+    n_ev = sig_ev.count()
+    if n_ev > eval_cap:
+        # checked explicitly (not via to_pandas(limit=...)'s ValueError,
+        # which would also swallow genuine worker-side ValueErrors)
         raise ValueError(
-            f"eval set exceeds eval_cap={eval_cap}; decontaminate_fuzzy "
-            "broadcasts the eval side — use minhash_lsh_dedup shapes instead"
-        ) from err
+            f"eval set has {n_ev} rows > eval_cap={eval_cap}; decontaminate_fuzzy "
+            "broadcasts the eval side — use minhash_lsh_dedup shapes instead")
+    ev = sig_ev.to_pandas()
     if len(ev):
         ids_e = ev[id_col].to_numpy().astype(np.int64)
         sig_e = _sig_matrix(pa.array(ev["sig"], pa.binary()), len(ev))

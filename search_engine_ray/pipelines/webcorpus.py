@@ -193,10 +193,12 @@ def curriculum_order(docs, id_col: str = "doc_id", text_col: str = "text"):
     the curriculum order; q6 = quality in millionths), so the only wide
     step is ONE sort and only per-block totals ever reach the driver.
     doc_ids ≥ 2^40 would corrupt the packing and raise."""
-    from search_engine_ray.functions.quality import batch_doc_stats, batch_quality_score
+    from search_engine_ray.functions.quality import (
+        batch_doc_stats,
+        batch_quality_score,
+        pack_quality_desc_key,
+    )
     from search_engine_ray.stages.scan import ordered_prefix_sum
-
-    SHIFT = np.int64(1 << 41)
 
     def key(batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
@@ -206,12 +208,8 @@ def curriculum_order(docs, id_col: str = "doc_id", text_col: str = "text"):
                              "okey": pa.array([], pa.int64()),
                              "one": pa.array([], pa.int64())})
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(ids) and int(ids.max()) >= (1 << 40):
-            raise ValueError("curriculum_order packs doc_id into 41 bits; "
-                             "ids >= 2^40 need a wider packing")
         q = batch_quality_score(batch_doc_stats(batch[text_col]))
-        q6 = np.rint(q * 1e6).astype(np.int64)
-        okey = (np.int64(1_000_000) - q6) * SHIFT + ids
+        okey = pack_quality_desc_key(ids, q)
         return pa.table({id_col: pa.array(ids, pa.int64()),
                          "quality_r": pa.array(q, pa.float64()),
                          "okey": pa.array(okey, pa.int64()),
@@ -239,10 +237,12 @@ def token_budget_head(docs, budget: int, id_col: str = "doc_id",
     Same distributed shape as :func:`curriculum_order`: row-local quality
     + packed order key, ONE sort via ordered_prefix_sum (over n_tokens
     this time), then a row-local budget filter."""
-    from search_engine_ray.functions.quality import batch_doc_stats, batch_quality_score
+    from search_engine_ray.functions.quality import (
+        batch_doc_stats,
+        batch_quality_score,
+        pack_quality_desc_key,
+    )
     from search_engine_ray.stages.scan import ordered_prefix_sum
-
-    SHIFT = np.int64(1 << 41)
 
     def key(batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
@@ -252,13 +252,9 @@ def token_budget_head(docs, budget: int, id_col: str = "doc_id",
                              "n_tokens": pa.array([], pa.int64()),
                              "okey": pa.array([], pa.int64())})
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(ids) and int(ids.max()) >= (1 << 40):
-            raise ValueError("token_budget_head packs doc_id into 41 bits; "
-                             "ids >= 2^40 need a wider packing")
         st = batch_doc_stats(batch[text_col])
         q = batch_quality_score(st)
-        q6 = np.rint(q * 1e6).astype(np.int64)
-        okey = (np.int64(1_000_000) - q6) * SHIFT + ids
+        okey = pack_quality_desc_key(ids, q)
         return pa.table({id_col: pa.array(ids, pa.int64()),
                          "quality_r": pa.array(q, pa.float64()),
                          "n_tokens": pa.array(st["n_tokens"].astype(np.int64), pa.int64()),

@@ -14,10 +14,16 @@ AttrEntry = tuple
 
 def build_doc_attr(doc_ids, values) -> AttrEntry:
     """(doc_ids, values) → (sorted ids, dense codes, vocab). Values
-    dictionary-encode so per-query masks are integer ``np.isin``."""
+    dictionary-encode so per-query masks are integer ``np.isin``.
+    Null-valued rows are DROPPED at registration — a doc with no
+    attribute value never matches any filter, the same contract as docs
+    absent from the registry (and np.unique cannot sort None anyway)."""
     ids = np.asarray(doc_ids, np.int64)
+    vals = np.asarray(values, object)
+    ok = np.array([v is not None for v in vals], bool)
+    ids, vals = ids[ok], vals[ok]
     order = np.argsort(ids, kind="stable")
-    vals = np.asarray(values, object)[order]
+    vals = vals[order]
     uniq, codes = np.unique(vals, return_inverse=True)
     return ids[order], codes.astype(np.int64), {v: i for i, v in enumerate(uniq.tolist())}
 

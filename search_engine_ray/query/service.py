@@ -77,9 +77,15 @@ class ShardServingActor:
     def set_doc_attr(self, name: str, ids_sorted, codes) -> None:
         """Install one attribute (pre-sorted ids + dense codes; the
         value→code vocab stays coordinator-side — actors only ever see
-        code sets)."""
+        code sets). Re-registering an attribute invalidates every cached
+        FILTERED impact view that referenced it — otherwise an identical
+        follow-up query would serve results filtered by the old values."""
         self._doc_attrs[name] = (np.asarray(ids_sorted, np.int64),
                                  np.asarray(codes, np.int64), None)
+        stale = [k for k in self._impact_cache
+                 if len(k) == 3 and k[2] is not None and k[2][0] == name]
+        for k in stale:
+            del self._impact_cache[k]
 
     def _impact(self, term: str, kind: str = "bm25", flt=None):
         """(doc_ids, weights, impact_order) of one owned term — weights for

@@ -37,7 +37,13 @@ def coalesce_for_join(ds, n_parts: int):
     schema). Call this on any join input produced by a filter/map chain
     that can yield empty blocks; only tiny data ever has them — at scale
     every block is full — so the extra exchange is cheap exactly when it
-    triggers."""
+    triggers.
+
+    Cost note: the row count requires executing the plan, so the input is
+    materialized (pinned once; the hash-shuffle join consumes its inputs
+    fully anyway). Callers route PAIR/LABEL-cardinality datasets here —
+    corpus-scale join sides should go through their own explicit
+    materialize-or-stream decision rather than this helper."""
     ds = ds.materialize()
     n = ds.count()
     if n == 0:

@@ -355,3 +355,19 @@ class TestQualityPercentileFilter:
             ds = ray.data.from_arrow(tbl).repartition(parts)
             out = quality_percentile_filter(ds, pct=0.5).to_pandas()
             assert sorted(out.doc_id) == spec, parts
+
+
+def test_normalize_text_null_rows_pass_through(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_ray.pipelines.corpus_clean import normalize_text
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["  a  b ", None, "ok"], pa.string()),
+    }))
+    out = normalize_text(ds).to_pandas().sort_values("doc_id")
+    assert out.text.tolist()[0] == "a b"
+    assert out.text.tolist()[1] is None
+    assert out.changed.tolist() == [True, False, False]

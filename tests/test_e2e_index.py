@@ -543,3 +543,14 @@ class TestBM25Capped:
         got = engine.bm25_topk_capped("common word", 10, attr="partial", cap=1)
         # at most 1 hit from the registered group and 1 from 'unknown'
         assert len(got) <= 2
+
+
+def test_doc_attr_null_values_never_match(built):
+    engine, _oracle, _ = built
+    n = engine.num_docs
+    ids = np.arange(1, n + 1)
+    vals = ["en" if i % 2 else None for i in ids]
+    engine.set_doc_attr("nullable", ids, vals)
+    got = engine.bm25_topk_filtered("common word", 1000, attr="nullable",
+                                    allowed=("en",))
+    assert got and all(d % 2 == 1 for d, _s in got)

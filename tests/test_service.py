@@ -228,3 +228,18 @@ class TestFilteredServing:
         # below the unfiltered posting length
         assert dist.last_fetch_rows <= 4 * (n // 50 + 1)
         assert all(d % 50 == 0 for d, _s in got)
+
+
+def test_reregistering_attr_invalidates_filtered_cache(built):
+    local, dist = built
+    n = local.num_docs
+    ids = np.arange(1, n + 1)
+    q = "bababa"
+    dist.set_doc_attr("flip", ids, ["x" if i % 2 else "y" for i in ids])
+    first = dist.bm25_topk_filtered(q, 5, attr="flip", allowed=("x",))
+    # flip the assignment: same attr name, same value set → same codes
+    dist.set_doc_attr("flip", ids, ["y" if i % 2 else "x" for i in ids])
+    local.set_doc_attr("flip", ids, ["y" if i % 2 else "x" for i in ids])
+    second = dist.bm25_topk_filtered(q, 5, attr="flip", allowed=("x",))
+    assert second == local.bm25_topk_filtered(q, 5, attr="flip", allowed=("x",))
+    assert second != first  # stale cache would have returned `first`
