@@ -109,9 +109,14 @@ def run_bench() -> dict:
     # disk — the per-node-local-storage analog of a real cluster, where
     # disks scale with node count.
     zipf_out = os.environ.get("BENCH_INDEX_DIR", "/tmp/se_ray_bench/index_zipf")
-    results["build_zipf"] = timed_build(corpus, zipf_out, cfg)
-
     build_only = os.environ.get("BENCH_BUILD_ONLY") == "1"
+    # headline builds take min-of-N (default 2, 1 in scaling mode where the
+    # harness interleaves its own samples): the box's noisy neighbours swing
+    # identical builds up to 3x, and the first build additionally absorbs
+    # worker-spawn + page-cache warmup (BASELINE.md measurement discipline)
+    reps = int(os.environ.get("BENCH_BUILD_REPEATS", "1" if build_only else "2"))
+    zipf_samples = [timed_build(corpus, zipf_out, cfg) for _ in range(reps)]
+    results["build_zipf"] = min(zipf_samples)
     if build_only:
         num_docs = json.load(open(os.path.join(zipf_out, "stats.json")))["num_docs"]
         out = {
@@ -130,7 +135,7 @@ def run_bench() -> dict:
     # --- sf documents build ------------------------------------------------
     sf_out = "/tmp/se_ray_bench/index_sf"
     pages = webpages_from_documents(SF_DIR)
-    results["build_sf"] = timed_build(pages, sf_out, cfg)
+    results["build_sf"] = min(timed_build(pages, sf_out, cfg) for _ in range(reps))
 
     # --- query serving -----------------------------------------------------
     # cache-COLD first queries on a fresh engine: exercises the locator's
