@@ -44,3 +44,39 @@ def doc_attr_mask(entry: AttrEntry, want: np.ndarray,
         return np.zeros(len(doc_ids), bool)
     i = np.clip(np.searchsorted(ids, doc_ids), 0, len(ids) - 1)
     return (ids[i] == doc_ids) & np.isin(codes[i], want)
+
+
+def capped_prefix(doc_ids: np.ndarray, scores: np.ndarray,
+                  codes: np.ndarray, cap: int, k: int,
+                  digits: int | None = None) -> np.ndarray:
+    """Vectorized diversification greedy shared by all serving paths:
+    positions (into the given arrays) of the top-k docs when at most
+    ``cap`` docs per attribute code are kept, walking (score desc,
+    doc_id asc) order — a doc is kept iff fewer than ``cap``
+    better-ranked docs share its code. ``digits`` rounds scores before
+    ranking (ties → doc asc) to match external contracts. Returns the
+    kept positions in rank order."""
+    if len(doc_ids) == 0:
+        return np.zeros(0, np.int64)
+    order = np.lexsort((doc_ids, -(np.round(scores, digits)
+                                   if digits is not None else scores)))
+    grp = codes[order]
+    o = np.argsort(grp, kind="stable")
+    g = grp[o]
+    starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+    sizes = np.diff(np.r_[starts, len(o)])
+    occ = np.empty(len(o), np.int64)
+    occ[o] = np.arange(len(o)) - np.repeat(starts, sizes)
+    return order[np.flatnonzero(occ < int(cap))[:k]]
+
+
+def codes_for(entry: AttrEntry, doc_ids: np.ndarray) -> np.ndarray:
+    """Attribute code per doc_id; docs absent from the registry get -1
+    (they share one 'unknown' group in capped retrieval and never match
+    in filtered retrieval)."""
+    ids, codes, _vocab = entry
+    doc_ids = np.asarray(doc_ids, np.int64)
+    if len(ids) == 0:
+        return np.full(len(doc_ids), -1, np.int64)
+    i = np.clip(np.searchsorted(ids, doc_ids), 0, len(ids) - 1)
+    return np.where(ids[i] == doc_ids, codes[i], np.int64(-1))

@@ -455,28 +455,19 @@ class SearchEngine:
         doc_id asc) so an external contract (e.g. the SQL oracle's
         round-4 window) can be matched exactly; None keeps raw f64 order.
 
-        The greedy is vectorized: one lexsort for the order, one stable
-        group-split for within-group occurrence indexes — no Python loop
-        over candidates."""
+        The greedy is vectorized (docattrs.capped_prefix, shared with the
+        segmented and distributed twins): one lexsort for the order, one
+        stable group-split for within-group occurrence indexes — no
+        Python loop over candidates."""
+        from search_engine_ray.query.docattrs import capped_prefix, codes_for
+
         full = self.bm25_topk(query, 1 << 62)
         if not full:
             return []
         d = np.fromiter((x for x, _ in full), np.int64, len(full))
         s = np.fromiter((y for _, y in full), np.float64, len(full))
-        if digits is not None:
-            order = np.lexsort((d, -np.round(s, digits)))
-            d, s = d[order], s[order]
-        ids, codes, _vocab = self._doc_attrs[attr]
-        i = np.clip(np.searchsorted(ids, d), 0, len(ids) - 1)
-        hit = ids[i] == d
-        dc = np.where(hit, codes[i], -1)
-        o = np.argsort(dc, kind="stable")
-        grp = dc[o]
-        starts = np.flatnonzero(np.r_[True, grp[1:] != grp[:-1]])
-        sizes = np.diff(np.r_[starts, len(o)])
-        occ = np.empty(len(o), np.int64)
-        occ[o] = np.arange(len(o)) - np.repeat(starts, sizes)
-        kept = np.flatnonzero(occ < int(cap))[:k]
+        kept = capped_prefix(d, s, codes_for(self._doc_attrs[attr], d),
+                             cap, k, digits)
         return [(int(d[i]), float(s[i])) for i in kept]
 
     def more_like_this(self, text: str, k: int = 10, n_terms: int = 3,

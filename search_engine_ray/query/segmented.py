@@ -247,6 +247,24 @@ class SegmentedSearchEngine:
                                 np.concatenate(score_parts), k)
         return [(int(d), float(s)) for d, s in zip(ids, scores)]
 
+    def bm25_topk_capped(self, query: str, k: int = 10, *, attr: str,
+                         cap: int, digits: int | None = None
+                         ) -> list[tuple[int, float]]:
+        """Diversified BM25 over all live segments — the same greedy
+        contract as ``SearchEngine.bm25_topk_capped`` (shared
+        docattrs.capped_prefix kernel), rank-identical on an equivalent
+        monolithic index."""
+        from search_engine_ray.query.docattrs import capped_prefix, codes_for
+
+        full = self._bm25_terms(self.query_terms(query), 1 << 62)
+        if not full:
+            return []
+        d = np.fromiter((x for x, _ in full), np.int64, len(full))
+        s = np.fromiter((y for _, y in full), np.float64, len(full))
+        kept = capped_prefix(d, s, codes_for(getattr(self, "_doc_attrs", {})[attr], d),
+                             cap, k, digits)
+        return [(int(d[i]), float(s[i])) for i in kept]
+
     def _bm25_terms(self, terms: list[str], k: int) -> list[tuple[int, float]]:
         doc_parts, score_parts = [], []
         for t in terms:

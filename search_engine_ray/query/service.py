@@ -196,6 +196,13 @@ class ShardServingActor:
             self._cache[term] = tp
         return tp
 
+    def attr_codes(self, name: str, doc_ids) -> np.ndarray:
+        """Attribute codes for the given docs (-1 = unregistered), used by
+        the coordinator's capped retrieval — O(|doc_ids|) per call."""
+        from search_engine_ray.query.docattrs import codes_for
+
+        return codes_for(self._doc_attrs[name], np.asarray(doc_ids, np.int64))
+
     def term_doc_ids(self, terms: list[str]) -> dict:
         return {t: self._postings(t).doc_ids for t in terms if t in self._dict}
 
@@ -382,15 +389,38 @@ class DistributedSearchEngine:
         return self._bounded_topk(list(seen.items()), k, None, None,
                                   "bm25", np.float64)
 
+    def bm25_topk_capped(self, query: str, k: int = 10, *, attr: str,
+                         cap: int, digits: int | None = None
+                         ) -> list[tuple[int, float]]:
+        """Distributed diversified BM25 (at most ``cap`` results per
+        attribute value) — pytest-identical to
+        ``SearchEngine.bm25_topk_capped``. Runs the bounded threshold
+        loop with a cap-greedy selector: the loop is exact because any
+        unseen doc scores ≤ the outside bound, and once that is strictly
+        below the k-th KEPT score (minus one rounding grid step in
+        ``digits`` mode) it would insert after the k-th kept entry in
+        (score desc, doc asc) order, leaving the greedy's kept prefix
+        unchanged. Candidate attribute codes are fetched once per fresh
+        candidate from one actor (O(candidates) rows)."""
+        terms = self.query_terms(query)
+        if not terms:
+            return []
+        return self._bounded_topk([(t, 1.0) for t in terms], k, None, None,
+                                  "bm25", np.float64,
+                                  capsel=(attr, int(cap), digits))
+
     def _bounded_topk(self, weighted: list[tuple[str, float]], k: int,
                       page: int | None, small_df_cap: int | None,
-                      kind: str, dtype, flt=None) -> list[tuple[int, float]]:
+                      kind: str, dtype, flt=None,
+                      capsel=None) -> list[tuple[int, float]]:
         """Shared threshold loop (see :meth:`bm25_topk` for the algorithm).
         ``weighted`` is (term, scale) in accumulation order; scales are
         applied coordinator-side. The outside bound gets a relative
         ``eps(dtype)`` margin: an outsider's dtype-accumulated score can
         round ABOVE the f64 sum of its per-term bounds (material for f32
-        tf-idf), so the stop test must over- not under-estimate it."""
+        tf-idf), so the stop test must over- not under-estimate it.
+        ``capsel`` = (attr, cap, digits) switches the selector to the
+        diversification greedy (see :meth:`bm25_topk_capped`)."""
         scale = dict(weighted)
         terms = [t for t, _ in weighted]
         page = page or max(64, 4 * k)
@@ -400,6 +430,7 @@ class DistributedSearchEngine:
         start = 0
         cand = np.zeros(0, np.int64)
         totals = np.zeros(0, dtype)
+        ccodes = np.zeros(0, np.int64)  # candidate attr codes (capsel mode)
         tails: dict[str, float] = {}
         exhausted: dict[str, bool] = {}
         present: list[str] | None = None
@@ -440,13 +471,29 @@ class DistributedSearchEngine:
                 ins = np.searchsorted(cand, fresh)
                 cand = np.insert(cand, ins, fresh)
                 totals = np.insert(totals, ins, fresh_tot)
-            order = np.lexsort((cand, -totals))[:k]
+                if capsel is not None:
+                    fc = ray.get(self.actors[0].attr_codes.remote(capsel[0], fresh))
+                    ccodes = np.insert(ccodes, ins, np.asarray(fc, np.int64))
+                    self.last_fetch_rows += len(fresh)
+            if capsel is not None:
+                from search_engine_ray.query.docattrs import capped_prefix
+
+                attr_name, cap_n, digits = capsel
+                order = capped_prefix(cand, totals, ccodes, cap_n, k, digits)
+                # digits mode: an unseen doc within one rounding grid step
+                # of the k-th kept raw score could round EQUAL and, with a
+                # smaller doc_id, rank above it — widen the margin by one
+                # grid step so the stop test stays conservative
+                margin = (10.0 ** -digits) if digits is not None else 0.0
+            else:
+                order = np.lexsort((cand, -totals))[:k]
+                margin = 0.0
             all_done = all(exhausted.values())
-            if len(cand) >= k or all_done:
-                kth = totals[order[-1]] if len(order) else np.inf
+            if len(order) >= k or all_done:
+                kth = totals[order[-1]] - margin if len(order) else np.inf
                 outside = sum(tails[t] for t in present if not exhausted[t])
                 outside += abs(outside) * eps * 8 * len(present)
-                if all_done or (len(cand) >= k and outside < kth):
+                if all_done or (len(order) >= k and outside < kth):
                     return [(int(cand[i]), float(totals[i])) for i in order]
             start += page
             page *= 4

@@ -241,3 +241,19 @@ class TestFilteredSegmented:
             assert [d for d, _ in got] == [d for d, _ in want], (q, allowed)
             np.testing.assert_allclose([s for _, s in got],
                                        [s for _, s in want], rtol=1e-12)
+
+
+class TestCappedSegmented:
+    @pytest.mark.parametrize("q", QUERIES)
+    def test_bm25_capped_rank_identical(self, built, q):
+        full, seg, _root, _fd = built
+        n = full.num_docs
+        ids = np.arange(1, n + 1)
+        vals = [f"s{i % 3}" for i in ids]
+        full.set_doc_attr("s3", ids, vals)
+        seg.set_doc_attr("s3", ids, vals)
+        got = seg.bm25_topk_capped(q, 6, attr="s3", cap=2)
+        want = full.bm25_topk_capped(q, 6, attr="s3", cap=2)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        np.testing.assert_allclose([s for _, s in got],
+                                   [s for _, s in want], rtol=1e-12)

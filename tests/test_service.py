@@ -243,3 +243,30 @@ def test_reregistering_attr_invalidates_filtered_cache(built):
     second = dist.bm25_topk_filtered(q, 5, attr="flip", allowed=("x",))
     assert second == local.bm25_topk_filtered(q, 5, attr="flip", allowed=("x",))
     assert second != first  # stale cache would have returned `first`
+
+
+class TestCappedServing:
+    @pytest.mark.parametrize("q", QUERIES)
+    @pytest.mark.parametrize("cap", [1, 2])
+    def test_bm25_capped_identical_to_local(self, built, q, cap):
+        local, dist = built
+        n = local.num_docs
+        ids = np.arange(1, n + 1)
+        vals = [f"g{i % 5}" for i in ids]
+        local.set_doc_attr("g5", ids, vals)
+        dist.set_doc_attr("g5", ids, vals)
+        got = dist.bm25_topk_capped(q, 7, attr="g5", cap=cap)
+        want = local.bm25_topk_capped(q, 7, attr="g5", cap=cap)
+        assert got == want, (q, cap)
+
+    def test_capped_digits_mode_identical(self, built):
+        local, dist = built
+        n = local.num_docs
+        ids = np.arange(1, n + 1)
+        vals = ["a" if i % 2 else "b" for i in ids]
+        local.set_doc_attr("ab", ids, vals)
+        dist.set_doc_attr("ab", ids, vals)
+        q = "bababa cababa"
+        got = dist.bm25_topk_capped(q, 6, attr="ab", cap=3, digits=4)
+        want = local.bm25_topk_capped(q, 6, attr="ab", cap=3, digits=4)
+        assert [d for d, _ in got] == [d for d, _ in want]
