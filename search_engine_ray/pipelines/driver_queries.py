@@ -562,6 +562,26 @@ def q_bm25_capped(sf_dir: str):
     return _ranked(scores, 4)
 
 
+_GROUP_K = 2
+
+
+def q_bm25_grouped(sf_dir: str):
+    """Field-collapsed retrieval: top-2 BM25 hits per lang (Lucene
+    grouping), round-4 rank contract."""
+    import pyarrow.parquet as pqt
+
+    eng = engine_for(sf_dir)
+    t = pqt.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    eng.set_doc_attr("lang", t["doc_id"].to_numpy(zero_copy_only=False) + 1,
+                     t["lang"].to_pylist())
+    rows = eng.bm25_topk_grouped(Q_TEXT, _GROUP_K, attr="lang", digits=4)
+    df = pd.DataFrame(rows, columns=["lang", "rank", "doc_id", "score"])
+    df["score_r"] = df["score"].round(4)
+    return (df[["lang", "rank", "doc_id", "score_r"]]
+            .astype({"rank": np.int64, "doc_id": np.int64})
+            .sort_values(["lang", "rank"]).reset_index(drop=True))
+
+
 def q_facet_counts(sf_dir: str):
     """Faceted search: language distribution of the docs matching ANY query
     term (index OR retrieval → broadcast id probe over the corpus →
@@ -2286,6 +2306,32 @@ def oracle_queries() -> dict[str, str]:
             FROM scores ORDER BY round(s, 4) DESC, doc_id LIMIT {TOPK}
             """
         ),
+        # field collapsing: top-N per lang by the same round-4 rank order
+        "bm25_grouped": _with(
+            f"""
+            , {doclen_cte}
+            , stats AS (SELECT avg(doc_length) AS avgdl FROM doclen)
+            , scores AS (
+              SELECT p.doc_id,
+                     sum( ln(({n_docs} - t.df + 0.5) / (t.df + 0.5) + 1.0)
+                          * p.tf * (1.2 + 1.0)
+                          / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_length / s.avgdl)) ) AS s
+              FROM postings p
+              JOIN term_df t USING (term)
+              JOIN doclen dl ON dl.doc_id = p.doc_id
+              CROSS JOIN stats s
+              WHERE p.term IN ({qterms})
+              GROUP BY p.doc_id
+            )
+            SELECT d.lang,
+                   ROW_NUMBER() OVER (PARTITION BY d.lang
+                     ORDER BY round(sc.s, 4) DESC, sc.doc_id)::BIGINT AS rank,
+                   sc.doc_id + 1 AS doc_id, round(sc.s, 4) AS score_r
+            FROM scores sc JOIN documents d ON d.doc_id = sc.doc_id
+            QUALIFY rank <= {_GROUP_K}
+            ORDER BY d.lang, rank
+            """
+        ),
         # diversified search: global round-4 rank order, per-lang QUALIFY
         # cap (≡ the greedy "fewer than cap better-ranked docs share the
         # value"), then the usual top-k contract
@@ -3757,6 +3803,7 @@ RAY_QUERIES = {
     "bm25_msm": q_bm25_msm,
     "bm25_filtered": q_bm25_filtered,
     "bm25_capped": q_bm25_capped,
+    "bm25_grouped": q_bm25_grouped,
     "bm25_prf": q_bm25_prf,
     "bm25_distributed": q_bm25_distributed,
     "bm25_wand": q_bm25_wand,

@@ -470,6 +470,36 @@ class SearchEngine:
                              cap, k, digits)
         return [(int(d[i]), float(s[i])) for i in kept]
 
+    def bm25_topk_grouped(self, query: str, k_per_group: int = 3, *,
+                          attr: str, digits: int | None = None
+                          ) -> list[tuple[object, int, int, float]]:
+        """Field-collapsed BM25 (Lucene grouping): the top ``k_per_group``
+        docs per value of the registered attribute → (value, rank, doc_id,
+        score) rows, rank 1-based within the group, groups ordered by
+        value. The per-group cut reuses the capped greedy
+        (docattrs.capped_prefix with k=∞ keeps exactly the first
+        ``k_per_group`` of each group in rank order); docs without a
+        registered value collapse under ``None``."""
+        from search_engine_ray.query.docattrs import capped_prefix, codes_for
+
+        full = self.bm25_topk(query, 1 << 62)
+        if not full:
+            return []
+        d = np.fromiter((x for x, _ in full), np.int64, len(full))
+        s = np.fromiter((y for _, y in full), np.float64, len(full))
+        ent = self._doc_attrs[attr]
+        codes = codes_for(ent, d)
+        kept = capped_prefix(d, s, codes, k_per_group, 1 << 62, digits)
+        rev = {i: v for v, i in ent[2].items()}
+        out: list[tuple[object, int, int, float]] = []
+        ranks: dict[int, int] = {}
+        for i in kept:
+            c = int(codes[i])
+            ranks[c] = ranks.get(c, 0) + 1
+            out.append((rev.get(c), ranks[c], int(d[i]), float(s[i])))
+        out.sort(key=lambda r: (str(r[0]), r[1]))
+        return out
+
     def more_like_this(self, text: str, k: int = 10, n_terms: int = 3,
                        exclude: int | None = None) -> list[tuple[int, float]]:
         """Similar-document retrieval: extract the text's top ``n_terms``
