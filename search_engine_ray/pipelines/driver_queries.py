@@ -1694,6 +1694,15 @@ def q_repetition(sf_dir: str):
     return repetition_table(_read_docs(sf_dir))
 
 
+def q_readability(sf_dir: str):
+    """Flesch reading-ease with cheap regex proxies (exact oracle)."""
+    from search_engine_ray.pipelines.training_data import readability_table
+
+    out = readability_table(_read_docs(sf_dir)).to_pandas()
+    return (out.astype({c: np.int64 for c in ("doc_id", "n_words", "n_sents", "n_syll")})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def q_langid(sf_dir: str):
     # SQL-oracled since round 3: the stopword-profile vote + strict-tie
     # cascade is expressed in DuckDB list functions (see oracle_queries)
@@ -2836,6 +2845,20 @@ def oracle_queries() -> dict[str, str]:
                     ELSE '{min(int(_STRATA_DEFAULT * 2**32), 2**32 - 1):08x}'
                   END
         """,
+        # Flesch reading-ease with the same regex proxies
+        "readability": """
+            WITH c AS (
+              SELECT doc_id,
+                     len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS w,
+                     greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS s,
+                     len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS y
+              FROM documents
+            )
+            SELECT doc_id, w AS n_words, s AS n_sents, y AS n_syll,
+                   round(206.835 - 1.015 * (w::DOUBLE / s)
+                         - 84.6 * (y::DOUBLE / greatest(w, 1)), 4) AS flesch_r
+            FROM c
+        """,
         # token-budget head: inclusive running token total in curriculum
         # order, kept while <= budget
         "token_budget": f"""
@@ -3893,6 +3916,7 @@ RAY_QUERIES = {
     "semdedup_pairs": q_semdedup_pairs,
     "fingerprints": q_fingerprints,
     "langid": q_langid,
+    "readability": q_readability,
     "pii_scrub": q_pii_scrub,
     "decontaminate": q_decontaminate,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,

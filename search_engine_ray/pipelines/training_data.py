@@ -1947,6 +1947,47 @@ def remove_global_ngrams(docs: "ray.data.Dataset", n: int = 3,
     return sorted_group_map(u2, [id_col], rebuild, sort_cols=[id_col, "rm_start"])
 
 
+def readability_table(docs: "ray.data.Dataset", id_col: str = "doc_id",
+                      text_col: str = "text") -> "ray.data.Dataset":
+    """Flesch reading-ease per doc → (doc_id, n_words, n_sents, n_syll,
+    flesch_r): 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    with the standard cheap proxies — sentences = runs of ``[.!?]+``
+    (clamped ≥ 1), syllables = runs of ``[aeiouy]+`` in the lowercased
+    text, words = whitespace tokens (empties dropped, the corpus token
+    convention). A classic curation signal (too-easy ≈ boilerplate lists,
+    too-hard ≈ garbled/code); row-local Arrow RE2 kernels, exact DuckDB
+    oracle."""
+    import pyarrow.compute as pc
+
+    from search_engine_ray.functions.quality import batch_doc_stats
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_words": pa.array([], pa.int64()),
+                             "n_sents": pa.array([], pa.int64()),
+                             "n_syll": pa.array([], pa.int64()),
+                             "flesch_r": pa.array([], pa.float64())})
+        txt = batch[text_col]
+        low = pc.utf8_lower(txt)
+        words = batch_doc_stats(txt)["n_tokens"].astype(np.int64)
+        sents = np.maximum(
+            pc.count_substring_regex(txt, r"[.!?]+").to_numpy(zero_copy_only=False)
+            .astype(np.int64), 1)
+        syll = pc.count_substring_regex(low, r"[aeiouy]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flesch = (206.835 - 1.015 * (words / sents)
+                  - 84.6 * (syll / np.maximum(words, 1)))
+        return pa.table({id_col: batch[id_col].cast(pa.int64()),
+                         "n_words": pa.array(words, pa.int64()),
+                         "n_sents": pa.array(sents, pa.int64()),
+                         "n_syll": pa.array(syll, pa.int64()),
+                         "flesch_r": pa.array(np.round(flesch, 4), pa.float64())})
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
 def dedup_pair_eval(truth_pairs, pred_pairs, a_col: str = "a",
                     b_col: str = "b") -> "pd.DataFrame":
     """Dedup-quality evaluation — recall/precision of a PREDICTED near-dup

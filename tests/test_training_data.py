@@ -889,3 +889,25 @@ class TestQuantizeEmbeddings:
             e = set(exact[exact.query_id == qid].vec_id)
             g = set(quant[quant.query_id == qid].vec_id)
             assert len(e & g) >= 8, f"recall@10 too low for query {qid}"
+
+
+def test_readability_scalar_spec(ray_session):
+    import re
+
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_ray.pipelines.training_data import readability_table
+
+    texts = ["Hello world. This is a test! Is it good?",
+             "one", "", "No punctuation here at all"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    out = readability_table(ds).to_pandas().sort_values("doc_id")
+    for row, t in zip(out.itertuples(), texts):
+        w = len([x for x in re.split(r"\s+", t) if x])
+        s = max(len(re.findall(r"[.!?]+", t)), 1)
+        y = len(re.findall(r"[aeiouy]+", t.lower()))
+        assert (row.n_words, row.n_sents, row.n_syll) == (w, s, y), t
+        assert row.flesch_r == round(206.835 - 1.015 * w / s - 84.6 * y / max(w, 1), 4)
