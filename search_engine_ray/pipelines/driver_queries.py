@@ -1694,6 +1694,19 @@ def q_repetition(sf_dir: str):
     return repetition_table(_read_docs(sf_dir))
 
 
+_GREP_PAT = r"fast\s+(table|merge)"
+
+
+def q_regex_search(sf_dir: str):
+    """Corpus grep: docs matching a regex with non-overlapping match
+    counts (RE2 both sides)."""
+    from search_engine_ray.pipelines.training_data import regex_search
+
+    out = regex_search(_read_docs(sf_dir), _GREP_PAT).to_pandas()
+    return (out.astype({"doc_id": np.int64, "n_matches": np.int64})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def q_readability(sf_dir: str):
     """Flesch reading-ease with cheap regex proxies (exact oracle)."""
     from search_engine_ray.pipelines.training_data import readability_table
@@ -2845,6 +2858,12 @@ def oracle_queries() -> dict[str, str]:
                     ELSE '{min(int(_STRATA_DEFAULT * 2**32), 2**32 - 1):08x}'
                   END
         """,
+        # corpus grep: non-overlapping match counts, matching docs only
+        "regex_search": f"""
+            SELECT doc_id, len(regexp_extract_all(text, '{_GREP_PAT}'))::BIGINT AS n_matches
+            FROM documents
+            WHERE regexp_matches(text, '{_GREP_PAT}')
+        """,
         # Flesch reading-ease with the same regex proxies
         "readability": """
             WITH c AS (
@@ -3917,6 +3936,7 @@ RAY_QUERIES = {
     "fingerprints": q_fingerprints,
     "langid": q_langid,
     "readability": q_readability,
+    "regex_search": q_regex_search,
     "pii_scrub": q_pii_scrub,
     "decontaminate": q_decontaminate,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,

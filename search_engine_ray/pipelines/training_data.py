@@ -1947,6 +1947,31 @@ def remove_global_ngrams(docs: "ray.data.Dataset", n: int = 3,
     return sorted_group_map(u2, [id_col], rebuild, sort_cols=[id_col, "rm_start"])
 
 
+def regex_search(docs: "ray.data.Dataset", pattern: str,
+                 id_col: str = "doc_id", text_col: str = "text"
+                 ) -> "ray.data.Dataset":
+    """Corpus-wide regex grep → (doc_id, n_matches) for docs with ≥ 1
+    non-overlapping match — the ad-hoc analysis tool every corpus needs
+    beside its indexed retrieval (the PII/repetition rules are fixed-rule
+    special cases of this). One streaming pass, Arrow RE2 kernel (the
+    pattern compiles once per worker inside the kernel), no shuffle."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_matches": pa.array([], pa.int64())})
+        n = pc.count_substring_regex(batch[text_col], pattern) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        m = n > 0
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({id_col: pa.array(ids[m], pa.int64()),
+                         "n_matches": pa.array(n[m], pa.int64())})
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
 def readability_table(docs: "ray.data.Dataset", id_col: str = "doc_id",
                       text_col: str = "text") -> "ray.data.Dataset":
     """Flesch reading-ease per doc → (doc_id, n_words, n_sents, n_syll,

@@ -116,7 +116,8 @@ def test_query_and_oracle_keys_align(entry):
         "lsh_recall",
         "cosine_verify",
         "fingerprints", "minhash_pairs", "simhash_pairs",
-        "ann_ivf_full", "ann_lsh_full", "langid", "readability", "pii_scrub", "repetition",
+        "ann_ivf_full", "ann_lsh_full", "langid", "readability", "regex_search",
+        "pii_scrub", "repetition",
         "decontaminate", "decontaminate_fuzzy",
     ],
 )
