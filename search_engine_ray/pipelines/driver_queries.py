@@ -1694,6 +1694,20 @@ def q_repetition(sf_dir: str):
     return repetition_table(_read_docs(sf_dir))
 
 
+_CHUNK_W, _CHUNK_OV = 24, 8
+
+
+def q_chunk_documents(sf_dir: str):
+    """Sliding-window token chunking with provenance offsets (RAG prep)."""
+    from search_engine_ray.pipelines.training_data import chunk_documents
+
+    out = chunk_documents(_read_docs(sf_dir), window=_CHUNK_W,
+                          overlap=_CHUNK_OV).to_pandas()
+    cols = ("doc_id", "chunk_idx", "start_tok", "n_tokens")
+    return (out.astype({c: np.int64 for c in cols})
+            .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True))
+
+
 _GREP_PAT = r"fast\s+(table|merge)"
 
 
@@ -2858,6 +2872,30 @@ def oracle_queries() -> dict[str, str]:
                     ELSE '{min(int(_STRATA_DEFAULT * 2**32), 2**32 - 1):08x}'
                   END
         """,
+        # sliding-window chunking: n_chunks = 1 + ceil(max(n-w,0)/step);
+        # DuckDB list slices are 1-based inclusive, so tokens
+        # [start, start+w) = toks[start+1 : start+w]
+        "chunk_documents": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, t, len(t)::BIGINT AS n,
+                     unnest(generate_series(0,
+                       CAST(ceil(greatest(len(t) - {_CHUNK_W}, 0)
+                                 / {_CHUNK_W - _CHUNK_OV}.0) AS BIGINT))) AS chunk_idx
+              FROM toks WHERE len(t) > 0
+            )
+            SELECT doc_id, chunk_idx,
+                   (chunk_idx * {_CHUNK_W - _CHUNK_OV})::BIGINT AS start_tok,
+                   (least(chunk_idx * {_CHUNK_W - _CHUNK_OV} + {_CHUNK_W}, n)
+                    - chunk_idx * {_CHUNK_W - _CHUNK_OV})::BIGINT AS n_tokens,
+                   array_to_string(t[chunk_idx * {_CHUNK_W - _CHUNK_OV} + 1 :
+                                     chunk_idx * {_CHUNK_W - _CHUNK_OV} + {_CHUNK_W}], ' ') AS text
+            FROM c
+        """,
         # corpus grep: non-overlapping match counts, matching docs only
         "regex_search": f"""
             SELECT doc_id, len(regexp_extract_all(text, '{_GREP_PAT}'))::BIGINT AS n_matches
@@ -3937,6 +3975,7 @@ RAY_QUERIES = {
     "langid": q_langid,
     "readability": q_readability,
     "regex_search": q_regex_search,
+    "chunk_documents": q_chunk_documents,
     "pii_scrub": q_pii_scrub,
     "decontaminate": q_decontaminate,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,

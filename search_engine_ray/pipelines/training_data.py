@@ -1947,6 +1947,58 @@ def remove_global_ngrams(docs: "ray.data.Dataset", n: int = 3,
     return sorted_group_map(u2, [id_col], rebuild, sort_cols=[id_col, "rm_start"])
 
 
+def chunk_documents(docs: "ray.data.Dataset", window: int = 64,
+                    overlap: int = 16, id_col: str = "doc_id",
+                    text_col: str = "text") -> "ray.data.Dataset":
+    """Sliding-window token chunking (RAG / long-doc pretraining prep):
+    each doc splits into windows of ``window`` whitespace tokens starting
+    every ``window − overlap`` tokens; the chunk count is
+    ``1 + ceil(max(n − window, 0) / step)`` so the final chunk always
+    covers the tail (a start past the end is never emitted, and no chunk
+    is fully contained in its predecessor). → (doc_id, chunk_idx,
+    start_tok, n_tokens, text) with text the space-rejoined token slice;
+    zero-token docs emit nothing.
+
+    Row-local flat expansion (one tokenize + one np.repeat per batch), no
+    shuffle; unlike :func:`~search_engine_ray.pipelines.webcorpus.
+    pack_sequences` (which concatenates docs into fixed budgets) chunking
+    SPLITS single docs and keeps provenance offsets."""
+    if overlap >= window:
+        raise ValueError(f"overlap {overlap} must be < window {window}")
+    step = window - overlap
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "chunk_idx": pa.array([], pa.int64()),
+                          "start_tok": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "text": pa.array([], pa.string())})
+        if batch.num_rows == 0:
+            return empty
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks_per_doc = [t.split() if t else [] for t in batch[text_col].to_pylist()]
+        n = np.array([len(t) for t in toks_per_doc], np.int64)
+        n_chunks = np.where(n > 0, 1 + (np.maximum(n - window, 0) + step - 1) // step, 0)
+        total = int(n_chunks.sum())
+        if total == 0:
+            return empty
+        doc_ix = np.repeat(np.arange(len(ids)), n_chunks)
+        ends = np.cumsum(n_chunks)
+        cidx = np.arange(total, dtype=np.int64) - np.repeat(ends - n_chunks, n_chunks)
+        starts = cidx * step
+        lens = np.minimum(starts + window, n[doc_ix]) - starts
+        texts = [" ".join(toks_per_doc[d][s:s + window])
+                 for d, s in zip(doc_ix, starts)]
+        return pa.table({id_col: pa.array(ids[doc_ix], pa.int64()),
+                         "chunk_idx": pa.array(cidx, pa.int64()),
+                         "start_tok": pa.array(starts, pa.int64()),
+                         "n_tokens": pa.array(lens, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
 def regex_search(docs: "ray.data.Dataset", pattern: str,
                  id_col: str = "doc_id", text_col: str = "text"
                  ) -> "ray.data.Dataset":

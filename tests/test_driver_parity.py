@@ -101,7 +101,7 @@ def test_query_and_oracle_keys_align(entry):
         "host_stats", "host_cap", "canonical_urls",
         "stratified_sample", "upsample_mix", "curriculum_order", "quality_filter",
         "token_budget", "split_assign",
-        "pack_sequences", "shuffle",
+        "pack_sequences", "chunk_documents", "shuffle",
         "collocations", "cooccurrence", "prune_postings",
         "pagerank", "anchor_terms", "latest_snapshot", "degree_stats", "bm25f",
         "remove_repeated_ngrams", "remove_global_ngrams",

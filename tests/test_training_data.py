@@ -911,3 +911,39 @@ def test_readability_scalar_spec(ray_session):
         y = len(re.findall(r"[aeiouy]+", t.lower()))
         assert (row.n_words, row.n_sents, row.n_syll) == (w, s, y), t
         assert row.flesch_r == round(206.835 - 1.015 * w / s - 84.6 * y / max(w, 1), 4)
+
+
+class TestChunkDocuments:
+    def _run(self, ray_session, texts, **kw):
+        import pyarrow as pa
+        import ray.data
+
+        from search_engine_ray.pipelines.training_data import chunk_documents
+
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string())}))
+        return chunk_documents(ds, **kw).to_pandas() \
+            .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+    def test_coverage_overlap_and_tail(self, ray_session):
+        toks = [f"w{i}" for i in range(100)]
+        out = self._run(None, [" ".join(toks)], window=64, overlap=16)
+        assert out.start_tok.tolist() == [0, 48]
+        assert out.n_tokens.tolist() == [64, 52]
+        # every token covered; consecutive chunks overlap by exactly 16
+        assert out.text[0].split() == toks[:64]
+        assert out.text[1].split() == toks[48:]
+
+    def test_short_empty_and_exact_window_docs(self, ray_session):
+        out = self._run(None, ["a b c", "", " ".join(["x"] * 64)],
+                        window=64, overlap=16)
+        assert out[out.doc_id == 0].n_tokens.tolist() == [3]
+        assert (out.doc_id != 1).all()  # empty doc emits nothing
+        assert out[out.doc_id == 2].n_tokens.tolist() == [64]
+
+    def test_overlap_must_be_smaller(self, ray_session):
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            self._run(None, ["a"], window=8, overlap=8)
