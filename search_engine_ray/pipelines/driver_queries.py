@@ -1694,6 +1694,30 @@ def q_repetition(sf_dir: str):
     return repetition_table(_read_docs(sf_dir))
 
 
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape over lineitem: per-batch combiners, one tiny
+    group-cardinality reduce, no row shuffle."""
+    import ray.data
+
+    from search_engine_ray.pipelines.relational import pricing_summary
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet")
+    return pricing_summary(li, cutoff="1998-09-01")
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """Star join: ONE fact-fact hash join (lineitem ⋈ date-filtered
+    orders), customer⇒nation as a broadcast lookup, group-cardinality
+    reduce."""
+    import ray.data
+
+    from search_engine_ray.pipelines.relational import revenue_by_nation
+
+    rd = lambda t: ray.data.read_parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    return revenue_by_nation(rd("lineitem"), rd("orders"), rd("customer"),
+                             rd("nation"))
+
+
 _CHUNK_W, _CHUNK_OV = 24, 8
 
 
@@ -2872,6 +2896,33 @@ def oracle_queries() -> dict[str, str]:
                     ELSE '{min(int(_STRATA_DEFAULT * 2**32), 2**32 - 1):08x}'
                   END
         """,
+        # TPC-H Q1 shape (rounding: sums 4, averages 6)
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+                   round(sum(l_quantity) / count(*), 6) AS avg_qty,
+                   round(sum(l_extendedprice) / count(*), 6) AS avg_price,
+                   round(sum(l_discount) / count(*), 6) AS avg_disc,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        # star join: revenue per customer nation over one order year
+        "revenue_by_nation": """
+            SELECT n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue_r
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n.n_name
+        """,
         # sliding-window chunking: n_chunks = 1 + ceil(max(n-w,0)/step);
         # DuckDB list slices are 1-based inclusive, so tokens
         # [start, start+w) = toks[start+1 : start+w]
@@ -3976,6 +4027,8 @@ RAY_QUERIES = {
     "readability": q_readability,
     "regex_search": q_regex_search,
     "chunk_documents": q_chunk_documents,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
     "pii_scrub": q_pii_scrub,
     "decontaminate": q_decontaminate,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,

@@ -1,0 +1,169 @@
+"""Relational pipelines over the TPC-H-shaped side tables — the classic
+fact-table aggregate and the multi-way star join, expressed Ray-Data-first
+(pruned reads, per-batch combiners, ONE fact-fact hash join, broadcast
+dimensions). They demonstrate the engine's relational side next to the
+full-text core; shapes generalize to any fact/dimension layout.
+
+Scale notes (100-TB discipline):
+* pricing_summary never shuffles rows — per-batch partial sums at group
+  cardinality (a handful of (returnflag, linestatus) pairs) reduce in one
+  tiny exchange; averages derive from sums/counts row-locally at the end.
+* revenue_by_nation's only big exchange is lineitem ⋈ orders on orderkey
+  (fact-fact, unavoidable); customer⇒nation collapses to ONE broadcast
+  int→name lookup built driver-side (nation is 25 rows; customer is
+  dimension-sized — at extreme scale where customer stops fitting, swap
+  the lookup for a second hash join on custkey; documented seam).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from search_engine_ray.stages.grouped import grouped_reduce
+
+
+def pricing_summary(lineitem: "ray.data.Dataset",
+                    cutoff: "np.datetime64 | str" = "1998-09-01"
+                    ) -> pd.DataFrame:
+    """TPC-H Q1 shape: shipped-before-cutoff lines grouped by
+    (l_returnflag, l_linestatus) with the standard sums/averages/count.
+    → tiny DataFrame sorted by (returnflag, linestatus); column names
+    match the oracle (sum_qty, sum_base_price, sum_disc_price,
+    sum_charge, avg_qty, avg_price, avg_disc, count_order), averages
+    rounded to 6."""
+    cut = np.datetime64(str(cutoff), "us")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        empty = pa.table({"l_returnflag": pa.array([], pa.string()),
+                          "l_linestatus": pa.array([], pa.string()),
+                          "s_qty": pa.array([], pa.float64()),
+                          "s_price": pa.array([], pa.float64()),
+                          "s_disc_price": pa.array([], pa.float64()),
+                          "s_charge": pa.array([], pa.float64()),
+                          "s_disc": pa.array([], pa.float64()),
+                          "n": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        ship = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        keep = ship <= cut
+        if not keep.any():
+            return empty
+        b = batch.filter(pa.array(keep))
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False)
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        tax = b["l_tax"].to_numpy(zero_copy_only=False)
+        # composite group key via dictionary-encoding both small columns
+        rf = b["l_returnflag"].dictionary_encode().combine_chunks()
+        ls = b["l_linestatus"].dictionary_encode().combine_chunks()
+        k = (rf.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+             * (len(ls.dictionary) + 1)
+             + ls.indices.to_numpy(zero_copy_only=False))
+        uniq, inv = np.unique(k, return_inverse=True)
+        dp = price * (1.0 - disc)
+        agg = lambda v: np.bincount(inv, weights=v, minlength=len(uniq))  # noqa: E731
+        rf_of = rf.dictionary.take(pa.array(uniq // (len(ls.dictionary) + 1)))
+        ls_of = ls.dictionary.take(pa.array(uniq % (len(ls.dictionary) + 1)))
+        return pa.table({"l_returnflag": rf_of.cast(pa.string()),
+                         "l_linestatus": ls_of.cast(pa.string()),
+                         "s_qty": pa.array(agg(qty), pa.float64()),
+                         "s_price": pa.array(agg(price), pa.float64()),
+                         "s_disc_price": pa.array(agg(dp), pa.float64()),
+                         "s_charge": pa.array(agg(dp * (1.0 + tax)), pa.float64()),
+                         "s_disc": pa.array(agg(disc), pa.float64()),
+                         "n": pa.array(np.bincount(inv, minlength=len(uniq))
+                                       .astype(np.int64), pa.int64())})
+
+    red = grouped_reduce(
+        lineitem.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        sums=[("s_qty", "sum_qty"), ("s_price", "sum_base_price"),
+              ("s_disc_price", "sum_disc_price"), ("s_charge", "sum_charge"),
+              ("s_disc", "s_disc"), ("n", "count_order")],
+    ).to_pandas()
+    red["avg_qty"] = (red["sum_qty"] / red["count_order"]).round(6)
+    red["avg_price"] = (red["sum_base_price"] / red["count_order"]).round(6)
+    red["avg_disc"] = (red["s_disc"] / red["count_order"]).round(6)
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
+        red[c] = red[c].round(4)
+    out = red[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+               "sum_disc_price", "sum_charge", "avg_qty", "avg_price",
+               "avg_disc", "count_order"]]
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def revenue_by_nation(lineitem: "ray.data.Dataset", orders: "ray.data.Dataset",
+                      customer: "ray.data.Dataset", nation: "ray.data.Dataset",
+                      date_from: str = "1996-01-01",
+                      date_to: str = "1997-01-01") -> pd.DataFrame:
+    """Star join: revenue Σ l_extendedprice·(1−l_discount) per customer
+    nation for orders placed in [date_from, date_to). ONE fact-fact hash
+    join (lineitem ⋈ filtered orders on l_orderkey); the customer⇒nation
+    path collapses into a broadcast custkey→nation-name lookup (dimension
+    tables; at a scale where customer stops fitting a worker, replace
+    with a hash join on custkey). → (n_name, revenue_r) rounded to 4."""
+    d0 = np.datetime64(date_from, "us")
+    d1 = np.datetime64(date_to, "us")
+
+    # dimension lookup: custkey -> nation name (driver-side, dim-sized)
+    cust = customer.select_columns(["c_custkey", "c_nationkey"]).to_pandas()
+    nat = nation.select_columns(["n_nationkey", "n_name"]).to_pandas()
+    nname = dict(zip(nat.n_nationkey, nat.n_name))
+    ck = np.sort(cust.c_custkey.to_numpy().astype(np.int64))
+    order_ = np.argsort(cust.c_custkey.to_numpy().astype(np.int64), kind="stable")
+    cnation = np.asarray([nname[int(v)] for v in
+                          cust.c_nationkey.to_numpy()[order_]], object)
+    ref = ray.put((ck, cnation))
+
+    def ofilter(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "o_custkey": pa.array([], pa.int64())})
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        keep = (od >= d0) & (od < d1)
+        b = batch.filter(pa.array(keep))
+        return pa.table({"l_orderkey": b["o_orderkey"].cast(pa.int64()),
+                         "o_custkey": b["o_custkey"].cast(pa.int64())})
+
+    o = orders.select_columns(["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(ofilter, batch_format="pyarrow")
+    li = lineitem.select_columns(["l_orderkey", "l_extendedprice", "l_discount"])
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:  # pragma: no cover
+        ncpu = 8
+    npart = max(4, ncpu // 2)
+    from search_engine_ray.stages.grouped import coalesce_for_join
+
+    j = coalesce_for_join(li, npart).join(
+        coalesce_for_join(o, npart), join_type="inner",
+        num_partitions=npart, on=("l_orderkey",))
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "rev": pa.array([], pa.float64())})
+        ckeys, cnames = ray.get(ref)
+        cust_ids = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = np.clip(np.searchsorted(ckeys, cust_ids), 0, len(ckeys) - 1)
+        if not (ckeys[i] == cust_ids).all():  # FK violation → loud, not wrong
+            missing = cust_ids[ckeys[i] != cust_ids][:5]
+            raise ValueError(f"o_custkey values missing from customer: {missing}")
+        names = cnames[i]
+        rev = (batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+               * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)))
+        uniq, inv = np.unique(names, return_inverse=True)
+        return pa.table({"n_name": pa.array(list(uniq), pa.string()),
+                         "rev": pa.array(np.bincount(inv, weights=rev), pa.float64())})
+
+    out = grouped_reduce(j.map_batches(rev_partial, batch_format="pyarrow"),
+                         ["n_name"], sums=[("rev", "revenue")]).to_pandas()
+    out["revenue_r"] = out["revenue"].round(4)
+    return out[["n_name", "revenue_r"]].sort_values("n_name").reset_index(drop=True)
