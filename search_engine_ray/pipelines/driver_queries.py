@@ -1783,6 +1783,25 @@ def _window_pairs(sf_dir: str):
     return _read_docs(sf_dir, ["doc_id"]).map_batches(gen, batch_format="pyarrow")
 
 
+def q_triplets(sf_dir: str):
+    """Contrastive triplets: exact-Jaccard window pairs as
+    anchor/positive + md5-rolled deterministic negatives."""
+    import duckdb
+
+    from search_engine_ray.pipelines.training_data import (
+        contrastive_triplets,
+        ngram_jaccard_verify,
+    )
+
+    docs = _read_docs(sf_dir)
+    n = duckdb.sql(f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet')").fetchone()[0]
+    pairs = ngram_jaccard_verify(_window_pairs(sf_dir), docs,
+                                 shingle_k=2, threshold=JTHRESH)
+    out = contrastive_triplets(pairs, n).to_pandas()
+    return (out.astype(np.int64)
+            .sort_values(["anchor", "positive"]).reset_index(drop=True))
+
+
 def q_lsh_recall(sf_dir: str):
     """Dedup-quality evaluation: recall/precision of md5-mode MinHash-LSH
     pairs against exact 2-gram Jaccard ground truth, both restricted to
@@ -3824,6 +3843,24 @@ def oracle_queries() -> dict[str, str]:
             )
             SELECT query_id, rank, vec_id, score_r FROM r WHERE rank <= {TOPK}
         """,
+        # contrastive triplets: jaccard pairs + md5-rolled negatives in
+        # the dense id space (two collision steps, matching the kernel)
+        "triplets": "WITH " + jaccard_cte.split("WITH", 1)[1] + """
+            , nn AS (SELECT count(*) AS n FROM documents)
+            , t0 AS (
+              SELECT a, b,
+                     ('0x' || substr(md5(a::VARCHAR || '_' || b::VARCHAR), 1, 12))::BIGINT
+                       % (SELECT n FROM nn) AS neg
+              FROM jkeep
+            ),
+            t1 AS (SELECT a, b, CASE WHEN neg = a OR neg = b
+                                     THEN (neg + 1) % (SELECT n FROM nn)
+                                     ELSE neg END AS neg FROM t0),
+            t2 AS (SELECT a, b, CASE WHEN neg = a OR neg = b
+                                     THEN (neg + 1) % (SELECT n FROM nn)
+                                     ELSE neg END AS neg FROM t1)
+            SELECT a AS anchor, b AS positive, neg AS negative FROM t2
+        """,
         # dedup-quality evaluation: the exact-Jaccard truth CTE and the
         # md5 MinHash oracle (as a nested-WITH subquery), window-aligned,
         # reduced to confusion counts; empty denominators → 1.0
@@ -4010,6 +4047,7 @@ RAY_QUERIES = {
     "clean_corpus_full": q_clean_corpus_full,
     "dedup_clusters": q_dedup_clusters,
     "lsh_recall": q_lsh_recall,
+    "triplets": q_triplets,
     "jaccard_verify": q_jaccard_verify,
     "containment_verify": q_containment_verify,
     "cosine_verify": q_cosine_verify,

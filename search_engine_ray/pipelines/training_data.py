@@ -1947,6 +1947,45 @@ def remove_global_ngrams(docs: "ray.data.Dataset", n: int = 3,
     return sorted_group_map(u2, [id_col], rebuild, sort_cols=[id_col, "rm_start"])
 
 
+def contrastive_triplets(pairs, n_docs: int, a_col: str = "a",
+                         b_col: str = "b") -> "ray.data.Dataset":
+    """Contrastive training triplets from verified near-dup pairs:
+    (anchor, positive, negative) with anchor/positive the pair and the
+    negative a DETERMINISTIC pseudo-random doc — md5 of "a_b" mapped into
+    the dense id space [0, n_docs), stepped forward (mod n) while it
+    collides with the pair, so the same pair always draws the same
+    negative at any scale/partitioning (the assembly step of a
+    SimCSE/E5-style embedding-training set; near-dups are the free
+    positives a web corpus provides). Row-local over the pair table —
+    nothing corpus-sized moves; requires dense ids 0..n_docs-1 (the
+    corpus convention). Two steps suffice: the pair occupies only two
+    ids. md5 keeps the rule SQL-reproducible."""
+    from search_engine_ray.functions.hashing import md5_hex_batch
+
+    n = int(n_docs)
+    if n < 3:
+        raise ValueError("need at least 3 docs to draw a negative")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return pa.table({"anchor": pa.array([], pa.int64()),
+                             "positive": pa.array([], pa.int64()),
+                             "negative": pa.array([], pa.int64())})
+        aa = batch[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = batch[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        hx = md5_hex_batch([f"{int(x)}_{int(y)}" for x, y in zip(aa, bb)])
+        neg = np.array([int(h[:12], 16) for h in hx], np.int64) % n
+        for _ in range(2):  # pair occupies 2 ids → ≤ 2 steps
+            hit = (neg == aa) | (neg == bb)
+            neg = np.where(hit, (neg + 1) % n, neg)
+        return pa.table({"anchor": pa.array(aa, pa.int64()),
+                         "positive": pa.array(bb, pa.int64()),
+                         "negative": pa.array(neg, pa.int64())})
+
+    return pairs.map_batches(fn, batch_format="pyarrow")
+
+
 def chunk_documents(docs: "ray.data.Dataset", window: int = 64,
                     overlap: int = 16, id_col: str = "doc_id",
                     text_col: str = "text") -> "ray.data.Dataset":

@@ -114,7 +114,7 @@ def test_query_and_oracle_keys_align(entry):
         "pricing_summary", "revenue_by_nation",
         "clean_corpus", "clean_corpus_full", "new_vs_snapshot", "dedup_lines",
         "cosine_norms", "jaccard_verify", "containment_verify", "dedup_clusters",
-        "lsh_recall",
+        "lsh_recall", "triplets",
         "cosine_verify",
         "fingerprints", "minhash_pairs", "simhash_pairs",
         "ann_ivf_full", "ann_lsh_full", "langid", "readability", "regex_search",

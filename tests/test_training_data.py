@@ -947,3 +947,32 @@ class TestChunkDocuments:
 
         with _pt.raises(ValueError):
             self._run(None, ["a"], window=8, overlap=8)
+
+
+def test_contrastive_triplets_rules(ray_session):
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_ray.pipelines.training_data import contrastive_triplets
+
+    # include pairs engineered so the raw hash lands ON the pair ids to
+    # exercise the collision steps
+    aa = [0, 1, 5]
+    bb = [1, 2, 6]
+    pairs = ray.data.from_arrow(pa.table({"a": pa.array(aa, pa.int64()),
+                                          "b": pa.array(bb, pa.int64())}))
+    n = 7
+    out = contrastive_triplets(pairs, n).to_pandas().sort_values("anchor")
+    for (a, b, neg) in out[["anchor", "positive", "negative"]].itertuples(index=False):
+        raw = int(hashlib.md5(f"{a}_{b}".encode()).hexdigest()[:12], 16) % n
+        want = raw
+        for _ in range(2):
+            if want in (a, b):
+                want = (want + 1) % n
+        assert neg == want and neg not in (a, b)
+    # determinism across partition counts
+    out2 = contrastive_triplets(pairs.repartition(3), n).to_pandas() \
+        .sort_values("anchor").reset_index(drop=True)
+    assert out.reset_index(drop=True).equals(out2)
