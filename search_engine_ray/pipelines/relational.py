@@ -139,11 +139,11 @@ def revenue_by_nation(lineitem: "ray.data.Dataset", orders: "ray.data.Dataset",
     except Exception:  # pragma: no cover
         ncpu = 8
     npart = max(4, ncpu // 2)
-    from search_engine_ray.stages.grouped import coalesce_for_join
-
-    j = coalesce_for_join(li, npart).join(
-        coalesce_for_join(o, npart), join_type="inner",
-        num_partitions=npart, on=("l_orderkey",))
+    # no coalesce_for_join here: both sides are corpus-scale-safe as-is
+    # (the read produces no empty blocks; ofilter's empties carry a
+    # schema, which is all the hash-shuffle join needs) — the fact table
+    # must not pay the helper's materialize
+    j = li.join(o, join_type="inner", num_partitions=npart, on=("l_orderkey",))
 
     def rev_partial(batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
