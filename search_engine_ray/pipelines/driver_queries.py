@@ -254,6 +254,48 @@ def q_boolean_or(sf_dir: str):
     return pd.DataFrame({"doc_id": eng.boolean_or(Q_TEXT).astype(np.int64)})
 
 
+#: AND-NOT: positives must ALL match, any negated term excludes
+_NOT_POS, _NOT_NEG = "fast table", "merge"
+
+
+def q_boolean_not(sf_dir: str):
+    """AND-NOT retrieval (web-search '-term' syntax)."""
+    eng = engine_for(sf_dir)
+    return pd.DataFrame(
+        {"doc_id": eng.boolean_and_not(_NOT_POS, _NOT_NEG).astype(np.int64)}
+    )
+
+
+#: wildcard patterns (k-gram index, IIR §3.2): prefix + suffix shapes
+_WILD_TERMS, _WILD_DOCS = "s*", "*er"
+
+
+def q_wildcard_terms(sf_dir: str):
+    """Dictionary terms matching a wildcard pattern, with their df."""
+    eng = engine_for(sf_dir)
+    ts = eng.wildcard_terms(_WILD_TERMS)
+    return pd.DataFrame(
+        {"term": ts, "df": np.asarray([eng.lookup(t)[1] for t in ts], np.int64)}
+    )
+
+
+def q_wildcard_search(sf_dir: str):
+    """Wildcard OR retrieval: docs containing any term matching the
+    pattern (the retrieval shape of fuzzy_boolean over k-gram matches)."""
+    eng = engine_for(sf_dir)
+    return pd.DataFrame({"doc_id": eng.wildcard_boolean(_WILD_DOCS).astype(np.int64)})
+
+
+_QL_MU = 2000.0
+
+
+def q_ql_topk(sf_dir: str):
+    """Dirichlet query-likelihood top-k (Zhai & Lafferty 2001) — the LM
+    ranking alternative to BM25 over the same postings."""
+    eng = engine_for(sf_dir)
+    return _ranked(eng.ql_topk(Q_TEXT, k=10_000_000, mu=_QL_MU), 4)
+
+
 #: more_like_this source document (documents-space id; engine id is +1)
 MLT_DOC = 7
 
@@ -2241,6 +2283,47 @@ def oracle_queries() -> dict[str, str]:
             WHERE term IN ({qterms})
             """
         ),
+        "boolean_not": _with(
+            f"""
+            SELECT doc_id + 1 AS doc_id FROM postings
+            WHERE term IN ('fast', 'table')
+            GROUP BY doc_id
+            HAVING count(DISTINCT term) = 2
+               AND doc_id NOT IN (SELECT doc_id FROM postings WHERE term = 'merge')
+            """
+        ),
+        "wildcard_terms": _with(
+            "SELECT term, df FROM term_df WHERE term LIKE 's%'"
+        ),
+        "wildcard_search": _with(
+            "SELECT DISTINCT doc_id + 1 AS doc_id FROM postings WHERE term LIKE '%er'"
+        ),
+        # Dirichlet QL: candidates = union of the query terms' postings;
+        # score = full log-likelihood sum_w ln((tf + mu*ctf/T)/(dl + mu))
+        # with tf = 0 for a candidate missing a term (LEFT JOIN coalesce)
+        "ql_topk": _with(
+            f"""
+            , {doclen_cte}
+            , coll AS (SELECT sum(doc_length)::DOUBLE AS t FROM doclen)
+            , qstats AS (
+                SELECT term, sum(tf)::DOUBLE AS ctf FROM postings
+                WHERE term IN ({qterms}) GROUP BY term)
+            , cand AS (SELECT DISTINCT doc_id FROM postings WHERE term IN ({qterms}))
+            , scored AS (
+                SELECT c.doc_id,
+                       sum( ln( (coalesce(p.tf, 0) + {_QL_MU} * q.ctf / coll.t)
+                                / (dl.doc_length + {_QL_MU}) ) ) AS s
+                FROM cand c
+                CROSS JOIN qstats q
+                LEFT JOIN postings p ON p.doc_id = c.doc_id AND p.term = q.term
+                JOIN doclen dl ON dl.doc_id = c.doc_id
+                CROSS JOIN coll
+                GROUP BY c.doc_id)
+            SELECT ROW_NUMBER() OVER (ORDER BY round(s, 4) DESC, doc_id)::BIGINT AS rank,
+                   doc_id + 1 AS doc_id, round(s, 4) AS score_r
+            FROM scored ORDER BY round(s, 4) DESC, doc_id LIMIT {TOPK}
+            """
+        ),
         "more_like_this": _with(
             f"""
             , {doclen_cte}
@@ -3965,6 +4048,10 @@ RAY_QUERIES = {
     "index_stats": q_index_stats,
     "boolean_and": q_boolean_and,
     "boolean_or": q_boolean_or,
+    "boolean_not": q_boolean_not,
+    "wildcard_terms": q_wildcard_terms,
+    "wildcard_search": q_wildcard_search,
+    "ql_topk": q_ql_topk,
     "more_like_this": q_more_like_this,
     "tfidf_topk": q_tfidf_topk,
     "bm25_topk": q_bm25_topk,

@@ -810,3 +810,75 @@ class SearchEngine:
         if not docs:
             return np.zeros(0, np.int64)
         return np.unique(np.concatenate(docs))
+
+    # ------------------------------------------------------------------ wildcard
+    @property
+    def kgram(self):
+        """Lazy k-gram index over the dictionary (query/kgram.py) — same
+        vocabulary and lifecycle as the BK-tree, built on first wildcard."""
+        if getattr(self, "_kgram", None) is None:
+            from search_engine_ray.query.kgram import KGramIndex
+
+            dic = pq.read_table(self.paths.dictionary, columns=["term"])
+            self._kgram = KGramIndex(sorted(dic["term"].to_pylist()))
+        return self._kgram
+
+    def wildcard_terms(self, pattern: str) -> list[str]:
+        """Dictionary terms matching a ``*``-wildcard pattern, ascending
+        (IIR §3.2 k-gram intersection + mandatory post-filter). The probe
+        is lowercased but NOT clean/lemma-normalized — the pattern addresses
+        index terms directly, like prefix_search."""
+        return self.kgram.lookup(pattern.lower())
+
+    def wildcard_boolean(self, pattern: str) -> np.ndarray:
+        """Docs containing ANY term matching the wildcard pattern
+        (wildcard OR — the retrieval shape of fuzzy_boolean)."""
+        docs = [self.get_postings(t).doc_ids for t in self.wildcard_terms(pattern)]
+        if not docs:
+            return np.zeros(0, np.int64)
+        return np.unique(np.concatenate(docs))
+
+    # ------------------------------------------------------------------ and-not
+    def boolean_and_not(self, query: str, neg_query: str) -> np.ndarray:
+        """AND-NOT retrieval: docs matching EVERY positive term minus docs
+        containing ANY negated term (web-search ``-term`` syntax; the
+        complement boolean_and/boolean_or never compose in the reference —
+        query_processor.rs only intersects). Negated terms missing from the
+        dictionary exclude nothing."""
+        pos = self.boolean_and(query)
+        if len(pos) == 0:
+            return pos
+        neg = self.boolean_or(neg_query)
+        if len(neg) == 0:
+            return pos
+        return np.setdiff1d(pos, neg, assume_unique=True)
+
+    # ------------------------------------------------------------------ QL
+    def ql_topk(self, query: str, k: int = 10, mu: float = 2000.0) -> list[tuple[int, float]]:
+        """Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty,
+        SIGIR 2001) — the LM alternative to BM25 over the same postings:
+
+            score(q, d) = sum_w  ln( (tf_{w,d} + mu * ctf_w / T)
+                                     / (dl_d + mu) )
+
+        summed over the query terms present in the dictionary (ctf_w = the
+        term's collection frequency, T = total collection tokens).
+        Candidates are the union of the terms' postings (docs matching no
+        term are never competitive at practical mu). float64 end to end so
+        the DuckDB oracle reproduces scores exactly; ties break by
+        ascending doc_id per the engine-wide top-k contract."""
+        tps = [(t, self.get_postings(t)) for t in self.query_terms(query)]
+        tps = [(t, tp) for t, tp in tps if tp is not None and tp.df > 0]
+        if not tps:
+            return []
+        T = float(self._dl.sum())
+        cand = np.unique(np.concatenate([tp.doc_ids for _, tp in tps]))
+        dl = self.doc_length(cand).astype(np.float64)
+        scores = np.zeros(len(cand), np.float64)
+        for _, tp in tps:
+            p_bg = mu * float(tp.tfs.sum()) / T
+            tf = np.zeros(len(cand), np.float64)
+            tf[np.searchsorted(cand, tp.doc_ids)] = tp.tfs
+            scores += np.log((tf + p_bg) / (dl + mu))
+        ids, sc = topk_docs(cand, scores, k)
+        return [(int(d), float(s)) for d, s in zip(ids, sc)]
