@@ -296,6 +296,64 @@ def q_ql_topk(sf_dir: str):
     return _ranked(eng.ql_topk(Q_TEXT, k=10_000_000, mu=_QL_MU), 4)
 
 
+def _ranked_ids(scores: list[tuple[int, float]], digits: int, pool: int) -> list[int]:
+    """Ids of the top-`pool` by (round(score, digits) desc, doc_id asc) —
+    the rank discipline every ranked oracle mirrors."""
+    df = pd.DataFrame(scores, columns=["doc_id", "score"])
+    df["r"] = df["score"].round(digits)
+    df = df.sort_values(["r", "doc_id"], ascending=[False, True]).head(pool)
+    return df["doc_id"].astype(np.int64).tolist()
+
+
+#: hybrid fusion: pool depth per run and the RRF damping constant
+_POOL, _RRF_K = 20, 60
+
+
+def q_hybrid_rrf(sf_dir: str):
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009) of the
+    lexical BM25 run and a dense embedding-cosine run (query = the corpus'
+    lowest vec_id embedding; embeddings.vec_id == documents.doc_id, engine
+    doc space is +1)."""
+    import pyarrow.parquet as pqt
+
+    import ray.data
+    from search_engine_ray.pipelines.training_data import ann_brute_force
+    from search_engine_ray.query.fusion import rrf_fuse
+
+    eng = engine_for(sf_dir)
+    lex = _ranked_ids(eng.bm25_topk(Q_TEXT, k=10_000_000), 4, _POOL)
+
+    t = pqt.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qrow = int(np.argmin(t["vec_id"].to_numpy()))
+    qm = np.asarray(t["embedding"][qrow].as_py(), np.float64)[None, :]
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ann = ann_brute_force(emb, qm, k=_POOL, round_digits=3).to_pandas()
+    dense = (ann.sort_values("rank")["vec_id"].astype(np.int64) + 1).tolist()
+
+    fused = rrf_fuse([lex, dense], k=10_000_000, K=_RRF_K)
+    df = pd.DataFrame(fused, columns=["doc_id", "rrf"])
+    df["rrf_r"] = df["rrf"].round(6)
+    df = df.sort_values(["rrf_r", "doc_id"], ascending=[False, True]).head(TOPK)
+    df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return df[["rank", "doc_id", "rrf_r"]].reset_index(drop=True)
+
+
+_EVAL_K = 10
+
+
+def q_retrieval_eval(sf_dir: str):
+    """Retrieval-effectiveness metrics (P/Recall/MRR/NDCG @10) of the BM25
+    run against deterministic binary qrels: docs containing the PHRASE
+    adjacently (a stricter relevance signal than the bag-of-words run)."""
+    from search_engine_ray.query.evaluate import eval_ranking
+
+    eng = engine_for(sf_dir)
+    ranked = _ranked_ids(eng.bm25_topk(Q_TEXT, k=10_000_000), 4, _EVAL_K)
+    rel = eng.phrase(" ".join(PHRASE)).tolist()
+    m = eval_ranking(ranked, rel, k=_EVAL_K)
+    return pd.DataFrame([{key: round(v, 6) for key, v in m.items()}])
+
+
 #: more_like_this source document (documents-space id; engine id is +1)
 MLT_DOC = 7
 
@@ -2392,6 +2450,102 @@ def oracle_queries() -> dict[str, str]:
         "bm25_wand": out_bm25,
         "bm25_distributed": out_bm25,
         "bm25_segments": out_bm25,
+        # RRF fusion: both runs ranked with their own rounding discipline
+        # (bm25 round-4, cosine round-3 — DuckDB's list_cosine_similarity is
+        # f32), pool = _POOL each, fused score = sum 1/(K + rank)
+        "hybrid_rrf": _with(
+            f"""
+            , {doclen_cte}
+            , stats AS (SELECT avg(doc_length) AS avgdl FROM doclen)
+            , s_bm AS (
+              SELECT p.doc_id,
+                     sum( ln(({n_docs} - t.df + 0.5) / (t.df + 0.5) + 1.0)
+                          * p.tf * (1.2 + 1.0)
+                          / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_length / s.avgdl)) ) AS s
+              FROM postings p
+              JOIN term_df t USING (term)
+              JOIN doclen dl ON dl.doc_id = p.doc_id
+              CROSS JOIN stats s
+              WHERE p.term IN ({qterms})
+              GROUP BY p.doc_id
+            )
+            , bmr AS (
+              SELECT doc_id + 1 AS id,
+                     ROW_NUMBER() OVER (ORDER BY round(s, 4) DESC, doc_id) AS r
+              FROM s_bm
+            )
+            , q AS (
+              SELECT embedding AS qv FROM embeddings
+              WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+            )
+            , annr AS (
+              SELECT e.vec_id + 1 AS id,
+                     ROW_NUMBER() OVER (
+                       ORDER BY round(list_cosine_similarity(e.embedding, q.qv)::DOUBLE, 3) DESC,
+                                e.vec_id) AS r
+              FROM embeddings e CROSS JOIN q
+            )
+            , contrib AS (
+              SELECT id, r FROM bmr WHERE r <= {_POOL}
+              UNION ALL
+              SELECT id, r FROM annr WHERE r <= {_POOL}
+            )
+            , fused AS (
+              SELECT id AS doc_id, sum(1.0 / ({_RRF_K} + r)) AS s
+              FROM contrib GROUP BY id
+            )
+            SELECT ROW_NUMBER() OVER (ORDER BY round(s, 6) DESC, doc_id)::BIGINT AS rank,
+                   doc_id, round(s, 6) AS rrf_r
+            FROM fused ORDER BY round(s, 6) DESC, doc_id LIMIT {TOPK}
+            """
+        ),
+        # effectiveness of the bm25 run vs phrase-adjacency qrels; NDCG
+        # with binary gains / log2(rank+1) discount, IDCG over min(|rel|, k)
+        "retrieval_eval": _with(
+            f"""
+            , {doclen_cte}
+            , stats AS (SELECT avg(doc_length) AS avgdl FROM doclen)
+            , s_bm AS (
+              SELECT p.doc_id,
+                     sum( ln(({n_docs} - t.df + 0.5) / (t.df + 0.5) + 1.0)
+                          * p.tf * (1.2 + 1.0)
+                          / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_length / s.avgdl)) ) AS s
+              FROM postings p
+              JOIN term_df t USING (term)
+              JOIN doclen dl ON dl.doc_id = p.doc_id
+              CROSS JOIN stats s
+              WHERE p.term IN ({qterms})
+              GROUP BY p.doc_id
+            )
+            , top AS (
+              SELECT doc_id, r FROM (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY round(s, 4) DESC, doc_id) AS r
+                FROM s_bm
+              ) WHERE r <= {_EVAL_K}
+            )
+            , rel AS (
+              SELECT DISTINCT a.doc_id
+              FROM lem a JOIN lem b ON a.doc_id = b.doc_id AND b.position = a.position + 1
+              WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+            )
+            , hits AS (SELECT r FROM top JOIN rel USING (doc_id))
+            , nrel AS (SELECT count(*)::BIGINT AS c FROM rel)
+            , idcg AS (
+              SELECT coalesce(sum(1.0 / log2(x + 1)), 0.0) AS v
+              FROM (SELECT unnest(range(1, least((SELECT c FROM nrel), {_EVAL_K}) + 1)) AS x)
+            )
+            SELECT
+              round((SELECT count(*) FROM hits) / {_EVAL_K}.0, 6) AS p_at_k,
+              round(CASE WHEN (SELECT c FROM nrel) = 0 THEN 0.0
+                         ELSE (SELECT count(*) FROM hits)::DOUBLE / (SELECT c FROM nrel) END, 6)
+                AS recall_at_k,
+              round(coalesce(1.0 / (SELECT min(r) FROM hits), 0.0), 6) AS mrr_at_k,
+              round(CASE WHEN (SELECT v FROM idcg) = 0 THEN 0.0
+                         ELSE (SELECT coalesce(sum(1.0 / log2(r + 1)), 0.0) FROM hits)
+                              / (SELECT v FROM idcg) END, 6) AS ndcg_at_k
+            """
+        ),
         # PRF: stage-1 bm25 → top fb_docs by (round(s,4) desc, doc) →
         # pooled tf over those docs' postings (== tokenizing their texts;
         # same tokenize produced the postings) → expansion terms by
@@ -4052,6 +4206,8 @@ RAY_QUERIES = {
     "wildcard_terms": q_wildcard_terms,
     "wildcard_search": q_wildcard_search,
     "ql_topk": q_ql_topk,
+    "hybrid_rrf": q_hybrid_rrf,
+    "retrieval_eval": q_retrieval_eval,
     "more_like_this": q_more_like_this,
     "tfidf_topk": q_tfidf_topk,
     "bm25_topk": q_bm25_topk,
