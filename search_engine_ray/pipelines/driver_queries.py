@@ -885,6 +885,20 @@ def q_doc_logprob(sf_dir: str):
                .sort_values("doc_id").reset_index(drop=True))
 
 
+_BLM_LAM = 0.9
+
+
+def q_doc_bigram_logprob(sf_dir: str):
+    """Per-doc interpolated bigram-LM mean log-probability (the order-2
+    quality signal above doc_logprob): one bigram-enabled tokenize wave,
+    three vocab-table hash joins, doc-cardinality finish."""
+    from search_engine_ray.pipelines.training_data import doc_bigram_logprob
+
+    out = doc_bigram_logprob(_read_docs(sf_dir), lam=_BLM_LAM).to_pandas()
+    return (out.astype({"doc_id": np.int64, "n_bigrams": np.int64})
+               .sort_values("doc_id").reset_index(drop=True))
+
+
 #: deterministic url synthesis for the web-curation queries (documents has
 #: no url column): doc_id → https://h{doc_id%37}.example.test/p/{doc_id};
 #: the oracle SQL builds the identical strings.
@@ -3083,6 +3097,39 @@ def oracle_queries() -> dict[str, str]:
             GROUP BY p.doc_id
             """
         ),
+        # bigram LM: bigrams over emitted-token adjacency (lem_rn/big — the
+        # bm25_blend pairing), Jelinek-Mercer p = lam*c/ctx + (1-lam)*ctf/T
+        "doc_bigram_logprob": _with(
+            f"""
+            , lem_rn AS (
+              SELECT doc_id, term,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY position) AS rn
+              FROM lem
+            )
+            , big AS (
+              SELECT a.doc_id, a.term AS w1, b.term AS w2
+              FROM lem_rn a JOIN lem_rn b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+            )
+            , bpost AS (
+              SELECT doc_id, w1, w2, count(*)::BIGINT AS tf
+              FROM big GROUP BY doc_id, w1, w2
+            )
+            , bct AS (SELECT w1, w2, sum(tf) AS c FROM bpost GROUP BY w1, w2)
+            , ctx AS (SELECT w1, sum(c) AS ctx FROM bct GROUP BY w1)
+            , ctf AS (SELECT term, sum(tf) AS ctf FROM postings GROUP BY term)
+            , tot AS (SELECT sum(tf)::DOUBLE AS t FROM postings)
+            SELECT p.doc_id, sum(p.tf)::BIGINT AS n_bigrams,
+                   round(sum(p.tf * log10({_BLM_LAM} * bc.c::DOUBLE / cx.ctx
+                                          + {1.0 - _BLM_LAM} * cf.ctf::DOUBLE / tot.t))
+                         / sum(p.tf), 6) AS logprob_r
+            FROM bpost p
+            JOIN bct bc USING (w1, w2)
+            JOIN ctx cx USING (w1)
+            JOIN ctf cf ON cf.term = p.w2
+            CROSS JOIN tot
+            GROUP BY p.doc_id
+            """
+        ),
         "canonical_urls": rf"""
             WITH raw AS (
               SELECT doc_id,
@@ -4239,6 +4286,7 @@ RAY_QUERIES = {
     "doc_keywords": q_doc_keywords,
     "sparse_knn": q_sparse_knn,
     "doc_logprob": q_doc_logprob,
+    "doc_bigram_logprob": q_doc_bigram_logprob,
     "dsir_weights": q_dsir_weights,
     "doc_novelty": q_doc_novelty,
     "bpe_tokens": q_bpe_tokens,

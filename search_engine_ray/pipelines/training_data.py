@@ -819,6 +819,129 @@ def doc_logprob(docs: "ray.data.Dataset", id_col: str = "doc_id",
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def doc_bigram_logprob(docs: "ray.data.Dataset", lam: float = 0.9,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       round_digits: int = 6):
+    """Interpolated bigram-LM quality score — the order-2 sibling of
+    doc_logprob's unigram proxy (the KenLM-shaped CCNet signal: low =
+    token soup whose ADJACENCIES are improbable even when the words are
+    individually common). Per-doc mean log10 p(w2|w1) over the doc's
+    bigram occurrences with Jelinek-Mercer interpolation
+
+        p(w2 | w1) = lam * c(w1 w2) / ctx(w1) + (1 - lam) * ctf(w2) / T
+
+    (c = corpus bigram count, ctx(w1) = Σ_v c(w1 v), ctf/T the unigram
+    background — so unseen continuations never hit log 0). Output
+    (doc_id, n_bigrams, logprob_r); a doc with < 2 emitted tokens has no
+    bigrams and no row.
+
+    Distributed shape (doc_logprob's, one order up): ONE tokenize wave
+    emits unigram + bigram postings (the bm25_blend index kernel);
+    per-block combiners + grouped_reduce build ctf / bigram counts /
+    contexts — all vocab-cardinality tables that ride hash joins back onto
+    the per-doc bigram rows, never a broadcast; a doc-cardinality
+    partial+final reduce finishes the mean."""
+    from ray.data.aggregate import Sum
+
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.stages.grouped import grouped_reduce
+    from search_engine_ray.stages.tokenize import tokenize_stage
+
+    cfg = EngineConfig(index_bigrams=True)
+    postings = tokenize_stage(docs, cfg).map_batches(
+        lambda b: b.filter(pc.not_equal(b["term"], "")).select(["term", id_col, "tf"]),
+        batch_format="pyarrow").materialize()
+
+    is_bi = lambda b: pc.match_substring(b["term"], " ")  # noqa: E731
+    uni = postings.map_batches(lambda b: b.filter(pc.invert(is_bi(b))),
+                               batch_format="pyarrow")
+    bi = postings.map_batches(lambda b: b.filter(is_bi(b)),
+                              batch_format="pyarrow")
+
+    ctf = grouped_reduce(uni.map_batches(_term_count_partial, batch_format="pyarrow"),
+                         ["term"], sums=[("c_part", "ctf")])
+    total = uni.aggregate(Sum("tf", alias_name="t"))["t"] or 0
+    bct = grouped_reduce(bi.map_batches(_term_count_partial, batch_format="pyarrow"),
+                         ["term"], sums=[("c_part", "c")]).materialize()
+
+    def to_ctx_partial(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        if b.num_rows == 0:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "ctx_part": pa.array([], pa.int64())})
+        w1 = pc.list_element(pc.split_pattern(b["term"], " "), 0)
+        return pa.table({"w1": w1, "ctx_part": b["c"].cast(pa.int64())})
+
+    ctx = grouped_reduce(bct.map_batches(to_ctx_partial, batch_format="pyarrow"),
+                         ["w1"], sums=[("ctx_part", "ctx")])
+
+    def split_cols(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        parts = pc.split_pattern(b["term"], " ")
+        return pa.table({id_col: b[id_col], "tf": b["tf"], "c": b["c"],
+                         "w1": pc.list_element(parts, 0),
+                         "w2": pc.list_element(parts, 1)})
+
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:  # pragma: no cover
+        ncpu = 8
+    nparts = max(4, ncpu // 2)
+    ctf2 = ctf.map_batches(
+        lambda b: pa.table({"w2": b["term"], "bg": b["ctf"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    # every join input below came through a filter/map chain that can emit
+    # schemaless empty blocks on tiny inputs — coalesce_for_join rebuilds
+    # them (the bigram-postings left side is the largest, but the join
+    # consumes it fully anyway and it was materialized above)
+    from search_engine_ray.stages.grouped import coalesce_for_join
+
+    rows = (coalesce_for_join(bi, nparts)
+            .join(coalesce_for_join(bct, nparts), join_type="inner",
+                  num_partitions=nparts, on=("term",))
+            .map_batches(split_cols, batch_format="pyarrow"))
+    rows = (coalesce_for_join(rows, nparts)
+            .join(coalesce_for_join(ctx, nparts), join_type="inner",
+                  num_partitions=nparts, on=("w1",))
+            .join(coalesce_for_join(ctf2, nparts), join_type="inner",
+                  num_partitions=nparts, on=("w2",)))
+
+    def score_partial(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        if b.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "lp_part": pa.array([], pa.float64()),
+                             "n_part": pa.array([], pa.int64())})
+        tf = b["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = b["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cx = b["ctx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        bg = b["bg"].to_numpy(zero_copy_only=False).astype(np.float64)
+        p = lam * c / cx + (1.0 - lam) * bg / float(total)
+        lp = tf * np.log10(p)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        uids, inv = np.unique(ids, return_inverse=True)
+        return pa.table({
+            id_col: pa.array(uids.astype(np.int64), pa.int64()),
+            "lp_part": pa.array(np.bincount(inv, weights=lp), pa.float64()),
+            "n_part": pa.array(np.bincount(inv, weights=tf).astype(np.int64), pa.int64()),
+        })
+
+    agg = grouped_reduce(rows.map_batches(score_partial, batch_format="pyarrow"),
+                         [id_col], sums=[("lp_part", "lp"), ("n_part", "n_bigrams")])
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        lp = b["lp"].to_numpy(zero_copy_only=False)
+        n = b["n_bigrams"].to_numpy(zero_copy_only=False).astype(np.float64)
+        out = np.round(np.divide(lp, n, out=np.zeros_like(lp), where=n > 0),
+                       round_digits)
+        return pa.table({id_col: b[id_col].cast(pa.int64()),
+                         "n_bigrams": b["n_bigrams"].cast(pa.int64()),
+                         "logprob_r": pa.array(out, pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def word_count_table(docs: "ray.data.Dataset", id_col: str = "doc_id",
                      text_col: str = "text"):
     """Distributed (word, cnt) over lowercased whitespace words — one

@@ -976,3 +976,69 @@ def test_contrastive_triplets_rules(ray_session):
     out2 = contrastive_triplets(pairs.repartition(3), n).to_pandas() \
         .sort_values("anchor").reset_index(drop=True)
     assert out.reset_index(drop=True).equals(out2)
+
+
+class TestDocBigramLogprob:
+    def test_matches_scalar_spec(self, ray_session):
+        """Pipeline == brute-force interpolated bigram LM computed from the
+        same tokenization (simple lowercase words, lemma-stable)."""
+        import math
+
+        import ray.data
+
+        from search_engine_ray.functions.tokenizer import Tokenizer
+        from search_engine_ray.pipelines.training_data import doc_bigram_logprob
+
+        rows = [
+            {"doc_id": 1, "text": "fast table merge fast table"},
+            {"doc_id": 2, "text": "fast fast fast"},
+            {"doc_id": 3, "text": "merge table"},
+            {"doc_id": 4, "text": "solo"},          # 1 token → no bigrams, no row
+            {"doc_id": 5, "text": ""},              # empty → no row
+        ]
+        lam = 0.7
+        ds = ray.data.from_items(rows, override_num_blocks=3)
+        out = doc_bigram_logprob(ds, lam=lam).to_pandas().set_index("doc_id")
+
+        tok = Tokenizer()
+        seqs = {r["doc_id"]: [t.word for t in tok.tokenize(r["text"]) if t.word]
+                for r in rows}
+        ctf: dict[str, int] = {}
+        big: dict[tuple[str, str], int] = {}
+        for ws in seqs.values():
+            for w in ws:
+                ctf[w] = ctf.get(w, 0) + 1
+            for a, b in zip(ws, ws[1:]):
+                big[(a, b)] = big.get((a, b), 0) + 1
+        T = sum(ctf.values())
+        ctx = {}
+        for (a, _), c in big.items():
+            ctx[a] = ctx.get(a, 0) + c
+
+        assert 4 not in out.index and 5 not in out.index
+        for d, ws in seqs.items():
+            pairs = list(zip(ws, ws[1:]))
+            if not pairs:
+                continue
+            lp = sum(
+                math.log10(lam * big[p] / ctx[p[0]] + (1 - lam) * ctf[p[1]] / T)
+                for p in pairs
+            ) / len(pairs)
+            assert out.loc[d, "n_bigrams"] == len(pairs)
+            assert out.loc[d, "logprob_r"] == round(lp, 6)
+
+    def test_interpolation_bounds(self, ray_session):
+        """lam→1 concentrates on observed continuations: a doc made of the
+        corpus' only repeated bigram must outscore a doc of one-off
+        adjacencies."""
+        import ray.data
+
+        from search_engine_ray.pipelines.training_data import doc_bigram_logprob
+
+        rows = [
+            {"doc_id": 1, "text": "alpha beta alpha beta alpha beta"},
+            {"doc_id": 2, "text": "gamma delta epsilon zeta eta theta"},
+        ]
+        out = (doc_bigram_logprob(ray.data.from_items(rows), lam=0.99)
+               .to_pandas().set_index("doc_id"))
+        assert out.loc[1, "logprob_r"] > out.loc[2, "logprob_r"]
