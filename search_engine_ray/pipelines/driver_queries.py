@@ -989,6 +989,20 @@ def q_stratified_sample(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+_SAMPLE_K = 25
+
+
+def q_sample_k(sf_dir: str):
+    """Exact-size deterministic uniform sample: bottom-25 by md5(doc_id)
+    priority — per-block bottom-k prune, O(k × blocks) finishing sort."""
+    from search_engine_ray.pipelines.webcorpus import sample_k
+
+    docs = _read_docs(sf_dir, columns=("doc_id", "text", "lang"))
+    out = sample_k(docs, _SAMPLE_K).to_pandas()
+    return (out.astype({"doc_id": np.int64})
+               .sort_values("doc_id").reset_index(drop=True))
+
+
 #: mixture weights exercising all regimes: >1 with fraction (up-sample),
 #: exactly 1, pure fraction (down-sample), 0 (drop), plus a default
 _MIX = {"en": 2.5, "de": 1.0, "fr": 0.4, "zh": 0.0}
@@ -3199,6 +3213,10 @@ def oracle_queries() -> dict[str, str]:
                     ELSE '{min(int(_STRATA_DEFAULT * 2**32), 2**32 - 1):08x}'
                   END
         """,
+        "sample_k": f"""
+            SELECT doc_id, text, lang FROM documents
+            ORDER BY md5(doc_id::VARCHAR), doc_id LIMIT {_SAMPLE_K}
+        """,
         # TPC-H Q1 shape (rounding: sums 4, averages 6)
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -4297,6 +4315,7 @@ RAY_QUERIES = {
     "canonical_urls": q_canonical_urls,
     "host_cap": q_host_cap,
     "stratified_sample": q_stratified_sample,
+    "sample_k": q_sample_k,
     "upsample_mix": q_upsample_mix,
     "curriculum_order": q_curriculum_order,
     "quality_filter": q_quality_filter,

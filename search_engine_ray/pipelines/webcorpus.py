@@ -181,6 +181,44 @@ def stratified_sample(docs, fractions: dict[str, float],
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
+def sample_k(docs, k: int, id_col: str = "doc_id", method: str = "md5"):
+    """Deterministic global uniform k-sample: the k rows with the SMALLEST
+    hash priority of their id — bottom-k of a pseudorandom permutation, so
+    the sample is uniform, reproducible, and EXACTLY min(k, N) rows (the
+    exact-size complement of stratified_sample's keep-fraction rule).
+
+    Mergeable by construction: the global bottom-k is the bottom-k of the
+    per-block bottom-k's, so every block forwards ≤ k candidate rows and
+    the finishing sort touches O(k × blocks), never the corpus — the same
+    discipline as value_quantiles_approx / group_topn. Growth-stable:
+    adding docs can only displace, never reshuffle, survivors.
+
+    method='md5'  — priority = md5-hex of str(id), string order; a DuckDB
+                    oracle reproduces it exactly (ORDER BY md5(...)).
+    method='mix64' — vectorized splitmix64 (no per-row Python), the
+                    production path; same contract, no SQL oracle."""
+    from search_engine_ray.functions.hashing import md5_hex_batch, mix64
+
+    def prune(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        pri_type = pa.string() if method == "md5" else pa.uint64()
+        if batch.num_rows == 0:
+            return batch.append_column("_pri", pa.array([], pri_type))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if method == "md5":
+            pri = np.array(md5_hex_batch([str(int(i)) for i in ids]), object)
+        else:
+            pri = mix64(ids.astype(np.int64).view(np.uint64))
+        keep = np.sort(np.argsort(pri, kind="stable")[:k])
+        return batch.take(pa.array(keep)).append_column(
+            "_pri", pa.array(pri[keep], pri_type))
+
+    pruned = docs.map_batches(prune, batch_format="pyarrow")
+    cols = [c for c in docs.schema().names]
+    return (pruned.sort(["_pri", id_col]).limit(int(k))
+                  .map_batches(lambda b: b.select(cols), batch_format="pyarrow"))
+
+
 def curriculum_order(docs, id_col: str = "doc_id", text_col: str = "text"):
     """Curriculum ordering: every doc's global position in
     (quality desc, id asc) order — the deterministic 'clean examples

@@ -101,7 +101,7 @@ def test_query_and_oracle_keys_align(entry):
         "ccnet_buckets", "doc_novelty",
         "host_stats", "host_cap", "canonical_urls",
         "stratified_sample", "upsample_mix", "curriculum_order", "quality_filter",
-        "token_budget", "split_assign",
+        "token_budget", "split_assign", "sample_k",
         "pack_sequences", "chunk_documents", "shuffle",
         "collocations", "cooccurrence", "prune_postings",
         "pagerank", "anchor_terms", "latest_snapshot", "degree_stats", "bm25f",

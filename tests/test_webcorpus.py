@@ -350,3 +350,45 @@ def test_token_budget_head_prefix_property(ray_session, parts):
     if len(spec) < len(df):
         nxt = df.iloc[len(spec)]
         assert out.cum_tokens.iloc[-1] + nxt.n > budget
+
+
+class TestSampleK:
+    def _docs(self, n, parts):
+        import ray.data
+
+        return ray.data.from_items(
+            [{"doc_id": i, "text": f"t{i}"} for i in range(n)],
+            override_num_blocks=parts)
+
+    @pytest.mark.parametrize("parts", [1, 7])
+    def test_md5_matches_bruteforce_and_partition_invariant(self, ray_session, parts):
+        import hashlib
+
+        from search_engine_ray.pipelines.webcorpus import sample_k
+
+        n, k = 60, 10
+        out = sample_k(self._docs(n, parts), k).to_pandas()
+        want = sorted(range(n), key=lambda i: hashlib.md5(str(i).encode()).hexdigest())[:k]
+        assert sorted(out["doc_id"]) == sorted(want)
+        assert list(out.columns) == ["doc_id", "text"]  # _pri dropped
+
+    def test_exact_size_and_small_corpus(self, ray_session):
+        from search_engine_ray.pipelines.webcorpus import sample_k
+
+        assert sample_k(self._docs(5, 2), 10).count() == 5
+        assert sample_k(self._docs(100, 4), 10).count() == 10
+
+    def test_mix64_mode_uniform_and_growth_stable(self, ray_session):
+        from search_engine_ray.functions.hashing import mix64
+        from search_engine_ray.pipelines.webcorpus import sample_k
+
+        n, k = 80, 12
+        got = sorted(sample_k(self._docs(n, 5), k, method="mix64")
+                     .to_pandas()["doc_id"])
+        ids = np.arange(n, dtype=np.int64)
+        pri = mix64(ids.view(np.uint64))
+        assert got == sorted(ids[np.argsort(pri, kind="stable")[:k]].tolist())
+        # growth-stable: the doubled corpus's sample ∩ old ids ⊆ old sample
+        got2 = set(sample_k(self._docs(2 * n, 5), k, method="mix64")
+                   .to_pandas()["doc_id"])
+        assert got2 & set(ids.tolist()) <= set(got)
