@@ -180,6 +180,75 @@ class SegmentedSearchEngine:
         out = np.unique(np.concatenate(docs))
         return out[self._live(out)]
 
+    def boolean_and_not(self, query: str, neg_query: str) -> np.ndarray:
+        """AND-NOT over segments (matches SearchEngine.boolean_and_not);
+        both sides are already tombstone-filtered."""
+        pos = self.boolean_and(query)
+        if len(pos) == 0:
+            return pos
+        neg = self.boolean_or(neg_query)
+        if len(neg) == 0:
+            return pos
+        return np.setdiff1d(pos, neg, assume_unique=True)
+
+    def wildcard_terms(self, pattern: str) -> list[str]:
+        """Union of per-segment wildcard matches (each segment engine owns
+        its own k-gram index) — equals the compacted index's lookup."""
+        out: set[str] = set()
+        for eng in self.engines:
+            out.update(eng.wildcard_terms(pattern))
+        return sorted(out)
+
+    def wildcard_boolean(self, pattern: str) -> np.ndarray:
+        docs = []
+        for t in self.wildcard_terms(pattern):
+            for _eng, tp in self._term_postings(t):
+                docs.append(tp.doc_ids)
+        if not docs:
+            return np.zeros(0, np.int64)
+        out = np.unique(np.concatenate(docs))
+        return out[self._live(out)]
+
+    def ql_topk(self, query: str, k: int = 10, mu: float = 2000.0
+                ) -> list[tuple[int, float]]:
+        """Dirichlet query-likelihood with GLOBAL statistics (ctf and the
+        collection token count are exact integer sums over segments, doc
+        lengths come from each candidate's own segment) — rank-identical
+        to the monolithic engine on a tombstone-free corpus, same float
+        expressions in the same per-term order."""
+        per_term = []
+        for t in self.query_terms(query):
+            tps = self._term_postings(t)
+            if tps:
+                per_term.append(tps)
+        if not per_term:
+            return []
+        T = float(sum(int(eng._dl.sum()) for eng in self.engines))
+        cand = np.unique(np.concatenate(
+            [tp.doc_ids for tps in per_term for _e, tp in tps]))
+        cand = cand[self._live(cand)]
+        if not len(cand):
+            return []
+        dl = np.zeros(len(cand), np.float64)
+        for eng in self.engines:
+            idx = np.searchsorted(eng._dl_ids, cand)
+            hit = (idx < len(eng._dl_ids)) & (
+                eng._dl_ids[np.minimum(idx, len(eng._dl_ids) - 1)] == cand)
+            dl[hit] = eng._dl[idx[hit]]
+        scores = np.zeros(len(cand), np.float64)
+        for tps in per_term:
+            ctf = sum(int(tp.tfs.sum()) for _e, tp in tps)
+            p_bg = mu * float(ctf) / T
+            tf = np.zeros(len(cand), np.float64)
+            for _eng, tp in tps:
+                idx = np.searchsorted(cand, tp.doc_ids)
+                hit = (idx < len(cand)) & (
+                    cand[np.minimum(idx, len(cand) - 1)] == tp.doc_ids)
+                tf[idx[hit]] = tp.tfs[hit]
+            scores += np.log((tf + p_bg) / (dl + mu))
+        ids, sc = topk_docs(cand, scores, k)
+        return [(int(d), float(s)) for d, s in zip(ids, sc)]
+
     def more_like_this(self, text: str, k: int = 10, n_terms: int = 3,
                        exclude: int | None = None) -> list[tuple[int, float]]:
         """Keyword extraction with GLOBAL df/N (exact integers over

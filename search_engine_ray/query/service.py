@@ -28,7 +28,7 @@ from search_engine_ray.functions.tokenizer import Tokenizer
 from search_engine_ray.pipelines.build import IndexPaths, load_stats
 from search_engine_ray.query.locator import PostingsLocator
 from search_engine_ray.query.postings_codec import decode_term_chunks
-from search_engine_ray.query.scoring import bm25_weights
+from search_engine_ray.query.scoring import bm25_weights, topk_docs
 
 
 class ShardServingActor:
@@ -210,6 +210,50 @@ class ShardServingActor:
         """Dictionary-only df lookup (no postings read) for the owned
         subset of ``terms``."""
         return {t: self._dict[t] for t in terms if t in self._dict}
+
+    def term_ctfs(self, terms: list[str]) -> dict:
+        """Collection term frequency (Σ tf over the term's postings) for
+        the owned subset — one int per term leaves the actor."""
+        return {t: int(self._postings(t).tfs.sum()) for t in terms
+                if t in self._dict}
+
+    def term_tfs_for_docs(self, terms: list[str], doc_ids) -> dict:
+        """Exact per-candidate raw tf (0.0 where absent) for the owned
+        subset — the QL analog of term_weights_for_docs, O(|candidates|)
+        bytes per term."""
+        doc_ids = np.asarray(doc_ids, np.int64)
+        out = {}
+        for t in terms:
+            if t not in self._dict:
+                continue
+            tp = self._postings(t)
+            idx = np.searchsorted(tp.doc_ids, doc_ids)
+            hit = (idx < len(tp.doc_ids)) & (
+                tp.doc_ids[np.minimum(idx, len(tp.doc_ids) - 1)] == doc_ids)
+            tf = np.zeros(len(doc_ids), np.float64)
+            tf[hit] = tp.tfs[idx[hit]]
+            out[t] = tf
+        return out
+
+    def doc_lengths_for(self, doc_ids) -> np.ndarray:
+        """doc_length per id — every actor holds the full array, any one
+        can serve; O(|doc_ids|) rows leave."""
+        idx = np.searchsorted(self._dl_ids, np.asarray(doc_ids, np.int64))
+        return self._dl[np.clip(idx, 0, len(self._dl) - 1)]
+
+    def collection_token_count(self) -> int:
+        return int(self._dl.sum())
+
+    def wildcard_terms(self, pattern: str) -> list[str]:
+        """Slice terms matching the ``*``-pattern (k-gram index per slice,
+        built lazily like the BK-tree). The union over actors equals the
+        full-dictionary lookup because shard routing PARTITIONS the
+        vocabulary — every dictionary term lives in exactly one slice."""
+        if getattr(self, "_kgram", None) is None:
+            from search_engine_ray.query.kgram import KGramIndex
+
+            self._kgram = KGramIndex(sorted(self._dict))
+        return self._kgram.lookup(pattern)
 
     def term_positions_for_docs(self, terms: list[str], doc_ids: np.ndarray) -> dict:
         """Positions restricted to the given candidate docs: {term:
@@ -544,6 +588,72 @@ class DistributedSearchEngine:
         if not docs:
             return np.zeros(0, np.int64)
         return np.unique(np.concatenate(docs))
+
+    def boolean_and_not(self, query: str, neg_query: str) -> np.ndarray:
+        """AND-NOT retrieval (matches SearchEngine.boolean_and_not):
+        positives intersect, any negated term excludes."""
+        pos = self.boolean_and(query)
+        if len(pos) == 0:
+            return pos
+        neg = self.boolean_or(neg_query)
+        if len(neg) == 0:
+            return pos
+        return np.setdiff1d(pos, neg, assume_unique=True)
+
+    def wildcard_terms(self, pattern: str) -> list[str]:
+        """Dictionary terms matching a ``*``-pattern: the pattern fans out
+        to EVERY actor (hash sharding scatters lexicographic neighborhoods
+        across slices), each scans its own k-gram index; sorted union ==
+        SearchEngine.wildcard_terms."""
+        got = ray.get([a.wildcard_terms.remote(pattern.lower())
+                       for a in self.actors])
+        return sorted(set().union(*map(set, got)))
+
+    def wildcard_boolean(self, pattern: str) -> np.ndarray:
+        """Wildcard OR retrieval (matches SearchEngine.wildcard_boolean):
+        matched terms route to their owners like any term fan-out."""
+        terms = self.wildcard_terms(pattern)
+        if not terms:
+            return np.zeros(0, np.int64)
+        per_term = self._fan_out(terms, "term_doc_ids")
+        docs = [np.asarray(v, np.int64) for v in per_term.values()]
+        if not docs:
+            return np.zeros(0, np.int64)
+        return np.unique(np.concatenate(docs))
+
+    def ql_topk(self, query: str, k: int = 10, mu: float = 2000.0
+                ) -> list[tuple[int, float]]:
+        """Distributed Dirichlet query-likelihood — bit-exact parity with
+        ``SearchEngine.ql_topk`` (same float expressions in the same
+        per-term accumulation order).
+
+        Exact candidate-set path, the boolean ops' cost discipline:
+        per-query bytes are O(Σ df + |candidates| × terms). The bounded
+        impact-page loop (bm25_topk's) does NOT carry over unchanged: a doc
+        ABSENT from a term still contributes ln(mu·p_t/(dl+mu)), so unseen
+        docs need absent-doc upper bounds per term (ln(mu·p_t/(min_dl+mu)))
+        on top of the paged tails — that extension is the documented seam
+        if QL ever serves hot production traffic."""
+        terms = self.query_terms(query)
+        if not terms:
+            return []
+        ctfs = self._fan_out(terms, "term_ctfs")
+        present = [t for t in terms if ctfs.get(t)]
+        if not present:
+            return []
+        ids_by_term = self._fan_out(present, "term_doc_ids")
+        cand = np.unique(np.concatenate(
+            [np.asarray(ids_by_term[t], np.int64) for t in present]))
+        T = float(ray.get(self.actors[0].collection_token_count.remote()))
+        dl = np.asarray(
+            ray.get(self.actors[0].doc_lengths_for.remote(cand)), np.float64)
+        tf_by_term = self._fan_out_args(present, "term_tfs_for_docs", cand)
+        scores = np.zeros(len(cand), np.float64)
+        for t in present:
+            p_bg = mu * float(ctfs[t]) / T
+            scores += np.log((tf_by_term[t] + p_bg) / (dl + mu))
+        ids, sc = topk_docs(cand, scores, k)
+        return [(int(d), float(s)) for d, s in zip(ids, sc)]
 
     def more_like_this(self, text: str, k: int = 10, n_terms: int = 3,
                        exclude: int | None = None) -> list[tuple[int, float]]:

@@ -257,3 +257,31 @@ class TestCappedSegmented:
         assert [d for d, _ in got] == [d for d, _ in want], q
         np.testing.assert_allclose([s for _, s in got],
                                    [s for _, s in want], rtol=1e-12)
+
+
+class TestSegmentedServingR3d:
+    """Round-3d additions: QL, AND-NOT and wildcard across segments."""
+
+    @pytest.mark.parametrize("q", QUERIES)
+    def test_ql_rank_identical(self, built, q):
+        full, seg, _root, _fd = built
+        assert seg.ql_topk(q, 10) == full.ql_topk(q, 10)
+
+    def test_and_not_identical(self, built):
+        full, seg, _root, _fd = built
+        pos, neg = QUERIES[0], QUERIES[-1].split()[0]
+        np.testing.assert_array_equal(
+            seg.boolean_and_not(pos, neg), full.boolean_and_not(pos, neg))
+
+    def test_wildcard_identical(self, built):
+        full, seg, _root, _fd = built
+        seeds = full.kgram.terms[:3] + full.kgram.terms[-2:]
+        pats = [t[:2] + "*" for t in seeds] + ["*" + seeds[0][-2:], "zzz*"]
+        nonempty = 0
+        for p in pats:
+            want = full.wildcard_terms(p)
+            assert seg.wildcard_terms(p) == want
+            np.testing.assert_array_equal(
+                seg.wildcard_boolean(p), full.wildcard_boolean(p))
+            nonempty += bool(want)
+        assert nonempty >= 3

@@ -270,3 +270,38 @@ class TestCappedServing:
         got = dist.bm25_topk_capped(q, 6, attr="ab", cap=3, digits=4)
         want = local.bm25_topk_capped(q, 6, attr="ab", cap=3, digits=4)
         assert [d for d, _ in got] == [d for d, _ in want]
+
+
+class TestServingMatrixR3d:
+    """Round-3d additions: QL, AND-NOT and wildcard in distributed serving."""
+
+    @pytest.mark.parametrize("q", QUERIES)
+    def test_ql_identical_to_local(self, built, q):
+        local, dist = built
+        assert dist.ql_topk(q, 10) == local.ql_topk(q, 10)
+
+    @pytest.mark.parametrize("q", QUERIES[:3])
+    def test_ql_mu_sweep(self, built, q):
+        local, dist = built
+        for mu in (50.0, 5000.0):
+            assert dist.ql_topk(q, 7, mu=mu) == local.ql_topk(q, 7, mu=mu)
+
+    def test_and_not_identical_to_local(self, built):
+        local, dist = built
+        pos, neg = QUERIES[0], QUERIES[1].split()[0]
+        np.testing.assert_array_equal(
+            dist.boolean_and_not(pos, neg), local.boolean_and_not(pos, neg))
+
+    def test_wildcard_identical_to_local(self, built):
+        local, dist = built
+        # patterns from real vocabulary prefixes/suffixes + a no-match
+        seeds = local.kgram.terms[:3] + local.kgram.terms[-2:]
+        pats = [t[:2] + "*" for t in seeds] + ["*" + seeds[0][-2:], "zzz*"]
+        nonempty = 0
+        for p in pats:
+            want = local.wildcard_terms(p)
+            assert dist.wildcard_terms(p) == want
+            np.testing.assert_array_equal(
+                dist.wildcard_boolean(p), local.wildcard_boolean(p))
+            nonempty += bool(want)
+        assert nonempty >= 3  # the fixture really exercises matches
