@@ -296,6 +296,18 @@ def q_ql_topk(sf_dir: str):
     return _ranked(eng.ql_topk(Q_TEXT, k=10_000_000, mu=_QL_MU), 4)
 
 
+#: DSL query exercising every clause kind the oracle can replay: a SHOULD
+#: term, a MUST term, a MUST_NOT term, a phrase filter, a wildcard
+_DSL_QUERY = 'fast +table -dup "fast table" s*'
+
+
+def q_search_dsl(sf_dir: str):
+    """Composed query-string DSL (query/parser.py): boolean filters +
+    phrase + wildcard expansion + BM25 ranking in one string."""
+    eng = engine_for(sf_dir)
+    return _ranked(eng.search(_DSL_QUERY, k=10_000_000), 4)
+
+
 def _ranked_ids(scores: list[tuple[int, float]], digits: int, pool: int) -> list[int]:
     """Ids of the top-`pool` by (round(score, digits) desc, doc_id asc) —
     the rank discipline every ranked oracle mirrors."""
@@ -2527,6 +2539,44 @@ def oracle_queries() -> dict[str, str]:
             FROM fused ORDER BY round(s, 6) DESC, doc_id LIMIT {TOPK}
             """
         ),
+        # DSL 'fast +table -dup "fast table" s*': candidates = table-AND ∩
+        # phrase − dup-docs; score = bm25 over {fast, table} ∪ (LIKE 's%'),
+        # 0.0 for filter-only matches (LEFT JOIN coalesce)
+        "search_dsl": _with(
+            f"""
+            , {doclen_cte}
+            , stats AS (SELECT avg(doc_length) AS avgdl FROM doclen)
+            , cand AS (
+              SELECT doc_id FROM postings WHERE term = 'table'
+              INTERSECT
+              SELECT DISTINCT a.doc_id
+              FROM lem a JOIN lem b ON a.doc_id = b.doc_id AND b.position = a.position + 1
+              WHERE a.term = 'fast' AND b.term = 'table'
+              EXCEPT
+              SELECT doc_id FROM postings WHERE term = 'dup'
+            )
+            , sc AS (
+              SELECT p.doc_id,
+                     sum( ln(({n_docs} - t.df + 0.5) / (t.df + 0.5) + 1.0)
+                          * p.tf * (1.2 + 1.0)
+                          / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_length / s.avgdl)) ) AS s
+              FROM postings p
+              JOIN term_df t USING (term)
+              JOIN doclen dl ON dl.doc_id = p.doc_id
+              CROSS JOIN stats s
+              WHERE p.doc_id IN (SELECT doc_id FROM cand)
+                AND (p.term IN ('fast', 'table') OR p.term LIKE 's%')
+              GROUP BY p.doc_id
+            )
+            , final AS (
+              SELECT c.doc_id, coalesce(sc.s, 0.0) AS s
+              FROM cand c LEFT JOIN sc USING (doc_id)
+            )
+            SELECT ROW_NUMBER() OVER (ORDER BY round(s, 4) DESC, doc_id)::BIGINT AS rank,
+                   doc_id + 1 AS doc_id, round(s, 4) AS score_r
+            FROM final ORDER BY round(s, 4) DESC, doc_id LIMIT {TOPK}
+            """
+        ),
         # effectiveness of the bm25 run vs phrase-adjacency qrels; NDCG
         # with binary gains / log2(rank+1) discount, IDCG over min(|rel|, k)
         "retrieval_eval": _with(
@@ -4273,6 +4323,7 @@ RAY_QUERIES = {
     "ql_topk": q_ql_topk,
     "hybrid_rrf": q_hybrid_rrf,
     "retrieval_eval": q_retrieval_eval,
+    "search_dsl": q_search_dsl,
     "more_like_this": q_more_like_this,
     "tfidf_topk": q_tfidf_topk,
     "bm25_topk": q_bm25_topk,

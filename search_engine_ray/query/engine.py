@@ -882,3 +882,69 @@ class SearchEngine:
             scores += np.log((tf + p_bg) / (dl + mu))
         ids, sc = topk_docs(cand, scores, k)
         return [(int(d), float(s)) for d, s in zip(ids, sc)]
+
+    # ------------------------------------------------------------------ DSL
+    def search(self, query: str, k: int = 10,
+               fuzzy_distance: int = 1) -> list[tuple[int, float]]:
+        """One-string query DSL (query/parser.py — Lucene classic core):
+        ``word +must -not "a phrase" wild* ~fuzzy``. Candidates come from
+        the MUST/phrase filters (or the SHOULD union when there are none),
+        MUST_NOT subtracts, and BM25 over the distinct MUST ∪ SHOULD terms
+        (wildcard/fuzzy expansions included) ranks; a candidate matching
+        only filters scores 0.0. Top-k by (score desc, doc_id asc)."""
+        from search_engine_ray.query.parser import parse_query
+
+        pq_ = parse_query(query, self.tokenizer.normalize)
+        should = list(pq_.should)
+        for w in pq_.wildcards:
+            should.extend(self.wildcard_terms(w))
+        for f in pq_.fuzzy:
+            should.extend(self.fuzzy(f, fuzzy_distance))
+        score_terms = list(dict.fromkeys(pq_.must + should))
+
+        cand: np.ndarray | None = None
+
+        def narrow(docs: np.ndarray) -> np.ndarray | None:
+            nonlocal cand
+            cand = docs if cand is None else np.intersect1d(
+                cand, docs, assume_unique=True)
+            return cand
+
+        for t in pq_.must:
+            tp = self.get_postings(t)
+            if tp is None:
+                return []
+            if len(narrow(tp.doc_ids)) == 0:
+                return []
+        for ph in pq_.phrases:
+            if len(narrow(self.phrase(ph))) == 0:
+                return []
+        if cand is None:
+            parts = [tp.doc_ids for tp in map(self.get_postings, score_terms)
+                     if tp is not None]
+            if not parts:
+                return []
+            cand = np.unique(np.concatenate(parts))
+        if pq_.must_not:
+            neg = [tp.doc_ids for tp in map(self.get_postings, pq_.must_not)
+                   if tp is not None]
+            if neg:
+                cand = np.setdiff1d(cand, np.unique(np.concatenate(neg)),
+                                    assume_unique=True)
+        if len(cand) == 0:
+            return []
+
+        scores = np.zeros(len(cand), np.float64)
+        for t in score_terms:
+            tp = self.get_postings(t)
+            if tp is None or tp.df == 0:
+                continue
+            idx = np.searchsorted(cand, tp.doc_ids)
+            hit = (idx < len(cand)) & (
+                cand[np.minimum(idx, len(cand) - 1)] == tp.doc_ids)
+            dl = self.doc_length(tp.doc_ids[hit])
+            scores[idx[hit]] += bm25_weights(
+                tp.tfs[hit], dl, tp.df, self.num_docs, self.avgdl,
+                self.config.bm25_k1, self.config.bm25_b)
+        ids, sc = topk_docs(cand, scores, k)
+        return [(int(d), float(s)) for d, s in zip(ids, sc)]

@@ -137,3 +137,58 @@ class TestQL:
         a = eng.ql_topk("fast nosuchterm", k=5)
         b = eng.ql_topk("fast", k=5)
         assert a == b
+
+
+class TestSearchDSL:
+    def test_parse_buckets(self):
+        from search_engine_ray.query.parser import parse_query
+
+        pq_ = parse_query('fast +table -merge "fast table" s* ~tabel',
+                          lambda w: w.lower())
+        assert pq_.should == ["fast"]
+        assert pq_.must == ["table"]
+        assert pq_.must_not == ["merge"]
+        assert pq_.phrases == ["fast table"]
+        assert pq_.wildcards == ["s*"]
+        assert pq_.fuzzy == ["tabel"]
+        assert parse_query("", lambda w: w).should == []
+        # dropped tokens: lone operators, normalize-to-empty
+        pq_ = parse_query("+ - ~ fast", lambda w: "" if w == "fast" else w)
+        assert (pq_.should, pq_.must, pq_.must_not) == ([], [], [])
+
+    def test_bare_words_match_bm25(self, eng):
+        got = eng.search("fast stream", k=100)
+        want = eng.bm25_topk("fast stream", k=100)
+        assert got == want
+
+    def test_must_filters_and_scores(self, eng):
+        got = eng.search("fast +table", k=100)
+        cand = set(eng.boolean_and("table").tolist())
+        assert {d for d, _ in got} == {
+            d for d, _ in eng.bm25_topk("fast table", k=100)} & cand
+        # scores equal the bm25 restriction
+        full = dict(eng.bm25_topk("fast table", k=100))
+        for d, s in got:
+            assert s == pytest.approx(full[d], abs=0)
+
+    def test_must_not_subtracts(self, eng):
+        got = {d for d, _ in eng.search("+fast -merge", k=100)}
+        assert got == set(eng.boolean_and_not("fast", "merge").tolist())
+
+    def test_phrase_only_zero_scores_id_order(self, eng):
+        got = eng.search('"fast table"', k=100)
+        assert [d for d, _ in got] == sorted(eng.phrase("fast table").tolist())
+        assert all(s == 0.0 for _, s in got)
+
+    def test_wildcard_expansion(self, eng):
+        got = {d for d, _ in eng.search("s*", k=100)}
+        assert got == set(eng.wildcard_boolean("s*").tolist())
+
+    def test_fuzzy_expansion(self, eng):
+        # "tble" → "table" is one insertion (a transposition would be 2)
+        got = {d for d, _ in eng.search("~tble", k=100)}
+        assert got == set(eng.boolean_or("table").tolist())
+
+    def test_unknown_must_term_empty(self, eng):
+        assert eng.search("fast +nosuchterm") == []
+        assert eng.search("nosuchterm") == []
