@@ -97,21 +97,46 @@ def load_tombstones(root: str) -> np.ndarray:
         return np.zeros(0, np.int64)
 
 
-def delete_docs(root: str, doc_ids) -> np.ndarray:
-    """Record tombstones (idempotent union); returns the full sorted list."""
-    cur = load_tombstones(root)
-    new = np.union1d(cur, np.asarray(list(doc_ids), np.int64))
+def _write_tombstones(root: str, doc_ids: np.ndarray) -> None:
     p = os.path.join(root, TOMBSTONES_FILE)
     tmp = p + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"doc_ids": [int(i) for i in new]}, f)
+        json.dump({"doc_ids": [int(i) for i in doc_ids]}, f)
     os.replace(tmp, p)
+
+
+def delete_docs(root: str, doc_ids) -> np.ndarray:
+    """Record tombstones (idempotent union); returns the full sorted list."""
+    new = np.union1d(load_tombstones(root),
+                     np.asarray(list(doc_ids), np.int64))
+    _write_tombstones(root, new)
     return new
 
 
 # ---------------------------------------------------------------------------
 # append
 # ---------------------------------------------------------------------------
+
+
+def _next_name(segs: list[dict]) -> str:
+    """Monotone segment naming: one past the largest existing suffix —
+    never recycles a name, even after subset compactions shrink the list."""
+    mx = -1
+    for s in segs:
+        try:
+            mx = max(mx, int(s["name"].rsplit("-", 1)[1]))
+        except (IndexError, ValueError):  # pragma: no cover - foreign names
+            pass
+    return f"seg-{mx + 1:05d}"
+
+
+def _id_watermark(s: dict) -> int:
+    """One past the highest doc_id ever allocated to this segment's id
+    space. Plain segments derive it from base + num_docs; compacted
+    segments CARRY it ("id_watermark") because deletions shrink num_docs
+    below the allocated span and a derived watermark would recycle ids
+    that tombstones or external references may still mention."""
+    return int(s.get("id_watermark", s["doc_id_base"] + s["num_docs"]))
 
 
 def add_segment(pages, root: str, config: EngineConfig | None = None,
@@ -125,8 +150,8 @@ def add_segment(pages, root: str, config: EngineConfig | None = None,
     the standard incremental-index contract."""
     config = config or EngineConfig()
     segs = read_segments(root)
-    base = max((s["doc_id_base"] + s["num_docs"] for s in segs), default=0)
-    name = f"seg-{len(segs):05d}"
+    base = max((_id_watermark(s) for s in segs), default=0)
+    name = _next_name(segs)
     out = segment_dir(root, name)
     os.makedirs(out, exist_ok=True)
     build_index(pages, out, config, resume=resume, doc_id_base=base)
@@ -215,27 +240,48 @@ def _chunks_to_runs(batch: pa.Table, n_units: int,
     return out
 
 
-def compact(root: str, config: EngineConfig | None = None) -> str:
-    """Merge all segments (minus tombstoned docs) into one new segment.
+def compact(root: str, config: EngineConfig | None = None,
+            names: list[str] | None = None) -> str:
+    """Merge segments (minus tombstoned docs) into one new segment —
+    all of them by default, or the subset ``names`` (the primitive a merge
+    POLICY drives; see :func:`plan_merges` / :func:`auto_compact`).
 
     Writes the stage-1 artifacts (runs/, docs/, dict_partials/) from the
-    existing segments' postings + doc tables, stamps their manifests, then
+    selected segments' postings + doc tables, stamps their manifests, then
     resumes build_index — the dictionary, postings-merge and stats stages
     run exactly as in a fresh build, so the compacted segment is
     value-identical to a from-scratch index over the surviving docs (with
     the original doc_ids kept, which a fresh build reproduces whenever no
-    doc was deleted)."""
+    doc was deleted). Subset merges keep the other segments untouched:
+    tombstones inside the merged id ranges are physically dropped and
+    removed from the root tombstone list, the rest stay; the new entry
+    carries the merged segments' id watermark so future appends never
+    recycle a deleted doc's id."""
     config = config or EngineConfig()
     segs = read_segments(root)
     if not segs:
         raise ValueError(f"no segments under {root}")
-    tombs = load_tombstones(root)
+    if names is None:
+        selected, kept = segs, []
+    else:
+        want = set(names)
+        selected = [s for s in segs if s["name"] in want]
+        if len(selected) != len(want):
+            missing = want - {s["name"] for s in selected}
+            raise ValueError(f"unknown segment names: {sorted(missing)}")
+        kept = [s for s in segs if s["name"] not in want]
+    tombs_all = load_tombstones(root)
+    in_sel = np.zeros(len(tombs_all), bool)
+    for s in selected:
+        lo, hi = s["doc_id_base"], _id_watermark(s)
+        in_sel |= (tombs_all > lo) & (tombs_all <= hi)  # doc_ids are 1-based
+    tombs = tombs_all[in_sel]
     n_units = min(config.merge_units, config.index_shards)
-    name = f"seg-{len(segs):05d}"
+    name = _next_name(segs)
     out = segment_dir(root, name)
     paths = IndexPaths(out)
     sentinel = "<compact:%s:%s>" % (
-        ",".join(s["name"] for s in segs),
+        ",".join(s["name"] for s in selected),
         manifests.fingerprint(*(int(t) for t in tombs)) if len(tombs) else "none",
     )
     # must mirror build_index's fingerprint derivation exactly (doc_id_base=0)
@@ -249,7 +295,7 @@ def compact(root: str, config: EngineConfig | None = None) -> str:
     shutil.rmtree(paths.dictionary, ignore_errors=True)
 
     drop_ref = ray.put(np.sort(tombs)) if len(tombs) else None
-    seg_dirs = [segment_dir(root, s["name"]) for s in segs]
+    seg_dirs = [segment_dir(root, s["name"]) for s in selected]
 
     # runs: stream every segment's chunk rows through the reconstruction
     chunk_cols = ["term", "n_postings", "doc_gaps", "pos_lens", "pos_gaps"]
@@ -322,17 +368,69 @@ def compact(root: str, config: EngineConfig | None = None) -> str:
     build_index(sentinel, out, config, resume=True)
 
     st = load_stats(out)
-    _write_segments(root, [{
+    entry = {
         "name": name,
-        "doc_id_base": 0,
+        "doc_id_base": min(s["doc_id_base"] for s in selected),
         "num_docs": st["num_docs"],
         "total_tokens": st["total_tokens"],
-    }])
+        "id_watermark": max(_id_watermark(s) for s in selected),
+    }
+    _write_segments(root, sorted(kept + [entry], key=lambda s: s["doc_id_base"]))
     p = os.path.join(root, TOMBSTONES_FILE)
     if os.path.exists(p):
-        os.remove(p)
+        remaining = tombs_all[~in_sel]
+        if len(remaining):
+            _write_tombstones(root, remaining)
+        else:
+            os.remove(p)
     # old segments stay on disk until explicitly removed (crash-safe: the
     # manifest flip above is the commit point)
     for d in seg_dirs:
         shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+def plan_merges(segments: list[dict], merge_factor: int = 4) -> list[list[str]]:
+    """Log-structured merge planner (the LogDocMergePolicy shape Lucene
+    shipped for years): segments bucket into LEVELS by
+    floor(log_{merge_factor}(num_docs)); whenever a level holds ≥
+    merge_factor segments, its merge_factor oldest (lowest doc_id_base)
+    members merge into one — the merged result lands roughly one level up,
+    so write amplification stays O(log N / log merge_factor) per doc while
+    the segment count stays bounded at O(merge_factor · levels).
+
+    Pure and deterministic over the manifest; returns name-lists for
+    :func:`compact` (empty = nothing to do)."""
+    import math
+
+    if merge_factor < 2:
+        raise ValueError("merge_factor must be >= 2")
+    levels: dict[int, list[dict]] = {}
+    for s in segments:
+        n = max(1, int(s["num_docs"]))
+        levels.setdefault(int(math.log(n) // math.log(merge_factor)), []).append(s)
+    plans = []
+    for lvl in sorted(levels):
+        group = sorted(levels[lvl], key=lambda s: (s["doc_id_base"], s["name"]))
+        while len(group) >= merge_factor:
+            plans.append([s["name"] for s in group[:merge_factor]])
+            group = group[merge_factor:]
+    return plans
+
+
+def auto_compact(root: str, config: EngineConfig | None = None,
+                 merge_factor: int = 4, max_rounds: int = 32) -> int:
+    """Run :func:`plan_merges` → :func:`compact` to a fixpoint (merged
+    output can itself fill a higher level, so the loop re-plans after each
+    round); returns the number of merges executed. ``max_rounds`` is a
+    runaway backstop — levels are logarithmic, real manifests converge in
+    a handful."""
+    done = 0
+    for _ in range(max_rounds):
+        plans = plan_merges(read_segments(root), merge_factor)
+        if not plans:
+            break
+        for names in plans:
+            compact(root, config, names=names)
+            done += 1
+    return done

@@ -285,3 +285,106 @@ class TestSegmentedServingR3d:
                 seg.wildcard_boolean(p), full.wildcard_boolean(p))
             nonempty += bool(want)
         assert nonempty >= 3
+
+
+class TestMergePolicy:
+    def _seg(self, name, base, n, wm=None):
+        s = {"name": name, "doc_id_base": base, "num_docs": n,
+             "total_tokens": n * 10}
+        if wm is not None:
+            s["id_watermark"] = wm
+        return s
+
+    def test_levels_and_oldest_first(self):
+        from search_engine_ray.pipelines.segments import plan_merges
+
+        # four level-0 segments (num_docs < 4) → one merge of the 4 oldest;
+        # the big segment sits alone in its level and is untouched
+        segs = [self._seg(f"seg-{i:05d}", i * 3, 3) for i in range(5)]
+        segs.append(self._seg("seg-00099", 500, 1000))
+        plans = plan_merges(segs, merge_factor=4)
+        assert plans == [["seg-00000", "seg-00001", "seg-00002", "seg-00003"]]
+
+    def test_multiple_merges_per_level_and_empty(self):
+        from search_engine_ray.pipelines.segments import plan_merges
+
+        segs = [self._seg(f"seg-{i:05d}", i * 2, 2) for i in range(9)]
+        plans = plan_merges(segs, merge_factor=4)
+        assert len(plans) == 2 and all(len(p) == 4 for p in plans)
+        assert plan_merges(segs[:3], merge_factor=4) == []
+        with pytest.raises(ValueError):
+            plan_merges(segs, merge_factor=1)
+
+    def test_levels_are_log_num_docs(self):
+        from search_engine_ray.pipelines.segments import plan_merges
+
+        # 3 docs (level 0) and 5 docs (level 1) never co-merge at factor 4
+        segs = ([self._seg(f"seg-{i:05d}", i * 3, 3) for i in range(3)]
+                + [self._seg(f"seg-{i:05d}", 100 + i * 5, 5) for i in range(3, 6)])
+        assert plan_merges(segs, merge_factor=4) == []
+
+
+class TestSubsetCompaction:
+    @pytest.fixture()
+    def root5(self, tmp_path_factory, ray_session):
+        """Five 6-doc segments over 30 docs."""
+        root = str(tmp_path_factory.mktemp("tiered"))
+        for i in range(5):
+            add_segment(_pages(TEXTS[6 * i:6 * (i + 1)], 6 * i), root, CFG)
+        return root
+
+    def test_subset_merge_preserves_serving(self, root5, tmp_path_factory):
+        full_dir = str(tmp_path_factory.mktemp("full5"))
+        build_index(_pages(TEXTS, 0), full_dir, CFG)
+        full = SearchEngine(full_dir, CFG)
+
+        compact(root5, CFG, names=["seg-00001", "seg-00002"])
+        segs = read_segments(root5)
+        assert [s["name"] for s in segs] == [
+            "seg-00000", "seg-00005", "seg-00003", "seg-00004"]
+        merged = segs[1]
+        assert merged["doc_id_base"] == 6 and merged["id_watermark"] == 18
+        seg = SegmentedSearchEngine(root5, CFG)
+        for q in QUERIES:
+            assert seg.bm25_topk(q, 10) == full.bm25_topk(q, 10)
+
+    def test_append_after_subset_merge_continues_ids(self, root5):
+        compact(root5, CFG, names=["seg-00003", "seg-00004"])
+        out = add_segment(_pages(["brand new appended doc"], 30), root5, CFG)
+        st = load_stats(out)
+        assert st["num_docs"] == 1
+        segs = read_segments(root5)
+        assert segs[-1]["doc_id_base"] == 30  # watermark preserved
+        seg = SegmentedSearchEngine(root5, CFG)
+        docs = seg.boolean_and("appended")
+        assert docs.tolist() == [31]
+
+    def test_subset_merge_partitions_tombstones(self, root5):
+        # doc 8 lives in seg-00001 (merged), doc 25 in seg-00004 (kept)
+        delete_docs(root5, [8, 25])
+        compact(root5, CFG, names=["seg-00000", "seg-00001"])
+        remaining = load_tombstones(root5).tolist()
+        assert remaining == [25]  # merged-range tombstone physically gone
+        seg = SegmentedSearchEngine(root5, CFG)
+        hits = {d for d, _ in seg.bm25_topk("common word", 100)}
+        assert 8 not in hits and 25 not in hits
+
+    def test_unknown_name_raises(self, root5):
+        with pytest.raises(ValueError, match="unknown segment"):
+            compact(root5, CFG, names=["seg-00042"])
+
+    def test_auto_compact_converges_and_serves(self, root5, tmp_path_factory):
+        from search_engine_ray.pipelines.segments import auto_compact, plan_merges
+
+        full_dir = str(tmp_path_factory.mktemp("fullauto"))
+        build_index(_pages(TEXTS, 0), full_dir, CFG)
+        full = SearchEngine(full_dir, CFG)
+
+        n = auto_compact(root5, CFG, merge_factor=4)
+        assert n >= 1
+        segs = read_segments(root5)
+        assert plan_merges(segs, merge_factor=4) == []  # fixpoint reached
+        assert len(segs) < 5
+        seg = SegmentedSearchEngine(root5, CFG)
+        for q in QUERIES:
+            assert seg.bm25_topk(q, 10) == full.bm25_topk(q, 10)
