@@ -897,6 +897,20 @@ def q_doc_logprob(sf_dir: str):
                .sort_values("doc_id").reset_index(drop=True))
 
 
+_EMB_DIM, _EMB_A = 6, 1e-3
+
+
+def q_doc_embeddings(sf_dir: str):
+    """SIF-weighted hashed document embeddings (md5 mode — every component
+    recomputed by DuckDB): (doc_id, j, e_r), 6 dims per doc."""
+    from search_engine_ray.pipelines.training_data import doc_embeddings
+
+    out = doc_embeddings(_read_docs(sf_dir), dim=_EMB_DIM, a=_EMB_A,
+                         method="md5").to_pandas()
+    return (out.astype({"doc_id": np.int64, "j": np.int64})
+               .sort_values(["doc_id", "j"]).reset_index(drop=True))
+
+
 _BLM_LAM = 0.9
 
 
@@ -3161,6 +3175,29 @@ def oracle_queries() -> dict[str, str]:
             GROUP BY p.doc_id
             """
         ),
+        # SIF hash embeddings: v(w)_j = md5(w|j)[:8]/2^32*2-1, weight
+        # a/(a + ctf/T), per-doc tf-weighted mean — replayed term for term
+        "doc_embeddings": _with(
+            f"""
+            , ctf AS (SELECT term, sum(tf) AS ctf FROM postings GROUP BY term)
+            , tot AS (SELECT sum(tf)::DOUBLE AS t FROM postings)
+            , ntok AS (SELECT doc_id, sum(tf)::DOUBLE AS n FROM postings GROUP BY doc_id)
+            , dims AS (SELECT unnest(range({_EMB_DIM})) AS j)
+            , contrib AS (
+              SELECT p.doc_id, d.j,
+                     p.tf * ({_EMB_A} / ({_EMB_A} + c.ctf::DOUBLE / tot.t))
+                       * ((('0x' || substr(md5(p.term || '|' || d.j::VARCHAR), 1, 8))::BIGINT::DOUBLE)
+                          / 4294967296.0 * 2.0 - 1.0) AS v
+              FROM postings p
+              JOIN ctf c USING (term)
+              CROSS JOIN tot CROSS JOIN dims d
+            )
+            SELECT co.doc_id, co.j::BIGINT AS j,
+                   round(sum(co.v) / any_value(nt.n), 6) AS e_r
+            FROM contrib co JOIN ntok nt USING (doc_id)
+            GROUP BY co.doc_id, co.j
+            """
+        ),
         # bigram LM: bigrams over emitted-token adjacency (lem_rn/big — the
         # bm25_blend pairing), Jelinek-Mercer p = lam*c/ctx + (1-lam)*ctf/T
         "doc_bigram_logprob": _with(
@@ -4356,6 +4393,7 @@ RAY_QUERIES = {
     "sparse_knn": q_sparse_knn,
     "doc_logprob": q_doc_logprob,
     "doc_bigram_logprob": q_doc_bigram_logprob,
+    "doc_embeddings": q_doc_embeddings,
     "dsir_weights": q_dsir_weights,
     "doc_novelty": q_doc_novelty,
     "bpe_tokens": q_bpe_tokens,

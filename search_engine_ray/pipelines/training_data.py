@@ -942,6 +942,114 @@ def doc_bigram_logprob(docs: "ray.data.Dataset", lam: float = 0.9,
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def doc_embeddings(docs: "ray.data.Dataset", dim: int = 16, a: float = 1e-3,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   method: str = "mix64", round_digits: int = 6):
+    """Deterministic model-free document embeddings: SIF-weighted bags of
+    hashed term vectors (Arora et al., ICLR 2017, without the principal-
+    component removal — the linear part a SQL oracle can replay). Each term
+    gets a pseudo-random vector v(w) ∈ [-1, 1]^dim derived purely from a
+    hash of (term, component); the doc embedding is
+
+        e(d) = Σ_w tf_{w,d} · a/(a + p(w)) · v(w)  /  Σ_w tf_{w,d}
+
+    with p(w) = ctf_w / T the corpus unigram probability — frequent words
+    are down-weighted exactly as SIF prescribes. Output is LONG format
+    (doc_id, j, e_r), dim rows per doc. The point: text → embedding with
+    no model artifact, so every embedding-space operator in this repo
+    (ANN, k-means, SemDeDup, cosine near-dup) composes onto a plain text
+    corpus deterministically.
+
+    method='md5'   — v(w)_j from md5(f"{w}|{j}")[:8]; DuckDB reproduces
+                     every component exactly (driver oracle).
+    method='mix64' — vectorized splitmix64 over stable_word_hash(w) ^ j,
+                     no per-(term, dim) Python hashing; the production path.
+
+    Distributed shape (doc_logprob's): one tokenize wave → postings; ctf
+    rides a vocab-cardinality hash join (never broadcast); term vectors are
+    derived IN-KERNEL per batch from the batch's own distinct terms (no
+    vector table ships anywhere); doc-cardinality partial+final reduce."""
+    import hashlib
+
+    from search_engine_ray.functions.hashing import mix64, stable_word_hash
+    from search_engine_ray.stages.grouped import coalesce_for_join, grouped_reduce
+    from search_engine_ray.stages.tokenize import tokenize_stage
+    from ray.data.aggregate import Sum
+
+    postings = tokenize_stage(docs).map_batches(
+        lambda b: b.filter(pc.not_equal(b["term"], "")).select(["term", id_col, "tf"]),
+        batch_format="pyarrow").materialize()
+    ctf = grouped_reduce(postings.map_batches(_term_count_partial, batch_format="pyarrow"),
+                         ["term"], sums=[("c_part", "ctf")])
+    total = postings.aggregate(Sum("tf", alias_name="t"))["t"] or 0
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:  # pragma: no cover
+        ncpu = 8
+    nparts = max(4, ncpu // 2)
+    joined = (coalesce_for_join(postings, nparts)
+              .join(coalesce_for_join(ctf, nparts), join_type="inner",
+                    num_partitions=nparts, on=("term",)))
+
+    sum_cols = [f"s{j}" for j in range(dim)]
+
+    def term_vectors(terms: list[str]) -> np.ndarray:
+        if method == "md5":
+            flat = [int(hashlib.md5(f"{w}|{j}".encode()).hexdigest()[:8], 16)
+                    for w in terms for j in range(dim)]
+            u = np.asarray(flat, np.float64).reshape(len(terms), dim)
+            return u / 4294967296.0 * 2.0 - 1.0
+        hw = np.array([stable_word_hash(w) for w in terms], np.uint64)
+        m = mix64(hw[:, None] ^ np.arange(dim, dtype=np.uint64)[None, :])
+        return m.astype(np.float64) / 18446744073709551616.0 * 2.0 - 1.0
+
+    def part(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        if b.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_part": pa.array([], pa.int64()),
+                             **{c: pa.array([], pa.float64()) for c in sum_cols}})
+        enc = b["term"].dictionary_encode().combine_chunks()
+        V = term_vectors(enc.dictionary.to_pylist())
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        tf = b["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cv = b["ctf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        w8 = a / (a + cv / float(total))
+        contrib = (tf * w8)[:, None] * V[codes]
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        uids, inv = np.unique(ids, return_inverse=True)
+        sums = np.zeros((len(uids), dim), np.float64)
+        np.add.at(sums, inv, contrib)
+        return pa.table({
+            id_col: pa.array(uids.astype(np.int64), pa.int64()),
+            "n_part": pa.array(np.bincount(inv, weights=tf).astype(np.int64),
+                               pa.int64()),
+            **{c: pa.array(sums[:, j], pa.float64())
+               for j, c in enumerate(sum_cols)},
+        })
+
+    agg = grouped_reduce(joined.map_batches(part, batch_format="pyarrow"),
+                         [id_col],
+                         sums=[("n_part", "n")] + [(c, c) for c in sum_cols])
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = np.stack([b[c].to_numpy(zero_copy_only=False) for c in sum_cols],
+                     axis=1)
+        e = np.round(np.divide(e, n[:, None], out=np.zeros_like(e),
+                               where=n[:, None] > 0), round_digits)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, dim), pa.int64()),
+            "j": pa.array(np.tile(np.arange(dim, dtype=np.int64), len(ids)),
+                          pa.int64()),
+            "e_r": pa.array(e.reshape(-1), pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def word_count_table(docs: "ray.data.Dataset", id_col: str = "doc_id",
                      text_col: str = "text"):
     """Distributed (word, cnt) over lowercased whitespace words — one

@@ -1042,3 +1042,67 @@ class TestDocBigramLogprob:
         out = (doc_bigram_logprob(ray.data.from_items(rows), lam=0.99)
                .to_pandas().set_index("doc_id"))
         assert out.loc[1, "logprob_r"] > out.loc[2, "logprob_r"]
+
+
+class TestDocEmbeddings:
+    ROWS = [
+        {"doc_id": 1, "text": "fast table merge"},
+        {"doc_id": 2, "text": "fast table merge"},     # twin of 1
+        {"doc_id": 3, "text": "window scan filter group"},
+        {"doc_id": 4, "text": ""},                      # no tokens → no rows
+    ]
+
+    def test_md5_mode_matches_scalar_spec(self, ray_session):
+        import hashlib
+
+        import ray.data
+
+        from search_engine_ray.functions.tokenizer import Tokenizer
+        from search_engine_ray.pipelines.training_data import doc_embeddings
+
+        dim, a = 4, 1e-3
+        ds = ray.data.from_items(self.ROWS, override_num_blocks=2)
+        out = (doc_embeddings(ds, dim=dim, a=a, method="md5").to_pandas()
+               .set_index(["doc_id", "j"])["e_r"])
+
+        tok = Tokenizer()
+        seqs = {r["doc_id"]: [t.word for t in tok.tokenize(r["text"]) if t.word]
+                for r in self.ROWS}
+        ctf: dict[str, int] = {}
+        for ws in seqs.values():
+            for w in ws:
+                ctf[w] = ctf.get(w, 0) + 1
+        T = sum(ctf.values())
+
+        def comp(w, j):
+            u = int(hashlib.md5(f"{w}|{j}".encode()).hexdigest()[:8], 16)
+            return u / 2**32 * 2.0 - 1.0
+
+        assert 4 not in out.index.get_level_values(0)
+        for d, ws in seqs.items():
+            if not ws:
+                continue
+            for j in range(dim):
+                e = sum(a / (a + ctf[w] / T) * comp(w, j) for w in ws) / len(ws)
+                assert out.loc[(d, j)] == round(e, 6)
+
+    @pytest.mark.parametrize("parts", [1, 3])
+    def test_mix64_deterministic_and_partition_invariant(self, ray_session, parts):
+        import ray.data
+
+        from search_engine_ray.pipelines.training_data import doc_embeddings
+
+        ds = ray.data.from_items(self.ROWS, override_num_blocks=parts)
+        out = (doc_embeddings(ds, dim=8).to_pandas()
+               .sort_values(["doc_id", "j"]).reset_index(drop=True))
+        if parts == 1:
+            type(self)._ref = out
+        else:
+            pd.testing.assert_frame_equal(out, type(self)._ref)
+        # identical texts → identical embeddings; distinct text differs
+        e1 = out[out.doc_id == 1]["e_r"].to_numpy()
+        e2 = out[out.doc_id == 2]["e_r"].to_numpy()
+        e3 = out[out.doc_id == 3]["e_r"].to_numpy()
+        np.testing.assert_array_equal(e1, e2)
+        assert not np.array_equal(e1, e3)
+        assert np.all(np.abs(out["e_r"]) <= 1.0)
