@@ -249,6 +249,84 @@ class SegmentedSearchEngine:
         ids, sc = topk_docs(cand, scores, k)
         return [(int(d), float(s)) for d, s in zip(ids, sc)]
 
+    def fuzzy(self, term: str, edit_distance: int) -> list[str]:
+        """Sorted union of per-segment BK-tree lookups (requires engines
+        built with build_bktree=True)."""
+        key = self.tokenizer.normalize(term)
+        out: set[str] = set()
+        for eng in self.engines:
+            if eng.bktree is None:
+                raise RuntimeError("segment engines built with build_bktree=False")
+            out.update(eng.bktree.find(key, edit_distance))
+        return sorted(out)
+
+    def search(self, query: str, k: int = 10,
+               fuzzy_distance: int = 1) -> list[tuple[int, float]]:
+        """Query-string DSL across segments — rank-identical to the
+        monolithic engine's ``search`` on a tombstone-free corpus (same
+        Lucene semantics; BM25 uses GLOBAL df/avgdl/N, each candidate's
+        doc_length comes from its own segment)."""
+        from search_engine_ray.query.parser import parse_query
+
+        pq_ = parse_query(query, self.tokenizer.normalize)
+        should = list(pq_.should)
+        for w in pq_.wildcards:
+            should.extend(self.wildcard_terms(w))
+        for f in pq_.fuzzy:
+            should.extend(self.fuzzy(f, fuzzy_distance))
+        score_terms = list(dict.fromkeys(pq_.must + should))
+
+        cand: np.ndarray | None = None
+
+        def narrow(docs: np.ndarray):
+            nonlocal cand
+            cand = docs if cand is None else np.intersect1d(
+                cand, docs, assume_unique=True)
+            return cand
+
+        for t in pq_.must:
+            tps = self._term_postings(t)
+            if not tps:
+                return []
+            ids = np.concatenate([tp.doc_ids for _e, tp in tps])
+            if len(narrow(np.unique(ids))) == 0:
+                return []
+        for ph in pq_.phrases:
+            if len(narrow(self.phrase(ph))) == 0:
+                return []
+        if cand is None:
+            parts = [tp.doc_ids for t in score_terms
+                     for _e, tp in self._term_postings(t)]
+            if not parts:
+                return []
+            cand = np.unique(np.concatenate(parts))
+        if pq_.must_not:
+            neg = [tp.doc_ids for t in pq_.must_not
+                   for _e, tp in self._term_postings(t)]
+            if neg:
+                cand = np.setdiff1d(cand, np.unique(np.concatenate(neg)),
+                                    assume_unique=True)
+        cand = cand[self._live(cand)]
+        if len(cand) == 0:
+            return []
+
+        scores = np.zeros(len(cand), np.float64)
+        for t in score_terms:
+            tps = self._term_postings(t)
+            df_g = sum(tp.df for _e, tp in tps)
+            if df_g == 0:
+                continue
+            for eng, tp in tps:
+                idx = np.searchsorted(cand, tp.doc_ids)
+                hit = (idx < len(cand)) & (
+                    cand[np.minimum(idx, len(cand) - 1)] == tp.doc_ids)
+                dl = eng.doc_length(tp.doc_ids[hit])
+                scores[idx[hit]] += bm25_weights(
+                    tp.tfs[hit], dl, df_g, self.num_docs, self.avgdl,
+                    self.config.bm25_k1, self.config.bm25_b)
+        ids, sc = topk_docs(cand, scores, k)
+        return [(int(d), float(s)) for d, s in zip(ids, sc)]
+
     def more_like_this(self, text: str, k: int = 10, n_terms: int = 3,
                        exclude: int | None = None) -> list[tuple[int, float]]:
         """Keyword extraction with GLOBAL df/N (exact integers over

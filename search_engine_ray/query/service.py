@@ -655,6 +655,66 @@ class DistributedSearchEngine:
         ids, sc = topk_docs(cand, scores, k)
         return [(int(d), float(s)) for d, s in zip(ids, sc)]
 
+    def search(self, query: str, k: int = 10,
+               fuzzy_distance: int = 1) -> list[tuple[int, float]]:
+        """Distributed query-string DSL — pytest-identical to
+        ``SearchEngine.search``. Filters compose from the existing
+        fan-outs (MUST/NOT via term_doc_ids, phrase via the positional
+        path, wildcard/fuzzy expansion across slices); scoring fetches
+        exact per-candidate BM25 weights once per term
+        (term_weights_for_docs), so the scoring fan-out is
+        O(|candidates| × terms)."""
+        from search_engine_ray.query.parser import parse_query
+
+        pq_ = parse_query(query, self.tokenizer.normalize)
+        should = list(pq_.should)
+        for w in pq_.wildcards:
+            should.extend(self.wildcard_terms(w))
+        for f in pq_.fuzzy:
+            should.extend(self.fuzzy(f, fuzzy_distance))
+        score_terms = list(dict.fromkeys(pq_.must + should))
+
+        cand: np.ndarray | None = None
+        if pq_.must:
+            got = self._fan_out(pq_.must, "term_doc_ids")
+            for t in pq_.must:
+                if t not in got:
+                    return []
+                docs = np.asarray(got[t], np.int64)
+                cand = docs if cand is None else np.intersect1d(
+                    cand, docs, assume_unique=True)
+                if len(cand) == 0:
+                    return []
+        for ph in pq_.phrases:
+            pd_ = self.phrase(ph)
+            cand = pd_ if cand is None else np.intersect1d(
+                cand, pd_, assume_unique=True)
+            if len(cand) == 0:
+                return []
+        if cand is None:
+            per = self._fan_out(score_terms, "term_doc_ids")
+            parts = [np.asarray(v, np.int64) for v in per.values()]
+            if not parts:
+                return []
+            cand = np.unique(np.concatenate(parts))
+        if pq_.must_not:
+            per = self._fan_out(pq_.must_not, "term_doc_ids")
+            neg = [np.asarray(v, np.int64) for v in per.values()]
+            if neg:
+                cand = np.setdiff1d(cand, np.unique(np.concatenate(neg)),
+                                    assume_unique=True)
+        if len(cand) == 0:
+            return []
+
+        w_by_term = self._fan_out_args(score_terms, "term_weights_for_docs",
+                                       cand, "bm25")
+        scores = np.zeros(len(cand), np.float64)
+        for t in score_terms:
+            if t in w_by_term:
+                scores += w_by_term[t]
+        ids, sc = topk_docs(cand, scores, k)
+        return [(int(d), float(s)) for d, s in zip(ids, sc)]
+
     def more_like_this(self, text: str, k: int = 10, n_terms: int = 3,
                        exclude: int | None = None) -> list[tuple[int, float]]:
         """Distributed more-like-this: tf from the text (coordinator-side,

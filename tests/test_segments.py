@@ -388,3 +388,13 @@ class TestSubsetCompaction:
         seg = SegmentedSearchEngine(root5, CFG)
         for q in QUERIES:
             assert seg.bm25_topk(q, 10) == full.bm25_topk(q, 10)
+
+
+class TestSegmentedDSL:
+    def test_search_dsl_identical(self, built):
+        full, seg, _root, _fd = built
+        seed = full.kgram.terms[0][:2]
+        dsls = ['common +word', '+common -fox', '"quick brown"',
+                f'{seed}* fox', 'alpha +beta -gamma "alpha beta"']
+        for q in dsls:
+            assert seg.search(q, 10) == full.search(q, 10), q

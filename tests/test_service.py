@@ -305,3 +305,13 @@ class TestServingMatrixR3d:
                 dist.wildcard_boolean(p), local.wildcard_boolean(p))
             nonempty += bool(want)
         assert nonempty >= 3  # the fixture really exercises matches
+
+    DSLS = ['%s +%s' % (QUERIES[0].split()[0], QUERIES[1].split()[0]),
+            '+%s -%s' % (QUERIES[0].split()[0], QUERIES[2].split()[0]),
+            '"%s"' % QUERIES[0], "~zzz"]
+
+    def test_search_dsl_identical_to_local(self, built):
+        local, dist = built
+        seed = local.kgram.terms[0][:2]
+        for q in self.DSLS + [f"{seed}* {QUERIES[0]}"]:
+            assert dist.search(q, 10) == local.search(q, 10), q
