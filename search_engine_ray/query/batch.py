@@ -10,6 +10,7 @@ Query row schema (FIXTURES.md §2):
     query_id:int64, query_text:string, mode:string, k:int32,
     prox_k:int32, edit_dist:int32
 modes: boolean_and | tfidf_topk | bm25_topk | bm25_wand | bm25_blend |
+       ql_topk | wildcard | search |
 phrase | proximity | fuzzy (proximity takes the first two query tokens;
 fuzzy takes the first token).
 
@@ -60,6 +61,16 @@ class QueryActor:
                 return []
             docs = eng.fuzzy_boolean(words[0], edit_dist)
             return [(int(d), 0.0) for d in docs.tolist()[:k]]
+        if mode == "ql_topk":
+            return eng.ql_topk(text, k)
+        if mode == "wildcard":
+            words = text.split()
+            if not words:
+                return []
+            docs = eng.wildcard_boolean(words[0])
+            return [(int(d), 0.0) for d in docs.tolist()[:k]]
+        if mode == "search":
+            return eng.search(text, k, fuzzy_distance=edit_dist)
         raise ValueError(f"unknown mode: {mode}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -111,16 +122,22 @@ def make_query_set(num: int = 40, seed: int = 7) -> list[dict]:
              "sort", "key", "value", "hash", "stream", "batch", "line", "the",
              "group", "order", "filter", "big", "small", "row", "nonexistentzz"]
     modes = ["boolean_and", "tfidf_topk", "bm25_topk", "bm25_wand",
-             "phrase", "proximity", "fuzzy"]
+             "phrase", "proximity", "fuzzy", "ql_topk", "wildcard", "search"]
     out = []
     for i in range(num):
         mode = modes[i % len(modes)]
         n_words = 1 + int(rng.integers(1, 3))
         words = [vocab[int(rng.integers(0, len(vocab)))] for _ in range(n_words)]
+        text = " ".join(words)
+        if mode == "wildcard":
+            text = words[0][:2] + "*"
+        elif mode == "search" and len(words) > 1:
+            # exercise DSL operators: MUST the second word, negate a fixed one
+            text = f"{words[0]} +{words[1]} -nonexistentzz"
         out.append(
             {
                 "query_id": i,
-                "query_text": " ".join(words),
+                "query_text": text,
                 "mode": mode,
                 "k": 2 if i % 5 == 0 else 10,  # k=2 = the reference's hard-coded k
                 "prox_k": int(rng.integers(1, 5)),
