@@ -897,6 +897,29 @@ def q_doc_logprob(sf_dir: str):
                .sort_values("doc_id").reset_index(drop=True))
 
 
+_PSG_W, _PSG_OV = 32, 8
+
+
+def q_passage_bm25(sf_dir: str):
+    """RAG passage retrieval: chunk → standard build at chunk granularity
+    → BM25 with (doc_id, chunk_idx) provenance parsed from passage urls."""
+    from search_engine_ray.pipelines.passages import PassageEngine, build_passage_index
+
+    key = hashlib.md5(f"passages|{sf_dir}|{_PSG_W}|{_PSG_OV}".encode()).hexdigest()[:12]
+    out = os.path.join(CACHE_ROOT, key)
+    build_passage_index(_read_docs(sf_dir), out, window=_PSG_W, overlap=_PSG_OV)
+    pe = PassageEngine(out)
+    rows = pe.bm25_topk(Q_TEXT, k=10_000_000)
+    df = pd.DataFrame(rows, columns=["doc_id", "chunk_idx", "score"])
+    df["score_r"] = df["score"].round(4)
+    df = df.sort_values(["score_r", "doc_id", "chunk_idx"],
+                        ascending=[False, True, True]).head(TOPK)
+    df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return (df[["rank", "doc_id", "chunk_idx", "score_r"]]
+            .astype({"doc_id": np.int64, "chunk_idx": np.int64})
+            .reset_index(drop=True))
+
+
 _EMB_DIM, _EMB_A = 6, 1e-3
 
 
@@ -3175,6 +3198,72 @@ def oracle_queries() -> dict[str, str]:
             GROUP BY p.doc_id
             """
         ),
+        # passage BM25: re-chunk (the chunk_documents rule), tokenize each
+        # chunk through the SAME clean+lemma pipeline, score with
+        # chunk-level df/avgdl/N; provenance = (doc_id, chunk_idx)
+        "passage_bm25": _with(
+            f"""
+            , ctoks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+              FROM documents
+            )
+            , cspans AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(0,
+                       CAST(ceil(greatest(len(t) - {_PSG_W}, 0)
+                                 / {_PSG_W - _PSG_OV}.0) AS BIGINT))) AS chunk_idx
+              FROM ctoks WHERE len(t) > 0
+            )
+            , cslice AS (
+              SELECT doc_id, chunk_idx,
+                     t[chunk_idx * {_PSG_W - _PSG_OV} + 1 :
+                       chunk_idx * {_PSG_W - _PSG_OV} + {_PSG_W}] AS ct
+              FROM cspans
+            )
+            , ctok AS (SELECT doc_id, chunk_idx, unnest(ct) AS w FROM cslice)
+            , ccln AS (
+              SELECT doc_id, chunk_idx,
+                     regexp_replace(regexp_replace(lower(w), '^[^a-z0-9]+', ''),
+                                    '[^a-z0-9]+$', '') AS cw
+              FROM ctok
+            )
+            , clem AS (
+              SELECT c.doc_id, c.chunk_idx, coalesce(l.lemma, c.cw) AS term
+              FROM ccln c LEFT JOIN lemmas l ON c.cw = l.inflected
+              WHERE c.cw <> ''
+            )
+            , cpost AS (
+              SELECT doc_id, chunk_idx, term, count(*)::BIGINT AS tf
+              FROM clem GROUP BY doc_id, chunk_idx, term
+            )
+            , cdf AS (SELECT term, count(*)::BIGINT AS df FROM cpost GROUP BY term)
+            , cdl AS (
+              SELECT s.doc_id, s.chunk_idx, coalesce(l.n, 0)::BIGINT AS dl
+              FROM cslice s LEFT JOIN (
+                SELECT doc_id, chunk_idx, count(*) AS n
+                FROM clem GROUP BY doc_id, chunk_idx) l USING (doc_id, chunk_idx)
+            )
+            , cn AS (SELECT count(*)::BIGINT AS n FROM cslice)
+            , cstats AS (SELECT avg(dl) AS avgdl FROM cdl)
+            , cscores AS (
+              SELECT p.doc_id, p.chunk_idx,
+                     sum( ln((cn.n - t.df + 0.5) / (t.df + 0.5) + 1.0)
+                          * p.tf * (1.2 + 1.0)
+                          / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl)) ) AS s
+              FROM cpost p
+              JOIN cdf t USING (term)
+              JOIN cdl d USING (doc_id, chunk_idx)
+              CROSS JOIN cn CROSS JOIN cstats s
+              WHERE p.term IN ({qterms})
+              GROUP BY p.doc_id, p.chunk_idx
+            )
+            SELECT ROW_NUMBER() OVER (
+                     ORDER BY round(s, 4) DESC, doc_id, chunk_idx)::BIGINT AS rank,
+                   doc_id, chunk_idx, round(s, 4) AS score_r
+            FROM cscores ORDER BY round(s, 4) DESC, doc_id, chunk_idx LIMIT {TOPK}
+            """
+        ),
         # SIF hash embeddings: v(w)_j = md5(w|j)[:8]/2^32*2-1, weight
         # a/(a + ctf/T), per-doc tf-weighted mean — replayed term for term
         "doc_embeddings": _with(
@@ -4394,6 +4483,7 @@ RAY_QUERIES = {
     "doc_logprob": q_doc_logprob,
     "doc_bigram_logprob": q_doc_bigram_logprob,
     "doc_embeddings": q_doc_embeddings,
+    "passage_bm25": q_passage_bm25,
     "dsir_weights": q_dsir_weights,
     "doc_novelty": q_doc_novelty,
     "bpe_tokens": q_bpe_tokens,

@@ -89,7 +89,7 @@ def test_query_and_oracle_keys_align(entry):
         "doc_lengths", "top_terms", "index_stats", "boolean_and", "boolean_or",
         "more_like_this", "boolean_not", "wildcard_terms", "wildcard_search",
         "ql_topk", "hybrid_rrf", "retrieval_eval", "doc_bigram_logprob",
-        "search_dsl", "doc_embeddings",
+        "search_dsl", "doc_embeddings", "passage_bm25",
         "tfidf_topk", "bm25_topk", "bm25_msm", "bm25_filtered", "bm25_capped",
         "bm25_grouped", "bm25_prf",
         "bm25_wand", "bm25_distributed",
