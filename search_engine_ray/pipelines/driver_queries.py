@@ -1909,6 +1909,23 @@ def q_chunk_documents(sf_dir: str):
             .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True))
 
 
+def q_cdc_chunks(sf_dir: str):
+    """Content-defined (Gear-hash CDC) chunking — insertion-robust
+    sub-document chunk table. Rows-only: boundaries are hash-defined."""
+    from search_engine_ray.pipelines.training_data import cdc_chunks
+
+    out = cdc_chunks(_read_docs(sf_dir)).to_pandas()
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
+def q_cdc_dup_chunks(sf_dir: str):
+    """Cross-document duplicated CDC chunks (sub-document boilerplate)."""
+    from search_engine_ray.pipelines.training_data import cdc_duplicate_chunks
+
+    out = cdc_duplicate_chunks(_read_docs(sf_dir)).to_pandas()
+    return out.sort_values("chunk_hash").reset_index(drop=True)
+
+
 _GREP_PAT = r"fast\s+(table|merge)"
 
 
@@ -4554,6 +4571,8 @@ RAY_QUERIES = {
     "readability": q_readability,
     "regex_search": q_regex_search,
     "chunk_documents": q_chunk_documents,
+    "cdc_chunks": q_cdc_chunks,
+    "cdc_dup_chunks": q_cdc_dup_chunks,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "pii_scrub": q_pii_scrub,

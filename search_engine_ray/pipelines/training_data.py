@@ -942,6 +942,87 @@ def doc_bigram_logprob(docs: "ray.data.Dataset", lam: float = 0.9,
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def cdc_chunks(docs: "ray.data.Dataset", min_size: int = 64,
+               avg_bits: int = 7, max_size: int = 512,
+               id_col: str = "doc_id", text_col: str = "text"):
+    """Content-defined chunking over UTF-8 bytes (functions/cdc.py —
+    Gear-hash CDC, Xia et al. FAST'16): → (doc_id, chunk_idx, start_byte,
+    n_bytes, chunk_hash), chunk_hash = 64-bit blake2b of the chunk bytes.
+    Unlike fixed windows or line splits, an edit only disturbs the chunks
+    it touches — the sub-document dedup signal that survives insertions.
+    Map-only (row-local), no shuffle; empty docs emit nothing."""
+    import hashlib
+
+    from search_engine_ray.functions.cdc import cdc_boundaries
+
+    def fn(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "chunk_idx": pa.array([], pa.int64()),
+                          "start_byte": pa.array([], pa.int64()),
+                          "n_bytes": pa.array([], pa.int64()),
+                          "chunk_hash": pa.array([], pa.uint64())})
+        if b.num_rows == 0:
+            return empty
+        ids_out, cidx, starts, lens, hashes = [], [], [], [], []
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        for did, text in zip(ids, b[text_col].to_pylist()):
+            raw = (text or "").encode("utf-8")
+            if not raw:
+                continue
+            data = np.frombuffer(raw, np.uint8)
+            ends = cdc_boundaries(data, min_size, avg_bits, max_size)
+            prev = 0
+            for j, e in enumerate(ends):
+                ids_out.append(int(did))
+                cidx.append(j)
+                starts.append(prev)
+                lens.append(int(e) - prev)
+                hashes.append(int.from_bytes(
+                    hashlib.blake2b(raw[prev:e], digest_size=8).digest(),
+                    "little"))
+                prev = int(e)
+        return pa.table({id_col: pa.array(ids_out, pa.int64()),
+                         "chunk_idx": pa.array(cidx, pa.int64()),
+                         "start_byte": pa.array(starts, pa.int64()),
+                         "n_bytes": pa.array(lens, pa.int64()),
+                         "chunk_hash": pa.array(hashes, pa.uint64())})
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def cdc_duplicate_chunks(docs: "ray.data.Dataset", min_size: int = 64,
+                         avg_bits: int = 7, max_size: int = 512,
+                         id_col: str = "doc_id", text_col: str = "text"):
+    """Cross-document duplicated CDC chunks: (chunk_hash, n_copies,
+    n_bytes) for every chunk content appearing more than once — the
+    storage-dedup / boilerplate report at sub-document granularity.
+    Chunking is map-only; the reduction is one vocab-cardinality
+    grouped_reduce over per-block (hash, count) combiners."""
+    from search_engine_ray.stages.grouped import grouped_reduce
+
+    chunks = cdc_chunks(docs, min_size, avg_bits, max_size, id_col, text_col)
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        if b.num_rows == 0:
+            return pa.table({"chunk_hash": pa.array([], pa.uint64()),
+                             "c_part": pa.array([], pa.int64()),
+                             "nb": pa.array([], pa.int64())})
+        h = b["chunk_hash"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(h, return_inverse=True)
+        nb = np.zeros(len(uniq), np.int64)
+        nb[inv] = b["n_bytes"].to_numpy(zero_copy_only=False)  # same hash → same bytes
+        return pa.table({"chunk_hash": pa.array(uniq, pa.uint64()),
+                         "c_part": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+                         "nb": pa.array(nb, pa.int64())})
+
+    agg = grouped_reduce(chunks.map_batches(partial, batch_format="pyarrow"),
+                         ["chunk_hash"], sums=[("c_part", "n_copies")],
+                         maxs=[("nb", "n_bytes")])
+    return agg.filter(expr="n_copies > 1")
+
+
 def doc_embeddings(docs: "ray.data.Dataset", dim: int = 16, a: float = 1e-3,
                    id_col: str = "doc_id", text_col: str = "text",
                    method: str = "mix64", round_digits: int = 6):
