@@ -171,6 +171,18 @@ def run_bench() -> dict:
     results["bm25_wand_queries"] = time.perf_counter() - t0
     wand_qps = n_w / results["bm25_wand_queries"] if results["bm25_wand_queries"] else 0.0
 
+    # MAXSCORE (second dynamic-pruning path; exact same top-k)
+    for q in QUERIES:
+        eng.bm25_topk_maxscore(q, 10)
+    t0 = time.perf_counter()
+    n_m = 0
+    for _ in range(50):
+        for q in QUERIES:
+            eng.bm25_topk_maxscore(q, 10)
+            n_m += 1
+    results["bm25_maxscore_queries"] = time.perf_counter() - t0
+    maxscore_qps = n_m / results["bm25_maxscore_queries"] if results["bm25_maxscore_queries"] else 0.0
+
     # --- training-data ops over the sf dir ---------------------------------
     docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
     t0 = time.perf_counter()
@@ -306,6 +318,7 @@ def run_bench() -> dict:
         "docs_per_sec": round(num_docs / results["build_zipf"], 1),
         "bm25_qps": round(qps, 1),
         "bm25_wand_qps": round(wand_qps, 1),
+        "bm25_maxscore_qps": round(maxscore_qps, 1),
         "bm25_cold_ms_per_q": round(results["bm25_cold_batch"] * 1000 / len(QUERIES), 3),
     }
     ray.shutdown()

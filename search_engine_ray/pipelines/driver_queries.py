@@ -462,6 +462,14 @@ def q_bm25_wand(sf_dir: str):
     return _ranked(scores, 4)
 
 
+def q_bm25_maxscore(sf_dir: str):
+    """MAXSCORE BM25 (query/wand.py::maxscore_topk) — must equal the
+    exhaustive scorer row-for-row, so it shares bm25_topk's oracle SQL."""
+    eng = engine_for(sf_dir)
+    scores = eng.bm25_topk_maxscore(Q_TEXT, k=10_000_000)
+    return _ranked(scores, 4)
+
+
 def q_bm25_segments(sf_dir: str):
     """BM25 over an INCREMENTALLY-built index: the corpus is appended as two
     segments (pipelines/segments.py) and served by SegmentedSearchEngine
@@ -2542,6 +2550,7 @@ def oracle_queries() -> dict[str, str]:
             """
         )),
         "bm25_wand": out_bm25,
+        "bm25_maxscore": out_bm25,
         "bm25_distributed": out_bm25,
         "bm25_segments": out_bm25,
         # RRF fusion: both runs ranked with their own rounding discipline
@@ -4477,6 +4486,7 @@ RAY_QUERIES = {
     "bm25_prf": q_bm25_prf,
     "bm25_distributed": q_bm25_distributed,
     "bm25_wand": q_bm25_wand,
+    "bm25_maxscore": q_bm25_maxscore,
     "bm25_segments": q_bm25_segments,
     "bm25_blend": q_bm25_blend,
     "cosine_norms": q_cosine_norms,

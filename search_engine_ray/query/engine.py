@@ -571,8 +571,30 @@ class SearchEngine:
         :meth:`bm25_topk` (ties included — pytest-enforced), but skips whole
         chunks whose upper bound cannot reach the running threshold, using
         the per-chunk max_doc_id skip pointers + max_tf bounds."""
+        from search_engine_ray.query.wand import wand_topk
+
+        cursors = self._term_cursors(query)
+        if not cursors:
+            return []
+        return wand_topk(cursors, k)
+
+    def bm25_topk_maxscore(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """MAXSCORE top-k BM25 (query/wand.py::maxscore_topk): identical
+        results to :meth:`bm25_topk` (ties included — pytest-enforced) via
+        the essential/non-essential term split with block-max refinement —
+        the other classic dynamic-pruning strategy beside WAND."""
+        from search_engine_ray.query.wand import maxscore_topk
+
+        cursors = self._term_cursors(query)
+        if not cursors:
+            return []
+        return maxscore_topk(cursors, k)
+
+    def _term_cursors(self, query: str) -> list:
+        """Lazy block-max TermCursors for every indexed query term (shared
+        by the WAND and MAXSCORE serving paths)."""
         from search_engine_ray.query.scoring import bm25_idf
-        from search_engine_ray.query.wand import TermCursor, wand_topk
+        from search_engine_ray.query.wand import TermCursor
 
         def dl_of(doc_id: int) -> int:
             i = int(np.searchsorted(self._dl_ids, doc_id))
@@ -596,9 +618,7 @@ class SearchEngine:
                     dl_of,
                 )
             )
-        if not cursors:
-            return []
-        return wand_topk(cursors, k)
+        return cursors
 
     def bm25_topk_blended(self, query: str, k: int = 10,
                           bigram_weight: float = 1.0) -> list[tuple[int, float]]:

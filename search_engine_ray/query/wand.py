@@ -227,3 +227,95 @@ def wand_topk(cursors: list[TermCursor], k: int) -> list[tuple[int, float]]:
 
     out = sorted(heap, key=lambda e: (-e[0], -e[1]))
     return [(-d, s) for s, d in out]
+
+
+def maxscore_topk(cursors: list[TermCursor], k: int) -> list[tuple[int, float]]:
+    """Exact top-k by (score desc, doc_id asc) via MAXSCORE (Turtle &
+    Flood, IPM'95) with block-max refinement — the other classic
+    dynamic-pruning strategy beside WAND, usually faster on short queries
+    with one dominant term.
+
+    Terms sort by ascending upper bound; the maximal prefix whose bound
+    sum stays strictly below θ is NON-ESSENTIAL — a doc appearing only
+    there can never enter the heap, so candidate docs come from the
+    essential lists alone. Essential cursors at the candidate are bounded
+    chunk-level (block-max) before full evaluation; non-essential terms
+    are probed in descending-bound order with early termination once the
+    remaining bound sum cannot reach θ. All skips are STRICT (< θ): a
+    bound that ties θ is fully evaluated, preserving the exhaustive
+    scorer's exact tie contract (score desc, doc_id asc) — same contract
+    as :func:`wand_topk`, pytest-enforced equality."""
+    order = [i for i, c in enumerate(cursors) if not c.exhausted]
+    if not order:
+        return []
+    # ascending-bound order for the essential split; REMEMBER each cursor's
+    # original (query-term) position: per-doc contributions must sum in
+    # term order so float summation matches the exhaustive scorer exactly
+    # (bit-equal scores ⇒ identical tie order)
+    order.sort(key=lambda i: cursors[i].term_ub)
+    origin = order                      # sorted position -> original index
+    cursors = [cursors[i] for i in order]
+    m = len(cursors)
+    prefix = [0.0] * (m + 1)  # prefix[i] = Σ term_ub of cursors[:i]
+    for i, c in enumerate(cursors):
+        prefix[i + 1] = prefix[i] + c.term_ub
+    heap: list[tuple[float, int]] = []
+    ness = 0  # cursors[:ness] are non-essential (prefix[ness+? ] < θ)
+
+    while True:
+        t = heap[0][0] if len(heap) >= k else float("-inf")
+        while ness < m and prefix[ness + 1] < t:
+            ness += 1
+        ess = [c for c in cursors[ness:] if not c.exhausted]
+        if not ess:
+            break
+        d = min(c.doc() for c in ess)
+        at_d = [c for c in ess if c.doc() == d]
+        # block-max check: chunk bounds of essential cursors AT d plus the
+        # non-essential term-level bound sum
+        bound = prefix[ness] + sum(c.chunk_ub() for c in at_d)
+        if len(heap) >= k and bound < t:
+            # nothing in these chunks (joined with every non-essential
+            # term) reaches θ. Docs up to the nearest at-d chunk boundary
+            # are covered by the same bound UNLESS another essential
+            # cursor sits before it — cap the jump at that cursor's doc.
+            boundary = min(c.chunk_boundary() for c in at_d)
+            nxt = min((c.doc() for c in ess if c.doc() > d), default=_INF)
+            target = max(min(boundary + 1, nxt), d + 1)
+            for c in at_d:
+                c.next_geq(target)
+            continue
+        # full evaluation of d: essential contributions first...
+        contribs: list[tuple[int, float]] = []  # (original term pos, value)
+        run = 0.0  # probe-order running sum, for pruning decisions only
+        for j, c in enumerate(cursors[ness:], start=ness):
+            if not c.exhausted and c.doc() == d:
+                v = c.score_current()
+                contribs.append((origin[j], v))
+                run += v
+                c.advance()
+        # ...then non-essential probes, best bound first, early-exit when
+        # even all remaining bounds cannot reach θ (strict, tie-exact)
+        for i in range(ness - 1, -1, -1):
+            if len(heap) >= k and run + prefix[i + 1] < t:
+                break
+            c = cursors[i]
+            if c.exhausted:
+                continue
+            c.next_geq(d)
+            if not c.exhausted and c.doc() == d:
+                v = c.score_current()
+                contribs.append((origin[i], v))
+                run += v
+        contribs.sort()
+        score = 0.0
+        for _, v in contribs:
+            score += v
+        entry = (score, -d)
+        if len(heap) < k:
+            heapq.heappush(heap, entry)
+        elif entry > heap[0]:
+            heapq.heapreplace(heap, entry)
+
+    out = sorted(heap, key=lambda e: (-e[0], -e[1]))
+    return [(-d, s) for s, d in out]

@@ -92,7 +92,7 @@ def test_query_and_oracle_keys_align(entry):
         "search_dsl", "doc_embeddings", "passage_bm25",
         "tfidf_topk", "bm25_topk", "bm25_msm", "bm25_filtered", "bm25_capped",
         "bm25_grouped", "bm25_prf",
-        "bm25_wand", "bm25_distributed",
+        "bm25_wand", "bm25_maxscore", "bm25_distributed",
         "bm25_segments", "bm25_blend", "phrase", "phrase_slop", "within_window",
         "proximity", "fuzzy", "prefix_search",
         "spell_correct", "facet_counts", "exact_dedup", "cluster_best",
@@ -134,7 +134,8 @@ def test_sql_parity(entry, con, name):
     "name", ["heavy_hitters", "ann_ivf_topk", "bpe_tokens", "training_shards",
              "bloom_new_docs",
              "ann_lsh_topk", "cosine_neardup", "value_quantiles_approx", "vocab_size_hll",
-             "embedding_clusters", "semdedup_pairs"]
+             "embedding_clusters", "semdedup_pairs", "cdc_chunks",
+             "cdc_dup_chunks"]
 )
 def test_rows_only_queries_run(entry, name):
     out = _to_pandas(entry.queries()[name](SF))
