@@ -470,6 +470,20 @@ def q_bm25_maxscore(sf_dir: str):
     return _ranked(scores, 4)
 
 
+def q_ltr_features(sf_dir: str):
+    """Learning-to-rank feature table (query/ltr.py) for the fixed query:
+    one row per matching doc with BM25/tf-idf/coverage/idf/length/tf
+    features — every column SQL-value-checked."""
+    from search_engine_ray.query.ltr import ltr_features
+
+    eng = engine_for(sf_dir)
+    df = ltr_features(eng, Q_TEXT).to_pandas()
+    for c in ("bm25", "tfidf", "coverage", "sum_idf", "min_idf", "max_idf"):
+        df[f"{c}_r"] = df[c].round(4)
+        del df[c]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_bm25_segments(sf_dir: str):
     """BM25 over an INCREMENTALLY-built index: the corpus is appended as two
     segments (pipelines/segments.py) and served by SegmentedSearchEngine
@@ -2553,6 +2567,40 @@ def oracle_queries() -> dict[str, str]:
         "bm25_maxscore": out_bm25,
         "bm25_distributed": out_bm25,
         "bm25_segments": out_bm25,
+        "ltr_features": _with(
+            f"""
+            , {doclen_cte}
+            , stats AS (SELECT avg(doc_length) AS avgdl FROM doclen)
+            , feats AS (
+              SELECT p.doc_id,
+                     sum( ln(({n_docs} - t.df + 0.5) / (t.df + 0.5) + 1.0)
+                          * p.tf * (1.2 + 1.0)
+                          / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_length / s.avgdl)) ) AS bm25,
+                     sum( p.tf * log10({n_docs}::DOUBLE / t.df) ) AS tfidf,
+                     count(*)::BIGINT AS n_matched,
+                     sum( ln(({n_docs} - t.df + 0.5) / (t.df + 0.5) + 1.0) ) AS sum_idf,
+                     min( ln(({n_docs} - t.df + 0.5) / (t.df + 0.5) + 1.0) ) AS min_idf,
+                     max( ln(({n_docs} - t.df + 0.5) / (t.df + 0.5) + 1.0) ) AS max_idf,
+                     sum(p.tf)::DOUBLE AS sum_tf,
+                     max(p.tf)::DOUBLE AS max_tf
+              FROM postings p
+              JOIN term_df t USING (term)
+              JOIN doclen dl ON dl.doc_id = p.doc_id
+              CROSS JOIN stats s
+              WHERE p.term IN ({qterms})
+              GROUP BY p.doc_id
+            )
+            SELECT f.doc_id + 1 AS doc_id, n_matched,
+                   dl.doc_length AS doc_len, sum_tf, max_tf,
+                   round(bm25, 4) AS bm25_r, round(tfidf, 4) AS tfidf_r,
+                   round(n_matched / {float(len(Q_TERMS))}, 4) AS coverage_r,
+                   round(sum_idf, 4) AS sum_idf_r,
+                   round(min_idf, 4) AS min_idf_r,
+                   round(max_idf, 4) AS max_idf_r
+            FROM feats f JOIN doclen dl ON dl.doc_id = f.doc_id
+            ORDER BY f.doc_id
+            """
+        ),
         # RRF fusion: both runs ranked with their own rounding discipline
         # (bm25 round-4, cosine round-3 — DuckDB's list_cosine_similarity is
         # f32), pool = _POOL each, fused score = sum 1/(K + rank)
@@ -4487,6 +4535,7 @@ RAY_QUERIES = {
     "bm25_distributed": q_bm25_distributed,
     "bm25_wand": q_bm25_wand,
     "bm25_maxscore": q_bm25_maxscore,
+    "ltr_features": q_ltr_features,
     "bm25_segments": q_bm25_segments,
     "bm25_blend": q_bm25_blend,
     "cosine_norms": q_cosine_norms,

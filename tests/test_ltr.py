@@ -1,0 +1,92 @@
+"""LTR feature extraction (query/ltr.py) against engine primitives."""
+
+import numpy as np
+import pytest
+
+from search_engine_ray.config import EngineConfig
+from search_engine_ray.functions.textproc import synthesize_html
+from search_engine_ray.pipelines.build import build_index
+from search_engine_ray.query.engine import SearchEngine
+from search_engine_ray.query.ltr import ltr_features
+from search_engine_ray.sources.webpages import _url_for
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory, ray_session):
+    import ray.data
+
+    texts = [
+        "alpha beta gamma alpha",
+        "beta beta delta",
+        "alpha epsilon",
+        "zeta eta theta",
+        "alpha beta alpha beta gamma",
+    ]
+    rows = [{"url": _url_for(i), "html": synthesize_html(t).encode()}
+            for i, t in enumerate(texts)]
+    out = str(tmp_path_factory.mktemp("ltr_idx"))
+    build_index(ray.data.from_items(rows), out, EngineConfig())
+    return SearchEngine(out)
+
+
+def test_bm25_column_matches_engine(engine):
+    feats = ltr_features(engine, "alpha beta").to_pandas()
+    want = dict(engine.bm25_topk("alpha beta", k=100))
+    got = dict(zip(feats["doc_id"], feats["bm25"]))
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-12)
+
+
+def test_counts_and_coverage(engine):
+    feats = ltr_features(engine, "alpha beta").to_pandas().set_index("doc_id")
+    # docs 1,5 have both terms; 2 has beta only; 3 has alpha only
+    assert feats.loc[1, "n_matched"] == 2 and feats.loc[1, "coverage"] == 1.0
+    assert feats.loc[2, "n_matched"] == 1 and feats.loc[2, "coverage"] == 0.5
+    assert feats.loc[5, "sum_tf"] == 4.0      # alpha x2 + beta x2
+    assert feats.loc[5, "max_tf"] == 2.0
+    assert feats.loc[1, "doc_len"] == 4
+    assert 4 not in feats.index                # no query terms in doc 4
+
+
+def test_absent_terms_count_in_coverage_denominator(engine):
+    feats = ltr_features(engine, "alpha nonexistentzz").to_pandas()
+    assert (feats["coverage"] == 0.5).all()    # 1 matched of 2 query terms
+
+
+def test_idf_aggregates(engine):
+    from search_engine_ray.query.scoring import bm25_idf
+
+    feats = ltr_features(engine, "alpha delta").to_pandas().set_index("doc_id")
+    idf_a = bm25_idf(3, engine.num_docs)   # alpha df=3
+    idf_d = bm25_idf(1, engine.num_docs)   # delta df=1
+    assert feats.loc[2, "sum_idf"] == pytest.approx(idf_d)      # delta only
+    assert feats.loc[1, "min_idf"] == pytest.approx(idf_a)
+    assert feats.loc[1, "max_idf"] == pytest.approx(idf_a)
+
+
+def test_batch_ltr_features(engine, ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_ray.query.ltr import batch_ltr_features
+
+    qs = ray.data.from_arrow(pa.table({
+        "query_id": pa.array([10, 11, 12], pa.int64()),
+        "query_text": pa.array(["alpha beta", "delta", "nonexistentzz"])}))
+    out = batch_ltr_features(qs, engine.paths.out_dir).to_pandas()
+    # per-query slices equal the local function
+    for qid, text in [(10, "alpha beta"), (11, "delta")]:
+        want = ltr_features(engine, text).to_pandas()
+        got = (out[out["query_id"] == qid].drop(columns="query_id")
+               .sort_values("doc_id").reset_index(drop=True))
+        want = want.sort_values("doc_id").reset_index(drop=True)
+        assert got.equals(want), qid
+    assert (out["query_id"] != 12).all()   # no-hit query emits nothing
+
+
+def test_empty_query_and_no_hits(engine):
+    assert ltr_features(engine, "nonexistentzz").num_rows == 0
+    t = ltr_features(engine, "")
+    assert t.num_rows == 0
+    assert t.schema.names[0] == "doc_id"
