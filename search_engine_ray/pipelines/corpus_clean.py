@@ -641,6 +641,308 @@ def dedup_lines_global(docs: "ray.data.Dataset", id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# Cross-document CDC-chunk dedup (insertion-robust boilerplate removal)
+# ---------------------------------------------------------------------------
+
+_CHUNK_IDX_BITS = 22  # chunk index within one doc; overflow raises loudly
+
+
+def _utf8_align(seg: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Shift CDC cut points forward past UTF-8 continuation bytes so every
+    chunk is valid UTF-8 on its own — dropping whole chunks then never
+    splices an invalid sequence. ≤3 continuation bytes per code point, so
+    three masked passes; cuts that collapse onto the next cut merge
+    (np.unique keeps ends strictly ascending, tail == len preserved)."""
+    if len(ends) <= 1:
+        return ends
+    n = len(seg)
+    cont = (seg & 0xC0) == 0x80
+    e = ends.copy()
+    for _ in range(3):
+        bump = (e < n) & cont[np.minimum(e, n - 1)]
+        if not bump.any():
+            break
+        e[bump] += 1
+    return np.unique(e)
+
+
+def _chunk_pack(doc_ids: np.ndarray, idxs: np.ndarray) -> np.ndarray:
+    if len(idxs) and int(idxs.max()) >= (1 << _CHUNK_IDX_BITS):
+        raise ValueError("documents with >= 2^22 CDC chunks exceed the "
+                         "packed first-occurrence key's index field")
+    return doc_ids.astype(np.int64) * (1 << _CHUNK_IDX_BITS) + idxs
+
+
+def _chunk_parts(batch: pa.Table, text_col: str, min_size: int,
+                 avg_bits: int, max_size: int):
+    """CDC-chunk a doc batch over its UTF-8 bytes: → (chunk values as a
+    zero-copy Arrow binary array over the batch's own byte buffer, per-doc
+    chunk counts, doc index per chunk, local chunk index per chunk).
+    Consecutive docs are contiguous in the string buffer and chunks tile
+    each doc exactly, so the chunk value array is just the buffer with cut
+    offsets — no copies. Empty docs yield zero chunks (rebuild restores
+    them as '')."""
+    import pyarrow.compute as pc
+
+    from search_engine_ray.functions.cdc import cdc_boundaries
+    from search_engine_ray.functions.vb import binary_column_parts, binary_from_spans
+
+    texts = pc.fill_null(batch[text_col], "").cast(pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    offsets, data = binary_column_parts(texts)
+    base = offsets[0]
+    offsets = offsets - base
+    data = data[base:base + offsets[-1]] if len(data) else data
+    n_docs = len(offsets) - 1
+    counts = np.zeros(n_docs, np.int64)
+    all_ends = []
+    for i in range(n_docs):
+        seg = data[offsets[i]:offsets[i + 1]]
+        if len(seg) == 0:
+            continue
+        ends = _utf8_align(seg, cdc_boundaries(seg, min_size, avg_bits, max_size))
+        counts[i] = len(ends)
+        all_ends.append(ends + offsets[i])
+    abs_ends = (np.concatenate(all_ends) if all_ends
+                else np.zeros(0, np.int64))
+    span_offsets = np.concatenate(([0], abs_ends))
+    vals = binary_from_spans(data, span_offsets)
+    doc_ix = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    first = np.concatenate(([0], np.cumsum(counts)[:-1])) if n_docs else np.zeros(0, np.int64)
+    local_ix = np.arange(len(doc_ix), dtype=np.int64) - np.repeat(first, counts)
+    return vals, counts, doc_ix, local_ix
+
+
+def _gather_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Indices covering [starts[i], starts[i]+lens[i]) back to back."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    out_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    idx = np.arange(total, dtype=np.int64)
+    idx += np.repeat(starts - out_starts, lens)
+    return idx
+
+
+def dedup_chunks_global(docs: "ray.data.Dataset", id_col: str = "doc_id",
+                        text_col: str = "text", min_size: int = 64,
+                        avg_bits: int = 7, max_size: int = 512,
+                        broadcast_cap: int = 2_000_000):
+    """CROSS-document duplicated CDC-CHUNK removal — the insertion-robust
+    sibling of :func:`dedup_lines_global`. Line dedup misses boilerplate
+    whose surrounding bytes shift (templates with injected dates/names
+    reflowed across lines); content-defined chunking (functions/cdc.py)
+    re-synchronizes after edits, so shared passages hash identically in
+    every doc regardless of position. Every non-first occurrence of a
+    chunk content (order: smallest packed (doc_id, chunk_idx)) is cut
+    out; cut points are UTF-8-aligned so output stays valid text.
+    → (doc_id, text_clean, n_removed), n_removed counting dropped chunks.
+
+    Scale shape == dedup_lines_global: per-block (hash, min key, count)
+    combiners → sorted-group winners table, O(distinct duplicated
+    chunks); verdicts feed back via a sorted broadcast under
+    ``broadcast_cap`` winners, else two sort-co-group exchanges.
+    Chunk identity is the corpus 64-bit poly hash of the chunk bytes."""
+    import pyarrow.compute as pc
+
+    from search_engine_ray.functions.hashing import hash_strings_arrow
+    from search_engine_ray.functions.vb import binary_column_parts, binary_from_spans
+    from search_engine_ray.pipelines.training_data import _empty_clean
+    from search_engine_ray.stages.grouped import sorted_group_map
+
+    kw = dict(min_size=min_size, avg_bits=avg_bits, max_size=max_size)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        empty = pa.table({"h": pa.array([], pa.int64()),
+                          "fk": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        vals, counts, doc_ix, local_ix = _chunk_parts(batch, text_col, **kw)
+        if len(doc_ix) == 0:
+            return empty
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = hash_strings_arrow(vals).view(np.int64)
+        key = _chunk_pack(ids[doc_ix], local_ix)
+        order = np.lexsort((key, h))
+        hh, kk = h[order], key[order]
+        new = np.empty(len(order), bool)
+        new[0] = True
+        new[1:] = hh[1:] != hh[:-1]
+        bounds = np.flatnonzero(new)
+        cnt = np.diff(np.append(bounds, len(order)))
+        return pa.table({"h": pa.array(hh[new], pa.int64()),
+                         "fk": pa.array(kk[new], pa.int64()),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    def combine(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        empty = pa.table({"h": pa.array([], pa.int64()),
+                          "fk": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        h = t["h"].to_numpy(zero_copy_only=False)
+        fk = t["fk"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        new = np.empty(len(h), bool)
+        new[0] = True
+        new[1:] = h[1:] != h[:-1]
+        bounds = np.flatnonzero(new)
+        fkm = np.minimum.reduceat(fk, bounds)
+        cs = np.add.reduceat(cnt, bounds)
+        keep = cs >= 2
+        return pa.table({"h": pa.array(h[bounds][keep], pa.int64()),
+                         "fk": pa.array(fkm[keep], pa.int64())})
+
+    winners = sorted_group_map(
+        docs.map_batches(partials, batch_format="pyarrow"), ["h"], combine
+    ).materialize()
+
+    def _rebuild(batch: pa.Table, drop: np.ndarray) -> pa.Table:
+        """doc batch + boolean drop mask over its chunks → (doc_id,
+        text_clean, n_removed). Byte ranges of kept chunks gather into one
+        output buffer; per-doc offsets slice it back into strings (the
+        binary→string cast re-validates UTF-8)."""
+        vals, counts, doc_ix, _local = _chunk_parts(batch, text_col, **kw)
+        span_offsets, data = binary_column_parts(vals)
+        lens = np.diff(span_offsets)
+        keep = ~drop
+        out_data = data[_gather_ranges(span_offsets[:-1][keep], lens[keep])]
+        n_docs = batch.num_rows
+        kept_bytes = np.bincount(doc_ix[keep], weights=lens[keep],
+                                 minlength=n_docs).astype(np.int64)
+        out_offsets = np.concatenate(([0], np.cumsum(kept_bytes)))
+        text_clean = binary_from_spans(np.ascontiguousarray(out_data),
+                                       out_offsets).cast(pa.string())
+        n_removed = np.bincount(doc_ix[drop], minlength=n_docs).astype(np.int64)
+        return pa.table({
+            id_col: batch[id_col].cast(pa.int64()),
+            "text_clean": text_clean,
+            "n_removed": pa.array(n_removed, pa.int64()),
+        })
+
+    if winners.count() <= broadcast_cap:
+        pdf = winners.to_pandas()
+        if "h" not in pdf.columns:  # zero duplicated chunks corpus-wide
+            pdf = pdf.reindex(columns=["h", "fk"])
+        hs = pdf["h"].to_numpy(np.int64)
+        o = np.argsort(hs, kind="stable")
+        ref = ray.put((hs[o], pdf["fk"].to_numpy(np.int64)[o]))
+
+        def clean_bcast(batch: pa.Table) -> pa.Table:
+            batch = batch.combine_chunks()
+            if batch.num_rows == 0:
+                return _empty_clean(id_col)
+            h_sorted, fk_sorted = ray.get(ref)
+            vals, counts, doc_ix, local_ix = _chunk_parts(batch, text_col, **kw)
+            drop = np.zeros(len(doc_ix), bool)
+            if len(h_sorted) and len(doc_ix):
+                ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                h = hash_strings_arrow(vals).view(np.int64)
+                idx = np.minimum(np.searchsorted(h_sorted, h), len(h_sorted) - 1)
+                found = h_sorted[idx] == h
+                key = _chunk_pack(ids[doc_ix], local_ix)
+                drop = found & (fk_sorted[idx] != key)
+            return _rebuild(batch, drop)
+
+        return docs.map_batches(clean_bcast, batch_format="pyarrow")
+
+    # scale path: occurrences ∪ winners co-grouped by hash → per-chunk
+    # non-first verdicts; docs ∪ verdicts co-grouped by doc_id → rebuild.
+    def occurrences(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        empty = pa.table({"h": pa.array([], pa.int64()),
+                          "key": pa.array([], pa.int64()),
+                          "fk": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        vals, counts, doc_ix, local_ix = _chunk_parts(batch, text_col, **kw)
+        if len(doc_ix) == 0:
+            return empty
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = hash_strings_arrow(vals).view(np.int64)
+        key = _chunk_pack(ids[doc_ix], local_ix)
+        return pa.table({"h": pa.array(h, pa.int64()),
+                         "key": pa.array(key, pa.int64()),
+                         "fk": pa.array(np.full(len(key), -1), pa.int64())})
+
+    def tag_winner(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        return pa.table({"h": t["h"],
+                         "key": pa.array(np.full(t.num_rows, -1), pa.int64()),
+                         "fk": t["fk"]})
+
+    u = docs.map_batches(occurrences, batch_format="pyarrow").union(
+        winners.map_batches(tag_winner, batch_format="pyarrow"))
+
+    def mark(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "rm_ix": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        h = t["h"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        fk = t["fk"].to_numpy(zero_copy_only=False)
+        new = np.empty(len(h), bool)
+        new[0] = True
+        new[1:] = h[1:] != h[:-1]
+        gid = np.cumsum(new) - 1
+        fk_g = np.full(int(gid[-1]) + 1, -1, np.int64)
+        is_win = key == -1
+        fk_g[gid[is_win]] = fk[is_win]
+        f = fk_g[gid]
+        sel = (~is_win) & (f != -1) & (key != f)
+        k = key[sel]
+        return pa.table({id_col: pa.array(k >> _CHUNK_IDX_BITS, pa.int64()),
+                         "rm_ix": pa.array(k & ((1 << _CHUNK_IDX_BITS) - 1),
+                                           pa.int64())})
+
+    nf = sorted_group_map(u, ["h"], mark)
+
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        return pa.table({id_col: batch[id_col].cast(pa.int64()),
+                         text_col: pc.fill_null(batch[text_col], "").cast(pa.string()),
+                         "rm_ix": pa.array(np.full(batch.num_rows, -1), pa.int64())})
+
+    def tag_rm(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        return pa.table({id_col: t[id_col],
+                         text_col: pa.array([""] * t.num_rows, pa.string()),
+                         "rm_ix": t["rm_ix"]})
+
+    u2 = docs.map_batches(tag_doc, batch_format="pyarrow").union(
+        nf.map_batches(tag_rm, batch_format="pyarrow"))
+
+    def rebuild_group(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return _empty_clean(id_col)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        rm = t["rm_ix"].to_numpy(zero_copy_only=False)
+        is_doc = rm == -1
+        new = np.empty(len(ids), bool)
+        new[0] = True
+        new[1:] = ids[1:] != ids[:-1]
+        gid = np.cumsum(new) - 1
+        doc_batch = t.filter(pa.array(is_doc)).select([id_col, text_col])
+        vals, counts, doc_ix, _local = _chunk_parts(doc_batch, text_col, **kw)
+        drop = np.zeros(len(doc_ix), bool)
+        rsel = ~is_doc
+        if rsel.any():
+            starts = (np.concatenate(([0], np.cumsum(counts)[:-1]))
+                      if len(counts) else np.zeros(0, np.int64))
+            drop[starts[gid[rsel]] + rm[rsel]] = True
+        return _rebuild(doc_batch, drop)
+
+    return sorted_group_map(u2, [id_col], rebuild_group,
+                            sort_cols=[id_col, "rm_ix"])
+
+
+# ---------------------------------------------------------------------------
 # Unicode + whitespace normalization (pre-dedup canonicalization)
 # ---------------------------------------------------------------------------
 

@@ -1623,6 +1623,16 @@ def q_dedup_lines(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_dedup_chunks(sf_dir: str):
+    """Insertion-robust cross-document CDC-chunk dedup (boilerplate
+    removal that survives byte-shifts). Rows-only: gear-hash boundaries
+    are not SQL-expressible; scalar-spec + path-parity pytest covered."""
+    from search_engine_ray.pipelines.corpus_clean import dedup_chunks_global
+
+    out = dedup_chunks_global(_read_docs(sf_dir)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_clean_corpus(sf_dir: str):
     """Composite cleaning pipeline: exact-dedup keep-list + token/quality
     thresholds + language filter in ONE corpus pass (broadcast keep-list,
@@ -4632,6 +4642,7 @@ RAY_QUERIES = {
     "chunk_documents": q_chunk_documents,
     "cdc_chunks": q_cdc_chunks,
     "cdc_dup_chunks": q_cdc_dup_chunks,
+    "dedup_chunks": q_dedup_chunks,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "pii_scrub": q_pii_scrub,
