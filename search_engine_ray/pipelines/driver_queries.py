@@ -484,6 +484,33 @@ def q_ltr_features(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+_RERANK_POOL = 50
+
+
+def q_dense_rerank(sf_dir: str):
+    """Retrieve-then-rerank: BM25 recall pool (top-50 by the rounded rank
+    discipline) reordered by cosine similarity to a reference embedding
+    (vec_id 0) — query/fusion.py::dense_rerank. round(3): DuckDB's
+    list_cosine_similarity computes in float32."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from search_engine_ray.query.fusion import dense_rerank
+
+    eng = engine_for(sf_dir)
+    pool_eng = _ranked_ids(eng.bm25_topk(Q_TEXT, k=10_000_000), 4, _RERANK_POOL)
+    pool_vec = [d - 1 for d in pool_eng]   # engine ids are 1-based
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    order = np.argsort(t["vec_id"].to_numpy())
+    qv = np.asarray(t["embedding"][int(order[0])].as_py(), np.float64)
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = dense_rerank(pool_vec, emb, qv, k=TOPK, round_digits=3).to_pandas()
+    out["rank"] = out["rank"].astype(np.int64)
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    return out.sort_values("rank").reset_index(drop=True)
+
+
 def q_bm25_segments(sf_dir: str):
     """BM25 over an INCREMENTALLY-built index: the corpus is appended as two
     segments (pipelines/segments.py) and served by SegmentedSearchEngine
@@ -2577,6 +2604,36 @@ def oracle_queries() -> dict[str, str]:
         "bm25_maxscore": out_bm25,
         "bm25_distributed": out_bm25,
         "bm25_segments": out_bm25,
+        "dense_rerank": _with(
+            f"""
+            , {doclen_cte}
+            , stats AS (SELECT avg(doc_length) AS avgdl FROM doclen)
+            , scores AS (
+              SELECT p.doc_id,
+                     sum( ln(({n_docs} - t.df + 0.5) / (t.df + 0.5) + 1.0)
+                          * p.tf * (1.2 + 1.0)
+                          / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_length / s.avgdl)) ) AS s
+              FROM postings p
+              JOIN term_df t USING (term)
+              JOIN doclen dl ON dl.doc_id = p.doc_id
+              CROSS JOIN stats s
+              WHERE p.term IN ({qterms})
+              GROUP BY p.doc_id
+            )
+            , pool AS (SELECT doc_id FROM scores
+                       ORDER BY round(s, 4) DESC, doc_id LIMIT {_RERANK_POOL})
+            , qv AS (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1)
+            , sim AS (
+              SELECT e.vec_id,
+                     round(list_cosine_similarity(e.embedding, q.embedding)::DOUBLE, 3) AS score_r
+              FROM embeddings e JOIN pool p ON e.vec_id = p.doc_id
+              CROSS JOIN qv q
+            )
+            SELECT ROW_NUMBER() OVER (ORDER BY score_r DESC, vec_id)::BIGINT AS rank,
+                   vec_id, score_r
+            FROM sim ORDER BY score_r DESC, vec_id LIMIT {TOPK}
+            """
+        ),
         "ltr_features": _with(
             f"""
             , {doclen_cte}
@@ -4546,6 +4603,7 @@ RAY_QUERIES = {
     "bm25_wand": q_bm25_wand,
     "bm25_maxscore": q_bm25_maxscore,
     "ltr_features": q_ltr_features,
+    "dense_rerank": q_dense_rerank,
     "bm25_segments": q_bm25_segments,
     "bm25_blend": q_bm25_blend,
     "cosine_norms": q_cosine_norms,

@@ -28,3 +28,42 @@ def rrf_fuse(
             scores[d] = scores.get(d, 0.0) + 1.0 / (K + r)
     out = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
     return [(int(d), float(s)) for d, s in out[:k]]
+
+
+def dense_rerank(candidate_ids, embeddings, query_vec, k: int = 10,
+                 id_col: str = "vec_id", emb_col: str = "embedding",
+                 round_digits: int = 6):
+    """Second-stage DENSE rerank of a lexical candidate pool: keep only
+    the pool's rows of a (vec_id, embedding) Dataset and order them by
+    cosine similarity to ``query_vec`` — the standard retrieve-then-
+    rerank serving shape (BM25 recall, embedding precision). The pool is
+    O(top-k): it broadcasts once via ``ray.put`` and each embedding batch
+    is filtered by one sorted membership probe, so the embedding table
+    itself streams — nothing doc-cardinality materializes.
+
+    Returns (rank, vec_id, cos_r) rows via
+    :func:`~search_engine_ray.pipelines.training_data.ann_brute_force`'s
+    (round(cos) desc, id asc) tie contract, rank 1 = best."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from search_engine_ray.pipelines.training_data import ann_brute_force
+
+    pool = np.unique(np.asarray(list(candidate_ids), np.int64))
+    pref = ray.put(pool)
+
+    def member(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        p = ray.get(pref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(p, ids), max(len(p) - 1, 0))
+        keep = (p[idx] == ids) if len(p) else np.zeros(len(ids), bool)
+        return batch.filter(pa.array(keep))
+
+    cand = embeddings.map_batches(member, batch_format="pyarrow")
+    qm = np.asarray(query_vec, np.float64).reshape(1, -1)
+    out = ann_brute_force(cand, qm, k=k, id_col=id_col, emb_col=emb_col,
+                          round_digits=round_digits)
+    return out.drop_columns(["query_id"])
