@@ -416,6 +416,198 @@ def _line_parts(batch: pa.Table, text_col: str):
     return flat, counts, doc_ix, local_ix
 
 
+def _rebuild_lines(batch: pa.Table, drop_flat: np.ndarray, id_col: str,
+                   text_col: str) -> pa.Table:
+    """doc batch + boolean drop mask over its flattened lines →
+    (doc_id, text_clean, n_removed). One Arrow binary_join across all
+    docs — no per-doc Python (split of "" yields one empty line, so
+    counts ≥ 1 and the reduceat segments are well-formed)."""
+    import pyarrow.compute as pc
+
+    flat, counts, doc_ix, _local = _line_parts(batch, text_col)
+    keep = ~drop_flat
+    kept_counts = (np.add.reduceat(keep.astype(np.int64),
+                                   np.concatenate(([0], np.cumsum(counts)[:-1])))
+                   if len(counts) else np.zeros(0, np.int64))
+    k_off = np.zeros(len(counts) + 1, np.int64)
+    np.cumsum(kept_counts, out=k_off[1:])
+    kept_vals = flat.filter(pa.array(keep))
+    kept_list = pa.ListArray.from_arrays(pa.array(k_off, pa.int32()), kept_vals)
+    text_clean = pc.binary_join(kept_list, "\n")
+    return pa.table({
+        id_col: batch[id_col].cast(pa.int64()),
+        "text_clean": text_clean.cast(pa.string()),
+        "n_removed": pa.array(counts - kept_counts, pa.int64()),
+    })
+
+
+#: multiplier decorrelating line hashes before mixing with a host hash
+_HOST_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _scoped_line_hash(batch: pa.Table, flat, cand: np.ndarray,
+                      doc_ix: np.ndarray, host_col: str | None) -> np.ndarray:
+    """int64 verdict hash per candidate line: the line's poly hash, or —
+    when ``host_col`` scopes verdicts per host — a splitmix of
+    (host hash, line hash), so identical lines on different hosts get
+    independent verdicts."""
+    from search_engine_ray.functions.hashing import hash_strings_arrow, mix64
+
+    h = hash_strings_arrow(flat.take(pa.array(cand)))
+    if host_col is not None:
+        hh = hash_strings_arrow(batch[host_col].combine_chunks()
+                                if isinstance(batch[host_col], pa.ChunkedArray)
+                                else batch[host_col])
+        h = mix64(hh[doc_ix[cand]] ^ (h * _HOST_MIX))
+    return h.view(np.int64)
+
+
+def _apply_line_verdicts(docs: "ray.data.Dataset", winners, id_col: str,
+                         text_col: str, broadcast_cap: int,
+                         host_col: str | None = None):
+    """Strip lines according to a verdict table ``winners`` of (h, fk):
+    a line instance whose verdict hash is h is DROPPED iff fk != its
+    packed (doc_id, line_idx) key — so fk = first-occurrence key keeps
+    exactly one copy (dedup_lines_global), and fk = -2 (matching no
+    packed key, which are ≥ 0) drops EVERY occurrence
+    (host_boilerplate_strip). → (doc_id, text_clean, n_removed).
+
+    Two feedback paths, chosen by winner count: a sorted broadcast under
+    ``broadcast_cap`` rows, else two sort-co-group exchanges (occurrences
+    ∪ winners by hash → per-line verdicts; docs ∪ verdicts by doc_id →
+    rebuild). ``host_col`` scopes verdict hashes per host (the column
+    must exist on ``docs``)."""
+    import pyarrow.compute as pc
+
+    from search_engine_ray.pipelines.training_data import _empty_clean
+    from search_engine_ray.stages.grouped import sorted_group_map
+
+    if winners.count() <= broadcast_cap:
+        pdf = winners.to_pandas()
+        if "h" not in pdf.columns:  # no verdicts corpus-wide
+            pdf = pdf.reindex(columns=["h", "fk"])
+        hs = pdf["h"].to_numpy(np.int64)
+        o = np.argsort(hs, kind="stable")
+        ref = ray.put((hs[o], pdf["fk"].to_numpy(np.int64)[o]))
+
+        def clean_bcast(batch: pa.Table) -> pa.Table:
+            batch = batch.combine_chunks()
+            if batch.num_rows == 0:
+                return _empty_clean(id_col)
+            h_sorted, fk_sorted = ray.get(ref)
+            flat, counts, doc_ix, local_ix = _line_parts(batch, text_col)
+            drop = np.zeros(len(doc_ix), bool)
+            if len(h_sorted) and len(doc_ix):
+                lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+                cand = np.flatnonzero(lens > 0)
+                if len(cand):
+                    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                    h = _scoped_line_hash(batch, flat, cand, doc_ix, host_col)
+                    idx = np.minimum(np.searchsorted(h_sorted, h), len(h_sorted) - 1)
+                    found = h_sorted[idx] == h
+                    key = _line_pack(ids[doc_ix[cand]], local_ix[cand])
+                    drop[cand] = found & (fk_sorted[idx] != key)
+            return _rebuild_lines(batch, drop, id_col, text_col)
+
+        return docs.map_batches(clean_bcast, batch_format="pyarrow")
+
+    # scale path: occurrences ∪ winners co-grouped by hash → per-line
+    # verdicts; docs ∪ verdicts co-grouped by doc_id → rebuild.
+    # Sentinel -1 marks row kind (packed keys are >= 0).
+    def occurrences(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        empty = pa.table({"h": pa.array([], pa.int64()),
+                          "key": pa.array([], pa.int64()),
+                          "fk": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        flat, counts, doc_ix, local_ix = _line_parts(batch, text_col)
+        cand = np.flatnonzero(pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0)
+        if len(cand) == 0:
+            return empty
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _scoped_line_hash(batch, flat, cand, doc_ix, host_col)
+        key = _line_pack(ids[doc_ix[cand]], local_ix[cand])
+        return pa.table({"h": pa.array(h, pa.int64()),
+                         "key": pa.array(key, pa.int64()),
+                         "fk": pa.array(np.full(len(key), -1), pa.int64())})
+
+    def tag_winner(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        return pa.table({"h": t["h"],
+                         "key": pa.array(np.full(t.num_rows, -1), pa.int64()),
+                         "fk": t["fk"]})
+
+    u = docs.map_batches(occurrences, batch_format="pyarrow").union(
+        winners.map_batches(tag_winner, batch_format="pyarrow"))
+
+    def mark(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "rm_ix": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        h = t["h"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        fk = t["fk"].to_numpy(zero_copy_only=False)
+        new = np.empty(len(h), bool)
+        new[0] = True
+        new[1:] = h[1:] != h[:-1]
+        gid = np.cumsum(new) - 1
+        fk_g = np.full(int(gid[-1]) + 1, -1, np.int64)
+        is_win = key == -1
+        fk_g[gid[is_win]] = fk[is_win]
+        f = fk_g[gid]
+        sel = (~is_win) & (f != -1) & (key != f)
+        k = key[sel]
+        return pa.table({id_col: pa.array(k >> _LINE_IDX_BITS, pa.int64()),
+                         "rm_ix": pa.array(k & ((1 << _LINE_IDX_BITS) - 1),
+                                           pa.int64())})
+
+    nf = sorted_group_map(u, ["h"], mark)
+
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        return pa.table({id_col: batch[id_col].cast(pa.int64()),
+                         text_col: pc.fill_null(batch[text_col], "").cast(pa.string()),
+                         "rm_ix": pa.array(np.full(batch.num_rows, -1), pa.int64())})
+
+    def tag_rm(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        return pa.table({id_col: t[id_col],
+                         text_col: pa.array([""] * t.num_rows, pa.string()),
+                         "rm_ix": t["rm_ix"]})
+
+    u2 = docs.map_batches(tag_doc, batch_format="pyarrow").union(
+        nf.map_batches(tag_rm, batch_format="pyarrow"))
+
+    def rebuild_group(t: pa.Table) -> pa.Table:
+        """complete doc_id groups (one doc row, rm_ix == -1, plus its
+        removal rows) → cleaned docs (requires unique doc ids)."""
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return _empty_clean(id_col)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        rm = t["rm_ix"].to_numpy(zero_copy_only=False)
+        is_doc = rm == -1
+        new = np.empty(len(ids), bool)
+        new[0] = True
+        new[1:] = ids[1:] != ids[:-1]
+        gid = np.cumsum(new) - 1
+        doc_batch = t.filter(pa.array(is_doc)).select([id_col, text_col])
+        flat, counts, doc_ix, local_ix = _line_parts(doc_batch, text_col)
+        drop = np.zeros(len(doc_ix), bool)
+        rsel = ~is_doc
+        if rsel.any():
+            starts = (np.concatenate(([0], np.cumsum(counts)[:-1]))
+                      if len(counts) else np.zeros(0, np.int64))
+            drop[starts[gid[rsel]] + rm[rsel]] = True
+        return _rebuild_lines(doc_batch, drop, id_col, text_col)
+
+    return sorted_group_map(u2, [id_col], rebuild_group,
+                            sort_cols=[id_col, "rm_ix"])
+
+
 def dedup_lines_global(docs: "ray.data.Dataset", id_col: str = "doc_id",
                        text_col: str = "text",
                        broadcast_cap: int = 2_000_000):
@@ -491,153 +683,137 @@ def dedup_lines_global(docs: "ray.data.Dataset", id_col: str = "doc_id",
         docs.map_batches(partials, batch_format="pyarrow"), ["h"], combine
     ).materialize()
 
-    def _rebuild(batch: pa.Table, drop_flat: np.ndarray) -> pa.Table:
-        """doc batch + boolean drop mask over its flattened lines →
-        (doc_id, text_clean, n_removed). One Arrow binary_join across all
-        docs — no per-doc Python (split of "" yields one empty line, so
-        counts ≥ 1 and the reduceat segments are well-formed)."""
-        flat, counts, doc_ix, _local = _line_parts(batch, text_col)
-        keep = ~drop_flat
-        kept_counts = (np.add.reduceat(keep.astype(np.int64),
-                                       np.concatenate(([0], np.cumsum(counts)[:-1])))
-                       if len(counts) else np.zeros(0, np.int64))
-        k_off = np.zeros(len(counts) + 1, np.int64)
-        np.cumsum(kept_counts, out=k_off[1:])
-        kept_vals = flat.filter(pa.array(keep))
-        kept_list = pa.ListArray.from_arrays(pa.array(k_off, pa.int32()), kept_vals)
-        text_clean = pc.binary_join(kept_list, "\n")
-        return pa.table({
-            id_col: batch[id_col].cast(pa.int64()),
-            "text_clean": text_clean.cast(pa.string()),
-            "n_removed": pa.array(counts - kept_counts, pa.int64()),
-        })
+    return _apply_line_verdicts(docs, winners, id_col, text_col,
+                                broadcast_cap)
 
-    if winners.count() <= broadcast_cap:
-        pdf = winners.to_pandas()
-        if "h" not in pdf.columns:  # zero duplicated lines corpus-wide
-            pdf = pdf.reindex(columns=["h", "fk"])
-        hs = pdf["h"].to_numpy(np.int64)
-        o = np.argsort(hs, kind="stable")
-        ref = ray.put((hs[o], pdf["fk"].to_numpy(np.int64)[o]))
 
-        def clean_bcast(batch: pa.Table) -> pa.Table:
-            batch = batch.combine_chunks()
-            if batch.num_rows == 0:
-                return _empty_clean(id_col)
-            h_sorted, fk_sorted = ray.get(ref)
-            flat, counts, doc_ix, local_ix = _line_parts(batch, text_col)
-            drop = np.zeros(len(doc_ix), bool)
-            if len(h_sorted) and len(doc_ix):
-                lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
-                cand = np.flatnonzero(lens > 0)
-                if len(cand):
-                    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-                    h = hash_strings_arrow(flat.take(pa.array(cand))).view(np.int64)
-                    idx = np.minimum(np.searchsorted(h_sorted, h), len(h_sorted) - 1)
-                    found = h_sorted[idx] == h
-                    key = _line_pack(ids[doc_ix[cand]], local_ix[cand])
-                    drop[cand] = found & (fk_sorted[idx] != key)
-            return _rebuild(batch, drop)
+# ---------------------------------------------------------------------------
+# Host-scoped boilerplate stripping (CCNet-style per-site frequent lines)
+# ---------------------------------------------------------------------------
 
-        return docs.map_batches(clean_bcast, batch_format="pyarrow")
 
-    # scale path: occurrences ∪ winners co-grouped by hash → per-line
-    # non-first verdicts; docs ∪ verdicts co-grouped by doc_id → rebuild.
-    # Sentinel -1 marks row kind (packed keys are >= 0).
-    def occurrences(batch: pa.Table) -> pa.Table:
+def host_boilerplate_strip(pages: "ray.data.Dataset", min_frac: float = 0.5,
+                           min_pages: int = 3, url_col: str = "url",
+                           id_col: str = "doc_id", text_col: str = "text",
+                           broadcast_cap: int = 2_000_000):
+    """Per-HOST boilerplate removal: a non-empty line is boilerplate on
+    host H when H has ≥ ``min_pages`` pages and the line appears on
+    ≥ ``max(2, ceil(min_frac · n_H))`` of them — navigation, footers and
+    cookie banners repeat on most of a site's pages while real content
+    does not (the site-level frequency cue behind CCNet/boilerplate
+    removal, scoped per host so a phrase common on one site but organic
+    on another is judged independently). EVERY occurrence of a
+    boilerplate line is stripped from that host's pages (unlike
+    :func:`dedup_lines_global`, which keeps the first copy corpus-wide).
+    → (doc_id, text_clean, n_removed).
+
+    Shuffle shape: per-block (host-scoped line hash, host hash,
+    page-count partial) combiners → one vocab-cardinality grouped
+    reduce; host page counts ride a second tiny reduce and join the line
+    counts by co-grouped host hash — nothing corpus-sized moves. The
+    boilerplate verdict table (fk = -2 ⇒ drop all occurrences) feeds
+    back through :func:`_apply_line_verdicts`'s broadcast / co-group
+    machinery."""
+    import pyarrow.compute as pc
+
+    from search_engine_ray.functions.hashing import hash_strings_arrow
+    from search_engine_ray.pipelines.webcorpus import with_host
+    from search_engine_ray.stages.grouped import grouped_reduce, sorted_group_map
+
+    hosted = pages if url_col is None else with_host(pages, url_col=url_col)
+    hosted = hosted.materialize()  # consumed by 3 passes
+
+    def line_count_partials(batch: pa.Table) -> pa.Table:
+        """(hh, h, c_part): pages-in-block containing each host-scoped
+        line (a page counts once however often it repeats the line)."""
         batch = batch.combine_chunks()
-        empty = pa.table({"h": pa.array([], pa.int64()),
-                          "key": pa.array([], pa.int64()),
-                          "fk": pa.array([], pa.int64())})
+        empty = pa.table({"hh": pa.array([], pa.int64()),
+                          "h": pa.array([], pa.int64()),
+                          "c_part": pa.array([], pa.int64())})
         if batch.num_rows == 0:
             return empty
-        flat, counts, doc_ix, local_ix = _line_parts(batch, text_col)
+        flat, counts, doc_ix, _local = _line_parts(batch, text_col)
         cand = np.flatnonzero(pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0)
         if len(cand) == 0:
             return empty
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = hash_strings_arrow(flat.take(pa.array(cand))).view(np.int64)
-        key = _line_pack(ids[doc_ix[cand]], local_ix[cand])
-        return pa.table({"h": pa.array(h, pa.int64()),
-                         "key": pa.array(key, pa.int64()),
-                         "fk": pa.array(np.full(len(key), -1), pa.int64())})
+        h = _scoped_line_hash(batch, flat, cand, doc_ix, "host")
+        hh = hash_strings_arrow(batch["host"]).view(np.int64)[doc_ix[cand]]
+        d = doc_ix[cand]
+        order = np.lexsort((d, h))
+        hs, ds, hhs = h[order], d[order], hh[order]
+        first = np.empty(len(order), bool)
+        first[0] = True
+        first[1:] = (hs[1:] != hs[:-1]) | (ds[1:] != ds[:-1])
+        hs, hhs = hs[first], hhs[first]       # distinct (line, page) pairs
+        new = np.empty(len(hs), bool)
+        new[0] = True
+        new[1:] = hs[1:] != hs[:-1]
+        bounds = np.flatnonzero(new)
+        return pa.table({
+            "hh": pa.array(hhs[bounds], pa.int64()),
+            "h": pa.array(hs[bounds], pa.int64()),
+            "c_part": pa.array(np.diff(np.append(bounds, len(hs))), pa.int64()),
+        })
 
-    def tag_winner(t: pa.Table) -> pa.Table:
+    line_counts = grouped_reduce(
+        hosted.map_batches(line_count_partials, batch_format="pyarrow"),
+        ["h"], sums=[("c_part", "npl")], maxs=[("hh", "hh")])
+
+    def host_count_partials(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return pa.table({"hh": pa.array([], pa.int64()),
+                             "c_part": pa.array([], pa.int64())})
+        hh = hash_strings_arrow(batch["host"]).view(np.int64)
+        uniq, cnt = np.unique(hh, return_counts=True)
+        return pa.table({"hh": pa.array(uniq, pa.int64()),
+                         "c_part": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    host_counts = grouped_reduce(
+        hosted.map_batches(host_count_partials, batch_format="pyarrow"),
+        ["hh"], sums=[("c_part", "n_pages")])
+
+    # verdicts: co-group line counts with host counts by host hash.
+    # Sentinel h = -1 marks the host-count row inside each group.
+    def tag_lines(t: pa.Table) -> pa.Table:
+        return t.select(["hh", "h", "npl"])
+
+    def tag_hosts(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
-        return pa.table({"h": t["h"],
-                         "key": pa.array(np.full(t.num_rows, -1), pa.int64()),
-                         "fk": t["fk"]})
+        return pa.table({"hh": t["hh"],
+                         "h": pa.array(np.full(t.num_rows, -1), pa.int64()),
+                         "npl": t["n_pages"]})
 
-    u = docs.map_batches(occurrences, batch_format="pyarrow").union(
-        winners.map_batches(tag_winner, batch_format="pyarrow"))
+    u = line_counts.map_batches(tag_lines, batch_format="pyarrow").union(
+        host_counts.map_batches(tag_hosts, batch_format="pyarrow"))
 
-    def mark(t: pa.Table) -> pa.Table:
+    def verdicts(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
-        empty = pa.table({id_col: pa.array([], pa.int64()),
-                          "rm_ix": pa.array([], pa.int64())})
+        empty = pa.table({"h": pa.array([], pa.int64()),
+                          "fk": pa.array([], pa.int64())})
         if t.num_rows == 0:
             return empty
+        hh = t["hh"].to_numpy(zero_copy_only=False)
         h = t["h"].to_numpy(zero_copy_only=False)
-        key = t["key"].to_numpy(zero_copy_only=False)
-        fk = t["fk"].to_numpy(zero_copy_only=False)
-        new = np.empty(len(h), bool)
+        npl = t["npl"].to_numpy(zero_copy_only=False)
+        new = np.empty(len(hh), bool)
         new[0] = True
-        new[1:] = h[1:] != h[:-1]
+        new[1:] = hh[1:] != hh[:-1]
         gid = np.cumsum(new) - 1
-        fk_g = np.full(int(gid[-1]) + 1, -1, np.int64)
-        is_win = key == -1
-        fk_g[gid[is_win]] = fk[is_win]
-        f = fk_g[gid]
-        sel = (~is_win) & (f != -1) & (key != f)
-        k = key[sel]
-        return pa.table({id_col: pa.array(k >> _LINE_IDX_BITS, pa.int64()),
-                         "rm_ix": pa.array(k & ((1 << _LINE_IDX_BITS) - 1),
-                                           pa.int64())})
+        n_pages_g = np.zeros(int(gid[-1]) + 1, np.int64)
+        is_host = h == -1
+        n_pages_g[gid[is_host]] = npl[is_host]
+        n_pages = n_pages_g[gid]
+        thresh = np.maximum(2, np.ceil(min_frac * n_pages).astype(np.int64))
+        sel = (~is_host) & (n_pages >= min_pages) & (npl >= thresh)
+        return pa.table({"h": pa.array(h[sel], pa.int64()),
+                         "fk": pa.array(np.full(int(sel.sum()), -2, np.int64()),
+                                        pa.int64())})
 
-    nf = sorted_group_map(u, ["h"], mark)
-
-    def tag_doc(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as _pc
-        batch = batch.combine_chunks()
-        return pa.table({id_col: batch[id_col].cast(pa.int64()),
-                         text_col: _pc.fill_null(batch[text_col], "").cast(pa.string()),
-                         "rm_ix": pa.array(np.full(batch.num_rows, -1), pa.int64())})
-
-    def tag_rm(t: pa.Table) -> pa.Table:
-        t = t.combine_chunks()
-        return pa.table({id_col: t[id_col],
-                         text_col: pa.array([""] * t.num_rows, pa.string()),
-                         "rm_ix": t["rm_ix"]})
-
-    u2 = docs.map_batches(tag_doc, batch_format="pyarrow").union(
-        nf.map_batches(tag_rm, batch_format="pyarrow"))
-
-    def rebuild_group(t: pa.Table) -> pa.Table:
-        """complete doc_id groups (one doc row, rm_ix == -1, plus its
-        removal rows) → cleaned docs (requires unique doc ids)."""
-        t = t.combine_chunks()
-        if t.num_rows == 0:
-            return _empty_clean(id_col)
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        rm = t["rm_ix"].to_numpy(zero_copy_only=False)
-        is_doc = rm == -1
-        new = np.empty(len(ids), bool)
-        new[0] = True
-        new[1:] = ids[1:] != ids[:-1]
-        gid = np.cumsum(new) - 1
-        doc_batch = t.filter(pa.array(is_doc)).select([id_col, text_col])
-        flat, counts, doc_ix, local_ix = _line_parts(doc_batch, text_col)
-        drop = np.zeros(len(doc_ix), bool)
-        rsel = ~is_doc
-        if rsel.any():
-            starts = (np.concatenate(([0], np.cumsum(counts)[:-1]))
-                      if len(counts) else np.zeros(0, np.int64))
-            # group g's doc row is doc index g (exactly one doc per group)
-            drop[starts[gid[rsel]] + rm[rsel]] = True
-        return _rebuild(doc_batch, drop)
-
-    return sorted_group_map(u2, [id_col], rebuild_group,
-                            sort_cols=[id_col, "rm_ix"])
+    winners = sorted_group_map(u, ["hh"], verdicts,
+                               sort_cols=["hh", "h"]).materialize()
+    return _apply_line_verdicts(hosted, winners, id_col, text_col,
+                                broadcast_cap, host_col="host")
 
 
 # ---------------------------------------------------------------------------

@@ -1968,6 +1968,43 @@ def q_chunk_documents(sf_dir: str):
             .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True))
 
 
+_BOILER_FRAC = 0.6
+_BOILER_MIN_PAGES = 3
+
+
+def q_host_boilerplate(sf_dir: str):
+    """Per-host boilerplate stripping over deterministically-messied
+    pages: every page gets a host footer line (on 100% of the host's
+    pages → stripped) and even doc_ids a promo line (~50% < the 60%
+    threshold → kept). corpus_clean.host_boilerplate_strip."""
+    import ray.data
+
+    from search_engine_ray.pipelines.corpus_clean import host_boilerplate_strip
+
+    def messy(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        urls, out = [], []
+        for d, t in zip(ids, texts):
+            h = int(d) % _HOST_MOD
+            t = (t or "") + f"\nfooter h{h}"
+            if int(d) % 2 == 0:
+                t += f"\npromo h{h}"
+            urls.append(f"https://h{h}.example.test/p/{int(d)}")
+            out.append(t)
+        return pa.table({"doc_id": batch["doc_id"].cast(pa.int64()),
+                         "url": pa.array(urls, pa.string()),
+                         "text": pa.array(out, pa.string())})
+
+    pages = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "text"]).map_batches(
+        messy, batch_format="pyarrow")
+    out = host_boilerplate_strip(pages, min_frac=_BOILER_FRAC,
+                                 min_pages=_BOILER_MIN_PAGES).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_cdc_chunks(sf_dir: str):
     """Content-defined (Gear-hash CDC) chunking — insertion-robust
     sub-document chunk table. Rows-only: boundaries are hash-defined."""
@@ -4116,6 +4153,43 @@ def oracle_queries() -> dict[str, str]:
             SELECT DISTINCT doc_id, m AS fingerprint
             FROM w WHERE i <= greatest(nmax - 3, 1)
         """,
+        "host_boilerplate": f"""
+            WITH pages AS (
+              SELECT doc_id, doc_id % {_HOST_MOD} AS h,
+                     text || chr(10) || 'footer h' || (doc_id % {_HOST_MOD})::VARCHAR ||
+                     CASE WHEN doc_id % 2 = 0
+                          THEN chr(10) || 'promo h' || (doc_id % {_HOST_MOD})::VARCHAR
+                          ELSE '' END AS t
+              FROM documents
+            ),
+            hp AS (SELECT h, count(*) AS n_pages FROM pages GROUP BY h),
+            ls AS (SELECT doc_id, h, string_split(t, chr(10)) AS a FROM pages),
+            l AS (
+              SELECT doc_id, h, unnest(a) AS line,
+                     unnest(generate_series(1, len(a))) AS idx
+              FROM ls
+            ),
+            lf AS (
+              SELECT h, line, count(DISTINCT doc_id) AS npl
+              FROM l WHERE line <> '' GROUP BY h, line
+            ),
+            b AS (
+              SELECT lf.h, lf.line
+              FROM lf JOIN hp USING (h)
+              WHERE hp.n_pages >= {_BOILER_MIN_PAGES}
+                AND lf.npl >= greatest(2, ceil({_BOILER_FRAC}::DOUBLE * hp.n_pages))
+            ),
+            k AS (
+              SELECT l.doc_id, l.idx, l.line,
+                     (l.line = '' OR b.line IS NULL) AS keep
+              FROM l LEFT JOIN b ON l.h = b.h AND l.line = b.line
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(line, chr(10) ORDER BY idx)
+                            FILTER (WHERE keep), '') AS text_clean,
+                   (count(*) FILTER (WHERE NOT keep))::BIGINT AS n_removed
+            FROM k GROUP BY doc_id ORDER BY doc_id
+        """,
         "dedup_lines": """
             WITH ls AS (
               SELECT doc_id, string_split(text, chr(10)) AS a FROM documents
@@ -4677,6 +4751,7 @@ RAY_QUERIES = {
     "clean_corpus": q_clean_corpus,
     "new_vs_snapshot": q_new_vs_snapshot,
     "dedup_lines": q_dedup_lines,
+    "host_boilerplate": q_host_boilerplate,
     "clean_corpus_full": q_clean_corpus_full,
     "dedup_clusters": q_dedup_clusters,
     "lsh_recall": q_lsh_recall,

@@ -116,6 +116,7 @@ def test_query_and_oracle_keys_align(entry):
         "event_sessions", "event_asof", "event_range",
         "pricing_summary", "revenue_by_nation",
         "clean_corpus", "clean_corpus_full", "new_vs_snapshot", "dedup_lines",
+        "host_boilerplate",
         "cosine_norms", "jaccard_verify", "containment_verify", "dedup_clusters",
         "lsh_recall", "triplets",
         "cosine_verify",
