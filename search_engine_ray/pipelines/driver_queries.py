@@ -511,6 +511,29 @@ def q_dense_rerank(sf_dir: str):
     return out.sort_values("rank").reset_index(drop=True)
 
 
+def q_mmr_rerank(sf_dir: str):
+    """MMR-diversified rerank of the BM25 pool (rows-only: iterative
+    greedy selection; scalar-spec + lam=1-degeneracy pytest-covered)."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from search_engine_ray.query.fusion import mmr_rerank
+
+    eng = engine_for(sf_dir)
+    pool_eng = _ranked_ids(eng.bm25_topk(Q_TEXT, k=10_000_000), 4, _RERANK_POOL)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    order = np.argsort(t["vec_id"].to_numpy())
+    qv = np.asarray(t["embedding"][int(order[0])].as_py(), np.float64)
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    sel = mmr_rerank([d - 1 for d in pool_eng], emb, qv, k=TOPK, lam=0.7)
+    return pd.DataFrame({
+        "rank": np.arange(1, len(sel) + 1, dtype=np.int64),
+        "vec_id": np.asarray([i for i, _ in sel], np.int64),
+        "mmr_r": np.round([s for _, s in sel], 6),
+    })
+
+
 def q_bm25_segments(sf_dir: str):
     """BM25 over an INCREMENTALLY-built index: the corpus is appended as two
     segments (pipelines/segments.py) and served by SegmentedSearchEngine
@@ -4678,6 +4701,7 @@ RAY_QUERIES = {
     "bm25_maxscore": q_bm25_maxscore,
     "ltr_features": q_ltr_features,
     "dense_rerank": q_dense_rerank,
+    "mmr_rerank": q_mmr_rerank,
     "bm25_segments": q_bm25_segments,
     "bm25_blend": q_bm25_blend,
     "cosine_norms": q_cosine_norms,

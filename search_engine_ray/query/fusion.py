@@ -67,3 +67,62 @@ def dense_rerank(candidate_ids, embeddings, query_vec, k: int = 10,
     out = ann_brute_force(cand, qm, k=k, id_col=id_col, emb_col=emb_col,
                           round_digits=round_digits)
     return out.drop_columns(["query_id"])
+
+
+def mmr_rerank(candidate_ids, embeddings, query_vec, k: int = 10,
+               lam: float = 0.7, id_col: str = "vec_id",
+               emb_col: str = "embedding"):
+    """Maximal-marginal-relevance diversified rerank (Carbonell &
+    Goldstein, SIGIR'98): greedily pick
+
+        argmax_d  lam·cos(q, d) − (1−lam)·max_{s∈S} cos(d, s)
+
+    over the remaining pool, S the already-selected set — relevance
+    traded against redundancy, the classic answer to near-duplicate
+    results crowding a top-k. The pool is O(top-k): its embedding rows
+    stream out of the (vec_id, embedding) Dataset via a broadcast
+    membership probe; the greedy loop then runs driver-side on a
+    pool×dim matrix (bounded, not corpus-sized). Ties break by id asc;
+    lam=1 degenerates to pure cosine order (pytest-pinned). Returns
+    [(vec_id, mmr_score), ...] selection-ordered."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    pool = np.unique(np.asarray(list(candidate_ids), np.int64))
+    if len(pool) == 0 or k <= 0:
+        return []
+    pref = ray.put(pool)
+
+    def member(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.select([id_col, emb_col])
+        p = ray.get(pref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(p, ids), max(len(p) - 1, 0))
+        keep = (p[idx] == ids) if len(p) else np.zeros(len(ids), bool)
+        return batch.filter(pa.array(keep)).select([id_col, emb_col])
+
+    rows = embeddings.map_batches(member, batch_format="pyarrow").take_all()
+    if not rows:
+        return []
+    rows.sort(key=lambda r: r[id_col])
+    ids = np.asarray([r[id_col] for r in rows], np.int64)
+    m = np.asarray([np.asarray(r[emb_col], np.float64) for r in rows])
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    q = np.asarray(query_vec, np.float64)
+    q /= max(np.linalg.norm(q), 1e-30)
+    rel = m @ q                      # relevance
+    sim = m @ m.T                    # pairwise redundancy
+    picked: list[int] = []
+    out: list[tuple[int, float]] = []
+    alive = np.ones(len(ids), bool)
+    for _ in range(min(k, len(ids))):
+        red = sim[:, picked].max(axis=1) if picked else np.zeros(len(ids))
+        score = lam * rel - (1.0 - lam) * red
+        score[~alive] = -np.inf
+        best = int(np.argmax(score))  # argmax takes the FIRST max: id asc
+        picked.append(best)
+        alive[best] = False
+        out.append((int(ids[best]), float(score[best])))
+    return out

@@ -54,3 +54,76 @@ def test_empty_pool(emb_ds):
 
     ds, vecs = emb_ds
     assert dense_rerank([], ds, vecs[0], k=5).count() == 0
+
+
+def _mmr_spec(ids, vecs, q, k, lam):
+    """Scalar greedy spec."""
+    import numpy as np
+
+    vn = [v / np.linalg.norm(v) for v in vecs]
+    qn = q / np.linalg.norm(q)
+    rel = {i: float(v @ qn) for i, v in zip(ids, vn)}
+    vmap = dict(zip(ids, vn))
+    sel, out = [], []
+    remaining = sorted(ids)
+    for _ in range(min(k, len(ids))):
+        best, best_s = None, -np.inf
+        for i in remaining:
+            red = max((float(vmap[i] @ vmap[j]) for j in sel), default=0.0)
+            s = lam * rel[i] - (1 - lam) * red
+            if s > best_s:
+                best, best_s = i, s
+        sel.append(best)
+        remaining.remove(best)
+        out.append((best, best_s))
+    return out
+
+
+def test_mmr_matches_scalar_spec(emb_ds):
+    from search_engine_ray.query.fusion import mmr_rerank
+
+    ds, vecs = emb_ds
+    pool = [2, 5, 8, 13, 21, 34, 55]
+    q = vecs[3].astype(np.float64)
+    got = mmr_rerank(pool, ds, q, k=5, lam=0.7)
+    want = _mmr_spec(pool, [vecs[i].astype(np.float64) for i in pool], q, 5, 0.7)
+    assert [i for i, _ in got] == [i for i, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b, rel=1e-9)
+
+
+def test_mmr_lam1_is_pure_cosine_order(emb_ds):
+    from search_engine_ray.query.fusion import dense_rerank, mmr_rerank
+
+    ds, vecs = emb_ds
+    pool = list(range(20))
+    q = vecs[7].astype(np.float64)
+    got = [i for i, _ in mmr_rerank(pool, ds, q, k=8, lam=1.0)]
+    pure = dense_rerank(pool, ds, q, k=8, round_digits=12).to_pandas()
+    assert got == pure.sort_values("rank")["vec_id"].tolist()
+
+
+def test_mmr_diversifies_duplicates(ray_session):
+    import ray.data
+
+    from search_engine_ray.query.fusion import mmr_rerank
+
+    # vec 1 == vec 2 (duplicates, most relevant); vec 3 orthogonal-ish.
+    vecs = np.array([[1.0, 0.0], [0.99, 0.1], [0.99, 0.1], [0.0, 1.0]],
+                    np.float32)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(4), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32()))}))
+    q = np.array([1.0, 0.05])
+    got = [i for i, _ in mmr_rerank([1, 2, 3], ds, q, k=2, lam=0.3)]
+    # pure cosine would pick the duplicate pair {1, 2}; MMR must pick the
+    # diverse doc 3 second
+    assert got[0] == 1 and got[1] == 3
+
+
+def test_mmr_empty_pool(emb_ds):
+    from search_engine_ray.query.fusion import mmr_rerank
+
+    ds, vecs = emb_ds
+    assert mmr_rerank([], ds, vecs[0], k=5) == []
