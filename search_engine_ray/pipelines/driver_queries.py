@@ -511,6 +511,21 @@ def q_dense_rerank(sf_dir: str):
     return out.sort_values("rank").reset_index(drop=True)
 
 
+def q_query_predictors(sf_dir: str):
+    """Pre-retrieval QPP statistics (avgICTF / SCQ / idf aggregates) for
+    the fixed query — one row, every column SQL-value-checked."""
+    from search_engine_ray.query.evaluate import query_predictors
+
+    eng = engine_for(sf_dir)
+    p = query_predictors(eng, Q_TEXT)
+    row = {"n_terms": np.int64(p["n_terms"]),
+           "n_indexed": np.int64(p["n_indexed"])}
+    for k, v in p.items():
+        if k not in ("n_terms", "n_indexed"):
+            row[f"{k}_r"] = round(v, 6)
+    return pd.DataFrame([row])
+
+
 def q_mmr_rerank(sf_dir: str):
     """MMR-diversified rerank of the BM25 pool (rows-only: iterative
     greedy selection; scalar-spec + lam=1-degeneracy pytest-covered)."""
@@ -2664,6 +2679,33 @@ def oracle_queries() -> dict[str, str]:
         "bm25_maxscore": out_bm25,
         "bm25_distributed": out_bm25,
         "bm25_segments": out_bm25,
+        "query_predictors": _with(
+            f"""
+            , {doclen_cte}
+            , bigt AS (SELECT sum(doc_length)::DOUBLE AS t FROM doclen)
+            , ctf AS (SELECT term, sum(tf)::DOUBLE AS ctf FROM postings GROUP BY term)
+            , st AS (
+              SELECT t.term,
+                     ln(({n_docs} - t.df + 0.5) / (t.df + 0.5) + 1.0) AS idf,
+                     log2(b.t / c.ctf) AS ictf,
+                     (1.0 + ln(c.ctf)) * ln(1.0 + {n_docs}::DOUBLE / t.df) AS scq
+              FROM term_df t JOIN ctf c USING (term) CROSS JOIN bigt b
+              WHERE t.term IN ({qterms})
+            )
+            SELECT {len(Q_TERMS)}::BIGINT AS n_terms,
+                   count(*)::BIGINT AS n_indexed,
+                   round(coalesce(sum(idf), 0), 6) AS sum_idf_r,
+                   round(coalesce(avg(idf), 0), 6) AS avg_idf_r,
+                   round(coalesce(max(idf), 0), 6) AS max_idf_r,
+                   round(coalesce(sum(ictf), 0), 6) AS sum_ictf_r,
+                   round(coalesce(avg(ictf), 0), 6) AS avg_ictf_r,
+                   round(coalesce(max(ictf), 0), 6) AS max_ictf_r,
+                   round(coalesce(sum(scq), 0), 6) AS sum_scq_r,
+                   round(coalesce(avg(scq), 0), 6) AS avg_scq_r,
+                   round(coalesce(max(scq), 0), 6) AS max_scq_r
+            FROM st
+            """
+        ),
         "dense_rerank": _with(
             f"""
             , {doclen_cte}
@@ -4702,6 +4744,7 @@ RAY_QUERIES = {
     "ltr_features": q_ltr_features,
     "dense_rerank": q_dense_rerank,
     "mmr_rerank": q_mmr_rerank,
+    "query_predictors": q_query_predictors,
     "bm25_segments": q_bm25_segments,
     "bm25_blend": q_bm25_blend,
     "cosine_norms": q_cosine_norms,

@@ -53,3 +53,45 @@ def eval_queries(
     if n == 0:
         return {"p_at_k": 0.0, "recall_at_k": 0.0, "mrr_at_k": 0.0, "ndcg_at_k": 0.0}
     return {key: v / n for key, v in acc.items()}
+
+
+def query_predictors(eng, query: str) -> dict[str, float]:
+    """Pre-retrieval query-performance predictors (QPP): statistics of
+    the query's terms against collection frequencies that correlate with
+    retrieval difficulty BEFORE any retrieval runs (He & Ounis, ECIR'04
+    avgICTF; Zhao, Scholer & Tsegay, ECIR'08 SCQ family) — the signal a
+    serving stack uses to route hard queries to heavier rerankers.
+
+    Per indexed query term t (df from the dictionary, ctf = Σ tf from
+    its posting list, N docs, T total tokens):
+        idf_t  = ln((N − df + 0.5)/(df + 0.5) + 1)      (BM25 idf)
+        ictf_t = log2(T / ctf)
+        scq_t  = (1 + ln(ctf)) · ln(1 + N/df)
+    Returns n_terms (distinct, normalized), n_indexed, and the
+    sum/avg/max of each statistic over indexed terms (0.0 when no term
+    is indexed). Cost: O(query terms) dictionary + posting fetches."""
+    import math as _m
+
+    from search_engine_ray.query.scoring import bm25_idf
+
+    terms = eng.query_terms(query)
+    idfs, ictfs, scqs = [], [], []
+    big_t = float(eng.stats.get("total_tokens") or 0.0)
+    if not big_t:
+        # total tokens = Σ doc_length (the stats file carries num_docs +
+        # avgdl, whose product is exactly that sum)
+        big_t = float(eng.num_docs) * float(eng.avgdl)
+    for t in terms:
+        tp = eng.get_postings(t)
+        if tp is None or tp.df == 0:
+            continue
+        ctf = float(tp.tfs.sum())
+        idfs.append(bm25_idf(tp.df, eng.num_docs))
+        ictfs.append(_m.log2(big_t / ctf))
+        scqs.append((1.0 + _m.log(ctf)) * _m.log(1.0 + eng.num_docs / tp.df))
+    out = {"n_terms": float(len(terms)), "n_indexed": float(len(idfs))}
+    for name, vals in (("idf", idfs), ("ictf", ictfs), ("scq", scqs)):
+        out[f"sum_{name}"] = float(sum(vals)) if vals else 0.0
+        out[f"avg_{name}"] = float(sum(vals) / len(vals)) if vals else 0.0
+        out[f"max_{name}"] = float(max(vals)) if vals else 0.0
+    return out

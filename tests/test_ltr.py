@@ -90,3 +90,26 @@ def test_empty_query_and_no_hits(engine):
     t = ltr_features(engine, "")
     assert t.num_rows == 0
     assert t.schema.names[0] == "doc_id"
+
+
+def test_query_predictors(engine):
+    import math
+
+    from search_engine_ray.query.evaluate import query_predictors
+    from search_engine_ray.query.scoring import bm25_idf
+
+    p = query_predictors(engine, "alpha nonexistentzz")
+    assert p["n_terms"] == 2.0 and p["n_indexed"] == 1.0
+    idf_a = bm25_idf(3, engine.num_docs)
+    assert p["sum_idf"] == pytest.approx(idf_a)
+    assert p["avg_idf"] == p["max_idf"] == pytest.approx(idf_a)
+    # alpha ctf = 4 (2+1+... docs 1,3,5 contain alpha with tfs 2,1,2 → 5)
+    tp = engine.get_postings("alpha")
+    ctf = float(tp.tfs.sum())
+    big_t = float(engine.stats["total_tokens"])
+    assert p["avg_ictf"] == pytest.approx(math.log2(big_t / ctf))
+    assert p["max_scq"] == pytest.approx(
+        (1 + math.log(ctf)) * math.log(1 + engine.num_docs / tp.df))
+
+    zero = query_predictors(engine, "nonexistentzz qqq")
+    assert zero["n_indexed"] == 0.0 and zero["sum_idf"] == 0.0
