@@ -511,6 +511,25 @@ def q_dense_rerank(sf_dir: str):
     return out.sort_values("rank").reset_index(drop=True)
 
 
+def q_bm25_sorted(sf_dir: str):
+    """Sort-by-field retrieval: matching docs ordered by n_chars desc
+    (doc asc ties) with BM25 attached — engine.bm25_topk_sorted."""
+    import pyarrow.parquet as pq
+
+    eng = engine_for(sf_dir)
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "n_chars"])
+    eng.set_doc_sort_attr(
+        "n_chars", t["doc_id"].to_numpy() + 1, t["n_chars"].to_numpy())
+    rows = eng.bm25_topk_sorted(Q_TEXT, k=TOPK, attr="n_chars")
+    return pd.DataFrame({
+        "rank": np.arange(1, len(rows) + 1, dtype=np.int64),
+        "doc_id": np.asarray([d for d, _, _ in rows], np.int64),
+        "n_chars": np.asarray([int(v) for _, v, _ in rows], np.int64),
+        "bm25_r": np.round([s for _, _, s in rows], 4),
+    })
+
+
 def q_query_predictors(sf_dir: str):
     """Pre-retrieval QPP statistics (avgICTF / SCQ / idf aggregates) for
     the fixed query — one row, every column SQL-value-checked."""
@@ -2679,6 +2698,29 @@ def oracle_queries() -> dict[str, str]:
         "bm25_maxscore": out_bm25,
         "bm25_distributed": out_bm25,
         "bm25_segments": out_bm25,
+        "bm25_sorted": _with(
+            f"""
+            , {doclen_cte}
+            , stats AS (SELECT avg(doc_length) AS avgdl FROM doclen)
+            , scores AS (
+              SELECT p.doc_id,
+                     sum( ln(({n_docs} - t.df + 0.5) / (t.df + 0.5) + 1.0)
+                          * p.tf * (1.2 + 1.0)
+                          / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_length / s.avgdl)) ) AS s
+              FROM postings p
+              JOIN term_df t USING (term)
+              JOIN doclen dl ON dl.doc_id = p.doc_id
+              CROSS JOIN stats s
+              WHERE p.term IN ({qterms})
+              GROUP BY p.doc_id
+            )
+            SELECT ROW_NUMBER() OVER (ORDER BY d.n_chars DESC, s.doc_id)::BIGINT AS rank,
+                   s.doc_id + 1 AS doc_id, d.n_chars::BIGINT AS n_chars,
+                   round(s.s, 4) AS bm25_r
+            FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+            ORDER BY d.n_chars DESC, s.doc_id LIMIT {TOPK}
+            """
+        ),
         "query_predictors": _with(
             f"""
             , {doclen_cte}
@@ -4745,6 +4787,7 @@ RAY_QUERIES = {
     "dense_rerank": q_dense_rerank,
     "mmr_rerank": q_mmr_rerank,
     "query_predictors": q_query_predictors,
+    "bm25_sorted": q_bm25_sorted,
     "bm25_segments": q_bm25_segments,
     "bm25_blend": q_bm25_blend,
     "cosine_norms": q_cosine_norms,

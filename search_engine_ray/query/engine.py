@@ -402,6 +402,57 @@ class SearchEngine:
             self._doc_attrs: dict[str, tuple] = {}
         self._doc_attrs[name] = build_doc_attr(doc_ids, values)
 
+    def set_doc_sort_attr(self, name: str, doc_ids, values) -> None:
+        """Register a NUMERIC per-doc attribute for sort-by-field
+        retrieval (:meth:`bm25_topk_sorted`) — timestamps, sizes, quality
+        scores. Stored as (sorted ids, float64 values), O(num_docs)."""
+        ids = np.asarray(doc_ids, np.int64)
+        vals = np.asarray(values, np.float64)
+        order = np.argsort(ids, kind="stable")
+        if not hasattr(self, "_doc_sort_attrs"):
+            self._doc_sort_attrs: dict[str, tuple] = {}
+        self._doc_sort_attrs[name] = (ids[order], vals[order])
+
+    def bm25_topk_sorted(self, query: str, k: int = 10, *, attr: str,
+                         descending: bool = True
+                         ) -> list[tuple[int, float, float]]:
+        """Sort-by-field retrieval (Lucene ``Sort``): docs matching ≥1
+        query term, top-k by the registered numeric attribute
+        (:meth:`set_doc_sort_attr`) instead of relevance — newest-first /
+        largest-first listings with the BM25 score still attached.
+        Order: (attr desc|asc, doc_id asc); docs missing from the sort
+        registry rank after all present ones (Lucene's missing-last).
+        Returns [(doc_id, attr_value, bm25_score)] (missing attr →
+        nan)."""
+        doc_parts, score_parts = [], []
+        for t in self.query_terms(query):
+            tp = self.get_postings(t)
+            if tp is None or tp.df == 0:
+                continue
+            dl = self.doc_length(tp.doc_ids)
+            w = bm25_weights(
+                tp.tfs, dl, tp.df, self.num_docs, self.avgdl,
+                self.config.bm25_k1, self.config.bm25_b,
+            )
+            doc_parts.append(tp.doc_ids)
+            score_parts.append(w)
+        if not doc_parts:
+            return []
+        ids = np.concatenate(doc_parts)
+        sc = np.concatenate(score_parts)
+        # per-doc bm25 sum in term order (stable sort), distinct ids
+        perm = np.argsort(ids, kind="stable")
+        ids, sc = ids[perm], sc[perm]
+        uniq, starts = np.unique(ids, return_index=True)
+        bm25 = np.add.reduceat(sc, starts)
+        aids, avals = self._doc_sort_attrs[attr]
+        i = np.clip(np.searchsorted(aids, uniq), 0, max(len(aids) - 1, 0))
+        present = (aids[i] == uniq) if len(aids) else np.zeros(len(uniq), bool)
+        vals = np.where(present, avals[i] if len(aids) else 0.0, np.nan)
+        key = np.where(present, vals if not descending else -vals, np.inf)
+        order = np.lexsort((uniq, key))[:k]
+        return [(int(uniq[j]), float(vals[j]), float(bm25[j])) for j in order]
+
     def _attr_mask(self, attr: str, allowed, doc_ids: np.ndarray) -> np.ndarray:
         """Boolean keep-mask over candidate doc_ids: attr(doc) ∈ allowed.
         Docs absent from the attribute table never match (no unwrap-panic,

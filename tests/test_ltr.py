@@ -113,3 +113,24 @@ def test_query_predictors(engine):
 
     zero = query_predictors(engine, "nonexistentzz qqq")
     assert zero["n_indexed"] == 0.0 and zero["sum_idf"] == 0.0
+
+
+def test_bm25_topk_sorted(engine):
+    eng = engine
+    # n_chars-like numeric attr over docs 1..5 (engine ids)
+    eng.set_doc_sort_attr("size", [1, 2, 3, 5], [10.0, 40.0, 20.0, 40.0])
+    rows = eng.bm25_topk_sorted("alpha beta", k=10, attr="size")
+    ids = [d for d, _, _ in rows]
+    # matching docs: 1,2,3,5; order by size desc, doc asc: 2(40),5(40),3(20),1(10)
+    assert ids == [2, 5, 3, 1]
+    assert [v for _, v, _ in rows] == [40.0, 40.0, 20.0, 10.0]
+    # bm25 values match the exhaustive scorer per doc
+    want = dict(eng.bm25_topk("alpha beta", k=100))
+    for d, _, s in rows:
+        assert s == pytest.approx(want[d], rel=1e-12)
+    # ascending + missing-last: doc 5 absent from this attr
+    eng.set_doc_sort_attr("size2", [1, 2, 3], [3.0, 1.0, 2.0])
+    rows2 = eng.bm25_topk_sorted("alpha beta", k=10, attr="size2",
+                                 descending=False)
+    assert [d for d, _, _ in rows2] == [2, 3, 1, 5]
+    assert np.isnan(rows2[-1][1])
