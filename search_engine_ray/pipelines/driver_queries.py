@@ -511,6 +511,17 @@ def q_dense_rerank(sf_dir: str):
     return out.sort_values("rank").reset_index(drop=True)
 
 
+_PROX_W = 0.5
+
+
+def q_bm25_prox(sf_dir: str):
+    """Proximity-boosted BM25: bm25 + w·Σ pairs (idf_i+idf_j)/md² over
+    min pair distances — engine.bm25_prox_topk."""
+    eng = engine_for(sf_dir)
+    scores = eng.bm25_prox_topk(Q_TEXT, k=10_000_000, w=_PROX_W)
+    return _ranked(scores, 4)
+
+
 def q_bm25_sorted(sf_dir: str):
     """Sort-by-field retrieval: matching docs ordered by n_chars desc
     (doc asc ties) with BM25 attached — engine.bm25_topk_sorted."""
@@ -2698,6 +2709,49 @@ def oracle_queries() -> dict[str, str]:
         "bm25_maxscore": out_bm25,
         "bm25_distributed": out_bm25,
         "bm25_segments": out_bm25,
+        "bm25_prox": _with(
+            f"""
+            , {doclen_cte}
+            , stats AS (SELECT avg(doc_length) AS avgdl FROM doclen)
+            , scores AS (
+              SELECT p.doc_id,
+                     sum( ln(({n_docs} - t.df + 0.5) / (t.df + 0.5) + 1.0)
+                          * p.tf * (1.2 + 1.0)
+                          / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_length / s.avgdl)) ) AS s
+              FROM postings p
+              JOIN term_df t USING (term)
+              JOIN doclen dl ON dl.doc_id = p.doc_id
+              CROSS JOIN stats s
+              WHERE p.term IN ({qterms})
+              GROUP BY p.doc_id
+            )
+            , md AS (
+              SELECT a.doc_id, a.term AS t1, b.term AS t2,
+                     min(abs(a.position - b.position)) AS d
+              FROM lem a JOIN lem b
+                ON a.doc_id = b.doc_id AND a.term < b.term
+              WHERE a.term IN ({qterms}) AND b.term IN ({qterms})
+              GROUP BY a.doc_id, a.term, b.term
+            )
+            , boosts AS (
+              SELECT m.doc_id,
+                     sum( {_PROX_W} * ( ln(({n_docs} - ta.df + 0.5) / (ta.df + 0.5) + 1.0)
+                                      + ln(({n_docs} - tb.df + 0.5) / (tb.df + 0.5) + 1.0) )
+                          / (greatest(m.d, 1) * greatest(m.d, 1)) ) AS b
+              FROM md m
+              JOIN term_df ta ON ta.term = m.t1
+              JOIN term_df tb ON tb.term = m.t2
+              GROUP BY m.doc_id
+            )
+            , total AS (
+              SELECT s.doc_id, s.s + coalesce(b.b, 0) AS s
+              FROM scores s LEFT JOIN boosts b USING (doc_id)
+            )
+            SELECT ROW_NUMBER() OVER (ORDER BY round(s, 4) DESC, doc_id)::BIGINT AS rank,
+                   doc_id + 1 AS doc_id, round(s, 4) AS score_r
+            FROM total ORDER BY round(s, 4) DESC, doc_id LIMIT {TOPK}
+            """
+        ),
         "bm25_sorted": _with(
             f"""
             , {doclen_cte}
@@ -4788,6 +4842,7 @@ RAY_QUERIES = {
     "mmr_rerank": q_mmr_rerank,
     "query_predictors": q_query_predictors,
     "bm25_sorted": q_bm25_sorted,
+    "bm25_prox": q_bm25_prox,
     "bm25_segments": q_bm25_segments,
     "bm25_blend": q_bm25_blend,
     "cosine_norms": q_cosine_norms,

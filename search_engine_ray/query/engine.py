@@ -617,6 +617,72 @@ class SearchEngine:
         expansion = [t for _s, t in scored[:fb_terms]]
         return self.bm25_topk_terms(orig + expansion, k)
 
+    def bm25_prox_topk(self, query: str, k: int = 10, w: float = 1.0
+                       ) -> list[tuple[int, float]]:
+        """Proximity-boosted BM25 (the term-proximity scoring family of
+        Rasolofo & Savoy ECIR'03 / Büttcher et al. SIGIR'06, on the min
+        pair distance): docs where query terms appear CLOSE TOGETHER
+        outrank bags of the same terms scattered apart —
+
+            score(d) = bm25(d) + w · Σ_{pairs i<j present in d}
+                                       (idf_i + idf_j) / md_{ij}(d)²
+
+        with md the minimum |p_i − p_j| over the doc's positions of the
+        two terms (≥ 1). Pairs run over distinct normalized query terms;
+        per pair the common docs intersect via searchsorted and every
+        min-distance computes in ONE vectorized fused-key pass
+        (postings_codec.segmented_min_distance) — no per-doc Python.
+        Top-k by (score desc, doc_id asc)."""
+        from search_engine_ray.query.postings_codec import segmented_min_distance
+        from search_engine_ray.query.scoring import bm25_idf
+
+        terms = self.query_terms(query)
+        tps = []
+        for t in terms:
+            tp = self.get_postings(t)
+            if tp is not None and tp.df:
+                tps.append((tp, bm25_idf(tp.df, self.num_docs)))
+        if not tps:
+            return []
+        doc_parts, score_parts = [], []
+        for tp, _idf in tps:
+            dl = self.doc_length(tp.doc_ids)
+            doc_parts.append(tp.doc_ids)
+            score_parts.append(bm25_weights(
+                tp.tfs, dl, tp.df, self.num_docs, self.avgdl,
+                self.config.bm25_k1, self.config.bm25_b))
+
+        def ragged_take(tp, idx):
+            """(flat positions, offsets) for the postings rows ``idx``."""
+            lens = tp.pos_offsets[idx + 1] - tp.pos_offsets[idx]
+            off = np.zeros(len(idx) + 1, np.int64)
+            np.cumsum(lens, out=off[1:])
+            total = int(off[-1])
+            gather = (np.arange(total, dtype=np.int64)
+                      + np.repeat(tp.pos_offsets[idx] - off[:-1], lens))
+            return tp.pos_values[gather], off
+
+        for a in range(len(tps)):
+            for b in range(a + 1, len(tps)):
+                tpa, idf_a = tps[a]
+                tpb, idf_b = tps[b]
+                ia = np.searchsorted(tpa.doc_ids, tpb.doc_ids)
+                ia = np.minimum(ia, len(tpa.doc_ids) - 1)
+                common = tpa.doc_ids[ia] == tpb.doc_ids
+                if not common.any():
+                    continue
+                ib = np.flatnonzero(common)
+                ia = ia[ib]
+                p1, o1 = ragged_take(tpa, ia)
+                p2, o2 = ragged_take(tpb, ib)
+                md = segmented_min_distance(p1, o1, p2, o2)
+                md = np.maximum(md, 1).astype(np.float64)
+                doc_parts.append(tpb.doc_ids[ib])
+                score_parts.append(w * (idf_a + idf_b) / (md * md))
+        ids, scores = topk_docs(np.concatenate(doc_parts),
+                                np.concatenate(score_parts), k)
+        return [(int(d), float(s)) for d, s in zip(ids, scores)]
+
     def bm25_topk_wand(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """Block-max WAND top-k BM25 (query/wand.py): identical results to
         :meth:`bm25_topk` (ties included — pytest-enforced), but skips whole

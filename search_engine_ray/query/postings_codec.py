@@ -132,3 +132,31 @@ def decode_term_chunks(chunks: pa.Table) -> TermPostings:
         np.concatenate(off_parts),
         np.concatenate(val_parts) if val_parts else np.zeros(0, np.int64),
     )
+
+
+def segmented_min_distance(pos1: np.ndarray, off1: np.ndarray,
+                           pos2: np.ndarray, off2: np.ndarray) -> np.ndarray:
+    """Per-segment min |a − b| between two ragged ASCENDING position sets
+    (segment i of ``posX`` is ``posX[offX[i]:offX[i+1]]``; same segment
+    count on both sides, every segment non-empty). One fused-key
+    searchsorted finds each left position's nearest right neighbor in its
+    own segment (insertion point clamped to the segment's block bounds —
+    cross-segment neighbors are masked, never compared), then a
+    ``minimum.reduceat`` folds per segment. No per-segment Python."""
+    n_seg = len(off1) - 1
+    if n_seg <= 0:
+        return np.zeros(0, np.int64)
+    n1 = np.diff(off1)
+    n2 = np.diff(off2)
+    big = np.int64(1) << 40
+    f1 = np.repeat(np.arange(n_seg, dtype=np.int64), n1) * big + pos1
+    f2 = np.repeat(np.arange(n_seg, dtype=np.int64), n2) * big + pos2
+    idx = np.searchsorted(f2, f1)
+    lo_bound = np.repeat(off2[:-1], n1)
+    hi_bound = np.repeat(off2[1:], n1)
+    inf = np.int64(1) << 60
+    right = np.where(idx < hi_bound,
+                     f2[np.minimum(idx, len(f2) - 1)] - f1, inf)
+    left = np.where(idx - 1 >= lo_bound,
+                    f1 - f2[np.maximum(idx - 1, 0)], inf)
+    return np.minimum.reduceat(np.minimum(right, left), off1[:-1])
