@@ -2855,14 +2855,24 @@ def oracle_queries() -> dict[str, str]:
               WHERE p.term IN ({qterms})
               GROUP BY p.doc_id
             )
+            , md AS (
+              SELECT a.doc_id, min(abs(a.position - b.position)) AS d
+              FROM lem a JOIN lem b
+                ON a.doc_id = b.doc_id AND a.term < b.term
+              WHERE a.term IN ({qterms}) AND b.term IN ({qterms})
+              GROUP BY a.doc_id
+            )
             SELECT f.doc_id + 1 AS doc_id, n_matched,
                    dl.doc_length AS doc_len, sum_tf, max_tf,
                    round(bm25, 4) AS bm25_r, round(tfidf, 4) AS tfidf_r,
                    round(n_matched / {float(len(Q_TERMS))}, 4) AS coverage_r,
                    round(sum_idf, 4) AS sum_idf_r,
                    round(min_idf, 4) AS min_idf_r,
-                   round(max_idf, 4) AS max_idf_r
+                   round(max_idf, 4) AS max_idf_r,
+                   (CASE WHEN m.d IS NULL THEN 0
+                         ELSE greatest(m.d, 1) END)::BIGINT AS min_pair_md
             FROM feats f JOIN doclen dl ON dl.doc_id = f.doc_id
+            LEFT JOIN md m ON m.doc_id = f.doc_id
             ORDER BY f.doc_id
             """
         ),

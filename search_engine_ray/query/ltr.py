@@ -37,10 +37,12 @@ def ltr_features(eng, query: str) -> pa.Table:
     terms = eng.query_terms(query)
     n_q = len(terms)
     id_parts, col_parts = [], {"bm25": [], "tfidf": [], "tf": [], "idf": []}
+    tps = []
     for t in terms:
         tp = eng.get_postings(t)
         if tp is None or tp.df == 0:
             continue
+        tps.append(tp)
         dl = eng.doc_length(tp.doc_ids)
         id_parts.append(tp.doc_ids)
         col_parts["bm25"].append(bm25_weights(
@@ -58,7 +60,7 @@ def ltr_features(eng, query: str) -> pa.Table:
         ("coverage", pa.float64()), ("sum_idf", pa.float64()),
         ("min_idf", pa.float64()), ("max_idf", pa.float64()),
         ("doc_len", pa.int64()), ("sum_tf", pa.float64()),
-        ("max_tf", pa.float64()),
+        ("max_tf", pa.float64()), ("min_pair_md", pa.int64()),
     ])
     if not id_parts:
         return empty_schema.empty_table()
@@ -83,8 +85,42 @@ def ltr_features(eng, query: str) -> pa.Table:
         "max_tf": np.maximum.reduceat(cols["tf"], starts),
     }
     out["coverage"] = out["n_matched"] / float(n_q)
+
+    # positional feature: min over term pairs of the min |p_i − p_j| in
+    # the doc (0 = fewer than two matched terms) — the proximity signal
+    # rerankers weight heavily. One fused-key pass per pair
+    # (postings_codec.segmented_min_distance), no per-doc Python.
+    from search_engine_ray.query.postings_codec import segmented_min_distance
+
+    min_md = np.zeros(len(uniq), np.int64)
+    for a in range(len(tps)):
+        for b in range(a + 1, len(tps)):
+            tpa, tpb = tps[a], tps[b]
+            ia = np.minimum(np.searchsorted(tpa.doc_ids, tpb.doc_ids),
+                            len(tpa.doc_ids) - 1)
+            common = tpa.doc_ids[ia] == tpb.doc_ids
+            if not common.any():
+                continue
+            ib = np.flatnonzero(common)
+            p1, o1 = _ragged_positions(tpa, ia[ib])
+            p2, o2 = _ragged_positions(tpb, ib)
+            md = np.maximum(segmented_min_distance(p1, o1, p2, o2), 1)
+            pos = np.searchsorted(uniq, tpb.doc_ids[ib])
+            cur = min_md[pos]
+            min_md[pos] = np.where(cur == 0, md, np.minimum(cur, md))
+    out["min_pair_md"] = min_md
     return pa.table({f.name: pa.array(out[f.name], f.type)
                      for f in empty_schema})
+
+
+def _ragged_positions(tp, idx: np.ndarray):
+    """(flat positions, offsets) for the postings rows ``idx``."""
+    lens = tp.pos_offsets[idx + 1] - tp.pos_offsets[idx]
+    off = np.zeros(len(idx) + 1, np.int64)
+    np.cumsum(lens, out=off[1:])
+    gather = (np.arange(int(off[-1]), dtype=np.int64)
+              + np.repeat(tp.pos_offsets[idx] - off[:-1], lens))
+    return tp.pos_values[gather], off
 
 
 class LtrFeatureActor:

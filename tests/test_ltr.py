@@ -134,3 +134,14 @@ def test_bm25_topk_sorted(engine):
                                  descending=False)
     assert [d for d, _, _ in rows2] == [2, 3, 1, 5]
     assert np.isnan(rows2[-1][1])
+
+
+def test_min_pair_md_feature(engine):
+    feats = ltr_features(engine, "alpha beta").to_pandas().set_index("doc_id")
+    # doc 1: "alpha beta gamma alpha" → alpha@{0,3}, beta@{1}: md = 1
+    assert feats.loc[1, "min_pair_md"] == 1
+    # doc 5: "alpha beta alpha beta gamma" → md = 1
+    assert feats.loc[5, "min_pair_md"] == 1
+    # single-term docs → 0
+    assert feats.loc[2, "min_pair_md"] == 0
+    assert feats.loc[3, "min_pair_md"] == 0
