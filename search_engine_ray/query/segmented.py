@@ -124,7 +124,33 @@ class SegmentedSearchEngine:
         if len(self.tombstones):
             # chunk upper bounds can't see deletions; stay exact
             return self.bm25_topk(query, k)
-        from search_engine_ray.query.wand import TermCursor, wand_topk
+        from search_engine_ray.query.wand import wand_topk
+
+        cursors = self._term_cursors(query)
+        if not cursors:
+            return []
+        return wand_topk(cursors, k)
+
+    def bm25_topk_maxscore(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """MAXSCORE over the per-(term, segment) cursor set — exact:
+        each doc lives in exactly one segment, so its score is the sum
+        over the cursors containing it and the essential/non-essential
+        bound argument holds per cursor unchanged. Tombstones fall back
+        to the exhaustive path like WAND."""
+        if len(self.tombstones):
+            return self.bm25_topk(query, k)
+        from search_engine_ray.query.wand import maxscore_topk
+
+        cursors = self._term_cursors(query)
+        if not cursors:
+            return []
+        return maxscore_topk(cursors, k)
+
+    def _term_cursors(self, query: str) -> list:
+        """Block-max cursors per (term, segment), term-major creation
+        order (the float summation order both pruning paths re-impose,
+        matching the exhaustive scorer); idf uses the GLOBAL df."""
+        from search_engine_ray.query.wand import TermCursor
 
         cursors = []
         for t in self.query_terms(query):
@@ -146,9 +172,7 @@ class SegmentedSearchEngine:
 
                 cursors.append(TermCursor(chunks, idf, self.config.bm25_k1,
                                           self.config.bm25_b, self.avgdl, dl_of))
-        if not cursors:
-            return []
-        return wand_topk(cursors, k)
+        return cursors
 
     # ------------------------------------------------------------------ boolean
     def boolean_and(self, query: str) -> np.ndarray:

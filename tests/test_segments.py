@@ -93,6 +93,16 @@ class TestAppend:
                                    rtol=1e-12)
 
     @pytest.mark.parametrize("q", QUERIES)
+    def test_maxscore_matches_monolithic(self, built, q):
+        full, seg, _root, _fd = built
+        got = seg.bm25_topk_maxscore(q, 10)
+        want = full.bm25_topk(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in want]
+        np.testing.assert_allclose([s for _, s in got], [s for _, s in want],
+                                   rtol=1e-12)
+        assert got == seg.bm25_topk(q, 10)
+
+    @pytest.mark.parametrize("q", QUERIES)
     def test_boolean_and_identical(self, built, q):
         full, seg, _root, _fd = built
         np.testing.assert_array_equal(seg.boolean_and(q), full.boolean_and(q))
@@ -149,8 +159,9 @@ class TestTombstones:
             for d, _s in seg.bm25_topk(q, 30):
                 assert d not in (5, 12)
             assert not np.isin([5, 12], seg.boolean_and(q)).any()
-        # WAND falls back to exhaustive under tombstones — still exact
+        # WAND/MAXSCORE fall back to exhaustive under tombstones — still exact
         assert seg.bm25_topk_wand("quick brown", 10) == seg.bm25_topk("quick brown", 10)
+        assert seg.bm25_topk_maxscore("quick brown", 10) == seg.bm25_topk("quick brown", 10)
         # cleanup for the compaction tests below (fixture is module-scoped)
         import json
         import os
