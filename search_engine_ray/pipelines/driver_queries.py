@@ -541,6 +541,24 @@ def q_bm25_sorted(sf_dir: str):
     })
 
 
+_RANGE_LO, _RANGE_HI = 200, 400
+
+
+def q_bm25_range(sf_dir: str):
+    """Range-filtered BM25: true top-k among docs with n_chars in
+    [200, 400] — engine.bm25_topk_range over the numeric registry."""
+    import pyarrow.parquet as pq
+
+    eng = engine_for(sf_dir)
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "n_chars"])
+    eng.set_doc_sort_attr(
+        "n_chars", t["doc_id"].to_numpy() + 1, t["n_chars"].to_numpy())
+    scores = eng.bm25_topk_range(Q_TEXT, k=10_000_000, attr="n_chars",
+                                 lo=_RANGE_LO, hi=_RANGE_HI)
+    return _ranked(scores, 4)
+
+
 def q_query_predictors(sf_dir: str):
     """Pre-retrieval QPP statistics (avgICTF / SCQ / idf aggregates) for
     the fixed query — one row, every column SQL-value-checked."""
@@ -2752,6 +2770,29 @@ def oracle_queries() -> dict[str, str]:
             FROM total ORDER BY round(s, 4) DESC, doc_id LIMIT {TOPK}
             """
         ),
+        "bm25_range": _with(
+            f"""
+            , {doclen_cte}
+            , stats AS (SELECT avg(doc_length) AS avgdl FROM doclen)
+            , scores AS (
+              SELECT p.doc_id,
+                     sum( ln(({n_docs} - t.df + 0.5) / (t.df + 0.5) + 1.0)
+                          * p.tf * (1.2 + 1.0)
+                          / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_length / s.avgdl)) ) AS s
+              FROM postings p
+              JOIN term_df t USING (term)
+              JOIN doclen dl ON dl.doc_id = p.doc_id
+              JOIN documents d ON d.doc_id = p.doc_id
+              CROSS JOIN stats s
+              WHERE p.term IN ({qterms})
+                AND d.n_chars BETWEEN {_RANGE_LO} AND {_RANGE_HI}
+              GROUP BY p.doc_id
+            )
+            SELECT ROW_NUMBER() OVER (ORDER BY round(s, 4) DESC, doc_id)::BIGINT AS rank,
+                   doc_id + 1 AS doc_id, round(s, 4) AS score_r
+            FROM scores ORDER BY round(s, 4) DESC, doc_id LIMIT {TOPK}
+            """
+        ),
         "bm25_sorted": _with(
             f"""
             , {doclen_cte}
@@ -4853,6 +4894,7 @@ RAY_QUERIES = {
     "query_predictors": q_query_predictors,
     "bm25_sorted": q_bm25_sorted,
     "bm25_prox": q_bm25_prox,
+    "bm25_range": q_bm25_range,
     "bm25_segments": q_bm25_segments,
     "bm25_blend": q_bm25_blend,
     "cosine_norms": q_cosine_norms,

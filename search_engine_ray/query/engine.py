@@ -413,6 +413,40 @@ class SearchEngine:
             self._doc_sort_attrs: dict[str, tuple] = {}
         self._doc_sort_attrs[name] = (ids[order], vals[order])
 
+    def bm25_topk_range(self, query: str, k: int = 10, *, attr: str,
+                        lo: float = -np.inf, hi: float = np.inf
+                        ) -> list[tuple[int, float]]:
+        """BM25 top-k restricted to docs whose registered NUMERIC
+        attribute (:meth:`set_doc_sort_attr`) lies in [lo, hi] — the
+        range-filter companion of the categorical
+        :meth:`bm25_topk_filtered` (timestamp windows, size bounds,
+        quality thresholds). The filter applies per posting list BEFORE
+        top-k, so the result is the true top-k of the filtered corpus;
+        docs absent from the attribute registry never match."""
+        aids, avals = self._doc_sort_attrs[attr]
+        doc_parts, score_parts = [], []
+        for t in self.query_terms(query):
+            tp = self.get_postings(t)
+            if tp is None or tp.df == 0:
+                continue
+            i = np.clip(np.searchsorted(aids, tp.doc_ids), 0,
+                        max(len(aids) - 1, 0))
+            present = (aids[i] == tp.doc_ids) if len(aids) else np.zeros(tp.df, bool)
+            keep = present & (avals[i] >= lo) & (avals[i] <= hi)
+            if not keep.any():
+                continue
+            docs, tfs = tp.doc_ids[keep], tp.tfs[keep]
+            dl = self.doc_length(docs)
+            doc_parts.append(docs)
+            score_parts.append(bm25_weights(
+                tfs, dl, tp.df, self.num_docs, self.avgdl,
+                self.config.bm25_k1, self.config.bm25_b))
+        if not doc_parts:
+            return []
+        ids, scores = topk_docs(np.concatenate(doc_parts),
+                                np.concatenate(score_parts), k)
+        return [(int(d), float(s)) for d, s in zip(ids, scores)]
+
     def bm25_topk_sorted(self, query: str, k: int = 10, *, attr: str,
                          descending: bool = True
                          ) -> list[tuple[int, float, float]]:

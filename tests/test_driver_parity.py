@@ -97,7 +97,7 @@ def test_query_and_oracle_keys_align(entry):
         "bm25_segments", "bm25_blend", "phrase", "phrase_slop", "within_window",
         "proximity", "fuzzy", "prefix_search",
         "spell_correct", "facet_counts", "exact_dedup", "cluster_best",
-        "query_predictors", "bm25_sorted", "bm25_prox",
+        "query_predictors", "bm25_sorted", "bm25_prox", "bm25_range",
         "normalize_text", "lang_counts",
         "text_stats", "classifier_scores", "gopher_rules", "doc_keywords", "sparse_knn",
         "doc_logprob", "dsir_weights",

@@ -145,3 +145,18 @@ def test_min_pair_md_feature(engine):
     # single-term docs → 0
     assert feats.loc[2, "min_pair_md"] == 0
     assert feats.loc[3, "min_pair_md"] == 0
+
+
+def test_bm25_topk_range(engine):
+    eng = engine
+    eng.set_doc_sort_attr("sz", [1, 2, 3, 4, 5], [10, 20, 30, 40, 50])
+    full = dict(eng.bm25_topk("alpha beta", k=100))      # docs 1,2,3,5
+    got = eng.bm25_topk_range("alpha beta", k=100, attr="sz", lo=15, hi=35)
+    assert {d for d, _ in got} == {2, 3}
+    for d, s in got:
+        assert s == pytest.approx(full[d], rel=1e-12)
+    # unbounded range == plain bm25
+    all_r = eng.bm25_topk_range("alpha beta", k=100, attr="sz")
+    assert all_r == eng.bm25_topk("alpha beta", k=100)
+    # empty range
+    assert eng.bm25_topk_range("alpha beta", k=10, attr="sz", lo=99, hi=5) == []
