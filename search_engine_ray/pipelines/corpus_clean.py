@@ -860,7 +860,7 @@ def _chunk_parts(batch: pa.Table, text_col: str, min_size: int,
     them as '')."""
     import pyarrow.compute as pc
 
-    from search_engine_ray.functions.cdc import cdc_boundaries
+    from search_engine_ray.functions.cdc import batch_boundaries
     from search_engine_ray.functions.vb import binary_column_parts, binary_from_spans
 
     texts = pc.fill_null(batch[text_col], "").cast(pa.string())
@@ -873,11 +873,13 @@ def _chunk_parts(batch: pa.Table, text_col: str, min_size: int,
     n_docs = len(offsets) - 1
     counts = np.zeros(n_docs, np.int64)
     all_ends = []
+    ends_per_doc = batch_boundaries(data, offsets, min_size, avg_bits,
+                                    max_size)
     for i in range(n_docs):
         seg = data[offsets[i]:offsets[i + 1]]
         if len(seg) == 0:
             continue
-        ends = _utf8_align(seg, cdc_boundaries(seg, min_size, avg_bits, max_size))
+        ends = _utf8_align(seg, ends_per_doc[i])
         counts[i] = len(ends)
         all_ends.append(ends + offsets[i])
     abs_ends = (np.concatenate(all_ends) if all_ends

@@ -953,7 +953,8 @@ def cdc_chunks(docs: "ray.data.Dataset", min_size: int = 64,
     Map-only (row-local), no shuffle; empty docs emit nothing."""
     import hashlib
 
-    from search_engine_ray.functions.cdc import cdc_boundaries
+    from search_engine_ray.functions.cdc import batch_boundaries
+    from search_engine_ray.functions.vb import binary_column_parts
 
     def fn(b: pa.Table) -> pa.Table:
         b = b.combine_chunks()
@@ -964,17 +965,24 @@ def cdc_chunks(docs: "ray.data.Dataset", min_size: int = 64,
                           "chunk_hash": pa.array([], pa.uint64())})
         if b.num_rows == 0:
             return empty
+        texts = pc.fill_null(b[text_col], "").cast(pa.string())
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        offsets, data = binary_column_parts(texts)
+        base = offsets[0]
+        offsets = offsets - base
+        data = data[base:base + offsets[-1]] if len(data) else data
+        # one mask-hit pass over the whole batch buffer; sparse walks per doc
+        ends_per_doc = batch_boundaries(data, offsets, min_size, avg_bits,
+                                        max_size)
         ids_out, cidx, starts, lens, hashes = [], [], [], [], []
         ids = b[id_col].to_numpy(zero_copy_only=False)
-        for did, text in zip(ids, b[text_col].to_pylist()):
-            raw = (text or "").encode("utf-8")
-            if not raw:
-                continue
-            data = np.frombuffer(raw, np.uint8)
-            ends = cdc_boundaries(data, min_size, avg_bits, max_size)
+        for i, ends in enumerate(ends_per_doc):
+            did = int(ids[i])
+            raw = data[offsets[i]:offsets[i + 1]].tobytes()
             prev = 0
             for j, e in enumerate(ends):
-                ids_out.append(int(did))
+                ids_out.append(did)
                 cidx.append(j)
                 starts.append(prev)
                 lens.append(int(e) - prev)

@@ -202,3 +202,29 @@ def test_cdc_duplicate_chunks_finds_boilerplate(ray_session):
     assert got.to_dict() == want.sort_index().to_dict()
     # interior boilerplate chunks repeat in all 3 docs
     assert (dup["n_copies"] == 3).any()
+
+
+def test_gear_mask_hits_match_full_hash_low_bits():
+    from search_engine_ray.functions.cdc import gear_mask_hits
+
+    data = _rand_bytes(3000, 55)
+    for avg_bits in (2, 5, 7, 13):
+        full = (_gear_hashes(data) & np.uint64((1 << avg_bits) - 1)) == 0
+        assert np.array_equal(gear_mask_hits(data, avg_bits), full), avg_bits
+
+
+def test_batch_boundaries_equal_per_doc():
+    from search_engine_ray.functions.cdc import batch_boundaries
+
+    rng = np.random.default_rng(56)
+    lens = [0, 10, 500, 64, 2000, 1, 63]
+    segs = [rng.integers(0, 256, n, dtype=np.uint8) for n in lens]
+    data = np.concatenate(segs) if segs else np.zeros(0, np.uint8)
+    offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+    for kw in (dict(min_size=64, avg_bits=7, max_size=512),
+               dict(min_size=16, avg_bits=4, max_size=64),
+               dict(min_size=2, avg_bits=5, max_size=16)):  # fallback path
+        got = batch_boundaries(data, offsets, **kw)
+        for i, seg in enumerate(segs):
+            want = cdc_boundaries(seg, **kw)
+            assert got[i].tolist() == want.tolist(), (i, kw)
