@@ -1106,6 +1106,35 @@ def _docs_with_urls(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+_MIRROR_MOD, _MIRROR_K = 5, 100
+
+
+def q_host_mirrors(sf_dir: str):
+    """Mirror detection over synthesized hosts: every 5th doc serves one
+    of 100 shared template contents (the corpus has no natural exact
+    dups), so hosts genuinely mirror each other; host pairs sharing
+    identical content report distinct-content overlap ratios."""
+    from search_engine_ray.pipelines.webcorpus import host_mirrors
+
+    def mirror_texts(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        out = [f"shared page {int(d) % _MIRROR_K}"
+               if int(d) % _MIRROR_MOD == 0 else (t or "")
+               for d, t in zip(ids, texts)]
+        return batch.set_column(batch.schema.get_field_index("text"),
+                                "text", pa.array(out, pa.string()))
+
+    pages = _docs_with_urls(sf_dir).map_batches(mirror_texts,
+                                                batch_format="pyarrow")
+    out = host_mirrors(pages).to_pandas()
+    if out.empty:  # Ray's empty to_pandas drops the columns
+        out = out.reindex(columns=["host_a", "host_b", "n_shared", "overlap_r"])
+    out["n_shared"] = out["n_shared"].astype(np.int64)
+    return (out.sort_values(["host_a", "host_b"]).reset_index(drop=True))
+
+
 def q_canonical_urls(sf_dir: str):
     """URL canonicalization over deterministically-synthesized messy urls
     (4 variants per doc_id: uppercase scheme/host + default port +
@@ -4402,6 +4431,37 @@ def oracle_queries() -> dict[str, str]:
                    (count(*) FILTER (WHERE NOT keep))::BIGINT AS n_removed
             FROM k GROUP BY doc_id ORDER BY doc_id
         """,
+        "host_mirrors": f"""
+            WITH pg AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % {_MIRROR_MOD} = 0
+                          THEN 'shared page ' || (doc_id % {_MIRROR_K})::VARCHAR
+                          ELSE text END AS text
+              FROM documents
+            ),
+            ph AS (
+              SELECT DISTINCT md5(text) AS h,
+                     'h' || (doc_id % {_HOST_MOD})::VARCHAR || '.example.test' AS host
+              FROM pg
+            ),
+            hc AS (SELECT host, count(*) AS n_content FROM ph GROUP BY host),
+            ok AS (SELECT h FROM ph GROUP BY h HAVING count(*) BETWEEN 2 AND 50),
+            pr AS (
+              SELECT a.host AS host_a, b.host AS host_b
+              FROM ph a JOIN ph b ON a.h = b.h AND a.host < b.host
+              WHERE a.h IN (SELECT h FROM ok)
+            ),
+            ns AS (
+              SELECT host_a, host_b, count(*)::BIGINT AS n_shared
+              FROM pr GROUP BY host_a, host_b HAVING count(*) >= 1
+            )
+            SELECT ns.host_a, ns.host_b, ns.n_shared,
+                   round(ns.n_shared / least(ca.n_content, cb.n_content), 6) AS overlap_r
+            FROM ns
+            JOIN hc ca ON ca.host = ns.host_a
+            JOIN hc cb ON cb.host = ns.host_b
+            ORDER BY ns.host_a, ns.host_b
+        """,
         "dedup_lines": """
             WITH ls AS (
               SELECT doc_id, string_split(text, chr(10)) AS a FROM documents
@@ -4927,6 +4987,7 @@ RAY_QUERIES = {
     "project_embeddings": q_project_embeddings,
     "host_stats": q_host_stats,
     "canonical_urls": q_canonical_urls,
+    "host_mirrors": q_host_mirrors,
     "host_cap": q_host_cap,
     "stratified_sample": q_stratified_sample,
     "sample_k": q_sample_k,

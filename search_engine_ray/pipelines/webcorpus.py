@@ -649,3 +649,118 @@ def canonicalize_urls(pages, url_col: str = "url", out_col: str = "url_canon"):
         return batch.append_column(out_col, _canonical_url_arrow(batch[url_col]))
 
     return pages.map_batches(fn, batch_format="pyarrow")
+
+
+def host_mirrors(pages, min_shared: int = 1, max_hosts_per_hash: int = 50,
+                 url_col: str = "url", text_col: str = "text"):
+    """Mirror detection (the shared-content host-pair signal of Bharat &
+    Broder, WWW'99): pairs of hosts serving IDENTICAL page content →
+    (host_a, host_b, n_shared, overlap) with ``n_shared`` the number of
+    distinct shared contents and ``overlap = n_shared / min(|a|, |b|)``
+    over each host's distinct-content counts — the corpus-curation cue
+    for collapsing mirrored sites before per-host caps and dedup.
+
+    Content identity is md5(text). A content hash on more than
+    ``max_hosts_per_hash`` hosts is dropped BEFORE pair expansion
+    (near-universal boilerplate would otherwise amplify quadratically;
+    the SQL oracle applies the identical cap). Shuffle shape: distinct
+    (hash, host) via grouped_reduce → per-hash pair expansion inside
+    complete sorted groups (≤ cap² pairs per group) → pair-count
+    grouped_reduce → two hash joins for the per-host denominators.
+    Nothing corpus-cardinality ever broadcasts."""
+    from search_engine_ray.functions.hashing import md5_hex_batch
+    from search_engine_ray.stages.grouped import (
+        coalesce_for_join,
+        grouped_reduce,
+        sorted_group_map,
+    )
+
+    hosted = with_host(pages, url_col=url_col)
+
+    def hash_host(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.string()),
+                             "host": pa.array([], pa.string())})
+        return pa.table({
+            "h": pa.array(md5_hex_batch(
+                pc.fill_null(batch[text_col], "").to_pylist()), pa.string()),
+            "host": batch["host"],
+        })
+
+    distinct_hh = grouped_reduce(
+        hosted.map_batches(hash_host, batch_format="pyarrow"),
+        ["h", "host"]).materialize()
+
+    def emit_pairs(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        empty = pa.table({"host_a": pa.array([], pa.string()),
+                          "host_b": pa.array([], pa.string())})
+        if t.num_rows == 0:
+            return empty
+        codes = t["h"].dictionary_encode().combine_chunks().indices.to_numpy(
+            zero_copy_only=False)
+        hosts = t["host"].to_pylist()
+        new = np.empty(len(codes), bool)
+        new[0] = True
+        np.not_equal(codes[1:], codes[:-1], out=new[1:])
+        bounds = np.append(np.flatnonzero(new), len(codes))
+        a_out, b_out = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            n = e - s
+            if n < 2 or n > max_hosts_per_hash:
+                continue
+            grp = sorted(hosts[s:e])
+            for i in range(n):
+                for j in range(i + 1, n):
+                    a_out.append(grp[i])
+                    b_out.append(grp[j])
+        return pa.table({"host_a": pa.array(a_out, pa.string()),
+                         "host_b": pa.array(b_out, pa.string())})
+
+    pairs = sorted_group_map(distinct_hh, ["h"], emit_pairs,
+                             sort_cols=["h", "host"])
+    shared = grouped_reduce(pairs, ["host_a", "host_b"],
+                            count="n_shared").filter(
+        expr=f"n_shared >= {int(min_shared)}").materialize()
+    empty_out = pa.table({"host_a": pa.array([], pa.string()),
+                          "host_b": pa.array([], pa.string()),
+                          "n_shared": pa.array([], pa.int64()),
+                          "overlap_r": pa.array([], pa.float64())})
+    if shared.count() == 0:  # no mirrors: skip the joins (whose hash
+        import ray.data     # shuffle chokes on schemaless empty blocks)
+        return ray.data.from_arrow(empty_out)
+    counts = grouped_reduce(distinct_hh, ["host"], count="n_content")
+
+    npart = 8
+    ca = counts.map_batches(
+        lambda t: pa.table({"host_a": t["host"], "na": t["n_content"]}),
+        batch_format="pyarrow")
+    cb = counts.map_batches(
+        lambda t: pa.table({"host_b": t["host"], "nb": t["n_content"]}),
+        batch_format="pyarrow")
+    j1 = coalesce_for_join(shared, npart).join(
+        coalesce_for_join(ca, npart), join_type="inner",
+        num_partitions=npart, on=("host_a",))
+    joined = coalesce_for_join(j1, npart).join(
+        coalesce_for_join(cb, npart), join_type="inner",
+        num_partitions=npart, on=("host_b",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.table({"host_a": pa.array([], pa.string()),
+                             "host_b": pa.array([], pa.string()),
+                             "n_shared": pa.array([], pa.int64()),
+                             "overlap_r": pa.array([], pa.float64())})
+        ns = t["n_shared"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = t["na"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = t["nb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "host_a": t["host_a"], "host_b": t["host_b"],
+            "n_shared": t["n_shared"].cast(pa.int64()),
+            "overlap_r": pa.array(np.round(ns / np.minimum(na, nb), 6),
+                                  pa.float64()),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -102,7 +102,7 @@ def test_query_and_oracle_keys_align(entry):
         "text_stats", "classifier_scores", "gopher_rules", "doc_keywords", "sparse_knn",
         "doc_logprob", "dsir_weights",
         "ccnet_buckets", "doc_novelty",
-        "host_stats", "host_cap", "canonical_urls",
+        "host_stats", "host_cap", "canonical_urls", "host_mirrors",
         "stratified_sample", "upsample_mix", "curriculum_order", "quality_filter",
         "token_budget", "split_assign", "sample_k",
         "pack_sequences", "chunk_documents", "shuffle",

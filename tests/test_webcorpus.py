@@ -392,3 +392,48 @@ class TestSampleK:
         got2 = set(sample_k(self._docs(2 * n, 5), k, method="mix64")
                    .to_pandas()["doc_id"])
         assert got2 & set(ids.tolist()) <= set(got)
+
+
+def test_host_mirrors(ray_session):
+    import ray.data
+
+    from search_engine_ray.pipelines.webcorpus import host_mirrors
+
+    rows = []
+    # hosts a,b mirror 3 contents; c shares 1 with a; rest unique
+    for i, (host, text) in enumerate([
+        ("a", "x1"), ("a", "x2"), ("a", "x3"), ("a", "ua"),
+        ("b", "x1"), ("b", "x2"), ("b", "x3"),
+        ("c", "x1"), ("c", "uc1"), ("c", "uc2"),
+    ]):
+        rows.append({"doc_id": i, "url": f"https://{host}.test/p/{i}",
+                     "text": text})
+    out = (host_mirrors(ray.data.from_items(rows)).to_pandas()
+           .set_index(["host_a", "host_b"]))
+    assert len(out) == 3
+    assert out.loc[("a.test", "b.test"), "n_shared"] == 3
+    assert out.loc[("a.test", "b.test"), "overlap_r"] == 1.0  # 3/min(4,3)
+    assert out.loc[("a.test", "c.test"), "n_shared"] == 1
+    assert out.loc[("a.test", "c.test"), "overlap_r"] == round(1 / 3, 6)
+    assert out.loc[("b.test", "c.test"), "n_shared"] == 1
+
+
+def test_host_mirrors_empty_and_cap(ray_session):
+    import ray.data
+
+    from search_engine_ray.pipelines.webcorpus import host_mirrors
+
+    # all-unique corpus → typed empty result (no join crash)
+    rows = [{"doc_id": i, "url": f"https://h{i}.test/x", "text": f"u{i}"}
+            for i in range(6)]
+    ds = host_mirrors(ray.data.from_items(rows))
+    assert ds.count() == 0
+    assert set(ds.schema().names) == {"host_a", "host_b", "n_shared",
+                                      "overlap_r"}
+
+    # a hash on more hosts than the cap is dropped before pair expansion
+    rows = [{"doc_id": i, "url": f"https://h{i}.test/x", "text": "same"}
+            for i in range(5)]
+    out = host_mirrors(ray.data.from_items(rows),
+                       max_hosts_per_hash=3).to_pandas()
+    assert len(out) == 0
