@@ -857,6 +857,39 @@ def q_lang_counts(sf_dir: str):
     return ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
 
 
+def q_lang_confusion(sf_dir: str):
+    """Language-ID evaluation: confusion matrix of the n-gram heuristic's
+    prediction vs the table's lang label — (lang, lang_pred, n_docs).
+    Per-batch partial counts; the final groupby moves one row per
+    (batch, cell) at language-pair cardinality."""
+    from ray.data.aggregate import Sum
+
+    from search_engine_ray.functions.quality import batch_lang_id
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "lang_pred": pa.array([], pa.string()),
+                             "n_part": pa.array([], pa.int64())})
+        pred, _conf = batch_lang_id(batch["text"])
+        labels = batch["lang"].to_pylist()
+        counts: dict[tuple[str, str], int] = {}
+        for a, b in zip(labels, pred.tolist()):
+            counts[(a or "", b)] = counts.get((a or "", b), 0) + 1
+        keys = sorted(counts)
+        return pa.table({"lang": pa.array([k[0] for k in keys], pa.string()),
+                         "lang_pred": pa.array([k[1] for k in keys], pa.string()),
+                         "n_part": pa.array([counts[k] for k in keys], pa.int64())})
+
+    ds = _read_docs(sf_dir, ["doc_id", "text", "lang"])
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["lang", "lang_pred"])
+           .aggregate(Sum("n_part", alias_name="n_docs")).to_pandas())
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
+
+
 def q_text_stats(sf_dir: str):
     from search_engine_ray.pipelines.training_data import text_stats
 
@@ -3532,6 +3565,30 @@ def oracle_queries() -> dict[str, str]:
                         ELSE {langid_best}::DOUBLE / n END AS confidence
             FROM h
         """,
+        "lang_confusion": f"""
+            WITH raw AS (
+              SELECT doc_id,
+                     list_transform(
+                       (list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))[1:200],
+                       t -> lower(t)) AS tk
+              FROM documents
+            ),
+            h AS (
+              SELECT doc_id, len(tk) AS n,
+                   {langid_hits}
+              FROM raw
+            ),
+            pred AS (
+              SELECT doc_id,
+                     CASE WHEN {langid_best} = 0 THEN 'und' {langid_case}
+                          ELSE '{langid_langs[-1]}' END AS lang_pred
+              FROM h
+            )
+            SELECT d.lang, p.lang_pred, count(*)::BIGINT AS n_docs
+            FROM documents d JOIN pred p USING (doc_id)
+            GROUP BY d.lang, p.lang_pred
+            ORDER BY d.lang, p.lang_pred
+        """,
         "doc_keywords": _with(
             f"""
             , scored AS (
@@ -4970,6 +5027,7 @@ RAY_QUERIES = {
     "exact_dedup": q_exact_dedup,
     "cluster_best": q_cluster_best,
     "lang_counts": q_lang_counts,
+    "lang_confusion": q_lang_confusion,
     "text_stats": q_text_stats,
     "classifier_scores": q_classifier_scores,
     "gopher_rules": q_gopher_rules,

@@ -9,7 +9,7 @@ each actor loads the index once (dictionary + BK-tree + doc lengths) in
 Query row schema (FIXTURES.md §2):
     query_id:int64, query_text:string, mode:string, k:int32,
     prox_k:int32, edit_dist:int32
-modes: boolean_and | tfidf_topk | bm25_topk | bm25_wand | bm25_maxscore | bm25_blend |
+modes: boolean_and | tfidf_topk | bm25_topk | bm25_wand | bm25_maxscore | bm25_prox | bm25_blend |
        ql_topk | wildcard | search |
 phrase | proximity | fuzzy (proximity takes the first two query tokens;
 fuzzy takes the first token).
@@ -43,6 +43,8 @@ class QueryActor:
             return eng.bm25_topk_wand(text, k)
         if mode == "bm25_maxscore":
             return eng.bm25_topk_maxscore(text, k)
+        if mode == "bm25_prox":
+            return eng.bm25_prox_topk(text, k)
         if mode == "bm25_blend":
             return eng.bm25_topk_blended(text, k)
         if mode == "phrase":
@@ -124,8 +126,8 @@ def make_query_set(num: int = 40, seed: int = 7) -> list[dict]:
              "sort", "key", "value", "hash", "stream", "batch", "line", "the",
              "group", "order", "filter", "big", "small", "row", "nonexistentzz"]
     modes = ["boolean_and", "tfidf_topk", "bm25_topk", "bm25_wand",
-             "bm25_maxscore", "phrase", "proximity", "fuzzy", "ql_topk",
-             "wildcard", "search"]
+             "bm25_maxscore", "bm25_prox", "phrase", "proximity", "fuzzy",
+             "ql_topk", "wildcard", "search"]
     out = []
     for i in range(num):
         mode = modes[i % len(modes)]

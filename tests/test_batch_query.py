@@ -43,8 +43,8 @@ def test_query_set_covers_modes():
     qs = make_query_set(40)
     modes = {q["mode"] for q in qs}
     assert modes == {"boolean_and", "tfidf_topk", "bm25_topk", "bm25_wand",
-                     "bm25_maxscore", "phrase", "proximity", "fuzzy",
-                     "ql_topk", "wildcard", "search"}
+                     "bm25_maxscore", "bm25_prox", "phrase", "proximity",
+                     "fuzzy", "ql_topk", "wildcard", "search"}
     assert any(q["k"] == 2 for q in qs)
     assert all("*" in q["query_text"] for q in qs if q["mode"] == "wildcard")
     # deterministic
