@@ -436,13 +436,20 @@ class SegmentedSearchEngine:
                              cap, k, digits)
         return [(int(d[i]), float(s[i])) for i in kept]
 
-    def _bm25_terms(self, terms: list[str], k: int) -> list[tuple[int, float]]:
-        doc_parts, score_parts = [], []
+    def _bm25_parts(self, terms: list[str]):
+        """(doc_parts, score_parts, term_data) — per-(term, segment) BM25
+        contribution arrays in term-major, segment-minor order (each doc
+        lives in one segment, so per doc this is query-term order — the
+        monolithic engine's float summation order). ``term_data`` is
+        [(term, global idf, [(engine, postings)])] for reuse by boosted
+        scorers."""
+        doc_parts, score_parts, term_data = [], [], []
         for t in terms:
             tps = self._term_postings(t)
             df_g = sum(tp.df for _e, tp in tps)
             if df_g == 0:
                 continue
+            term_data.append((t, bm25_idf(df_g, self.num_docs), tps))
             for eng, tp in tps:
                 dl = eng.doc_length(tp.doc_ids)
                 w = bm25_weights(tp.tfs, dl, df_g, self.num_docs, self.avgdl,
@@ -450,8 +457,57 @@ class SegmentedSearchEngine:
                 live = self._live(tp.doc_ids)
                 doc_parts.append(tp.doc_ids[live])
                 score_parts.append(w[live])
+        return doc_parts, score_parts, term_data
+
+    def _bm25_terms(self, terms: list[str], k: int) -> list[tuple[int, float]]:
+        doc_parts, score_parts, _td = self._bm25_parts(terms)
         if not doc_parts:
             return []
+        ids, scores = topk_docs(np.concatenate(doc_parts),
+                                np.concatenate(score_parts), k)
+        return [(int(d), float(s)) for d, s in zip(ids, scores)]
+
+    def bm25_prox_topk(self, query: str, k: int = 10, w: float = 1.0
+                       ) -> list[tuple[int, float]]:
+        """Segmented proximity-boosted BM25 — pytest-identical to the
+        monolithic ``SearchEngine.bm25_prox_topk``: pair min-distances are
+        segment-local (a doc's positions live in its own segment), idf is
+        global, and pair-boost parts append in pair-major segment-minor
+        order so the per-doc float accumulation matches the monolithic
+        concat order exactly. Tombstoned docs drop from both the term and
+        the boost parts."""
+        from search_engine_ray.query.ltr import _ragged_positions
+        from search_engine_ray.query.postings_codec import segmented_min_distance
+
+        doc_parts, score_parts, term_data = self._bm25_parts(
+            self.query_terms(query))
+        if not doc_parts:
+            return []
+        for x in range(len(term_data)):
+            for y in range(x + 1, len(term_data)):
+                _ta, idf_a, tps_a = term_data[x]
+                _tb, idf_b, tps_b = term_data[y]
+                by_eng_b = {id(eng): tp for eng, tp in tps_b}
+                for eng, tpa in tps_a:
+                    tpb = by_eng_b.get(id(eng))
+                    if tpb is None:
+                        continue
+                    ia = np.minimum(np.searchsorted(tpa.doc_ids, tpb.doc_ids),
+                                    len(tpa.doc_ids) - 1)
+                    common = tpa.doc_ids[ia] == tpb.doc_ids
+                    if not common.any():
+                        continue
+                    jb = np.flatnonzero(common)
+                    p1, o1 = _ragged_positions(tpa, ia[jb])
+                    p2, o2 = _ragged_positions(tpb, jb)
+                    md = np.maximum(
+                        segmented_min_distance(p1, o1, p2, o2), 1
+                    ).astype(np.float64)
+                    ids_c = tpb.doc_ids[jb]
+                    live = self._live(ids_c)
+                    doc_parts.append(ids_c[live])
+                    score_parts.append(
+                        (w * (idf_a + idf_b) / (md * md))[live])
         ids, scores = topk_docs(np.concatenate(doc_parts),
                                 np.concatenate(score_parts), k)
         return [(int(d), float(s)) for d, s in zip(ids, scores)]

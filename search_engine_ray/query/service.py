@@ -368,6 +368,76 @@ class DistributedSearchEngine:
         return self._bounded_topk([(t, 1.0) for t in terms], k, page,
                                   small_df_cap, "bm25", np.float64)
 
+    def bm25_prox_topk(self, query: str, k: int = 10, w: float = 1.0
+                       ) -> list[tuple[int, float]]:
+        """Distributed proximity-boosted BM25 — pytest-identical to
+        ``SearchEngine.bm25_prox_topk``. The bounded threshold loop runs
+        with an UNSEEN-doc bound inflated by B_max = w·Σ pairs
+        (idf_i + idf_j) (any doc outside the paged prefixes could still
+        collect every pair boost at md = 1); each fresh candidate's exact
+        boost computes coordinator-side from ONE candidate-bounded
+        positions fan-out per pair member (term_positions_for_docs — only
+        candidate docs' positions ship). Pair addends apply one at a time
+        in pair order after the term loop, preserving left-to-right float
+        parity with the local scorer's reduceat accumulation."""
+        from search_engine_ray.query.postings_codec import segmented_min_distance
+        from search_engine_ray.query.scoring import bm25_idf
+
+        terms = self.query_terms(query)
+        if not terms:
+            return []
+        dfs = self._fan_out_args(terms, "term_dfs")
+        present = [t for t in terms if dfs.get(t)]
+        if not present:
+            return []
+        idf = {t: bm25_idf(int(dfs[t]), self._num_docs) for t in present}
+        pairs = [(a, b) for i, a in enumerate(present)
+                 for b in present[i + 1:]]
+        b_max = w * sum(idf[a] + idf[b] for a, b in pairs)
+
+        def subrag(offs, vals, take):
+            lens = offs[take + 1] - offs[take]
+            o = np.zeros(len(take) + 1, np.int64)
+            np.cumsum(lens, out=o[1:])
+            gather = (np.arange(int(o[-1]), dtype=np.int64)
+                      + np.repeat(offs[take] - o[:-1], lens))
+            return vals[gather], o
+
+        def boost_fn(fresh: np.ndarray):
+            if not pairs:
+                return []
+            per_pos = self._fan_out_args(present, "term_positions_for_docs",
+                                         fresh)
+            for t in present:
+                if t in per_pos:
+                    self.last_fetch_rows += len(per_pos[t][2])
+            addends = []
+            for a, b in pairs:
+                arr = np.zeros(len(fresh), np.float64)
+                pa_ = per_pos.get(a)
+                pb_ = per_pos.get(b)
+                if pa_ is not None and pb_ is not None and len(pa_[0]) and len(pb_[0]):
+                    ids_a, off_a, pos_a = pa_
+                    ids_b, off_b, pos_b = pb_
+                    ia = np.minimum(np.searchsorted(ids_a, ids_b),
+                                    len(ids_a) - 1)
+                    common = ids_a[ia] == ids_b
+                    if common.any():
+                        jb = np.flatnonzero(common)
+                        p1, o1 = subrag(off_a, pos_a, ia[jb])
+                        p2, o2 = subrag(off_b, pos_b, jb)
+                        md = np.maximum(
+                            segmented_min_distance(p1, o1, p2, o2), 1
+                        ).astype(np.float64)
+                        pos = np.searchsorted(fresh, ids_b[jb])
+                        arr[pos] = w * (idf[a] + idf[b]) / (md * md)
+                addends.append(arr)
+            return addends
+
+        return self._bounded_topk([(t, 1.0) for t in present], k, None,
+                                  None, "bm25", np.float64,
+                                  boost_fn=boost_fn, boost_ub=b_max)
+
     def set_doc_attr(self, name: str, doc_ids, values) -> None:
         """Register a per-doc attribute on every shard actor for filtered
         retrieval: the sorted-id/code arrays are ``ray.put`` ONCE and shared
@@ -456,7 +526,8 @@ class DistributedSearchEngine:
     def _bounded_topk(self, weighted: list[tuple[str, float]], k: int,
                       page: int | None, small_df_cap: int | None,
                       kind: str, dtype, flt=None,
-                      capsel=None) -> list[tuple[int, float]]:
+                      capsel=None, boost_fn=None,
+                      boost_ub: float = 0.0) -> list[tuple[int, float]]:
         """Shared threshold loop (see :meth:`bm25_topk` for the algorithm).
         ``weighted`` is (term, scale) in accumulation order; scales are
         applied coordinator-side. The outside bound gets a relative
@@ -464,7 +535,12 @@ class DistributedSearchEngine:
         round ABOVE the f64 sum of its per-term bounds (material for f32
         tf-idf), so the stop test must over- not under-estimate it.
         ``capsel`` = (attr, cap, digits) switches the selector to the
-        diversification greedy (see :meth:`bm25_topk_capped`)."""
+        diversification greedy (see :meth:`bm25_topk_capped`).
+        ``boost_fn(fresh_ids)`` returns a SEQUENCE of per-candidate
+        addend arrays applied to fresh candidates' totals in order (one
+        per score component, preserving left-to-right float parity with
+        the local scorer); ``boost_ub`` bounds any UNSEEN doc's possible
+        boost and inflates the outside bound accordingly."""
         scale = dict(weighted)
         terms = [t for t, _ in weighted]
         page = page or max(64, 4 * k)
@@ -512,6 +588,9 @@ class DistributedSearchEngine:
                 for t in present:
                     fresh_tot += w_by_term[t] * scale[t]
                     self.last_fetch_rows += len(fresh)
+                if boost_fn is not None:
+                    for addend in boost_fn(fresh):
+                        fresh_tot += addend
                 ins = np.searchsorted(cand, fresh)
                 cand = np.insert(cand, ins, fresh)
                 totals = np.insert(totals, ins, fresh_tot)
@@ -537,6 +616,8 @@ class DistributedSearchEngine:
                 kth = totals[order[-1]] - margin if len(order) else np.inf
                 outside = sum(tails[t] for t in present if not exhausted[t])
                 outside += abs(outside) * eps * 8 * len(present)
+                if not all_done:
+                    outside += boost_ub
                 if all_done or (len(order) >= k and outside < kth):
                     return [(int(cand[i]), float(totals[i])) for i in order]
             start += page

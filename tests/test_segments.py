@@ -93,6 +93,11 @@ class TestAppend:
                                    rtol=1e-12)
 
     @pytest.mark.parametrize("q", QUERIES)
+    def test_bm25_prox_matches_monolithic(self, built, q):
+        full, seg, _root, _fd = built
+        assert seg.bm25_prox_topk(q, 10) == full.bm25_prox_topk(q, 10)
+
+    @pytest.mark.parametrize("q", QUERIES)
     def test_maxscore_matches_monolithic(self, built, q):
         full, seg, _root, _fd = built
         got = seg.bm25_topk_maxscore(q, 10)

@@ -47,6 +47,12 @@ class TestDistributedServing:
         assert dist.bm25_topk(q, 10) == local.bm25_topk(q, 10)
 
     @pytest.mark.parametrize("q", QUERIES)
+    def test_bm25_prox_identical_to_local(self, built, q):
+        local, dist = built
+        for k in (3, 10):
+            assert dist.bm25_prox_topk(q, k) == local.bm25_prox_topk(q, k)
+
+    @pytest.mark.parametrize("q", QUERIES)
     def test_boolean_identical_to_local(self, built, q):
         local, dist = built
         np.testing.assert_array_equal(dist.boolean_and(q), local.boolean_and(q))
