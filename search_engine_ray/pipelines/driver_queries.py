@@ -597,6 +597,21 @@ def q_mmr_rerank(sf_dir: str):
     })
 
 
+def q_ltr_training(sf_dir: str):
+    """LTR training-set assembly: the ltr_features table with a binary
+    label — docs containing the PHRASE adjacently (the same stricter
+    relevance signal retrieval_eval judges against)."""
+    from search_engine_ray.query.ltr import ltr_training_rows
+
+    eng = engine_for(sf_dir)
+    rel = eng.phrase(" ".join(PHRASE)).tolist()
+    df = ltr_training_rows(eng, Q_TEXT, rel).to_pandas()
+    for c in ("bm25", "tfidf", "coverage", "sum_idf", "min_idf", "max_idf"):
+        df[f"{c}_r"] = df[c].round(4)
+        del df[c]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_bm25_segments(sf_dir: str):
     """BM25 over an INCREMENTALLY-built index: the corpus is appended as two
     segments (pipelines/segments.py) and served by SegmentedSearchEngine
@@ -2979,6 +2994,59 @@ def oracle_queries() -> dict[str, str]:
             ORDER BY f.doc_id
             """
         ),
+        # ltr_features + a binary relevance label (phrase adjacency — the
+        # same stricter signal retrieval_eval judges against)
+        "ltr_training": _with(
+            f"""
+            , {doclen_cte}
+            , stats AS (SELECT avg(doc_length) AS avgdl FROM doclen)
+            , feats AS (
+              SELECT p.doc_id,
+                     sum( ln(({n_docs} - t.df + 0.5) / (t.df + 0.5) + 1.0)
+                          * p.tf * (1.2 + 1.0)
+                          / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_length / s.avgdl)) ) AS bm25,
+                     sum( p.tf * log10({n_docs}::DOUBLE / t.df) ) AS tfidf,
+                     count(*)::BIGINT AS n_matched,
+                     sum( ln(({n_docs} - t.df + 0.5) / (t.df + 0.5) + 1.0) ) AS sum_idf,
+                     min( ln(({n_docs} - t.df + 0.5) / (t.df + 0.5) + 1.0) ) AS min_idf,
+                     max( ln(({n_docs} - t.df + 0.5) / (t.df + 0.5) + 1.0) ) AS max_idf,
+                     sum(p.tf)::DOUBLE AS sum_tf,
+                     max(p.tf)::DOUBLE AS max_tf
+              FROM postings p
+              JOIN term_df t USING (term)
+              JOIN doclen dl ON dl.doc_id = p.doc_id
+              CROSS JOIN stats s
+              WHERE p.term IN ({qterms})
+              GROUP BY p.doc_id
+            )
+            , md AS (
+              SELECT a.doc_id, min(abs(a.position - b.position)) AS d
+              FROM lem a JOIN lem b
+                ON a.doc_id = b.doc_id AND a.term < b.term
+              WHERE a.term IN ({qterms}) AND b.term IN ({qterms})
+              GROUP BY a.doc_id
+            )
+            , rel AS (
+              SELECT DISTINCT a.doc_id
+              FROM lem a JOIN lem b ON a.doc_id = b.doc_id AND b.position = a.position + 1
+              WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+            )
+            SELECT f.doc_id + 1 AS doc_id, n_matched,
+                   dl.doc_length AS doc_len, sum_tf, max_tf,
+                   (r.doc_id IS NOT NULL)::BIGINT AS label,
+                   round(bm25, 4) AS bm25_r, round(tfidf, 4) AS tfidf_r,
+                   round(n_matched / {float(len(Q_TERMS))}, 4) AS coverage_r,
+                   round(sum_idf, 4) AS sum_idf_r,
+                   round(min_idf, 4) AS min_idf_r,
+                   round(max_idf, 4) AS max_idf_r,
+                   (CASE WHEN m.d IS NULL THEN 0
+                         ELSE greatest(m.d, 1) END)::BIGINT AS min_pair_md
+            FROM feats f JOIN doclen dl ON dl.doc_id = f.doc_id
+            LEFT JOIN md m ON m.doc_id = f.doc_id
+            LEFT JOIN rel r ON r.doc_id = f.doc_id
+            ORDER BY f.doc_id
+            """
+        ),
         # RRF fusion: both runs ranked with their own rounding discipline
         # (bm25 round-4, cosine round-3 — DuckDB's list_cosine_similarity is
         # f32), pool = _POOL each, fused score = sum 1/(K + rank)
@@ -5006,6 +5074,7 @@ RAY_QUERIES = {
     "bm25_wand": q_bm25_wand,
     "bm25_maxscore": q_bm25_maxscore,
     "ltr_features": q_ltr_features,
+    "ltr_training": q_ltr_training,
     "dense_rerank": q_dense_rerank,
     "mmr_rerank": q_mmr_rerank,
     "query_predictors": q_query_predictors,

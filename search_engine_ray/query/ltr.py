@@ -160,3 +160,22 @@ def batch_ltr_features(queries_ds, index_dir: str, config=None,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def ltr_training_rows(eng, query: str, relevant_ids) -> pa.Table:
+    """LTR TRAINING-SET assembly: the :func:`ltr_features` table with a
+    binary ``label`` column (doc ∈ ``relevant_ids``) — the (features,
+    relevance) rows a pointwise/pairwise reranker trains on. The
+    relevance set is whatever judgment source the caller has (qrels,
+    click models, a stricter matcher like phrase adjacency); membership
+    is one sorted probe, O(|features| log |relevant|)."""
+    t = ltr_features(eng, query)
+    rel = np.sort(np.asarray(list(relevant_ids), np.int64))
+    ids = t["doc_id"].to_numpy()
+    if len(rel):
+        idx = np.minimum(np.searchsorted(rel, ids), len(rel) - 1)
+        label = rel[idx] == ids
+    else:
+        label = np.zeros(len(ids), bool)
+    return t.append_column("label",
+                           pa.array(label.astype(np.int64), pa.int64()))

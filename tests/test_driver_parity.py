@@ -92,7 +92,8 @@ def test_query_and_oracle_keys_align(entry):
         "search_dsl", "doc_embeddings", "passage_bm25",
         "tfidf_topk", "bm25_topk", "bm25_msm", "bm25_filtered", "bm25_capped",
         "bm25_grouped", "bm25_prf",
-        "bm25_wand", "bm25_maxscore", "ltr_features", "dense_rerank",
+        "bm25_wand", "bm25_maxscore", "ltr_features", "ltr_training",
+        "dense_rerank",
         "bm25_distributed",
         "bm25_segments", "bm25_blend", "phrase", "phrase_slop", "within_window",
         "proximity", "fuzzy", "prefix_search",

@@ -160,3 +160,16 @@ def test_bm25_topk_range(engine):
     assert all_r == eng.bm25_topk("alpha beta", k=100)
     # empty range
     assert eng.bm25_topk_range("alpha beta", k=10, attr="sz", lo=99, hi=5) == []
+
+
+def test_ltr_training_rows(engine):
+    from search_engine_ray.query.ltr import ltr_training_rows
+
+    t = ltr_training_rows(engine, "alpha beta", [1, 5]).to_pandas()
+    lab = t.set_index("doc_id")["label"]
+    assert lab.loc[1] == 1 and lab.loc[5] == 1
+    assert lab.loc[2] == 0 and lab.loc[3] == 0
+    # empty relevance set → all zeros; features unchanged
+    t0 = ltr_training_rows(engine, "alpha beta", []).to_pandas()
+    assert (t0["label"] == 0).all()
+    assert t.drop(columns="label").equals(t0.drop(columns="label"))
