@@ -230,6 +230,28 @@ def run_bench() -> dict:
     dedup_lines_global(docs).count()
     results["line_dedup"] = time.perf_counter() - t0
 
+    # insertion-robust CDC-chunk dedup (session-3e)
+    from search_engine_ray.pipelines.corpus_clean import dedup_chunks_global
+
+    t0 = time.perf_counter()
+    dedup_chunks_global(docs).count()
+    results["cdc_dedup"] = time.perf_counter() - t0
+
+    # per-host boilerplate stripping over synthesized hosts (session-3e)
+    from search_engine_ray.pipelines.corpus_clean import host_boilerplate_strip
+
+    def _with_urls(batch):
+        import pyarrow as _pa
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        urls = _pa.array([f"https://h{int(i) % 97}.example.test/p/{int(i)}"
+                          for i in ids], _pa.string())
+        return batch.append_column("url", urls)
+
+    t0 = time.perf_counter()
+    host_boilerplate_strip(
+        docs.map_batches(_with_urls, batch_format="pyarrow")).count()
+    results["host_boilerplate"] = time.perf_counter() - t0
+
     t0 = time.perf_counter()
     semdedup_pairs(ray.data.read_parquet(emb_path), threshold=0.3,
                    k=8, iters=6).count()
