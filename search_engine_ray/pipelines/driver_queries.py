@@ -872,6 +872,29 @@ def q_lang_counts(sf_dir: str):
     return ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
 
 
+def q_corpus_drift(sf_dir: str):
+    """Dunning-G² corpus comparison between the even-doc_id half (the
+    'snapshot') and the odd half (the 'new crawl') — the vocabulary-drift
+    monitor; every column SQL-value-checked."""
+    import ray.data
+
+    from search_engine_ray.pipelines.training_data import corpus_drift
+
+    def half(parity: int):
+        def sel(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(ids % 2 == parity))
+
+        return ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).map_batches(sel, batch_format="pyarrow")
+
+    out = corpus_drift(half(0), half(1)).to_pandas()
+    for c in ("c_a", "c_b", "sign"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("term").reset_index(drop=True)
+
+
 def q_lang_confusion(sf_dir: str):
     """Language-ID evaluation: confusion matrix of the n-gram heuristic's
     prediction vs the table's lang label — (lang, lang_pred, n_docs).
@@ -3633,6 +3656,30 @@ def oracle_queries() -> dict[str, str]:
                         ELSE {langid_best}::DOUBLE / n END AS confidence
             FROM h
         """,
+        "corpus_drift": _with(
+            """
+            , ca AS (SELECT term, count(*)::BIGINT AS c FROM lem
+                     WHERE doc_id % 2 = 0 GROUP BY term)
+            , cb AS (SELECT term, count(*)::BIGINT AS c FROM lem
+                     WHERE doc_id % 2 = 1 GROUP BY term)
+            , tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM ca)::DOUBLE AS na,
+                             (SELECT coalesce(sum(c), 0) FROM cb)::DOUBLE AS nb)
+            , u AS (
+              SELECT term, coalesce(a.c, 0)::BIGINT AS c_a,
+                     coalesce(b.c, 0)::BIGINT AS c_b
+              FROM ca a FULL OUTER JOIN cb b USING (term)
+            )
+            SELECT term, c_a, c_b,
+                   (CASE WHEN c_b / t.nb >= c_a / t.na THEN 1 ELSE -1 END)::BIGINT AS sign,
+                   round(2 * ( CASE WHEN c_a = 0 THEN 0
+                                    ELSE c_a * ln(c_a / (t.na * (c_a + c_b) / (t.na + t.nb))) END
+                             + CASE WHEN c_b = 0 THEN 0
+                                    ELSE c_b * ln(c_b / (t.nb * (c_a + c_b) / (t.na + t.nb))) END ),
+                         6) AS g2_r
+            FROM u CROSS JOIN tot t
+            ORDER BY term
+            """
+        ),
         "lang_confusion": f"""
             WITH raw AS (
               SELECT doc_id,
@@ -5097,6 +5144,7 @@ RAY_QUERIES = {
     "cluster_best": q_cluster_best,
     "lang_counts": q_lang_counts,
     "lang_confusion": q_lang_confusion,
+    "corpus_drift": q_corpus_drift,
     "text_stats": q_text_stats,
     "classifier_scores": q_classifier_scores,
     "gopher_rules": q_gopher_rules,

@@ -4145,3 +4145,89 @@ def cosine_verify(pairs, embeddings, threshold: float = 0.5,
     pair table (never per-pair), cosines computed vectorized per batch in
     float64 over L2-normalized rows."""
     return _verify_pairs_cosine_join(pairs, embeddings, threshold, id_col, emb_col)
+
+
+def corpus_drift(docs_a: "ray.data.Dataset", docs_b: "ray.data.Dataset",
+                 min_count: int = 1, round_digits: int = 6,
+                 id_col: str = "doc_id", text_col: str = "text"):
+    """Corpus-comparison / crawl-drift report via Dunning's G²
+    log-likelihood (Dunning, CL 1993 — the standard "what changed between
+    two corpora" statistic): per term, occurrence counts in corpus A
+    (e.g. the previous snapshot) and corpus B (the new crawl) and
+
+        G² = 2·( k_a·ln(k_a/e_a) + k_b·ln(k_b/e_b) ),
+        e_x = n_x·(k_a + k_b)/(n_a + n_b)      (0·ln 0 ≡ 0)
+
+    with ``sign`` = +1 when the term is over-represented in B (trending
+    up) and -1 otherwise — the monitoring signal for vocabulary drift,
+    spam bursts, and topic shifts between crawls. → (term, c_a, c_b,
+    sign, g2_r), terms with c_a + c_b < ``min_count`` dropped.
+
+    Shuffle shape: one tokenize wave per corpus → per-block (term,
+    count) combiners → a vocab-cardinality sorted-group reduce per side
+    → one co-grouped union by term computing G² in-kernel. Totals ride
+    two scalar aggregates; nothing corpus-sized moves."""
+    from ray.data.aggregate import Sum
+
+    from search_engine_ray.stages.grouped import grouped_reduce, sorted_group_map
+    from search_engine_ray.stages.tokenize import tokenize_stage
+
+    def side_counts(docs, tag: int):
+        postings = tokenize_stage(docs).map_batches(
+            lambda b: b.filter(pc.not_equal(b["term"], "")).select(["term", "tf"]),
+            batch_format="pyarrow").materialize()
+        counts = grouped_reduce(
+            postings.map_batches(_term_count_partial, batch_format="pyarrow"),
+            ["term"], sums=[("c_part", "c")])
+        total = postings.aggregate(Sum("tf", alias_name="t"))["t"] or 0
+
+        def tag_side(t: pa.Table) -> pa.Table:
+            t = t.combine_chunks()
+            return pa.table({"term": t["term"],
+                             "side": pa.array(np.full(t.num_rows, tag), pa.int64()),
+                             "c": t["c"].cast(pa.int64())})
+
+        return counts.map_batches(tag_side, batch_format="pyarrow"), int(total)
+
+    ca, n_a = side_counts(docs_a, 0)
+    cb, n_b = side_counts(docs_b, 1)
+    na_f, nb_f = float(n_a), float(n_b)
+
+    def g2_kernel(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        empty = pa.table({"term": pa.array([], pa.string()),
+                          "c_a": pa.array([], pa.int64()),
+                          "c_b": pa.array([], pa.int64()),
+                          "sign": pa.array([], pa.int64()),
+                          "g2_r": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        enc = t["term"].dictionary_encode().combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n_terms = len(enc.dictionary)
+        k_a = np.bincount(codes[side == 0], weights=c[side == 0],
+                          minlength=n_terms)
+        k_b = np.bincount(codes[side == 1], weights=c[side == 1],
+                          minlength=n_terms)
+        keep = (k_a + k_b) >= min_count
+        k_a, k_b = k_a[keep], k_b[keep]
+        terms = enc.dictionary.filter(pa.array(keep))
+        tot = k_a + k_b
+        e_a = na_f * tot / (na_f + nb_f)
+        e_b = nb_f * tot / (na_f + nb_f)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ta = np.where(k_a > 0, k_a * np.log(k_a / e_a), 0.0)
+            tb = np.where(k_b > 0, k_b * np.log(k_b / e_b), 0.0)
+        g2 = 2.0 * (ta + tb)
+        sign = np.where(k_b / nb_f >= k_a / na_f, 1, -1).astype(np.int64)
+        return pa.table({"term": terms.cast(pa.string()),
+                         "c_a": pa.array(k_a.astype(np.int64), pa.int64()),
+                         "c_b": pa.array(k_b.astype(np.int64), pa.int64()),
+                         "sign": pa.array(sign, pa.int64()),
+                         "g2_r": pa.array(np.round(g2, round_digits),
+                                          pa.float64())})
+
+    return sorted_group_map(ca.union(cb), ["term"], g2_kernel,
+                            sort_cols=["term", "side"])

@@ -1106,3 +1106,35 @@ class TestDocEmbeddings:
         np.testing.assert_array_equal(e1, e2)
         assert not np.array_equal(e1, e3)
         assert np.all(np.abs(out["e_r"]) <= 1.0)
+
+
+def test_corpus_drift(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_ray.pipelines.training_data import corpus_drift
+
+    a = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["old old word", "word base"])}))
+    b = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([3, 4], pa.int64()),
+        "text": pa.array(["new new new word", "base word"])}))
+    out = (corpus_drift(a, b).to_pandas().set_index("term"))
+    # counts: old a=2 b=0; new a=0 b=3; word a=2 b=2; base a=1 b=1
+    assert out.loc["old", ["c_a", "c_b"]].tolist() == [2, 0]
+    assert out.loc["new", ["c_a", "c_b"]].tolist() == [0, 3]
+    assert out.loc["word", ["c_a", "c_b"]].tolist() == [2, 2]
+    # signs: 'old' shrinks, 'new' grows
+    assert out.loc["old", "sign"] == -1
+    assert out.loc["new", "sign"] == 1
+    # G2 scalar check for 'new': k_a=0, k_b=3, na=5, nb=6
+    na, nb, kb = 5.0, 6.0, 3.0
+    e_b = nb * kb / (na + nb)
+    want = round(2 * (kb * math.log(kb / e_b)), 6)
+    assert out.loc["new", "g2_r"] == want
+    # one-sided terms score higher drift than balanced ones
+    assert out.loc["new", "g2_r"] > out.loc["word", "g2_r"]
+    assert out.loc["word", "g2_r"] < 0.2
