@@ -467,6 +467,67 @@ class SegmentedSearchEngine:
                                 np.concatenate(score_parts), k)
         return [(int(d), float(s)) for d, s in zip(ids, scores)]
 
+    def set_doc_sort_attr(self, name: str, doc_ids, values) -> None:
+        """Register a NUMERIC per-doc attribute (range filter + sort-by-
+        field serving) — same contract as the monolithic engine's."""
+        ids = np.asarray(doc_ids, np.int64)
+        vals = np.asarray(values, np.float64)
+        order = np.argsort(ids, kind="stable")
+        if not hasattr(self, "_doc_sort_attrs"):
+            self._doc_sort_attrs: dict[str, tuple] = {}
+        self._doc_sort_attrs[name] = (ids[order], vals[order])
+
+    def _sort_attr_of(self, attr: str, ids: np.ndarray):
+        """(present mask, values) of a numeric attribute for ids."""
+        aids, avals = self._doc_sort_attrs[attr]
+        i = np.clip(np.searchsorted(aids, ids), 0, max(len(aids) - 1, 0))
+        present = (aids[i] == ids) if len(aids) else np.zeros(len(ids), bool)
+        return present, np.where(present, avals[i] if len(aids) else 0.0,
+                                 np.nan)
+
+    def bm25_topk_range(self, query: str, k: int = 10, *, attr: str,
+                        lo: float = -np.inf, hi: float = np.inf
+                        ) -> list[tuple[int, float]]:
+        """Range-filtered BM25 over segments — pytest-identical to the
+        monolithic engine: the numeric filter applies per (term, segment)
+        part before top-k, so the result is the true top-k of the
+        filtered corpus."""
+        doc_parts, score_parts, _td = self._bm25_parts(
+            self.query_terms(query))
+        kept_d, kept_s = [], []
+        for d, s in zip(doc_parts, score_parts):
+            present, vals = self._sort_attr_of(attr, d)
+            keep = present & (vals >= lo) & (vals <= hi)
+            if keep.any():
+                kept_d.append(d[keep])
+                kept_s.append(s[keep])
+        if not kept_d:
+            return []
+        ids, scores = topk_docs(np.concatenate(kept_d),
+                                np.concatenate(kept_s), k)
+        return [(int(d), float(s)) for d, s in zip(ids, scores)]
+
+    def bm25_topk_sorted(self, query: str, k: int = 10, *, attr: str,
+                         descending: bool = True
+                         ) -> list[tuple[int, float, float]]:
+        """Sort-by-field retrieval over segments — pytest-identical to the
+        monolithic engine (attr desc|asc, doc asc; missing-last)."""
+        doc_parts, score_parts, _td = self._bm25_parts(
+            self.query_terms(query))
+        if not doc_parts:
+            return []
+        ids = np.concatenate(doc_parts)
+        sc = np.concatenate(score_parts)
+        perm = np.argsort(ids, kind="stable")
+        ids, sc = ids[perm], sc[perm]
+        uniq, starts = np.unique(ids, return_index=True)
+        bm25 = np.add.reduceat(sc, starts)
+        present, vals = self._sort_attr_of(attr, uniq)
+        key = np.where(present, vals if not descending else -vals, np.inf)
+        order = np.lexsort((uniq, key))[:k]
+        return [(int(uniq[j]), float(vals[j]), float(bm25[j]))
+                for j in order]
+
     def bm25_prox_topk(self, query: str, k: int = 10, w: float = 1.0
                        ) -> list[tuple[int, float]]:
         """Segmented proximity-boosted BM25 — pytest-identical to the

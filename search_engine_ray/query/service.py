@@ -454,6 +454,41 @@ class DistributedSearchEngine:
         ray.get([a.set_doc_attr.remote(name, ids_ref, codes_ref)
                  for a in self.actors])
 
+    def set_doc_sort_attr(self, name: str, doc_ids, values) -> None:
+        """Register a NUMERIC per-doc attribute for range-filtered
+        retrieval, coordinator-side: one sorted (ids, float64) pair,
+        O(num_docs) — the same footprint class as each actor's doc-length
+        array."""
+        ids = np.asarray(doc_ids, np.int64)
+        vals = np.asarray(values, np.float64)
+        order = np.argsort(ids, kind="stable")
+        if not hasattr(self, "_doc_sort_attrs"):
+            self._doc_sort_attrs: dict[str, tuple] = {}
+        self._doc_sort_attrs[name] = (ids[order], vals[order])
+
+    def bm25_topk_range(self, query: str, k: int = 10, *, attr: str,
+                        lo: float = -np.inf, hi: float = np.inf
+                        ) -> list[tuple[int, float]]:
+        """Distributed range-filtered BM25 — pytest-identical to
+        ``SearchEngine.bm25_topk_range``. The numeric mask applies
+        coordinator-side at candidate SELECTION (see ``_bounded_topk``'s
+        mask_fn note): tail bounds stay valid for unseen allowed docs, so
+        the result is the true top-k of the filtered corpus."""
+        terms = self.query_terms(query)
+        if not terms:
+            return []
+        aids, avals = self._doc_sort_attrs[attr]
+
+        def mask_fn(cand: np.ndarray) -> np.ndarray:
+            i = np.clip(np.searchsorted(aids, cand), 0,
+                        max(len(aids) - 1, 0))
+            present = (aids[i] == cand) if len(aids) else np.zeros(len(cand), bool)
+            vals = np.where(present, avals[i] if len(aids) else 0.0, np.nan)
+            return present & (vals >= lo) & (vals <= hi)
+
+        return self._bounded_topk([(t, 1.0) for t in terms], k, None, None,
+                                  "bm25", np.float64, mask_fn=mask_fn)
+
     def bm25_topk_filtered(self, query: str, k: int = 10, *, attr: str,
                            allowed) -> list[tuple[int, float]]:
         """Distributed filtered BM25 — pytest-identical to
@@ -527,7 +562,8 @@ class DistributedSearchEngine:
                       page: int | None, small_df_cap: int | None,
                       kind: str, dtype, flt=None,
                       capsel=None, boost_fn=None,
-                      boost_ub: float = 0.0) -> list[tuple[int, float]]:
+                      boost_ub: float = 0.0,
+                      mask_fn=None) -> list[tuple[int, float]]:
         """Shared threshold loop (see :meth:`bm25_topk` for the algorithm).
         ``weighted`` is (term, scale) in accumulation order; scales are
         applied coordinator-side. The outside bound gets a relative
@@ -540,7 +576,12 @@ class DistributedSearchEngine:
         addend arrays applied to fresh candidates' totals in order (one
         per score component, preserving left-to-right float parity with
         the local scorer); ``boost_ub`` bounds any UNSEEN doc's possible
-        boost and inflates the outside bound accordingly."""
+        boost and inflates the outside bound accordingly. ``mask_fn``
+        applies a coordinator-side candidate filter (e.g. a numeric
+        range) at SELECTION: tail bounds remain valid for unseen ALLOWED
+        docs (they bound ANY doc), so exactness is preserved; disallowed
+        docs merely consume page slots (the categorical ``flt`` path
+        filters actor-side instead and never ships them)."""
         scale = dict(weighted)
         terms = [t for t, _ in weighted]
         page = page or max(64, 4 * k)
@@ -598,6 +639,11 @@ class DistributedSearchEngine:
                     fc = ray.get(self.actors[0].attr_codes.remote(capsel[0], fresh))
                     ccodes = np.insert(ccodes, ins, np.asarray(fc, np.int64))
                     self.last_fetch_rows += len(fresh)
+            if mask_fn is not None:
+                keep = mask_fn(cand)
+                sel_cand, sel_tot = cand[keep], totals[keep]
+            else:
+                sel_cand, sel_tot = cand, totals
             if capsel is not None:
                 from search_engine_ray.query.docattrs import capped_prefix
 
@@ -609,17 +655,20 @@ class DistributedSearchEngine:
                 # grid step so the stop test stays conservative
                 margin = (10.0 ** -digits) if digits is not None else 0.0
             else:
-                order = np.lexsort((cand, -totals))[:k]
+                order = np.lexsort((sel_cand, -sel_tot))[:k]
                 margin = 0.0
+                cand_sel, tot_sel = sel_cand, sel_tot
+            if capsel is not None:
+                cand_sel, tot_sel = cand, totals
             all_done = all(exhausted.values())
             if len(order) >= k or all_done:
-                kth = totals[order[-1]] - margin if len(order) else np.inf
+                kth = tot_sel[order[-1]] - margin if len(order) else np.inf
                 outside = sum(tails[t] for t in present if not exhausted[t])
                 outside += abs(outside) * eps * 8 * len(present)
                 if not all_done:
                     outside += boost_ub
                 if all_done or (len(order) >= k and outside < kth):
-                    return [(int(cand[i]), float(totals[i])) for i in order]
+                    return [(int(cand_sel[i]), float(tot_sel[i])) for i in order]
             start += page
             page *= 4
 

@@ -98,6 +98,21 @@ class TestAppend:
         assert seg.bm25_prox_topk(q, 10) == full.bm25_prox_topk(q, 10)
 
     @pytest.mark.parametrize("q", QUERIES)
+    def test_range_and_sorted_match_monolithic(self, built, q):
+        full, seg, _root, _fd = built
+        n = full.num_docs
+        ids = np.arange(1, n + 1)
+        vals = (ids * 13) % 47
+        full.set_doc_sort_attr("sz", ids, vals)
+        seg.set_doc_sort_attr("sz", ids, vals)
+        assert (seg.bm25_topk_range(q, 10, attr="sz", lo=5, hi=30)
+                == full.bm25_topk_range(q, 10, attr="sz", lo=5, hi=30))
+        assert (seg.bm25_topk_sorted(q, 10, attr="sz")
+                == full.bm25_topk_sorted(q, 10, attr="sz"))
+        assert (seg.bm25_topk_sorted(q, 10, attr="sz", descending=False)
+                == full.bm25_topk_sorted(q, 10, attr="sz", descending=False))
+
+    @pytest.mark.parametrize("q", QUERIES)
     def test_maxscore_matches_monolithic(self, built, q):
         full, seg, _root, _fd = built
         got = seg.bm25_topk_maxscore(q, 10)

@@ -47,6 +47,19 @@ class TestDistributedServing:
         assert dist.bm25_topk(q, 10) == local.bm25_topk(q, 10)
 
     @pytest.mark.parametrize("q", QUERIES)
+    def test_bm25_range_identical_to_local(self, built, q):
+        local, dist = built
+        n = local.num_docs
+        ids = np.arange(1, n + 1)
+        vals = (ids * 37) % 101   # deterministic numeric attr
+        local.set_doc_sort_attr("sz", ids, vals)
+        dist.set_doc_sort_attr("sz", ids, vals)
+        for lo, hi in [(10, 60), (0, 200), (95, 100)]:
+            a = local.bm25_topk_range(q, 10, attr="sz", lo=lo, hi=hi)
+            b = dist.bm25_topk_range(q, 10, attr="sz", lo=lo, hi=hi)
+            assert a == b, (q, lo, hi)
+
+    @pytest.mark.parametrize("q", QUERIES)
     def test_bm25_prox_identical_to_local(self, built, q):
         local, dist = built
         for k in (3, 10):
