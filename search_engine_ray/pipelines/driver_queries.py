@@ -1446,6 +1446,19 @@ def q_pagerank(sf_dir: str):
     return out[["node", "rank_r"]].sort_values("node").reset_index(drop=True)
 
 
+_HITS_ITERS = 3
+
+
+def q_hits(sf_dir: str):
+    """HITS hubs & authorities over the same extracted link graph as
+    pagerank (3 L1-normalized mutual-reinforcement iterations)."""
+    from search_engine_ray.pipelines.linkgraph import extract_links, hits
+
+    out = hits(extract_links(_link_pages(sf_dir)),
+               n_iters=_HITS_ITERS).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def q_anchor_terms(sf_dir: str):
     """Per-target anchor-text term profile (top-3 terms per dst)."""
     from search_engine_ray.pipelines.linkgraph import anchor_terms
@@ -1578,6 +1591,54 @@ def _pagerank_sql() -> str:
         )""")
     parts.append(f"""
         SELECT node, round(rank, 6) AS rank_r FROM r{_PR_ITERS}""")
+    return "".join(parts)
+
+
+def _hits_sql() -> str:
+    """Iterative HITS unrolled into chained CTEs (L1-normalized auth and
+    hub half-steps per iteration), mirroring q_hits' link graph."""
+    parts = ["""
+        WITH links AS (
+          SELECT doc_id AS s, unnest([(doc_id*2+1) % p.n, (doc_id*3+2) % p.n]) AS t
+          FROM documents, (SELECT COUNT(*)::BIGINT AS n FROM documents) p
+          WHERE doc_id % 7 <> 0
+        ),
+        edges AS (
+          SELECT 'https://d' || s || '.test/' AS src,
+                 'https://d' || t || '.test/' AS dst
+          FROM links
+        ),
+        nodes AS (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ),
+        nn AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+        h0 AS (SELECT node, 1.0 / nn.n AS v FROM nodes, nn)"""]
+    for k in range(1, _HITS_ITERS + 1):
+        parts.append(f""",
+        ar{k} AS (
+          SELECT e.dst AS node, SUM(h.v) AS s
+          FROM edges e JOIN h{k - 1} h ON e.src = h.node
+          GROUP BY e.dst
+        ),
+        at{k} AS (SELECT SUM(s)::DOUBLE AS t FROM ar{k}),
+        a{k} AS (
+          SELECT n.node, COALESCE(a.s, 0) / t.t AS v
+          FROM nodes n LEFT JOIN ar{k} a ON n.node = a.node, at{k} t
+        ),
+        hr{k} AS (
+          SELECT e.src AS node, SUM(a.v) AS s
+          FROM edges e JOIN a{k} a ON e.dst = a.node
+          GROUP BY e.src
+        ),
+        ht{k} AS (SELECT SUM(s)::DOUBLE AS t FROM hr{k}),
+        h{k} AS (
+          SELECT n.node, COALESCE(h.s, 0) / t.t AS v
+          FROM nodes n LEFT JOIN hr{k} h ON n.node = h.node, ht{k} t
+        )""")
+    parts.append(f"""
+        SELECT a.node, round(a.v, 6) AS auth_r, round(h.v, 6) AS hub_r
+        FROM a{_HITS_ITERS} a JOIN h{_HITS_ITERS} h ON a.node = h.node
+        ORDER BY a.node""")
     return "".join(parts)
 
 
@@ -4197,6 +4258,7 @@ def oracle_queries() -> dict[str, str]:
             FROM c
         """,
         "pagerank": _pagerank_sql(),
+        "hits": _hits_sql(),
         "anchor_terms": """
             WITH p AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
             a AS (
@@ -5176,6 +5238,7 @@ RAY_QUERIES = {
     "cooccurrence": q_cooccurrence,
     "prune_postings": q_prune_postings,
     "pagerank": q_pagerank,
+    "hits": q_hits,
     "anchor_terms": q_anchor_terms,
     "bm25f": q_bm25f,
     "degree_stats": q_degree_stats,

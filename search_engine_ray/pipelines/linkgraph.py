@@ -386,3 +386,106 @@ def pagerank(edges, n_iters: int = 3, damping: float = 0.85,
         })
 
     return ranks.map_batches(finish, batch_format="pyarrow")
+
+
+def hits(edges, n_iters: int = 3, round_digits: int = 6):
+    """HITS hubs & authorities (Kleinberg, JACM'99): mutual
+    reinforcement — auth(v) = Σ hub(u) over edges u→v, hub(u) = Σ auth(v)
+    over u→v — L1-normalized after each half-step, from a uniform hub
+    start. → (node, auth_r, hub_r) over distinct src ∪ dst (0.0 where a
+    node has no in/out links). The topic-distillation companion of
+    PageRank: authorities are what navigational queries want, hubs are
+    the link-list pages pointing at them.
+
+    Distributed shape = pagerank's: each half-step is ONE edges ⋈ scores
+    hash join plus a node-cardinality sort+reduceat reduction; the
+    normalizer rides a scalar aggregate. Nothing holds more than the
+    node-cardinality score table."""
+    from ray.data.aggregate import Sum
+
+    from search_engine_ray.stages.grouped import coalesce_for_join, grouped_reduce
+
+    edges = edges.materialize()
+    nparts = _nparts()
+
+    def halves(b: pa.Table, col: str) -> pa.Table:
+        return pa.table({"node": b[col].combine_chunks().unique().cast(pa.string())})
+
+    nodes = grouped_reduce(
+        edges.map_batches(lambda b: halves(b, "src"), batch_format="pyarrow")
+        .union(edges.map_batches(lambda b: halves(b, "dst"), batch_format="pyarrow")),
+        ["node"]).materialize()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "auth_r": pa.array([], pa.float64()),
+            "hub_r": pa.array([], pa.float64())}))
+
+    def _norm_over_nodes(sums, key_col: str):
+        """nodes LEFT JOIN per-key sums → L1-normalized score table
+        (node, v); missing keys get 0."""
+        total = sums.aggregate(Sum("s", alias_name="t"))["t"] or 0.0
+        merged = coalesce_for_join(nodes, nparts).join(
+            coalesce_for_join(
+                sums.map_batches(lambda b: pa.table({"node": b[key_col], "s": b["s"]}),
+                                 batch_format="pyarrow"), nparts),
+            join_type="left_outer", num_partitions=nparts, on=("node",))
+
+        def fin(b: pa.Table) -> pa.Table:
+            b = b.combine_chunks()
+            if b.num_rows == 0:
+                return pa.table({"node": pa.array([], pa.string()),
+                                 "v": pa.array([], pa.float64())})
+            s = b["s"].to_numpy(zero_copy_only=False)
+            s = np.where(np.isnan(s), 0.0, s)
+            v = s / total if total else s
+            return pa.table({"node": b["node"],
+                             "v": pa.array(v, pa.float64())})
+
+        return merged.map_batches(fin, batch_format="pyarrow").materialize()
+
+    h0 = 1.0 / n_nodes
+    hubs = nodes.map_batches(
+        lambda b: pa.table({"node": b["node"],
+                            "v": pa.array(np.full(b.num_rows, h0), pa.float64())}),
+        batch_format="pyarrow").materialize()
+    auth = hubs  # placeholder; set in the loop
+
+    for _ in range(n_iters):
+        rows = coalesce_for_join(edges, nparts).join(
+            coalesce_for_join(
+                hubs.map_batches(lambda b: pa.table({"src": b["node"], "h": b["v"]}),
+                                 batch_format="pyarrow"), nparts),
+            join_type="inner", num_partitions=nparts, on=("src",))
+        auth = _norm_over_nodes(_sum_by_key(rows, "dst", "h", "s"), "dst")
+        rows2 = coalesce_for_join(edges, nparts).join(
+            coalesce_for_join(
+                auth.map_batches(lambda b: pa.table({"dst": b["node"], "a": b["v"]}),
+                                 batch_format="pyarrow"), nparts),
+            join_type="inner", num_partitions=nparts, on=("dst",))
+        hubs = _norm_over_nodes(_sum_by_key(rows2, "src", "a", "s"), "src")
+
+    both = coalesce_for_join(auth.map_batches(
+        lambda b: pa.table({"node": b["node"], "a": b["v"]}),
+        batch_format="pyarrow"), nparts).join(
+        coalesce_for_join(
+            hubs.map_batches(lambda b: pa.table({"node": b["node"], "h": b["v"]}),
+                             batch_format="pyarrow"), nparts),
+        join_type="inner", num_partitions=nparts, on=("node",))
+
+    def fin(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        if b.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.string()),
+                             "auth_r": pa.array([], pa.float64()),
+                             "hub_r": pa.array([], pa.float64())})
+        return pa.table({
+            "node": b["node"],
+            "auth_r": pa.array(np.round(
+                b["a"].to_numpy(zero_copy_only=False), round_digits), pa.float64()),
+            "hub_r": pa.array(np.round(
+                b["h"].to_numpy(zero_copy_only=False), round_digits), pa.float64()),
+        })
+
+    return both.map_batches(fin, batch_format="pyarrow")

@@ -159,3 +159,34 @@ def test_pagerank_matches_numpy(ray_session, parts):
     got = dict(zip(pr.node, pr.rank_r))
     assert set(got) == set(exp)
     assert max(abs(got[u] - exp[u]) for u in exp) <= 1e-6
+
+
+def test_hits_matches_numpy_spec(ray_session):
+    import numpy as np
+    import ray.data
+
+    from search_engine_ray.pipelines.linkgraph import hits
+
+    # hub page 'h' links to authorities a1, a2; 'x' links to a1 only
+    E = [("h", "a1"), ("h", "a2"), ("x", "a1")]
+    ds = ray.data.from_items([{"src": s, "dst": d} for s, d in E])
+    out = hits(ds, n_iters=3).to_pandas().set_index("node")
+
+    nodes = sorted({n for e in E for n in e})
+    ix = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for s, d in E:
+        A[ix[s], ix[d]] = 1.0
+    h = np.full(len(nodes), 1.0 / len(nodes))
+    for _ in range(3):
+        a = A.T @ h
+        a /= a.sum()
+        h = A @ a
+        h /= h.sum()
+    for n in nodes:
+        assert out.loc[n, "auth_r"] == round(float(a[ix[n]]), 6), n
+        assert out.loc[n, "hub_r"] == round(float(h[ix[n]]), 6), n
+    # structure: a1 is the top authority, h the top hub
+    assert out["auth_r"].idxmax() == "a1"
+    assert out["hub_r"].idxmax() == "h"
+    assert out.loc["a1", "hub_r"] == 0.0
