@@ -1459,6 +1459,36 @@ def q_hits(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+_LC_MOD = 23
+
+
+def q_link_components(sf_dir: str):
+    """Connected components of an undirected star link graph (doc i →
+    hub doc i % 23; low diameter so min-label propagation converges in a
+    few rounds — the pagerank cycle graph's diameter is O(N), a
+    pathological regime for label propagation). Component =
+    lexicographically smallest url (dense-rank labels, exact)."""
+    import ray.data
+
+    from search_engine_ray.pipelines.linkgraph import link_components
+
+    def synth(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 7 != 0
+        ids = ids[keep]
+        return pa.table({
+            "src": pa.array([f"https://d{int(i)}.test/" for i in ids], pa.string()),
+            "dst": pa.array([f"https://d{int(i) % _LC_MOD}.test/" for i in ids], pa.string()),
+        })
+
+    edges = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+    out = link_components(edges).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def q_anchor_terms(sf_dir: str):
     """Per-target anchor-text term profile (top-3 terms per dst)."""
     from search_engine_ray.pipelines.linkgraph import anchor_terms
@@ -4259,6 +4289,26 @@ def oracle_queries() -> dict[str, str]:
         """,
         "pagerank": _pagerank_sql(),
         "hits": _hits_sql(),
+        "link_components": f"""
+            WITH RECURSIVE edges AS (
+              SELECT 'https://d' || doc_id || '.test/' AS src,
+                     'https://d' || (doc_id % {_LC_MOD}) || '.test/' AS dst
+              FROM documents WHERE doc_id % 7 <> 0
+            ),
+            sym AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT dst AS src, src AS dst FROM edges
+            ),
+            nodes AS (SELECT src AS node FROM sym UNION SELECT dst FROM sym),
+            r(node, lbl) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT s.dst, r.lbl FROM r JOIN sym s ON s.src = r.node
+            )
+            SELECT node, min(lbl) AS component
+            FROM r GROUP BY node ORDER BY node
+        """,
         "anchor_terms": """
             WITH p AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
             a AS (
@@ -5239,6 +5289,7 @@ RAY_QUERIES = {
     "prune_postings": q_prune_postings,
     "pagerank": q_pagerank,
     "hits": q_hits,
+    "link_components": q_link_components,
     "anchor_terms": q_anchor_terms,
     "bm25f": q_bm25f,
     "degree_stats": q_degree_stats,

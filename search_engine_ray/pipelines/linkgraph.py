@@ -489,3 +489,65 @@ def hits(edges, n_iters: int = 3, round_digits: int = 6):
         })
 
     return both.map_batches(fin, batch_format="pyarrow")
+
+
+def link_components(edges, max_iters: int = 100):
+    """Connected components of the UNDIRECTED link graph → (node,
+    component) with ``component`` = the lexicographically smallest url in
+    the component — the web-graph grouping behind site clustering and
+    crawl-frontier partitioning. Nodes dense-rank via one sort
+    (zip_with_index, so the min integer label IS the lexicographic min
+    url — exact, no hash-collision risk), edges map to int pairs through
+    two hash joins, and the component labels come from the same
+    distributed min-label propagation as near-dup clustering
+    (training_data.clusters_distributed, label-sum fixpoint)."""
+    from search_engine_ray.pipelines.training_data import clusters_distributed
+    from search_engine_ray.stages.doc_ids import zip_with_index
+    from search_engine_ray.stages.grouped import coalesce_for_join, grouped_reduce
+
+    edges = edges.materialize()
+    nparts = _nparts()
+
+    def halves(b: pa.Table, col: str) -> pa.Table:
+        return pa.table({"node": b[col].combine_chunks().unique().cast(pa.string())})
+
+    nodes = grouped_reduce(
+        edges.map_batches(lambda b: halves(b, "src"), batch_format="pyarrow")
+        .union(edges.map_batches(lambda b: halves(b, "dst"), batch_format="pyarrow")),
+        ["node"])
+    ids = zip_with_index(nodes, "node", "nid", start=1).materialize()
+
+    def side(col: str, out: str):
+        return ids.map_batches(
+            lambda b, c=col, o=out: pa.table({c: b["node"], o: b["nid"]}),
+            batch_format="pyarrow")
+
+    pairs = (coalesce_for_join(edges, nparts)
+             .join(coalesce_for_join(side("src", "a"), nparts),
+                   join_type="inner", num_partitions=nparts, on=("src",)))
+    pairs = (coalesce_for_join(pairs, nparts)
+             .join(coalesce_for_join(side("dst", "b"), nparts),
+                   join_type="inner", num_partitions=nparts, on=("dst",))
+             .select_columns(["a", "b"]))
+
+    comp = clusters_distributed(pairs, max_iters=max_iters)
+
+    # label ids back to urls: nid -> node for both the member and the rep
+    back = coalesce_for_join(
+        comp.map_batches(
+            lambda b: pa.table({"nid": b["doc_id"].cast(pa.int64()),
+                                "rep": b["cluster_id"].cast(pa.int64())}),
+            batch_format="pyarrow"), nparts).join(
+        coalesce_for_join(ids.map_batches(
+            lambda b: pa.table({"nid": b["nid"], "node": b["node"]}),
+            batch_format="pyarrow"), nparts),
+        join_type="inner", num_partitions=nparts, on=("nid",))
+    out = coalesce_for_join(
+        back.map_batches(lambda b: pa.table({"node": b["node"],
+                                             "rep": b["rep"]}),
+                         batch_format="pyarrow"), nparts).join(
+        coalesce_for_join(ids.map_batches(
+            lambda b: pa.table({"rep": b["nid"], "component": b["node"]}),
+            batch_format="pyarrow"), nparts),
+        join_type="inner", num_partitions=nparts, on=("rep",))
+    return out.select_columns(["node", "component"])

@@ -108,7 +108,8 @@ def test_query_and_oracle_keys_align(entry):
         "token_budget", "split_assign", "sample_k",
         "pack_sequences", "chunk_documents", "shuffle",
         "collocations", "cooccurrence", "prune_postings",
-        "pagerank", "hits", "anchor_terms", "latest_snapshot", "degree_stats",
+        "pagerank", "hits", "link_components", "anchor_terms",
+        "latest_snapshot", "degree_stats",
         "bm25f",
         "remove_repeated_ngrams", "remove_global_ngrams",
         "heavy_hitters_exact", "vocab_size",

@@ -190,3 +190,16 @@ def test_hits_matches_numpy_spec(ray_session):
     assert out["auth_r"].idxmax() == "a1"
     assert out["hub_r"].idxmax() == "h"
     assert out.loc["a1", "hub_r"] == 0.0
+
+
+def test_link_components_small_graph(ray_session):
+    import ray.data
+
+    from search_engine_ray.pipelines.linkgraph import link_components
+
+    E = [("b", "a"), ("c", "b"), ("e", "d"), ("f", "f")]
+    ds = ray.data.from_items([{"src": s, "dst": d} for s, d in E])
+    out = (link_components(ds).to_pandas()
+           .set_index("node")["component"].to_dict())
+    assert out == {"a": "a", "b": "a", "c": "a",
+                   "d": "d", "e": "d", "f": "f"}
