@@ -2950,7 +2950,8 @@ def _verify_pairs_join(cand, sig_ds, threshold: float):
     return j2.map_batches(score, batch_format="pyarrow")
 
 
-def clusters_distributed(pairs, max_iters: int = 100) -> "ray.data.Dataset":
+def clusters_distributed(pairs, max_iters: int = 100,
+                         shortcut: bool = True) -> "ray.data.Dataset":
     """Connected components of the near-dup pair graph, fully distributed:
     → Dataset (doc_id, cluster_id) with cluster_id = min doc_id in the
     component. No driver-side edge materialization, no edge-count cap —
@@ -2961,10 +2962,14 @@ def clusters_distributed(pairs, max_iters: int = 100) -> "ray.data.Dataset":
     edges⋈labels + one groupby-min per round), until the global label sum
     stops decreasing (labels only ever decrease toward the component
     minimum, so an unchanged integer sum ⇔ fixpoint — no join needed for
-    the convergence test). Rounds needed = graph diameter (near-dup
-    components are shallow cliques/chains in practice); ``max_iters``
-    bounds pathological chains. Pytest-verified identical to union-find on
-    seeded corpora with dup chains crossing partitions."""
+    the convergence test). With ``shortcut`` (default), each round also
+    POINTER-JUMPS: label(v) ← label(label(v)) via one labels⋈labels join
+    — chain depth halves per round, so rounds fall from O(diameter) to
+    O(log diameter) (long paths/cycles — e.g. a web-graph tail — stop
+    being pathological; near-dup cliques were always shallow). Labels
+    still only decrease and never below the component min, so the
+    fixpoint and the output are unchanged (pytest-identical to
+    union-find, shortcut on and off)."""
     import ray.data
     from ray.data.aggregate import Sum as ASum
 
@@ -3020,6 +3025,35 @@ def clusters_distributed(pairs, max_iters: int = 100) -> "ray.data.Dataset":
         labels = coalesce_for_join(
             grouped_reduce(labels.union(cand), ["node"],
                            mins=[("label", "label")]), npart)
+        if shortcut:
+            # pointer jumping: label(v) ← label(label(v)). Every label
+            # value is itself a node of the graph, and labels only
+            # decrease (label(x) ≤ x), so the join hits and min() is just
+            # the looked-up value; one row in, one row out — no regroup.
+            ref = labels.map_batches(
+                lambda b: pa.table({"label": b["node"], "label2": b["label"]}),
+                batch_format="pyarrow")
+            jumped = labels.join(coalesce_for_join(ref, npart),
+                                 join_type="left_outer",
+                                 num_partitions=npart, on=("label",))
+
+            def apply_jump(b: pa.Table) -> pa.Table:
+                b = b.combine_chunks()
+                if b.num_rows == 0:
+                    return pa.table({"node": pa.array([], pa.int64()),
+                                     "label": pa.array([], pa.int64())})
+                l1 = b["label"].to_numpy(zero_copy_only=False).astype(np.float64)
+                l2 = b["label2"].to_numpy(zero_copy_only=False).astype(np.float64)
+                out = np.where(np.isnan(l2), l1, np.minimum(l1, l2))
+                return pa.table({"node": b["node"].cast(pa.int64()),
+                                 "label": pa.array(out.astype(np.int64), pa.int64())})
+
+            labels = coalesce_for_join(
+                jumped.map_batches(apply_jump, batch_format="pyarrow"), npart)
+        # cut the lineage each round: without this the lazy plan re-executes
+        # every PRIOR round again per iteration (quadratic in round count —
+        # invisible on shallow near-dup graphs, fatal on long chains)
+        labels = labels.materialize()
         cur_sum = labels.aggregate(ASum("label", alias_name="s"))["s"]
         if cur_sum == prev_sum:
             break

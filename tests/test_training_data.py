@@ -1138,3 +1138,37 @@ def test_corpus_drift(ray_session):
     # one-sided terms score higher drift than balanced ones
     assert out.loc["new", "g2_r"] > out.loc["word", "g2_r"]
     assert out.loc["word", "g2_r"] < 0.2
+
+
+def test_clusters_pointer_jumping_chain(ray_session):
+    """A length-100 chain converges in O(log n) rounds with the shortcut
+    (label propagation alone would need ~100 rounds — the documented
+    pathological diameter regime) and matches union-find exactly."""
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_ray.pipelines.training_data import (
+        clusters_distributed,
+        clusters_from_pairs,
+    )
+
+    n = 100
+    tbl = pa.table({"a": pa.array(np.arange(n - 1), pa.int64()),
+                    "b": pa.array(np.arange(1, n), pa.int64())})
+    # max_iters=12 >> log2(100): only the shortcut path can converge
+    out = (clusters_distributed(ray.data.from_arrow(tbl), max_iters=12)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert (out["cluster_id"] == 0).all() and len(out) == n
+
+    # shortcut on == shortcut off == union-find on a shallow random graph
+    rng = np.random.default_rng(9)
+    a, b = rng.integers(0, 60, 150), rng.integers(0, 60, 150)
+    p = pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+    ds = ray.data.from_arrow(p)
+    s1 = (clusters_distributed(ds).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    s0 = (clusters_distributed(ds, shortcut=False).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    uf = (clusters_from_pairs(p.to_pandas())
+          .sort_values("doc_id").reset_index(drop=True))
+    assert s1.equals(s0) and s1.equals(uf)
