@@ -1206,6 +1206,39 @@ def q_host_mirrors(sf_dir: str):
     return (out.sort_values(["host_a", "host_b"]).reset_index(drop=True))
 
 
+def q_host_mirrors_near(sf_dir: str):
+    """NEAR-dup mirror detection (MinHash-verified cross-host pairs) over
+    synthesized near-mirrored templates: every 5th doc serves a shared
+    template with a per-doc tail token, so copies are near- but not
+    exact-duplicates. Rows-only (sketch-based)."""
+    import ray.data
+
+    from search_engine_ray.pipelines.webcorpus import host_mirrors_near
+
+    def messy(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        urls, out = [], []
+        for d, t in zip(ids, texts):
+            h = int(d) % _HOST_MOD
+            if int(d) % _MIRROR_MOD == 0:
+                t = (f"shared page {int(d) % _MIRROR_K} " * 20
+                     + f"tail{int(d)}")
+            urls.append(f"https://h{h}.example.test/p/{int(d)}")
+            out.append(t or "")
+        return pa.table({"doc_id": batch["doc_id"].cast(pa.int64()),
+                         "url": pa.array(urls, pa.string()),
+                         "text": pa.array(out, pa.string())})
+
+    pages = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "text"]).map_batches(
+        messy, batch_format="pyarrow")
+    out = host_mirrors_near(pages, threshold=0.5).to_pandas()
+    out["n_near_dups"] = out["n_near_dups"].astype(np.int64)
+    return out.sort_values(["host_a", "host_b"]).reset_index(drop=True)
+
+
 def q_canonical_urls(sf_dir: str):
     """URL canonicalization over deterministically-synthesized messy urls
     (4 variants per doc_id: uppercase scheme/host + default port +
@@ -5275,6 +5308,7 @@ RAY_QUERIES = {
     "host_stats": q_host_stats,
     "canonical_urls": q_canonical_urls,
     "host_mirrors": q_host_mirrors,
+    "host_mirrors_near": q_host_mirrors_near,
     "host_cap": q_host_cap,
     "stratified_sample": q_stratified_sample,
     "sample_k": q_sample_k,

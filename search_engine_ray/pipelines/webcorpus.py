@@ -764,3 +764,66 @@ def host_mirrors(pages, min_shared: int = 1, max_hosts_per_hash: int = 50,
         })
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def host_mirrors_near(pages, url_col: str = "url", id_col: str = "doc_id",
+                      text_col: str = "text", min_shared: int = 1,
+                      **minhash_kw):
+    """NEAR-duplicate mirror detection: host pairs whose pages are
+    MinHash-verified near-duplicates of each other — catches mirrors
+    that rewrap content with per-site chrome, which exact-hash
+    :func:`host_mirrors` misses. → (host_a, host_b, n_near_dups),
+    host_a < host_b, counting verified cross-host near-dup page pairs.
+
+    Composition: the standard MinHash-LSH pipeline produces verified
+    (a, b, jaccard) doc pairs; two hash joins map doc ids to hosts
+    (doc→host is corpus-cardinality and stays sharded — never
+    broadcast); same-host pairs drop; one grouped_reduce counts per
+    host pair. Sketch-based, so rows-only at the driver (the underlying
+    pair pipeline is property-verified in pytest)."""
+    from search_engine_ray.pipelines.training_data import minhash_lsh_dedup
+    from search_engine_ray.stages.grouped import coalesce_for_join, grouped_reduce
+
+    hosted = with_host(pages, url_col=url_col).materialize()
+    pairs = minhash_lsh_dedup(hosted, id_col=id_col, text_col=text_col,
+                              **minhash_kw)
+    id_host = hosted.map_batches(
+        lambda b: pa.table({id_col: b[id_col].cast(pa.int64()),
+                            "host": b["host"]}),
+        batch_format="pyarrow").materialize()
+    npart = 8
+
+    def rn(ds, old, new):
+        return ds.map_batches(
+            lambda b, o=old, n=new: b.rename_columns(
+                [n if c == o else c for c in b.column_names]),
+            batch_format="pyarrow")
+
+    j1 = coalesce_for_join(
+        pairs.map_batches(lambda b: pa.table({
+            "a": b["a"].cast(pa.int64()), "b": b["b"].cast(pa.int64())}),
+            batch_format="pyarrow"), npart).join(
+        coalesce_for_join(rn(rn(id_host, id_col, "a"), "host", "host_a"), npart),
+        join_type="inner", num_partitions=npart, on=("a",))
+    j2 = coalesce_for_join(j1, npart).join(
+        coalesce_for_join(rn(rn(id_host, id_col, "b"), "host", "host_b"), npart),
+        join_type="inner", num_partitions=npart, on=("b",))
+
+    def cross_host(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        empty = pa.table({"host_a": pa.array([], pa.string()),
+                          "host_b": pa.array([], pa.string())})
+        if t.num_rows == 0:
+            return empty
+        ha = np.asarray(t["host_a"].to_pylist(), object)
+        hb = np.asarray(t["host_b"].to_pylist(), object)
+        keep = ha != hb
+        lo = np.where(ha[keep] < hb[keep], ha[keep], hb[keep])
+        hi = np.where(ha[keep] < hb[keep], hb[keep], ha[keep])
+        return pa.table({"host_a": pa.array(lo.tolist(), pa.string()),
+                         "host_b": pa.array(hi.tolist(), pa.string())})
+
+    counts = grouped_reduce(
+        j2.map_batches(cross_host, batch_format="pyarrow"),
+        ["host_a", "host_b"], count="n_near_dups")
+    return counts.filter(expr=f"n_near_dups >= {int(min_shared)}")

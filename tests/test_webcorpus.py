@@ -437,3 +437,25 @@ def test_host_mirrors_empty_and_cap(ray_session):
     out = host_mirrors(ray.data.from_items(rows),
                        max_hosts_per_hash=3).to_pandas()
     assert len(out) == 0
+
+
+def test_host_mirrors_near(ray_session):
+    import ray.data
+
+    from search_engine_ray.pipelines.webcorpus import host_mirrors_near
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            * 5)
+    rows = []
+    for i, (host, text) in enumerate([
+        ("a", base + "footer-a"), ("a", "unique content on a " * 10),
+        ("b", base + "footer-b-x"), ("b", "other b stuff entirely " * 10),
+        ("c", "completely different page " * 10),
+    ]):
+        rows.append({"doc_id": i, "url": f"https://{host}.test/p/{i}",
+                     "text": text})
+    out = host_mirrors_near(ray.data.from_items(rows), shingle_k=2,
+                            threshold=0.5).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["host_a"], r["host_b"], r["n_near_dups"]) == ("a.test", "b.test", 1)
