@@ -472,13 +472,14 @@ class SearchEngine:
             score_parts.append(w)
         if not doc_parts:
             return []
-        ids = np.concatenate(doc_parts)
-        sc = np.concatenate(score_parts)
-        # per-doc bm25 sum in term order (stable sort), distinct ids
-        perm = np.argsort(ids, kind="stable")
-        ids, sc = ids[perm], sc[perm]
-        uniq, starts = np.unique(ids, return_index=True)
-        bm25 = np.add.reduceat(sc, starts)
+        # per-doc bm25 accumulated PER TERM (left-to-right in term order —
+        # the same float association as topk_docs / the distributed
+        # coordinator; np.add.reduceat associates differently in the last
+        # ulp, which would break cross-path bit parity)
+        uniq = np.unique(np.concatenate(doc_parts))
+        bm25 = np.zeros(len(uniq), np.float64)
+        for d_t, w_t in zip(doc_parts, score_parts):
+            bm25[np.searchsorted(uniq, d_t)] += w_t
         aids, avals = self._doc_sort_attrs[attr]
         i = np.clip(np.searchsorted(aids, uniq), 0, max(len(aids) - 1, 0))
         present = (aids[i] == uniq) if len(aids) else np.zeros(len(uniq), bool)

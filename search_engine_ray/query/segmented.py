@@ -516,12 +516,13 @@ class SegmentedSearchEngine:
             self.query_terms(query))
         if not doc_parts:
             return []
-        ids = np.concatenate(doc_parts)
-        sc = np.concatenate(score_parts)
-        perm = np.argsort(ids, kind="stable")
-        ids, sc = ids[perm], sc[perm]
-        uniq, starts = np.unique(ids, return_index=True)
-        bm25 = np.add.reduceat(sc, starts)
+        # per-term left-to-right accumulation — the same float association
+        # as the monolithic engine and distributed coordinator (reduceat
+        # associates differently in the last ulp)
+        uniq = np.unique(np.concatenate(doc_parts))
+        bm25 = np.zeros(len(uniq), np.float64)
+        for d_t, w_t in zip(doc_parts, score_parts):
+            bm25[np.searchsorted(uniq, d_t)] += w_t
         present, vals = self._sort_attr_of(attr, uniq)
         key = np.where(present, vals if not descending else -vals, np.inf)
         order = np.lexsort((uniq, key))[:k]

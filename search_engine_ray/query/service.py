@@ -489,6 +489,51 @@ class DistributedSearchEngine:
         return self._bounded_topk([(t, 1.0) for t in terms], k, None, None,
                                   "bm25", np.float64, mask_fn=mask_fn)
 
+    def bm25_topk_sorted(self, query: str, k: int = 10, *, attr: str,
+                         descending: bool = True, chunk: int = 1024
+                         ) -> list[tuple[int, float, float]]:
+        """Distributed sort-by-field retrieval — pytest-identical to
+        ``SearchEngine.bm25_topk_sorted``. Candidates walk in ATTRIBUTE
+        order (attr desc|asc, doc asc; registry-missing docs last), in
+        chunks of ``chunk`` ids: each chunk is one bounded
+        term_weights_for_docs fan-out; docs with a positive BM25 total
+        matched ≥1 term (every per-posting weight is > 0), and the walk
+        stops at the k-th match — per-query bytes are
+        O(chunks-until-k × terms), never a posting list."""
+        terms = self.query_terms(query)
+        if not terms:
+            return []
+        dfs = self._fan_out_args(terms, "term_dfs")
+        present = [t for t in terms if dfs.get(t)]
+        if not present:
+            return []
+        aids, avals = self._doc_sort_attrs[attr]
+        key = -avals if descending else avals
+        ordered = aids[np.lexsort((aids, key))]
+        missing = np.setdiff1d(np.arange(1, self._num_docs + 1, dtype=np.int64),
+                               aids, assume_unique=False)
+        walk = np.concatenate([ordered, missing])
+        out: list[tuple[int, float, float]] = []
+        for s in range(0, len(walk), chunk):
+            ids = walk[s:s + chunk]
+            w_by_term = self._fan_out_args(present, "term_weights_for_docs",
+                                           np.sort(ids), "bm25")
+            sids = np.sort(ids)
+            totals = np.zeros(len(sids), np.float64)
+            for t in present:
+                totals += w_by_term.get(t, np.zeros(len(sids)))
+            back = np.searchsorted(sids, ids)
+            tot_walk = totals[back]
+            for j in np.flatnonzero(tot_walk > 0.0):
+                d = int(ids[j])
+                i = np.searchsorted(aids, d)
+                has = i < len(aids) and aids[i] == d
+                val = float(avals[i]) if has else float("nan")
+                out.append((d, val, float(tot_walk[j])))
+                if len(out) >= k:
+                    return out
+        return out
+
     def bm25_topk_filtered(self, query: str, k: int = 10, *, attr: str,
                            allowed) -> list[tuple[int, float]]:
         """Distributed filtered BM25 — pytest-identical to

@@ -60,6 +60,26 @@ class TestDistributedServing:
             assert a == b, (q, lo, hi)
 
     @pytest.mark.parametrize("q", QUERIES)
+    def test_bm25_sorted_identical_to_local(self, built, q):
+        local, dist = built
+        n = local.num_docs
+        ids = np.arange(1, n + 1)
+        vals = (ids * 41) % 89
+        # leave some docs out of the registry: missing-last contract
+        keep = ids % 13 != 0
+        local.set_doc_sort_attr("sz2", ids[keep], vals[keep])
+        dist.set_doc_sort_attr("sz2", ids[keep], vals[keep])
+        for desc in (True, False):
+            a = local.bm25_topk_sorted(q, 10, attr="sz2", descending=desc)
+            b = dist.bm25_topk_sorted(q, 10, attr="sz2", descending=desc,
+                                      chunk=97)
+            # NaN != NaN — compare fields with nan-aware value check
+            assert len(a) == len(b)
+            for (d1, v1, s1), (d2, v2, s2) in zip(a, b):
+                assert d1 == d2 and s1 == s2
+                assert (v1 == v2) or (np.isnan(v1) and np.isnan(v2))
+
+    @pytest.mark.parametrize("q", QUERIES)
     def test_bm25_prox_identical_to_local(self, built, q):
         local, dist = built
         for k in (3, 10):
