@@ -3042,11 +3042,13 @@ def clusters_distributed(pairs, max_iters: int = 100,
                 if b.num_rows == 0:
                     return pa.table({"node": pa.array([], pa.int64()),
                                      "label": pa.array([], pa.int64())})
-                l1 = b["label"].to_numpy(zero_copy_only=False).astype(np.float64)
-                l2 = b["label2"].to_numpy(zero_copy_only=False).astype(np.float64)
-                out = np.where(np.isnan(l2), l1, np.minimum(l1, l2))
+                # int64 end-to-end: a float64 round-trip for null handling
+                # would corrupt labels above 2^53 (hash-style ids)
+                l2 = pc.coalesce(b["label2"].combine_chunks().cast(pa.int64()),
+                                 b["label"].combine_chunks().cast(pa.int64()))
+                out = pc.min_element_wise(b["label"].cast(pa.int64()), l2)
                 return pa.table({"node": b["node"].cast(pa.int64()),
-                                 "label": pa.array(out.astype(np.int64), pa.int64())})
+                                 "label": out})
 
             labels = coalesce_for_join(
                 jumped.map_batches(apply_jump, batch_format="pyarrow"), npart)

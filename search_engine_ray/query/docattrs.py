@@ -80,3 +80,25 @@ def codes_for(entry: AttrEntry, doc_ids: np.ndarray) -> np.ndarray:
         return np.full(len(doc_ids), -1, np.int64)
     i = np.clip(np.searchsorted(ids, doc_ids), 0, len(ids) - 1)
     return np.where(ids[i] == doc_ids, codes[i], np.int64(-1))
+
+
+def build_numeric_attr(doc_ids, values) -> tuple[np.ndarray, np.ndarray]:
+    """NUMERIC per-doc attribute registry entry: (sorted ids, float64
+    values aligned to them) — the state behind sort-by-field and
+    range-filtered retrieval, shared by all serving paths."""
+    ids = np.asarray(doc_ids, np.int64)
+    vals = np.asarray(values, np.float64)
+    order = np.argsort(ids, kind="stable")
+    return ids[order], vals[order]
+
+
+def numeric_attr_probe(entry: tuple[np.ndarray, np.ndarray],
+                       doc_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(present mask, values with NaN where absent) of a numeric
+    attribute for ``doc_ids`` — one sorted probe, the single membership
+    idiom every consumer (sort, range, distributed mask) shares."""
+    aids, avals = entry
+    i = np.clip(np.searchsorted(aids, doc_ids), 0, max(len(aids) - 1, 0))
+    present = (aids[i] == doc_ids) if len(aids) else np.zeros(len(doc_ids), bool)
+    vals = np.where(present, avals[i] if len(aids) else 0.0, np.nan)
+    return present, vals

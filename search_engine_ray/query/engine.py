@@ -406,12 +406,11 @@ class SearchEngine:
         """Register a NUMERIC per-doc attribute for sort-by-field
         retrieval (:meth:`bm25_topk_sorted`) — timestamps, sizes, quality
         scores. Stored as (sorted ids, float64 values), O(num_docs)."""
-        ids = np.asarray(doc_ids, np.int64)
-        vals = np.asarray(values, np.float64)
-        order = np.argsort(ids, kind="stable")
+        from search_engine_ray.query.docattrs import build_numeric_attr
+
         if not hasattr(self, "_doc_sort_attrs"):
             self._doc_sort_attrs: dict[str, tuple] = {}
-        self._doc_sort_attrs[name] = (ids[order], vals[order])
+        self._doc_sort_attrs[name] = build_numeric_attr(doc_ids, values)
 
     def bm25_topk_range(self, query: str, k: int = 10, *, attr: str,
                         lo: float = -np.inf, hi: float = np.inf
@@ -423,16 +422,16 @@ class SearchEngine:
         quality thresholds). The filter applies per posting list BEFORE
         top-k, so the result is the true top-k of the filtered corpus;
         docs absent from the attribute registry never match."""
-        aids, avals = self._doc_sort_attrs[attr]
+        from search_engine_ray.query.docattrs import numeric_attr_probe
+
+        entry = self._doc_sort_attrs[attr]
         doc_parts, score_parts = [], []
         for t in self.query_terms(query):
             tp = self.get_postings(t)
             if tp is None or tp.df == 0:
                 continue
-            i = np.clip(np.searchsorted(aids, tp.doc_ids), 0,
-                        max(len(aids) - 1, 0))
-            present = (aids[i] == tp.doc_ids) if len(aids) else np.zeros(tp.df, bool)
-            keep = present & (avals[i] >= lo) & (avals[i] <= hi)
+            present, vals = numeric_attr_probe(entry, tp.doc_ids)
+            keep = present & (vals >= lo) & (vals <= hi)
             if not keep.any():
                 continue
             docs, tfs = tp.doc_ids[keep], tp.tfs[keep]
@@ -480,10 +479,9 @@ class SearchEngine:
         bm25 = np.zeros(len(uniq), np.float64)
         for d_t, w_t in zip(doc_parts, score_parts):
             bm25[np.searchsorted(uniq, d_t)] += w_t
-        aids, avals = self._doc_sort_attrs[attr]
-        i = np.clip(np.searchsorted(aids, uniq), 0, max(len(aids) - 1, 0))
-        present = (aids[i] == uniq) if len(aids) else np.zeros(len(uniq), bool)
-        vals = np.where(present, avals[i] if len(aids) else 0.0, np.nan)
+        from search_engine_ray.query.docattrs import numeric_attr_probe
+
+        present, vals = numeric_attr_probe(self._doc_sort_attrs[attr], uniq)
         key = np.where(present, vals if not descending else -vals, np.inf)
         order = np.lexsort((uniq, key))[:k]
         return [(int(uniq[j]), float(vals[j]), float(bm25[j])) for j in order]
@@ -687,15 +685,11 @@ class SearchEngine:
                 tp.tfs, dl, tp.df, self.num_docs, self.avgdl,
                 self.config.bm25_k1, self.config.bm25_b))
 
+        from search_engine_ray.query.postings_codec import ragged_slices
+
         def ragged_take(tp, idx):
             """(flat positions, offsets) for the postings rows ``idx``."""
-            lens = tp.pos_offsets[idx + 1] - tp.pos_offsets[idx]
-            off = np.zeros(len(idx) + 1, np.int64)
-            np.cumsum(lens, out=off[1:])
-            total = int(off[-1])
-            gather = (np.arange(total, dtype=np.int64)
-                      + np.repeat(tp.pos_offsets[idx] - off[:-1], lens))
-            return tp.pos_values[gather], off
+            return ragged_slices(tp.pos_offsets, tp.pos_values, idx)
 
         for a in range(len(tps)):
             for b in range(a + 1, len(tps)):

@@ -115,12 +115,9 @@ def ltr_features(eng, query: str) -> pa.Table:
 
 def _ragged_positions(tp, idx: np.ndarray):
     """(flat positions, offsets) for the postings rows ``idx``."""
-    lens = tp.pos_offsets[idx + 1] - tp.pos_offsets[idx]
-    off = np.zeros(len(idx) + 1, np.int64)
-    np.cumsum(lens, out=off[1:])
-    gather = (np.arange(int(off[-1]), dtype=np.int64)
-              + np.repeat(tp.pos_offsets[idx] - off[:-1], lens))
-    return tp.pos_values[gather], off
+    from search_engine_ray.query.postings_codec import ragged_slices
+
+    return ragged_slices(tp.pos_offsets, tp.pos_values, idx)
 
 
 class LtrFeatureActor:
@@ -144,8 +141,12 @@ class LtrFeatureActor:
             parts.append(t.add_column(
                 0, "query_id",
                 pa.array(np.full(t.num_rows, qid, np.int64))))
-        return pa.concat_tables(parts) if parts else pa.table(
-            {"query_id": pa.array([], pa.int64())})
+        if parts:
+            return pa.concat_tables(parts)
+        # full 13-column schema even for empty blocks — a single-column
+        # empty table would break downstream schema unification
+        empty = ltr_features(self.engine, "")
+        return empty.add_column(0, "query_id", pa.array([], pa.int64()))
 
 
 def batch_ltr_features(queries_ds, index_dir: str, config=None,

@@ -160,3 +160,17 @@ def segmented_min_distance(pos1: np.ndarray, off1: np.ndarray,
     left = np.where(idx - 1 >= lo_bound,
                     f1 - f2[np.maximum(idx - 1, 0)], inf)
     return np.minimum.reduceat(np.minimum(right, left), off1[:-1])
+
+
+def ragged_slices(src_offsets: np.ndarray, values: np.ndarray,
+                  idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Gather the ragged segments ``values[src_offsets[i]:src_offsets[i+1]]``
+    for each i in ``idx`` into one flat array + new offsets — the shared
+    kernel behind per-candidate position slicing (proximity scoring, LTR
+    positional features, distributed prox fan-outs)."""
+    lens = src_offsets[idx + 1] - src_offsets[idx]
+    off = np.zeros(len(idx) + 1, np.int64)
+    np.cumsum(lens, out=off[1:])
+    gather = (np.arange(int(off[-1]), dtype=np.int64)
+              + np.repeat(src_offsets[idx] - off[:-1], lens))
+    return values[gather], off

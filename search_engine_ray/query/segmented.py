@@ -470,20 +470,17 @@ class SegmentedSearchEngine:
     def set_doc_sort_attr(self, name: str, doc_ids, values) -> None:
         """Register a NUMERIC per-doc attribute (range filter + sort-by-
         field serving) — same contract as the monolithic engine's."""
-        ids = np.asarray(doc_ids, np.int64)
-        vals = np.asarray(values, np.float64)
-        order = np.argsort(ids, kind="stable")
+        from search_engine_ray.query.docattrs import build_numeric_attr
+
         if not hasattr(self, "_doc_sort_attrs"):
             self._doc_sort_attrs: dict[str, tuple] = {}
-        self._doc_sort_attrs[name] = (ids[order], vals[order])
+        self._doc_sort_attrs[name] = build_numeric_attr(doc_ids, values)
 
     def _sort_attr_of(self, attr: str, ids: np.ndarray):
         """(present mask, values) of a numeric attribute for ids."""
-        aids, avals = self._doc_sort_attrs[attr]
-        i = np.clip(np.searchsorted(aids, ids), 0, max(len(aids) - 1, 0))
-        present = (aids[i] == ids) if len(aids) else np.zeros(len(ids), bool)
-        return present, np.where(present, avals[i] if len(aids) else 0.0,
-                                 np.nan)
+        from search_engine_ray.query.docattrs import numeric_attr_probe
+
+        return numeric_attr_probe(self._doc_sort_attrs[attr], ids)
 
     def bm25_topk_range(self, query: str, k: int = 10, *, attr: str,
                         lo: float = -np.inf, hi: float = np.inf

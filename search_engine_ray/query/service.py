@@ -241,6 +241,12 @@ class ShardServingActor:
         idx = np.searchsorted(self._dl_ids, np.asarray(doc_ids, np.int64))
         return self._dl[np.clip(idx, 0, len(self._dl) - 1)]
 
+    def all_doc_ids(self) -> np.ndarray:
+        """The sorted corpus doc-id array (rides the doc-length table every
+        actor already holds) — fetched once by the coordinator for
+        walks that must cover registry-missing docs."""
+        return self._dl_ids
+
     def collection_token_count(self) -> int:
         return int(self._dl.sum())
 
@@ -395,13 +401,7 @@ class DistributedSearchEngine:
                  for b in present[i + 1:]]
         b_max = w * sum(idf[a] + idf[b] for a, b in pairs)
 
-        def subrag(offs, vals, take):
-            lens = offs[take + 1] - offs[take]
-            o = np.zeros(len(take) + 1, np.int64)
-            np.cumsum(lens, out=o[1:])
-            gather = (np.arange(int(o[-1]), dtype=np.int64)
-                      + np.repeat(offs[take] - o[:-1], lens))
-            return vals[gather], o
+        from search_engine_ray.query.postings_codec import ragged_slices as subrag
 
         def boost_fn(fresh: np.ndarray):
             if not pairs:
@@ -459,12 +459,11 @@ class DistributedSearchEngine:
         retrieval, coordinator-side: one sorted (ids, float64) pair,
         O(num_docs) — the same footprint class as each actor's doc-length
         array."""
-        ids = np.asarray(doc_ids, np.int64)
-        vals = np.asarray(values, np.float64)
-        order = np.argsort(ids, kind="stable")
+        from search_engine_ray.query.docattrs import build_numeric_attr
+
         if not hasattr(self, "_doc_sort_attrs"):
             self._doc_sort_attrs: dict[str, tuple] = {}
-        self._doc_sort_attrs[name] = (ids[order], vals[order])
+        self._doc_sort_attrs[name] = build_numeric_attr(doc_ids, values)
 
     def bm25_topk_range(self, query: str, k: int = 10, *, attr: str,
                         lo: float = -np.inf, hi: float = np.inf
@@ -477,13 +476,12 @@ class DistributedSearchEngine:
         terms = self.query_terms(query)
         if not terms:
             return []
-        aids, avals = self._doc_sort_attrs[attr]
+        from search_engine_ray.query.docattrs import numeric_attr_probe
+
+        entry = self._doc_sort_attrs[attr]
 
         def mask_fn(cand: np.ndarray) -> np.ndarray:
-            i = np.clip(np.searchsorted(aids, cand), 0,
-                        max(len(aids) - 1, 0))
-            present = (aids[i] == cand) if len(aids) else np.zeros(len(cand), bool)
-            vals = np.where(present, avals[i] if len(aids) else 0.0, np.nan)
+            present, vals = numeric_attr_probe(entry, cand)
             return present & (vals >= lo) & (vals <= hi)
 
         return self._bounded_topk([(t, 1.0) for t in terms], k, None, None,
@@ -510,8 +508,13 @@ class DistributedSearchEngine:
         aids, avals = self._doc_sort_attrs[attr]
         key = -avals if descending else avals
         ordered = aids[np.lexsort((aids, key))]
-        missing = np.setdiff1d(np.arange(1, self._num_docs + 1, dtype=np.int64),
-                               aids, assume_unique=False)
+        # the REAL corpus id set (doc ids need not be 1..N — segment
+        # builds offset them): fetched once from an actor's doc-length
+        # table and cached, O(num_docs) like the registry itself
+        if not hasattr(self, "_all_doc_ids"):
+            self._all_doc_ids = np.asarray(
+                ray.get(self.actors[0].all_doc_ids.remote()), np.int64)
+        missing = np.setdiff1d(self._all_doc_ids, aids, assume_unique=False)
         walk = np.concatenate([ordered, missing])
         out: list[tuple[int, float, float]] = []
         for s in range(0, len(walk), chunk):
@@ -684,12 +687,7 @@ class DistributedSearchEngine:
                     fc = ray.get(self.actors[0].attr_codes.remote(capsel[0], fresh))
                     ccodes = np.insert(ccodes, ins, np.asarray(fc, np.int64))
                     self.last_fetch_rows += len(fresh)
-            if mask_fn is not None:
-                keep = mask_fn(cand)
-                sel_cand, sel_tot = cand[keep], totals[keep]
-            else:
-                sel_cand, sel_tot = cand, totals
-            if capsel is not None:
+            if capsel is not None:  # capsel and mask_fn are exclusive
                 from search_engine_ray.query.docattrs import capped_prefix
 
                 attr_name, cap_n, digits = capsel
@@ -699,12 +697,15 @@ class DistributedSearchEngine:
                 # smaller doc_id, rank above it — widen the margin by one
                 # grid step so the stop test stays conservative
                 margin = (10.0 ** -digits) if digits is not None else 0.0
-            else:
-                order = np.lexsort((sel_cand, -sel_tot))[:k]
-                margin = 0.0
-                cand_sel, tot_sel = sel_cand, sel_tot
-            if capsel is not None:
                 cand_sel, tot_sel = cand, totals
+            else:
+                if mask_fn is not None:
+                    keep = mask_fn(cand)
+                    cand_sel, tot_sel = cand[keep], totals[keep]
+                else:
+                    cand_sel, tot_sel = cand, totals
+                order = np.lexsort((cand_sel, -tot_sel))[:k]
+                margin = 0.0
             all_done = all(exhausted.values())
             if len(order) >= k or all_done:
                 kth = tot_sel[order[-1]] - margin if len(order) else np.inf

@@ -159,6 +159,8 @@ def wand_topk(cursors: list[TermCursor], k: int) -> list[tuple[int, float]]:
     Heap entries are (score, -doc_id): the min-heap root is the current
     worst (lowest score; among ties the LARGER doc_id), so tie replacement
     matches the exhaustive scorer's contract exactly."""
+    if k <= 0:
+        return []
     cursors = [c for c in cursors if not c.exhausted]
     heap: list[tuple[float, int]] = []
 
@@ -245,6 +247,8 @@ def maxscore_topk(cursors: list[TermCursor], k: int) -> list[tuple[int, float]]:
     bound that ties θ is fully evaluated, preserving the exhaustive
     scorer's exact tie contract (score desc, doc_id asc) — same contract
     as :func:`wand_topk`, pytest-enforced equality."""
+    if k <= 0:
+        return []
     order = [i for i, c in enumerate(cursors) if not c.exhausted]
     if not order:
         return []

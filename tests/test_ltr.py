@@ -173,3 +173,15 @@ def test_ltr_training_rows(engine):
     t0 = ltr_training_rows(engine, "alpha beta", []).to_pandas()
     assert (t0["label"] == 0).all()
     assert t.drop(columns="label").equals(t0.drop(columns="label"))
+
+
+def test_ltr_actor_empty_block_keeps_schema(engine):
+    import pyarrow as pa
+
+    from search_engine_ray.query.ltr import LtrFeatureActor, ltr_features
+
+    actor = LtrFeatureActor(engine.paths.out_dir)
+    out = actor(pa.table({"query_id": pa.array([], pa.int64()),
+                          "query_text": pa.array([], pa.string())}))
+    want = ["query_id"] + ltr_features(engine, "alpha").schema.names
+    assert out.schema.names == want and out.num_rows == 0

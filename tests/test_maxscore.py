@@ -102,3 +102,8 @@ def test_maxscore_prunes_nonessential(tmp_path_factory, ray_session):
 
 def test_maxscore_empty_and_missing_terms(engine):
     assert engine.bm25_topk_maxscore("nonexistent", 10) == []
+
+
+def test_k_zero_returns_empty(engine):
+    assert engine.bm25_topk_maxscore("w0 w1", 0) == []
+    assert engine.bm25_topk_wand("w0 w1", 0) == []
