@@ -104,6 +104,21 @@ def main(argv: list[str] | None = None) -> int:
                 from search_engine_ray.sources.webpages import webpages_from_documents
 
                 src = webpages_from_documents(src)
+            elif (isinstance(src, str) and os.path.isfile(src)
+                  and src.endswith(".parquet")):
+                # a single parquet FILE: webpages-shaped reads directly;
+                # a documents-style (doc_id, text) table converts through
+                # the same synthesizer the dir form uses
+                import pyarrow.parquet as _pq
+
+                names = set(_pq.read_schema(src).names)
+                if "url" not in names and {"doc_id", "text"} <= names:
+                    from search_engine_ray.sources.webpages import (
+                        webpages_from_documents,
+                    )
+
+                    src = webpages_from_documents(os.path.dirname(src),
+                                                  file_path=src)
             elif (isinstance(src, str) and os.path.isdir(src)
                   and any(f.endswith(".parquet") for f in os.listdir(src))
                   and any(not f.endswith(".parquet") for f in os.listdir(src))):

@@ -33,9 +33,22 @@ def _url_for(i: int, n_digits: int = 9) -> str:
     return f"https://example-{i:0{n_digits}d}.test/page"
 
 
-def webpages_from_documents(sf_dir: str) -> "ray.data.Dataset":
-    """documents.parquet → webpages table (html synthesized from text)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+def webpages_from_documents(sf_dir: str,
+                            file_path: str | None = None) -> "ray.data.Dataset":
+    """documents.parquet → webpages table (html synthesized from text).
+    ``file_path`` points at a specific documents-style parquet instead of
+    ``{sf_dir}/documents.parquet`` (CLI single-file convenience)."""
+    path = file_path or f"{sf_dir}/documents.parquet"
+    import pyarrow.parquet as _pq
+
+    names = set(_pq.read_schema(path).names)
+    cols = [c for c in ("doc_id", "text", "lang") if c in names]
+    ds = ray.data.read_parquet(path, columns=cols)
+    if "lang" not in names:
+        ds = ds.map_batches(
+            lambda b: b.append_column(
+                "lang", pa.array(["und"] * b.num_rows, pa.string())),
+            batch_format="pyarrow")
 
     def to_webpages(batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
