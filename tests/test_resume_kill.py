@@ -86,7 +86,7 @@ def test_kill_mid_postings_shards_then_resume(tmp_path):
     killed = False
     while time.time() < deadline:
         done_shards = glob.glob(pattern)
-        if len(done_shards) >= 3 and not os.path.exists(os.path.join(out, "stats.json")):
+        if len(done_shards) >= 1 and not os.path.exists(os.path.join(out, "stats.json")):
             p.send_signal(signal.SIGKILL)
             killed = True
             break
