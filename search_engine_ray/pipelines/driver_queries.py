@@ -484,6 +484,22 @@ def q_ltr_features(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+#: misspelled twin of Q_TERMS for the auto-correcting retrieval query
+_TYPO_TERMS = ["fsat", "tabel", "mrge"]
+
+
+def q_bm25_corrected(sf_dir: str):
+    """Auto-correcting retrieval: the misspelled query matches nothing,
+    every term spell-corrects through the BK-tree (min distance, max df,
+    lex tie-break — the suggest contract) and BM25 reruns over the
+    corrected terms. engine.bm25_topk_corrected."""
+    eng = engine_for(sf_dir)
+    scores, terms, corrected = eng.bm25_topk_corrected(
+        " ".join(_TYPO_TERMS), k=10_000_000)
+    assert corrected, "typos unexpectedly matched the index"
+    return _ranked(scores, 4)
+
+
 _RERANK_POOL = 50
 
 
@@ -2994,6 +3010,36 @@ def oracle_queries() -> dict[str, str]:
             FROM total ORDER BY round(s, 4) DESC, doc_id LIMIT {TOPK}
             """
         ),
+        "bm25_corrected": _with(
+            f"""
+            , probes(q) AS (VALUES {",".join(f"('{t}')" for t in ["fsat", "tabel", "mrge"])})
+            , corr AS (
+              SELECT DISTINCT term FROM (
+                SELECT q, term
+                FROM probes JOIN term_df ON levenshtein(q, term) <= 2
+                QUALIFY row_number() OVER (
+                  PARTITION BY q ORDER BY levenshtein(q, term), df DESC, term) = 1
+              )
+            )
+            , {doclen_cte}
+            , stats AS (SELECT avg(doc_length) AS avgdl FROM doclen)
+            , scores AS (
+              SELECT p.doc_id,
+                     sum( ln(({n_docs} - t.df + 0.5) / (t.df + 0.5) + 1.0)
+                          * p.tf * (1.2 + 1.0)
+                          / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_length / s.avgdl)) ) AS s
+              FROM postings p
+              JOIN term_df t USING (term)
+              JOIN doclen dl ON dl.doc_id = p.doc_id
+              CROSS JOIN stats s
+              WHERE p.term IN (SELECT term FROM corr)
+              GROUP BY p.doc_id
+            )
+            SELECT ROW_NUMBER() OVER (ORDER BY round(s, 4) DESC, doc_id)::BIGINT AS rank,
+                   doc_id + 1 AS doc_id, round(s, 4) AS score_r
+            FROM scores ORDER BY round(s, 4) DESC, doc_id LIMIT {TOPK}
+            """
+        ),
         "bm25_range": _with(
             f"""
             , {doclen_cte}
@@ -5273,6 +5319,7 @@ RAY_QUERIES = {
     "bm25_sorted": q_bm25_sorted,
     "bm25_prox": q_bm25_prox,
     "bm25_range": q_bm25_range,
+    "bm25_corrected": q_bm25_corrected,
     "bm25_segments": q_bm25_segments,
     "bm25_blend": q_bm25_blend,
     "cosine_norms": q_cosine_norms,

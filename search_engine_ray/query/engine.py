@@ -947,6 +947,33 @@ class SearchEngine:
         key = self.tokenizer.normalize(term)
         return sorted(self.bktree.find(key, edit_distance))
 
+    def bm25_topk_corrected(self, query: str, k: int = 10,
+                            min_results: int = 1, max_distance: int = 2
+                            ) -> tuple[list[tuple[int, float]], list[str], bool]:
+        """Auto-correcting retrieval (the search-box 'did you mean'
+        flow): run BM25; when fewer than ``min_results`` docs match,
+        spell-correct every query term through :meth:`suggest` and rerun
+        over the corrected terms. → (results, terms_used, corrected) —
+        ``terms_used`` are the normalized terms actually scored, so the
+        caller can render the 'showing results for …' banner. Terms with
+        no in-vocabulary correction within ``max_distance`` drop from the
+        rerun (Lucene's fuzzy-relax behavior)."""
+        first = self.bm25_topk(query, k)
+        if len(first) >= min_results:
+            return first, self.query_terms(query), False
+        corrected: list[str] = []
+        for t in self.query_terms(query):
+            s = self.suggest(t, max_distance=max_distance)
+            if s is not None:
+                corrected.append(s[0])
+        seen: dict[str, None] = {}
+        for t in corrected:
+            seen.setdefault(t, None)
+        terms = list(seen)
+        if not terms:
+            return first, [], False
+        return self.bm25_topk_terms(terms, k), terms, True
+
     def suggest(self, term: str, max_distance: int = 2):
         """'Did you mean': normalized probe → the best in-vocabulary
         correction — smallest edit distance first (an in-vocabulary probe

@@ -99,6 +99,7 @@ def test_query_and_oracle_keys_align(entry):
         "proximity", "fuzzy", "prefix_search",
         "spell_correct", "facet_counts", "exact_dedup", "cluster_best",
         "query_predictors", "bm25_sorted", "bm25_prox", "bm25_range",
+        "bm25_corrected",
         "normalize_text", "lang_counts", "lang_confusion", "corpus_drift",
         "text_stats", "classifier_scores", "gopher_rules", "doc_keywords", "sparse_knn",
         "doc_logprob", "dsir_weights",

@@ -185,3 +185,16 @@ def test_ltr_actor_empty_block_keeps_schema(engine):
                           "query_text": pa.array([], pa.string())}))
     want = ["query_id"] + ltr_features(engine, "alpha").schema.names
     assert out.schema.names == want and out.num_rows == 0
+
+
+def test_bm25_topk_corrected(engine):
+    # misspelled terms correct through the BK-tree and rerun
+    res, terms, corrected = engine.bm25_topk_corrected("allpha betta", k=10)
+    assert corrected and set(terms) == {"alpha", "beta"}
+    assert res == engine.bm25_topk("alpha beta", k=10)
+    # a well-spelled query never triggers correction
+    res2, terms2, c2 = engine.bm25_topk_corrected("alpha beta", k=10)
+    assert not c2 and res2 == engine.bm25_topk("alpha beta", k=10)
+    # hopeless garbage: no correction possible → empty, corrected=False
+    res3, terms3, c3 = engine.bm25_topk_corrected("zzzzqqqqxxxx", k=10)
+    assert res3 == [] and terms3 == [] and not c3
