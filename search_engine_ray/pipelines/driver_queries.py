@@ -2090,6 +2090,25 @@ def q_value_quantiles_approx(sf_dir: str):
     return out[["q", "value_r"]].sort_values("q").reset_index(drop=True)
 
 
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+_FUNNEL_H_US = 6 * 3600 * 1_000_000  # 6h stepwise horizon
+
+
+def q_funnel(sf_dir: str):
+    """Sequential min-time funnel (view → click → purchase, 6h stepwise
+    windows): per-step completing-user counts."""
+    import ray.data
+
+    from search_engine_ray.pipelines.events import funnel
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type"])
+    out = funnel(ev, _FUNNEL_STEPS, horizon_us=_FUNNEL_H_US).to_pandas()
+    return (out.astype({"step_idx": np.int64, "n_users": np.int64})
+            .sort_values("step_idx").reset_index(drop=True))
+
+
 def q_event_sessions(sf_dir: str):
     """Gap-based sessionization (30-min gap) of the events table."""
     import ray.data
@@ -4977,6 +4996,32 @@ def oracle_queries() -> dict[str, str]:
             FROM s, (VALUES {",".join(f"({i + 1}, {q})" for i, q in enumerate(QUANTS))})
                  AS q(i, q)
         """,
+        "funnel": f"""
+            WITH e AS (
+              SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+              WHERE event_type IN ('view', 'click', 'purchase')
+            ),
+            s1 AS (SELECT user_id, min(t) AS t FROM e
+                   WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.t) AS t
+                   FROM e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.t >= s1.t
+                     AND e.t - s1.t <= {_FUNNEL_H_US}
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.t) AS t
+                   FROM e JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.t >= s2.t
+                     AND e.t - s2.t <= {_FUNNEL_H_US}
+                   GROUP BY e.user_id)
+            SELECT * FROM (
+              SELECT 1::BIGINT AS step_idx, 'view' AS event_type,
+                     (SELECT count(*) FROM s1)::BIGINT AS n_users
+              UNION ALL
+              SELECT 2, 'click', (SELECT count(*) FROM s2)
+              UNION ALL
+              SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+            ) ORDER BY step_idx
+        """,
         "event_sessions": """
             WITH l AS (
               SELECT user_id, event_id, epoch_us(ts) AS ts_us,
@@ -5392,6 +5437,7 @@ RAY_QUERIES = {
     "value_quantiles": q_value_quantiles,
     "value_quantiles_approx": q_value_quantiles_approx,
     "event_sessions": q_event_sessions,
+    "funnel": q_funnel,
     "shuffle": q_shuffle,
     "event_asof": q_event_asof,
     "event_range": q_event_range,

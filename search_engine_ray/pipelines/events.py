@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 US_PER_HOUR = 3_600_000_000
@@ -488,3 +489,104 @@ def grouped_value_quantiles(events: "ray.data.Dataset", qs: list[float],
     return sorted_group_map(
         events.map_batches(slim, batch_format="pyarrow"), [key_col], kernel,
         sort_cols=[key_col, val_col])
+
+
+def funnel(events: "ray.data.Dataset", steps: list[str],
+           horizon_us: int = US_PER_HOUR):
+    """Sequential min-time FUNNEL analysis: per user, step 1 completes at
+    the user's first step-1 event; step i completes at the first step-i
+    event AT OR AFTER the previous completion and within ``horizon_us``
+    of it (the stepwise-window funnel of product analytics). → one row
+    per step: (step_idx 1-based, event_type, n_users) with n_users the
+    users who completed steps 1..i — monotonically non-increasing.
+
+    Shape: events filter to the step types, whole-user groups arrive
+    sorted by (user, ts) (sorted_group_map), and the kernel advances ALL
+    users through a step at once — per step one searchsorted over fused
+    (user code, dense ts rank) keys clipped to each user's segment, no
+    per-user Python. Per-block partial counts reduce in a k-row
+    groupby."""
+    from ray.data.aggregate import Sum
+
+    from search_engine_ray.stages.grouped import sorted_group_map
+
+    step_ix = {s: i for i, s in enumerate(steps)}
+    if len(step_ix) != len(steps):
+        raise ValueError("funnel steps must be distinct")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        keep = pc.is_in(batch["event_type"],
+                        value_set=pa.array(steps, pa.string()))
+        b = batch.filter(keep)
+        six = pa.array([step_ix[s] for s in b["event_type"].to_pylist()],
+                       pa.int64())
+        return pa.table({"user_id": b["user_id"].cast(pa.int64()),
+                         "ts_us": pa.array(_ts_us(b["ts"]), pa.int64()),
+                         "step": six})
+
+    slim = events.map_batches(prep, batch_format="pyarrow")
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        empty = pa.table({"step_idx": pa.array([], pa.int64()),
+                          "n_part": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts_us"].to_numpy(zero_copy_only=False)
+        st = batch["step"].to_numpy(zero_copy_only=False)
+        ucodes = np.cumsum(np.concatenate(([0], (u[1:] != u[:-1]).astype(np.int64))))
+        n_users = int(ucodes[-1]) + 1
+        uniq_ts = np.unique(ts)
+        m = np.int64(len(uniq_ts) + 1)
+        counts = np.zeros(len(steps), np.int64)
+        t_prev = np.full(n_users, -1, np.int64)  # -1 = dead
+        alive = np.zeros(n_users, bool)
+        for i in range(len(steps)):
+            sel = st == i
+            us, tss = ucodes[sel], ts[sel]
+            order = np.lexsort((tss, us))
+            us, tss = us[order], tss[order]
+            tsr = np.searchsorted(uniq_ts, tss)
+            fused = us * m + tsr
+            if i == 0:
+                first = np.empty(len(us), bool)
+                if len(us):
+                    first[0] = True
+                    first[1:] = us[1:] != us[:-1]
+                    alive[us[first]] = True
+                    t_prev[us[first]] = tss[first]
+            else:
+                live = np.flatnonzero(alive)
+                if not len(live) or not len(us):
+                    alive[:] = False
+                else:
+                    target = live * m + np.searchsorted(uniq_ts, t_prev[live])
+                    pos = np.searchsorted(fused, target)
+                    ok = pos < len(fused)
+                    posc = np.minimum(pos, len(fused) - 1)
+                    ok &= us[posc] == live
+                    ok &= (tss[posc] - t_prev[live]) <= horizon_us
+                    alive[:] = False
+                    alive[live[ok]] = True
+                    t_prev[live[ok]] = tss[posc[ok]]
+            counts[i] = int(alive.sum())
+        return pa.table({"step_idx": pa.array(np.arange(1, len(steps) + 1), pa.int64()),
+                         "n_part": pa.array(counts, pa.int64())})
+
+    agg = sorted_group_map(slim, ["user_id"], kernel,
+                           sort_cols=["user_id", "ts_us", "step"]
+                           ).groupby("step_idx").aggregate(
+        Sum("n_part", alias_name="n_users"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        ix = batch["step_idx"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "step_idx": batch["step_idx"].cast(pa.int64()),
+            "event_type": pa.array([steps[int(i) - 1] for i in ix], pa.string()),
+            "n_users": batch["n_users"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -296,3 +296,39 @@ class TestGroupedQuantiles:
                .to_pandas().sort_values(["event_type", "q"]))
         # one-row group: every quantile equals the single value
         assert out["value"].tolist() == [3.0, 3.0, 7.0, 7.0]
+
+
+def test_funnel(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_ray.pipelines.events import funnel
+
+    US = 1_000_000
+    rows = [
+        # u1 completes all three within the 10s windows
+        (1, "view", 0), (1, "click", 5 * US), (1, "purchase", 12 * US),
+        # u2: click comes BEFORE the view → funnel stops after view
+        (2, "click", 0), (2, "view", 3 * US),
+        # u3: click outside the horizon
+        (3, "view", 0), (3, "click", 60 * US),
+        # u4: view+click, no purchase
+        (4, "view", 0), (4, "click", 1 * US),
+        # u5: no view at all
+        (5, "purchase", 0),
+        # u6: click at EXACTLY the view timestamp (>= contract)
+        (6, "view", 7 * US), (6, "click", 7 * US), (6, "purchase", 8 * US),
+    ]
+    tbl = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+    })
+    out = (funnel(ray.data.from_arrow(tbl), ["view", "click", "purchase"],
+                  horizon_us=10 * US).to_pandas()
+           .sort_values("step_idx").reset_index(drop=True))
+    assert out["event_type"].tolist() == ["view", "click", "purchase"]
+    # view: u1,u2,u3,u4,u6 ; click-after-view in horizon: u1,u2? u2's click
+    # precedes its view → no; u4, u6 ; purchase: u1, u6
+    assert out["n_users"].tolist() == [5, 3, 2]
