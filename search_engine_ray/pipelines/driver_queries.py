@@ -2109,6 +2109,20 @@ def q_funnel(sf_dir: str):
             .sort_values("step_idx").reset_index(drop=True))
 
 
+def q_cohort_retention(sf_dir: str):
+    """Weekly cohort retention triangle over the events table."""
+    import ray.data
+
+    from search_engine_ray.pipelines.events import cohort_retention
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    out = cohort_retention(ev).to_pandas()
+    return (out.astype({c: np.int64 for c in out.columns})
+            .sort_values(["cohort_period", "period_offset"])
+            .reset_index(drop=True))
+
+
 def q_event_sessions(sf_dir: str):
     """Gap-based sessionization (30-min gap) of the events table."""
     import ray.data
@@ -4996,6 +5010,20 @@ def oracle_queries() -> dict[str, str]:
             FROM s, (VALUES {",".join(f"({i + 1}, {q})" for i, q in enumerate(QUANTS))})
                  AS q(i, q)
         """,
+        "cohort_retention": f"""
+            WITH up AS (
+              SELECT DISTINCT user_id,
+                     (epoch_us(ts) // {7 * 24 * 3600 * 1_000_000}) AS period
+              FROM events
+            ),
+            first AS (SELECT user_id, min(period) AS cohort_period
+                      FROM up GROUP BY user_id)
+            SELECT f.cohort_period, (u.period - f.cohort_period) AS period_offset,
+                   count(*)::BIGINT AS n_users
+            FROM up u JOIN first f USING (user_id)
+            GROUP BY f.cohort_period, period_offset
+            ORDER BY f.cohort_period, period_offset
+        """,
         "funnel": f"""
             WITH e AS (
               SELECT user_id, event_type, epoch_us(ts) AS t FROM events
@@ -5438,6 +5466,7 @@ RAY_QUERIES = {
     "value_quantiles_approx": q_value_quantiles_approx,
     "event_sessions": q_event_sessions,
     "funnel": q_funnel,
+    "cohort_retention": q_cohort_retention,
     "shuffle": q_shuffle,
     "event_asof": q_event_asof,
     "event_range": q_event_range,

@@ -590,3 +590,52 @@ def funnel(events: "ray.data.Dataset", steps: list[str],
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+US_PER_WEEK = 7 * 24 * US_PER_HOUR
+
+
+def cohort_retention(events: "ray.data.Dataset",
+                     period_us: int = US_PER_WEEK):
+    """Cohort retention (the product-analytics retention triangle): users
+    cohort by the period of their FIRST event (floor(ts / period)); for
+    each (cohort, offset) the count of cohort users active in period
+    cohort+offset. → (cohort_period, period_offset, n_users), offset 0
+    row = cohort size.
+
+    Shape: per-user first period via one user-cardinality grouped
+    reduce; cohort assignment rides a sharded hash join back onto the
+    (user, period) activity table (itself deduped by a grouped reduce) —
+    nothing user- or event-cardinality ever broadcasts; the final count
+    reduce is (cohorts × offsets)-cardinality."""
+    from search_engine_ray.stages.grouped import coalesce_for_join, grouped_reduce
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        ts = _ts_us(batch["ts"])
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "period": pa.array(ts // period_us, pa.int64()),
+        })
+
+    up = events.map_batches(prep, batch_format="pyarrow")
+    activity = grouped_reduce(up, ["user_id", "period"]).materialize()
+    first = grouped_reduce(activity, ["user_id"],
+                           mins=[("period", "cohort_period")])
+    npart = 8
+    joined = coalesce_for_join(activity, npart).join(
+        coalesce_for_join(first, npart), join_type="inner",
+        num_partitions=npart, on=("user_id",))
+
+    def offs(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        p = batch["period"].to_numpy(zero_copy_only=False)
+        c = batch["cohort_period"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cohort_period": pa.array(c, pa.int64()),
+            "period_offset": pa.array(p - c, pa.int64()),
+        })
+
+    return grouped_reduce(joined.map_batches(offs, batch_format="pyarrow"),
+                          ["cohort_period", "period_offset"],
+                          count="n_users")

@@ -332,3 +332,29 @@ def test_funnel(ray_session):
     # view: u1,u2,u3,u4,u6 ; click-after-view in horizon: u1,u2? u2's click
     # precedes its view → no; u4, u6 ; purchase: u1, u6
     assert out["n_users"].tolist() == [5, 3, 2]
+
+
+def test_cohort_retention(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_ray.pipelines.events import cohort_retention
+
+    W = 100  # tiny period for the test
+    rows = [  # (user, ts)
+        (1, 10), (1, 110), (1, 310),      # cohort 0, active offsets 0,1,3
+        (2, 50), (2, 70),                 # cohort 0, offset 0 only (dedup)
+        (3, 150), (3, 250),               # cohort 1, offsets 0,1
+        (4, 120),                         # cohort 1, offset 0
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    })
+    out = (cohort_retention(ray.data.from_arrow(tbl), period_us=W)
+           .to_pandas().sort_values(["cohort_period", "period_offset"])
+           .reset_index(drop=True))
+    got = {(r.cohort_period, r.period_offset): r.n_users
+           for r in out.itertuples()}
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 3): 1,
+                   (1, 0): 2, (1, 1): 1}
