@@ -911,6 +911,16 @@ def q_corpus_drift(sf_dir: str):
     return out.sort_values("term").reset_index(drop=True)
 
 
+def q_textrank(sf_dir: str):
+    """Per-doc TextRank keywords (rows-only: iterative per-doc
+    PageRank; scalar-spec pytest)."""
+    from search_engine_ray.pipelines.training_data import textrank_keywords
+
+    out = textrank_keywords(_read_docs(sf_dir), k=3).to_pandas()
+    return (out.astype({"doc_id": np.int64, "rank": np.int64})
+            .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+
+
 def q_lang_confusion(sf_dir: str):
     """Language-ID evaluation: confusion matrix of the n-gram heuristic's
     prediction vs the table's lang label — (lang, lang_pred, n_docs).
@@ -5410,6 +5420,7 @@ RAY_QUERIES = {
     "lang_counts": q_lang_counts,
     "lang_confusion": q_lang_confusion,
     "corpus_drift": q_corpus_drift,
+    "textrank_keywords": q_textrank,
     "text_stats": q_text_stats,
     "classifier_scores": q_classifier_scores,
     "gopher_rules": q_gopher_rules,

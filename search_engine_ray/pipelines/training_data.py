@@ -4267,3 +4267,61 @@ def corpus_drift(docs_a: "ray.data.Dataset", docs_b: "ray.data.Dataset",
 
     return sorted_group_map(ca.union(cb), ["term"], g2_kernel,
                             sort_cols=["term", "side"])
+
+
+def textrank_keywords(docs: "ray.data.Dataset", k: int = 3,
+                      window: int = 2, damping: float = 0.85,
+                      n_iters: int = 20, round_digits: int = 6,
+                      id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document TextRank keywords (Mihalcea & Tarau, EMNLP'04):
+    PageRank over the doc's word co-occurrence graph (undirected edge
+    between distinct normalized words within ``window`` tokens), fixed
+    ``n_iters`` power iterations from the uniform start. → (doc_id,
+    rank, term, score_r), top-``k`` by (score desc, term asc). The
+    corpus-FREE companion of :func:`doc_keywords` — no df table, so it
+    runs on a single document or a 100-TB crawl identically.
+
+    Map-only (row-local: each doc's graph lives and dies inside its
+    batch); the per-doc iteration is a dense vocab×vocab matvec in numpy
+    — doc vocabularies are small (hundreds), so the batch wall-time is
+    dominated by tokenization, not the power loop. Rows-only at the
+    driver (iterative, not SQL-expressible); a scalar networkx-free
+    spec pins the kernel in pytest."""
+    def fn(batch: pa.Table) -> pa.Table:
+        from search_engine_ray.stages.tokenize import get_worker_tokenizer
+
+        tok = get_worker_tokenizer()
+        batch = batch.combine_chunks()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_d, out_r, out_t, out_s = [], [], [], []
+        for did, text in zip(ids, batch[text_col].to_pylist()):
+            words = [t.word for t in tok.tokenize(text or "") if t.word]
+            if not words:
+                continue
+            vocab, codes = np.unique(np.asarray(words, object),
+                                     return_inverse=True)
+            n = len(vocab)
+            a = np.zeros((n, n), np.float64)
+            for off in range(1, window + 1):
+                u, v = codes[:-off], codes[off:]
+                m = u != v
+                a[u[m], v[m]] = 1.0
+                a[v[m], u[m]] = 1.0
+            deg = a.sum(axis=1)
+            deg[deg == 0] = 1.0
+            p = a / deg[:, None]       # row-stochastic over out-links
+            r = np.full(n, 1.0 / n)
+            for _ in range(n_iters):
+                r = (1.0 - damping) / n + damping * (p.T @ r)
+            order = np.lexsort((vocab, -np.round(r, round_digits)))[:k]
+            for rank, j in enumerate(order, 1):
+                out_d.append(int(did))
+                out_r.append(rank)
+                out_t.append(str(vocab[j]))
+                out_s.append(round(float(r[j]), round_digits))
+        return pa.table({id_col: pa.array(out_d, pa.int64()),
+                         "rank": pa.array(out_r, pa.int64()),
+                         "term": pa.array(out_t, pa.string()),
+                         "score_r": pa.array(out_s, pa.float64())})
+
+    return docs.map_batches(fn, batch_format="pyarrow")

@@ -1172,3 +1172,48 @@ def test_clusters_pointer_jumping_chain(ray_session):
     uf = (clusters_from_pairs(p.to_pandas())
           .sort_values("doc_id").reset_index(drop=True))
     assert s1.equals(s0) and s1.equals(uf)
+
+
+def test_textrank_keywords(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_ray.pipelines.training_data import textrank_keywords
+
+    texts = [
+        # 'hub' co-occurs with everything → top TextRank word
+        "hub alpha hub beta hub gamma hub delta",
+        "solo",
+        "",
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(texts)}))
+    out = (textrank_keywords(ds, k=2).to_pandas()
+           .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+    d0 = out[out["doc_id"] == 0]
+    assert d0.iloc[0]["term"] == "hub"
+    # single-word doc: the word ranks itself; empty doc emits nothing
+    d1 = out[out["doc_id"] == 1]
+    assert d1["term"].tolist() == ["solo"]
+    assert 2 not in set(out["doc_id"])
+
+    # scalar spec twin for doc 0 (window-2 graph, 20 iterations)
+    words = texts[0].split()
+    vocab = sorted(set(words))
+    ix = {w: i for i, w in enumerate(vocab)}
+    n = len(vocab)
+    A = np.zeros((n, n))
+    for off in (1, 2):
+        for u, v in zip(words[:-off], words[off:]):
+            if u != v:
+                A[ix[u], ix[v]] = A[ix[v], ix[u]] = 1.0
+    deg = A.sum(axis=1)
+    deg[deg == 0] = 1
+    P = A / deg[:, None]
+    r = np.full(n, 1 / n)
+    for _ in range(20):
+        r = 0.15 / n + 0.85 * (P.T @ r)
+    want = sorted(zip(np.round(r, 6), vocab), key=lambda t: (-t[0], t[1]))[:2]
+    got = list(zip(d0["score_r"], d0["term"]))
+    assert got == [(w[0], w[1]) for w in want]
