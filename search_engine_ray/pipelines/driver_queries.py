@@ -2133,6 +2133,24 @@ def q_cohort_retention(sf_dir: str):
             .reset_index(drop=True))
 
 
+_ANOM_Z = 1.5
+
+
+def q_window_anomalies(sf_dir: str):
+    """Volume anomalies: per-type z-scores over tumbling 1h window
+    counts, |z| >= 1.5 flagged."""
+    import ray.data
+
+    from search_engine_ray.pipelines.events import window_anomalies
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+    out = window_anomalies(ev, z_threshold=_ANOM_Z).to_pandas()
+    return (out.astype({"window_start_us": np.int64, "n_events": np.int64})
+            .sort_values(["event_type", "window_start_us"])
+            .reset_index(drop=True))
+
+
 def q_event_sessions(sf_dir: str):
     """Gap-based sessionization (30-min gap) of the events table."""
     import ray.data
@@ -5020,6 +5038,23 @@ def oracle_queries() -> dict[str, str]:
             FROM s, (VALUES {",".join(f"({i + 1}, {q})" for i, q in enumerate(QUANTS))})
                  AS q(i, q)
         """,
+        "window_anomalies": f"""
+            WITH w AS (
+              SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+                     event_type, count(*)::BIGINT AS n_events
+              FROM events GROUP BY 1, 2
+            ),
+            st AS (
+              SELECT event_type, avg(n_events) AS m,
+                     stddev_pop(n_events) AS sd
+              FROM w GROUP BY event_type
+            )
+            SELECT w.window_start_us, w.event_type, w.n_events,
+                   round((w.n_events - st.m) / st.sd, 6) AS z_r
+            FROM w JOIN st USING (event_type)
+            WHERE st.sd > 0 AND abs((w.n_events - st.m) / st.sd) >= {_ANOM_Z}
+            ORDER BY w.event_type, w.window_start_us
+        """,
         "cohort_retention": f"""
             WITH up AS (
               SELECT DISTINCT user_id,
@@ -5478,6 +5513,7 @@ RAY_QUERIES = {
     "event_sessions": q_event_sessions,
     "funnel": q_funnel,
     "cohort_retention": q_cohort_retention,
+    "window_anomalies": q_window_anomalies,
     "shuffle": q_shuffle,
     "event_asof": q_event_asof,
     "event_range": q_event_range,

@@ -639,3 +639,67 @@ def cohort_retention(events: "ray.data.Dataset",
     return grouped_reduce(joined.map_batches(offs, batch_format="pyarrow"),
                           ["cohort_period", "period_offset"],
                           count="n_users")
+
+
+def window_anomalies(events: "ray.data.Dataset",
+                     window_us: int = US_PER_HOUR,
+                     z_threshold: float = 2.0, round_digits: int = 6):
+    """Volume-anomaly detection: tumbling per-(window, event_type)
+    counts z-scored against THAT event type's own window distribution
+    (population mean/std over its observed windows); windows with
+    |z| ≥ ``z_threshold`` flag — the monitoring primitive behind spike /
+    outage alerts on event streams. → (window_start_us, event_type,
+    n_events, z_r), anomalous rows only.
+
+    Composition: :func:`tumbling_window_agg` (partial-agg counts,
+    windows × types cardinality) → per-type moment aggregation (one
+    tiny groupby) → a row-local z-score + filter. Population std (÷ n)
+    so the SQL oracle's ``stddev_pop`` matches exactly."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    win = tumbling_window_agg(events, window_us=window_us).materialize()
+
+    def sq(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        n = batch["n_events"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"event_type": batch["event_type"],
+                         "n": pa.array(n, pa.float64()),
+                         "n2": pa.array(n * n, pa.float64())})
+
+    mom = (win.map_batches(sq, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Count(alias_name="k"), Sum("n", alias_name="s"),
+                      Sum("n2", alias_name="s2")).to_pandas())
+    stats = {}
+    for r in mom.itertuples():
+        mean = r.s / r.k
+        var = max(r.s2 / r.k - mean * mean, 0.0)
+        stats[r.event_type] = (mean, float(np.sqrt(var)))
+
+    import ray as _ray
+
+    ref = _ray.put(stats)
+
+    def z(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        empty = pa.table({"window_start_us": pa.array([], pa.int64()),
+                          "event_type": pa.array([], pa.string()),
+                          "n_events": pa.array([], pa.int64()),
+                          "z_r": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        st = _ray.get(ref)
+        n = batch["n_events"].to_numpy(zero_copy_only=False).astype(np.float64)
+        types = batch["event_type"].to_pylist()
+        mean = np.array([st[t][0] for t in types])
+        sd = np.array([st[t][1] for t in types])
+        zs = np.where(sd > 0, (n - mean) / np.where(sd > 0, sd, 1.0), 0.0)
+        keep = np.abs(zs) >= z_threshold
+        return pa.table({
+            "window_start_us": batch["window_start_us"].cast(pa.int64()).filter(pa.array(keep)),
+            "event_type": batch["event_type"].filter(pa.array(keep)),
+            "n_events": batch["n_events"].cast(pa.int64()).filter(pa.array(keep)),
+            "z_r": pa.array(np.round(zs[keep], round_digits), pa.float64()),
+        })
+
+    return win.map_batches(z, batch_format="pyarrow")

@@ -119,7 +119,7 @@ def test_query_and_oracle_keys_align(entry):
         "media_frames", "event_windows", "event_hopping", "value_quantiles",
         "grouped_quantiles",
         "event_sessions", "event_asof", "event_range", "funnel",
-        "cohort_retention",
+        "cohort_retention", "window_anomalies",
         "pricing_summary", "revenue_by_nation",
         "clean_corpus", "clean_corpus_full", "new_vs_snapshot", "dedup_lines",
         "host_boilerplate",

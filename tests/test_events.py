@@ -358,3 +358,35 @@ def test_cohort_retention(ray_session):
            for r in out.itertuples()}
     assert got == {(0, 0): 2, (0, 1): 1, (0, 3): 1,
                    (1, 0): 2, (1, 1): 1}
+
+
+def test_window_anomalies(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_ray.pipelines.events import window_anomalies
+
+    H = 3_600_000_000
+    rows = []
+    # type 'a': 9 quiet windows of 2 events, one spike window of 30
+    for w in range(9):
+        rows += [(w * H + 1, "a", 1.0)] * 2
+    rows += [(9 * H + 1, "a", 1.0)] * 30
+    # type 'b': perfectly flat → sd 0 → never anomalous
+    for w in range(10):
+        rows += [(w * H + 5, "b", 1.0)] * 3
+    tbl = pa.table({
+        "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+    })
+    out = window_anomalies(ray.data.from_arrow(tbl),
+                           z_threshold=2.0).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["event_type"] == "a" and r["n_events"] == 30
+    assert int(r["window_start_us"]) == 9 * H
+    # z spec: mean 4.8, var = (9*2^2+30^2)/10 - 4.8^2
+    m = (9 * 2 + 30) / 10
+    sd = np.sqrt((9 * 4 + 900) / 10 - m * m)
+    assert r["z_r"] == round((30 - m) / sd, 6)
