@@ -911,6 +911,20 @@ def q_corpus_drift(sf_dir: str):
     return out.sort_values("term").reset_index(drop=True)
 
 
+def q_count_min(sf_dir: str):
+    """Count-Min token-frequency sketch over documents: estimates for
+    the query terms + sketch mass (rows-only: sketch-based; never-
+    underestimate and ε-bound are pytest-pinned vs exact counts)."""
+    from search_engine_ray.pipelines.sketches import count_min_tokens
+
+    cm = count_min_tokens(_read_docs(sf_dir))
+    rows = [{"token": t, "estimate": np.int64(cm["estimate"](t))}
+            for t in Q_TERMS]
+    df = pd.DataFrame(rows)
+    df["n_tokens"] = np.int64(cm["n_tokens"])
+    return df
+
+
 def q_textrank(sf_dir: str):
     """Per-doc TextRank keywords (rows-only: iterative per-doc
     PageRank; scalar-spec pytest)."""
@@ -5456,6 +5470,7 @@ RAY_QUERIES = {
     "lang_confusion": q_lang_confusion,
     "corpus_drift": q_corpus_drift,
     "textrank_keywords": q_textrank,
+    "count_min": q_count_min,
     "text_stats": q_text_stats,
     "classifier_scores": q_classifier_scores,
     "gopher_rules": q_gopher_rules,

@@ -219,3 +219,66 @@ def hll_distinct_tokens(docs, p: int = 14, text_col: str = "text") -> dict:
         est = raw
     return {"estimate": int(round(est)), "p": p,
             "rel_err_bound": 1.04 / np.sqrt(m)}
+
+
+def count_min_tokens(docs, depth: int = 4, width: int = 2048,
+                     text_col: str = "text"):
+    """Count-Min sketch of corpus token frequencies (Cormode &
+    Muthukrishnan, J.Alg 2005): ``depth`` hash rows × ``width`` counters,
+    each token incrementing one counter per row; a point estimate is the
+    MIN over its row counters — an OVER-estimate by at most
+    ``ε·N = (e/width)·N`` with probability ≥ 1 − e^-depth. The sketch is
+    MERGEABLE (entrywise sum), so per-block sketches reduce in one
+    fixed-size aggregation however large the corpus — the memory-bounded
+    companion of the exact distinct counter and Misra-Gries heavy
+    hitters.
+
+    Returns {"sketch": depth×width int64 ndarray, "n_tokens": N,
+    "estimate": fn(token) -> int}. Hash rows derive from
+    splitmix64(poly_hash(token) ^ row_seed) — deterministic everywhere.
+    Never-underestimate + ε-bound are pytest-pinned against exact
+    counts."""
+    from search_engine_ray.functions.hashing import hash_strings_arrow, mix64
+
+    seeds = mix64(np.arange(1, depth + 1, dtype=np.uint64))
+    counts_fn = _exact_token_counts(text_col)
+
+    def block_sketch(batch: pa.Table) -> pa.Table:
+        toks, cnts = counts_fn(batch)
+        sk = np.zeros((depth, width), np.int64)
+        total = int(cnts.sum())
+        if len(toks):
+            h = hash_strings_arrow(pa.array(toks.tolist(), pa.string()))
+            for r in range(depth):
+                cells = (mix64(h ^ seeds[r]) % np.uint64(width)).astype(np.int64)
+                np.add.at(sk[r], cells, cnts)
+        return pa.table({"cell": pa.array(sk.reshape(-1), pa.int64()),
+                         "n": pa.array(np.full(depth * width, total, np.int64),
+                                       pa.int64())})
+
+    parts = docs.map_batches(block_sketch, batch_format="pyarrow")
+    # entrywise merge: every block emits the SAME fixed layout, so the
+    # reduction is one vectorized fold over depth*width-row blocks
+    sk = np.zeros(depth * width, np.int64)
+    n_tokens = 0
+    # exact-multiple batches so stacked block-sketches reshape cleanly
+    for b in parts.iter_batches(batch_size=depth * width,
+                                batch_format="pyarrow"):
+        cells = b["cell"].to_numpy(zero_copy_only=False)
+        k = len(cells) // (depth * width)
+        if k == 0:
+            continue
+        sk += cells.reshape(k, depth * width).sum(axis=0)
+        ns = b["n"].to_numpy(zero_copy_only=False)
+        n_tokens += int(ns[:: depth * width].sum())
+    sketch = sk.reshape(depth, width)
+
+    def estimate(token: str) -> int:
+        from search_engine_ray.functions.hashing import poly_hash_str
+
+        h = np.uint64(poly_hash_str(token.lower()))
+        vals = [int(sketch[r, int(mix64(np.array([h ^ seeds[r]]))[0] % np.uint64(width))])
+                for r in range(depth)]
+        return min(vals)
+
+    return {"sketch": sketch, "n_tokens": n_tokens, "estimate": estimate}

@@ -144,7 +144,7 @@ def test_sql_parity(entry, con, name):
              "ann_lsh_topk", "cosine_neardup", "value_quantiles_approx", "vocab_size_hll",
              "embedding_clusters", "semdedup_pairs", "cdc_chunks",
              "cdc_dup_chunks", "dedup_chunks", "mmr_rerank",
-             "host_mirrors_near", "textrank_keywords"]
+             "host_mirrors_near", "textrank_keywords", "count_min"]
 )
 def test_rows_only_queries_run(entry, name):
     out = _to_pandas(entry.queries()[name](SF))

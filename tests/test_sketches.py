@@ -120,3 +120,49 @@ class TestDistinctCount:
         ds = ray.data.from_arrow(pa.table({"text": pa.array(texts)}))
         r = hll_distinct_tokens(ds, p=14)
         assert r["estimate"] == 50
+
+
+def test_count_min_never_underestimates_and_bounds(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_ray.pipelines.sketches import (
+        count_min_tokens,
+        distinct_token_count,
+    )
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(300)]
+    texts = [" ".join(vocab[min(int(rng.zipf(1.4)) - 1, 299)]
+                      for _ in range(60)) for _ in range(200)]
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(texts)})).repartition(7)
+    cm = count_min_tokens(ds, depth=4, width=2048)
+
+    # exact counts for comparison
+    from collections import Counter
+    exact = Counter(w for t in texts for w in t.split())
+    assert cm["n_tokens"] == sum(exact.values())
+    eps_n = (np.e / 2048) * cm["n_tokens"]
+    over = 0
+    for w, c in exact.items():
+        est = cm["estimate"](w)
+        assert est >= c, w                       # never underestimates
+        if est > c + eps_n:
+            over += 1
+    assert over <= max(2, len(exact) // 50)       # ε-bound holds broadly
+    # unseen tokens may collide but stay within the same bound
+    assert cm["estimate"]("neverseen") <= eps_n + 1
+
+
+def test_count_min_merge_invariance(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_ray.pipelines.sketches import count_min_tokens
+
+    texts = [f"tok{i % 7} tok{i % 3}" for i in range(60)]
+    t = pa.table({"text": pa.array(texts)})
+    a = count_min_tokens(ray.data.from_arrow(t).repartition(1))
+    b = count_min_tokens(ray.data.from_arrow(t).repartition(9))
+    assert np.array_equal(a["sketch"], b["sketch"])   # partition-invariant
+    assert a["n_tokens"] == b["n_tokens"]
