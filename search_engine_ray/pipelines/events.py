@@ -519,8 +519,9 @@ def funnel(events: "ray.data.Dataset", steps: list[str],
         keep = pc.is_in(batch["event_type"],
                         value_set=pa.array(steps, pa.string()))
         b = batch.filter(keep)
-        six = pa.array([step_ix[s] for s in b["event_type"].to_pylist()],
-                       pa.int64())
+        # index_in against the steps list IS the step index (no Python loop)
+        six = pc.index_in(b["event_type"],
+                          value_set=pa.array(steps, pa.string())).cast(pa.int64())
         return pa.table({"user_id": b["user_id"].cast(pa.int64()),
                          "ts_us": pa.array(_ts_us(b["ts"]), pa.int64()),
                          "step": six})
@@ -575,9 +576,17 @@ def funnel(events: "ray.data.Dataset", steps: list[str],
         return pa.table({"step_idx": pa.array(np.arange(1, len(steps) + 1), pa.int64()),
                          "n_part": pa.array(counts, pa.int64())})
 
+    import ray.data as _rd
+
+    # a zero row per step rides along so corpora containing NONE of the
+    # step types still yield one row per step (n_users = 0), matching the
+    # SQL oracle's shape
+    zeros = _rd.from_arrow(pa.table({
+        "step_idx": pa.array(np.arange(1, len(steps) + 1), pa.int64()),
+        "n_part": pa.array(np.zeros(len(steps), np.int64), pa.int64())}))
     agg = sorted_group_map(slim, ["user_id"], kernel,
                            sort_cols=["user_id", "ts_us", "step"]
-                           ).groupby("step_idx").aggregate(
+                           ).union(zeros).groupby("step_idx").aggregate(
         Sum("n_part", alias_name="n_users"))
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -622,7 +631,11 @@ def cohort_retention(events: "ray.data.Dataset",
     activity = grouped_reduce(up, ["user_id", "period"]).materialize()
     first = grouped_reduce(activity, ["user_id"],
                            mins=[("period", "cohort_period")])
-    npart = 8
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:  # pragma: no cover
+        ncpu = 8
+    npart = max(4, ncpu // 2)
     joined = coalesce_for_join(activity, npart).join(
         coalesce_for_join(first, npart), join_type="inner",
         num_partitions=npart, on=("user_id",))
@@ -655,7 +668,7 @@ def window_anomalies(events: "ray.data.Dataset",
     windows × types cardinality) → per-type moment aggregation (one
     tiny groupby) → a row-local z-score + filter. Population std (÷ n)
     so the SQL oracle's ``stddev_pop`` matches exactly."""
-    from ray.data.aggregate import Count, Mean, Sum
+    from ray.data.aggregate import Count, Sum
 
     win = tumbling_window_agg(events, window_us=window_us).materialize()
 

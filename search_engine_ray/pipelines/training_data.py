@@ -4301,18 +4301,29 @@ def textrank_keywords(docs: "ray.data.Dataset", k: int = 3,
             vocab, codes = np.unique(np.asarray(words, object),
                                      return_inverse=True)
             n = len(vocab)
-            a = np.zeros((n, n), np.float64)
+            # sparse edge list, O(window·V) — a dense V×V matrix would OOM
+            # on a single long document (100k distinct tokens → ~80 GB)
+            e_u, e_v = [], []
             for off in range(1, window + 1):
                 u, v = codes[:-off], codes[off:]
                 m = u != v
-                a[u[m], v[m]] = 1.0
-                a[v[m], u[m]] = 1.0
-            deg = a.sum(axis=1)
+                e_u.append(u[m])
+                e_v.append(v[m])
+            src = np.concatenate(e_u + e_v) if e_u else np.zeros(0, np.int64)
+            dst = np.concatenate(e_v + e_u) if e_v else np.zeros(0, np.int64)
+            # dedup parallel edges (the dense kernel's a[u,v]=1 semantics)
+            if len(src):
+                key = src.astype(np.int64) * n + dst
+                uniq_k = np.unique(key)
+                src = (uniq_k // n).astype(np.int64)
+                dst = (uniq_k % n).astype(np.int64)
+            deg = np.bincount(src, minlength=n).astype(np.float64)
             deg[deg == 0] = 1.0
-            p = a / deg[:, None]       # row-stochastic over out-links
             r = np.full(n, 1.0 / n)
             for _ in range(n_iters):
-                r = (1.0 - damping) / n + damping * (p.T @ r)
+                nr = np.zeros(n, np.float64)
+                np.add.at(nr, dst, r[src] / deg[src])
+                r = (1.0 - damping) / n + damping * nr
             order = np.lexsort((vocab, -np.round(r, round_digits)))[:k]
             for rank, j in enumerate(order, 1):
                 out_d.append(int(did))

@@ -390,3 +390,21 @@ def test_window_anomalies(ray_session):
     m = (9 * 2 + 30) / 10
     sd = np.sqrt((9 * 4 + 900) / 10 - m * m)
     assert r["z_r"] == round((30 - m) / sd, 6)
+
+
+def test_funnel_no_matching_events_emits_zero_rows(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_ray.pipelines.events import funnel
+
+    tbl = pa.table({
+        "event_id": pa.array([1], pa.int64()),
+        "user_id": pa.array([1], pa.int64()),
+        "event_type": pa.array(["other"], pa.string()),
+        "ts": pa.array([0], pa.timestamp("us")),
+    })
+    out = (funnel(ray.data.from_arrow(tbl), ["view", "click"], 10)
+           .to_pandas().sort_values("step_idx").reset_index(drop=True))
+    assert out["n_users"].tolist() == [0, 0]
+    assert out["event_type"].tolist() == ["view", "click"]
