@@ -911,6 +911,28 @@ def q_corpus_drift(sf_dir: str):
     return out.sort_values("term").reset_index(drop=True)
 
 
+def q_validate(sf_dir: str):
+    """Data-quality validation report over documents: per-rule violation
+    counts + first-3 offending ids; every cell SQL-value-checked."""
+    import ray.data
+
+    from search_engine_ray.pipelines.relational import validate_table
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang", "n_chars"])
+    rules = [
+        {"rule": "text_not_null", "kind": "not_null", "col": "text"},
+        {"rule": "lang_en_de", "kind": "in_set", "col": "lang",
+         "allowed": ["en", "de"]},
+        {"rule": "n_chars_100_400", "kind": "range", "col": "n_chars",
+         "lo": 100, "hi": 400},
+        {"rule": "doc_id_unique", "kind": "unique", "col": "doc_id"},
+    ]
+    out = validate_table(ds, rules, id_col="doc_id").to_pandas()
+    out["n_violations"] = out["n_violations"].astype(np.int64)
+    return out.sort_values("rule").reset_index(drop=True)
+
+
 def q_count_min(sf_dir: str):
     """Count-Min token-frequency sketch over documents: estimates for
     the query terms + sketch mass (rows-only: sketch-based; never-
@@ -3901,6 +3923,39 @@ def oracle_queries() -> dict[str, str]:
                         ELSE {langid_best}::DOUBLE / n END AS confidence
             FROM h
         """,
+        "validate": """
+            WITH v_null AS (SELECT doc_id FROM documents WHERE text IS NULL),
+            v_lang AS (SELECT doc_id FROM documents
+                       WHERE coalesce(lang, '') NOT IN ('en', 'de')),
+            v_range AS (SELECT doc_id FROM documents
+                        WHERE coalesce(n_chars, 100) NOT BETWEEN 100 AND 400),
+            v_dup AS (SELECT doc_id FROM documents
+                      GROUP BY doc_id HAVING count(*) > 1)
+            SELECT * FROM (
+              SELECT 'doc_id_unique' AS rule,
+                     (SELECT coalesce(sum(c - 1), 0) FROM
+                        (SELECT count(*) AS c FROM documents GROUP BY doc_id
+                         HAVING count(*) > 1))::BIGINT AS n_violations,
+                     coalesce((SELECT string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+                               FROM (SELECT doc_id FROM v_dup ORDER BY doc_id LIMIT 3)),
+                              '') AS sample_ids
+              UNION ALL
+              SELECT 'lang_en_de',
+                     (SELECT count(*) FROM v_lang),
+                     coalesce((SELECT string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+                               FROM (SELECT doc_id FROM v_lang ORDER BY doc_id LIMIT 3)), '')
+              UNION ALL
+              SELECT 'n_chars_100_400',
+                     (SELECT count(*) FROM v_range),
+                     coalesce((SELECT string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+                               FROM (SELECT doc_id FROM v_range ORDER BY doc_id LIMIT 3)), '')
+              UNION ALL
+              SELECT 'text_not_null',
+                     (SELECT count(*) FROM v_null),
+                     coalesce((SELECT string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+                               FROM (SELECT doc_id FROM v_null ORDER BY doc_id LIMIT 3)), '')
+            ) ORDER BY rule
+        """,
         "corpus_drift": _with(
             """
             , ca AS (SELECT term, count(*)::BIGINT AS c FROM lem
@@ -5471,6 +5526,7 @@ RAY_QUERIES = {
     "corpus_drift": q_corpus_drift,
     "textrank_keywords": q_textrank,
     "count_min": q_count_min,
+    "validate": q_validate,
     "text_stats": q_text_stats,
     "classifier_scores": q_classifier_scores,
     "gopher_rules": q_gopher_rules,

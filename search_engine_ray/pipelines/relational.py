@@ -167,3 +167,125 @@ def revenue_by_nation(lineitem: "ray.data.Dataset", orders: "ray.data.Dataset",
                          ["n_name"], sums=[("rev", "revenue")]).to_pandas()
     out["revenue_r"] = out["revenue"].round(4)
     return out[["n_name", "revenue_r"]].sort_values("n_name").reset_index(drop=True)
+
+
+def validate_table(ds: "ray.data.Dataset", rules: list[dict],
+                   id_col: str | None = None, sample_k: int = 3):
+    """Data-quality validation (the expectations pattern): evaluate each
+    rule over the whole Dataset and report per-rule violation counts
+    plus up to ``sample_k`` offending ids. → (rule, n_violations,
+    sample_ids string). Rules (all vectorized batch checks):
+
+      {"rule": name, "kind": "not_null",  "col": c}
+      {"rule": name, "kind": "unique",    "col": c}           (global)
+      {"rule": name, "kind": "range",     "col": c, "lo": x, "hi": y}
+      {"rule": name, "kind": "in_set",    "col": c, "allowed": [...]}
+      {"rule": name, "kind": "regex",     "col": c, "pattern": p}
+
+    Row-local rules reduce per block (rule-cardinality partials);
+    ``unique`` is the one wide rule — one duplicate-key grouped reduce
+    whose output is O(duplicated keys). The violation report is the
+    gate a pipeline checks before publishing a snapshot."""
+    import pyarrow.compute as pc
+
+    from search_engine_ray.stages.grouped import grouped_reduce, sorted_group_map
+
+    local = [r for r in rules if r["kind"] != "unique"]
+    uniq_rules = [r for r in rules if r["kind"] == "unique"]
+
+    def check(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        names, counts, samples = [], [], []
+        ids = (batch[id_col].to_numpy(zero_copy_only=False)
+               if id_col and id_col in batch.column_names else None)
+        for r in local:
+            col = batch[r["col"]]
+            if r["kind"] == "not_null":
+                bad = pc.is_null(col)
+            elif r["kind"] == "range":
+                v = pc.fill_null(col, r["lo"])  # nulls are not_null's job
+                bad = pc.or_(pc.less(v, r["lo"]), pc.greater(v, r["hi"]))
+            elif r["kind"] == "in_set":
+                bad = pc.invert(pc.is_in(
+                    pc.fill_null(col.cast(pa.string()), ""),
+                    value_set=pa.array([str(a) for a in r["allowed"]],
+                                       pa.string())))
+            elif r["kind"] == "regex":
+                bad = pc.invert(pc.match_substring_regex(
+                    pc.fill_null(col.cast(pa.string()), ""), r["pattern"]))
+            else:
+                raise ValueError(f"unknown rule kind {r['kind']!r}")
+            mask = bad.to_numpy(zero_copy_only=False)
+            n = int(mask.sum())
+            names.append(r["rule"])
+            counts.append(n)
+            if n and ids is not None:
+                offenders = np.sort(ids[mask])[:sample_k]
+                samples.append(",".join(str(int(x)) for x in offenders))
+            else:
+                samples.append("")
+        return pa.table({"rule": pa.array(names, pa.string()),
+                         "n_part": pa.array(counts, pa.int64()),
+                         "sample": pa.array(samples, pa.string())})
+
+    def combine(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.table({"rule": pa.array([], pa.string()),
+                             "n_violations": pa.array([], pa.int64()),
+                             "sample_ids": pa.array([], pa.string())})
+        import pandas as pd_
+
+        df = t.to_pandas()
+        out = (df.groupby("rule", sort=True)
+               .agg(n_violations=("n_part", "sum"),
+                    sample_ids=("sample", lambda s: ",".join(
+                        sorted(set(x for v in s if v
+                                   for x in v.split(",")), key=int)[:sample_k])))
+               .reset_index())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(check, batch_format="pyarrow") if local else None
+    results = []
+    if parts is not None:
+        results.append(sorted_group_map(parts, ["rule"], combine))
+
+    for r in uniq_rules:
+        col = r["col"]
+
+        def dup_partial(batch: pa.Table, c=col) -> pa.Table:
+            batch = batch.combine_chunks()
+            enc = batch[c].cast(pa.string()).dictionary_encode().combine_chunks()
+            n = np.bincount(enc.indices.to_numpy(zero_copy_only=False),
+                            minlength=len(enc.dictionary))
+            return pa.table({"k": enc.dictionary.cast(pa.string()),
+                             "c_part": pa.array(n.astype(np.int64), pa.int64())})
+
+        dups = grouped_reduce(ds.map_batches(dup_partial, batch_format="pyarrow"),
+                              ["k"], sums=[("c_part", "c")]).filter(expr="c > 1")
+
+        def dup_finish(t: pa.Table, name=r["rule"]) -> pa.Table:
+            t = t.combine_chunks()
+            c = t["c"].to_numpy(zero_copy_only=False)
+            ks = t["k"].to_pylist()
+            extra = int((c - 1).sum())
+            sample = ",".join(sorted(ks)[:sample_k])
+            return pa.table({"rule": pa.array([name], pa.string()),
+                             "n_violations": pa.array([extra], pa.int64()),
+                             "sample_ids": pa.array([sample], pa.string())})
+
+        import ray.data as _rd
+
+        dup_pdf = dups.to_pandas()
+        if len(dup_pdf):
+            tbl = dup_finish(pa.Table.from_pandas(dup_pdf, preserve_index=False))
+        else:
+            tbl = pa.table({"rule": pa.array([r["rule"]], pa.string()),
+                            "n_violations": pa.array([0], pa.int64()),
+                            "sample_ids": pa.array([""], pa.string())})
+        results.append(_rd.from_arrow(tbl))
+
+    out = results[0]
+    for more in results[1:]:
+        out = out.union(more)
+    return out

@@ -101,6 +101,7 @@ def test_query_and_oracle_keys_align(entry):
         "query_predictors", "bm25_sorted", "bm25_prox", "bm25_range",
         "bm25_corrected",
         "normalize_text", "lang_counts", "lang_confusion", "corpus_drift",
+        "validate",
         "text_stats", "classifier_scores", "gopher_rules", "doc_keywords", "sparse_knn",
         "doc_logprob", "dsir_weights",
         "ccnet_buckets", "doc_novelty",

@@ -166,3 +166,47 @@ def test_count_min_merge_invariance(ray_session):
     b = count_min_tokens(ray.data.from_arrow(t).repartition(9))
     assert np.array_equal(a["sketch"], b["sketch"])   # partition-invariant
     assert a["n_tokens"] == b["n_tokens"]
+
+
+def test_validate_table(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_ray.pipelines.relational import validate_table
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "lang": pa.array(["en", "xx", None, "de", "en"], pa.string()),
+        "n": pa.array([10, -5, 3, 900, 20], pa.int64()),
+        "url": pa.array(["https://a", "ftp://b", "https://c", "https://d",
+                         "https://a"], pa.string()),
+    })
+    rules = [
+        {"rule": "lang_not_null", "kind": "not_null", "col": "lang"},
+        {"rule": "lang_known", "kind": "in_set", "col": "lang",
+         "allowed": ["en", "de", "fr"]},
+        {"rule": "n_in_range", "kind": "range", "col": "n", "lo": 0, "hi": 100},
+        {"rule": "url_https", "kind": "regex", "col": "url",
+         "pattern": "^https://"},
+        {"rule": "url_unique", "kind": "unique", "col": "url"},
+    ]
+    out = (validate_table(ray.data.from_arrow(t).repartition(3), rules,
+                          id_col="doc_id").to_pandas().set_index("rule"))
+    assert out.loc["lang_not_null", "n_violations"] == 1
+    assert out.loc["lang_not_null", "sample_ids"] == "3"
+    assert out.loc["lang_known", "n_violations"] == 2
+    assert out.loc["n_in_range", "n_violations"] == 2
+    assert set(out.loc["n_in_range", "sample_ids"].split(",")) == {"2", "4"}
+    assert out.loc["url_https", "n_violations"] == 1
+    assert out.loc["url_unique", "n_violations"] == 1
+    assert out.loc["url_unique", "sample_ids"] == "https://a"
+
+    # clean table: all rules zero, unique included
+    clean = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "url": pa.array(["https://x", "https://y"], pa.string())})
+    out2 = (validate_table(ray.data.from_arrow(clean),
+                           [{"rule": "u", "kind": "unique", "col": "url"},
+                            {"rule": "h", "kind": "regex", "col": "url",
+                             "pattern": "^https://"}],
+                           id_col="doc_id").to_pandas())
+    assert (out2["n_violations"] == 0).all()
