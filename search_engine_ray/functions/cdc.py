@@ -55,6 +55,12 @@ def gear_mask_hits(data: np.ndarray, avg_bits: int) -> np.ndarray:
     ``avg_bits`` bytes: ``avg_bits`` shifted uint32 adds instead of 64
     uint64 ones (measured ~9× faster, bit-identical to the full hash's
     low bits — pytest-pinned)."""
+    if avg_bits > 64:
+        raise ValueError(f"avg_bits={avg_bits} exceeds the 64-bit gear hash")
+    if avg_bits > 32:
+        # uint32 accumulation would wrap past bit 31 — use the full hash
+        h64 = _gear_hashes(data)
+        return (h64 & np.uint64((1 << avg_bits) - 1)) == 0
     g = _GEAR[data].astype(np.uint32)
     h = np.zeros(len(data), np.uint32)
     for s in range(min(avg_bits, len(data))):

@@ -269,7 +269,14 @@ def validate_table(ds: "ray.data.Dataset", rules: list[dict],
             c = t["c"].to_numpy(zero_copy_only=False)
             ks = t["k"].to_pylist()
             extra = int((c - 1).sum())
-            sample = ",".join(sorted(ks)[:sample_k])
+            # numeric order when keys are numeric (matches the local-rule
+            # path and the ORDER BY <id> oracle — '2' before '10', not
+            # after '100'); lexicographic fallback for non-numeric columns
+            try:
+                ks = sorted(ks, key=int)
+            except (TypeError, ValueError):
+                ks = sorted(ks)
+            sample = ",".join(ks[:sample_k])
             return pa.table({"rule": pa.array([name], pa.string()),
                              "n_violations": pa.array([extra], pa.int64()),
                              "sample_ids": pa.array([sample], pa.string())})

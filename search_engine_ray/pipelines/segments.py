@@ -139,6 +139,34 @@ def _id_watermark(s: dict) -> int:
     return int(s.get("id_watermark", s["doc_id_base"] + s["num_docs"]))
 
 
+def _id_intervals(s: dict) -> list[list[int]]:
+    """The exact id spans ever allocated to this entry, as half-open
+    ``(lo, hi]`` pairs (doc_ids are 1-based). Plain segments own one
+    contiguous span; compacted entries CARRY the union of their
+    constituents' spans ("id_intervals") because a non-contiguous subset
+    merge (e.g. plan_merges grouping small segments that interleave with a
+    big one in id space) must NOT claim the gap ids — a collapsed
+    (doc_id_base, id_watermark] span would swallow kept segments'
+    tombstones at the next compaction and resurrect their deleted docs."""
+    ivs = s.get("id_intervals")
+    if ivs is not None:
+        return [[int(lo), int(hi)] for lo, hi in ivs]
+    return [[int(s["doc_id_base"]), _id_watermark(s)]]
+
+
+def _coalesce_intervals(intervals: list[list[int]]) -> list[list[int]]:
+    """Sort + merge touching/overlapping ``(lo, hi]`` pairs so interval
+    lists stay O(original segments) across repeated merges (adjacent spans
+    collapse; only genuine id-space gaps survive)."""
+    out: list[list[int]] = []
+    for lo, hi in sorted((int(lo), int(hi)) for lo, hi in intervals):
+        if out and lo <= out[-1][1]:
+            out[-1][1] = max(out[-1][1], hi)
+        else:
+            out.append([lo, hi])
+    return out
+
+
 def add_segment(pages, root: str, config: EngineConfig | None = None,
                 resume: bool = True) -> str:
     """Build the next segment from ``pages`` (path or Dataset of the
@@ -271,9 +299,10 @@ def compact(root: str, config: EngineConfig | None = None,
             raise ValueError(f"unknown segment names: {sorted(missing)}")
         kept = [s for s in segs if s["name"] not in want]
     tombs_all = load_tombstones(root)
+    sel_ivals = _coalesce_intervals(
+        [iv for s in selected for iv in _id_intervals(s)])
     in_sel = np.zeros(len(tombs_all), bool)
-    for s in selected:
-        lo, hi = s["doc_id_base"], _id_watermark(s)
+    for lo, hi in sel_ivals:
         in_sel |= (tombs_all > lo) & (tombs_all <= hi)  # doc_ids are 1-based
     tombs = tombs_all[in_sel]
     n_units = min(config.merge_units, config.index_shards)
@@ -374,6 +403,9 @@ def compact(root: str, config: EngineConfig | None = None,
         "num_docs": st["num_docs"],
         "total_tokens": st["total_tokens"],
         "id_watermark": max(_id_watermark(s) for s in selected),
+        # exact membership spans — see _id_intervals for why a collapsed
+        # (base, watermark] span is wrong after non-contiguous merges
+        "id_intervals": sel_ivals,
     }
     _write_segments(root, sorted(kept + [entry], key=lambda s: s["doc_id_base"]))
     p = os.path.join(root, TOMBSTONES_FILE)

@@ -208,9 +208,12 @@ def test_gear_mask_hits_match_full_hash_low_bits():
     from search_engine_ray.functions.cdc import gear_mask_hits
 
     data = _rand_bytes(3000, 55)
-    for avg_bits in (2, 5, 7, 13):
+    # avg_bits > 32 takes the uint64 full-hash path (uint32 would wrap)
+    for avg_bits in (2, 5, 7, 13, 33, 40):
         full = (_gear_hashes(data) & np.uint64((1 << avg_bits) - 1)) == 0
         assert np.array_equal(gear_mask_hits(data, avg_bits), full), avg_bits
+    with pytest.raises(ValueError, match="64-bit"):
+        gear_mask_hits(data, 65)
 
 
 def test_batch_boundaries_equal_per_doc():

@@ -400,6 +400,24 @@ class TestSubsetCompaction:
         hits = {d for d, _ in seg.bm25_topk("common word", 100)}
         assert 8 not in hits and 25 not in hits
 
+    def test_noncontiguous_merge_keeps_foreign_tombstones(self, root5):
+        # doc 20 lives in seg-00003 (kept). Merge the OTHER four segments:
+        # the merged entry's collapsed (0,30] span covers seg-00003's ids,
+        # and compacting that entry alone used to strip doc 20's tombstone
+        # without dropping the doc — resurrecting it. id_intervals must
+        # record the real membership (0,18] ∪ (24,30] instead.
+        delete_docs(root5, [20])
+        compact(root5, CFG, names=["seg-00000", "seg-00001", "seg-00002",
+                                   "seg-00004"])
+        merged = [s for s in read_segments(root5) if s["name"] == "seg-00005"]
+        assert merged and merged[0]["id_intervals"] == [[0, 18], [24, 30]]
+        assert load_tombstones(root5).tolist() == [20]
+        compact(root5, CFG, names=["seg-00005"])
+        assert load_tombstones(root5).tolist() == [20]  # not swallowed
+        seg = SegmentedSearchEngine(root5, CFG)
+        hits = {d for d, _ in seg.bm25_topk("common word", 100)}
+        assert 20 not in hits  # still deleted, not resurrected
+
     def test_unknown_name_raises(self, root5):
         with pytest.raises(ValueError, match="unknown segment"):
             compact(root5, CFG, names=["seg-00042"])

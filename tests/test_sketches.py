@@ -201,6 +201,15 @@ def test_validate_table(ray_session):
     assert out.loc["url_unique", "n_violations"] == 1
     assert out.loc["url_unique", "sample_ids"] == "https://a"
 
+    # duplicate NUMERIC keys sample in numeric order ('2,10,100', not the
+    # lexicographic '10,100,2' — matches the local-rule path / SQL oracle)
+    dup = pa.table({"k": pa.array([2, 2, 10, 10, 100, 100, 1], pa.int64())})
+    out3 = (validate_table(ray.data.from_arrow(dup).repartition(3),
+                           [{"rule": "ku", "kind": "unique", "col": "k"}])
+            .to_pandas().set_index("rule"))
+    assert out3.loc["ku", "n_violations"] == 3
+    assert out3.loc["ku", "sample_ids"] == "2,10,100"
+
     # clean table: all rules zero, unique included
     clean = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
                       "url": pa.array(["https://x", "https://y"], pa.string())})
