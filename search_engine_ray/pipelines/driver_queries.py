@@ -591,8 +591,11 @@ def q_query_predictors(sf_dir: str):
 
 
 def q_mmr_rerank(sf_dir: str):
-    """MMR-diversified rerank of the BM25 pool (rows-only: iterative
-    greedy selection; scalar-spec + lam=1-degeneracy pytest-covered)."""
+    """MMR-diversified rerank of the BM25 pool — greedy selection with
+    pinned id-asc ties, oracle-checked against a k-step unrolled-CTE
+    twin (the pagerank trick). round(4): DuckDB's list_cosine_similarity
+    accumulates in float32 (~1e-8 abs error), so round(6) sits too close
+    to its noise floor."""
     import pyarrow.parquet as pq
 
     import ray.data
@@ -609,7 +612,7 @@ def q_mmr_rerank(sf_dir: str):
     return pd.DataFrame({
         "rank": np.arange(1, len(sel) + 1, dtype=np.int64),
         "vec_id": np.asarray([i for i, _ in sel], np.int64),
-        "mmr_r": np.round([s for _, s in sel], 6),
+        "mmr_r": np.round([s for _, s in sel], 4),
     })
 
 
@@ -2906,6 +2909,36 @@ def oracle_queries() -> dict[str, str]:
         pii_clean = f"regexp_replace({pii_clean}, '{_pat}', '{_repl}', 'g')"
     pii_count_cols = ",\n                   ".join(pii_counts)
 
+    # mmr_rerank: the greedy k-step MMR selection unrolled into chained
+    # CTEs (the pagerank unrolled-iteration trick). Step t picks
+    # argmax_d lam*rel(d) − (1−lam)*max_{s∈selected} sim(d,s) over the
+    # unselected pool, ties id-asc — exactly fusion.mmr_rerank's loop
+    # (np.argmax takes the first max over ids sorted ascending).
+    # Every sel_k is referenced 3× by sel_{k+1}; MATERIALIZED stops DuckDB
+    # inlining the chain into 3^k copies of the base scan.
+    _mmr_lam = 0.7
+    mmr_steps = [f"""
+            , sel1 AS MATERIALIZED (
+              SELECT vec_id, {_mmr_lam} * rel AS score, 1::BIGINT AS rank
+              FROM rel ORDER BY score DESC, vec_id LIMIT 1
+            )"""]
+    for _k in range(2, TOPK + 1):
+        mmr_steps.append(f"""
+            , sel{_k} AS MATERIALIZED (
+              SELECT * FROM sel{_k - 1}
+              UNION ALL
+              SELECT vec_id, score, {_k}::BIGINT AS rank FROM (
+                SELECT r.vec_id,
+                       {_mmr_lam} * r.rel - (1.0 - {_mmr_lam}) * (
+                         SELECT max(s.sim) FROM psim s
+                         JOIN sel{_k - 1} p ON s.j = p.vec_id
+                         WHERE s.i = r.vec_id) AS score
+                FROM rel r
+                WHERE r.vec_id NOT IN (SELECT vec_id FROM sel{_k - 1})
+                ORDER BY score DESC, r.vec_id LIMIT 1)
+            )""")
+    mmr_chain = "".join(mmr_steps)
+
     return {
         "extract_text": f"""
             WITH h AS (SELECT doc_id, {HTML_SQL} AS html FROM documents)
@@ -3238,6 +3271,38 @@ def oracle_queries() -> dict[str, str]:
             SELECT ROW_NUMBER() OVER (ORDER BY score_r DESC, vec_id)::BIGINT AS rank,
                    vec_id, score_r
             FROM sim ORDER BY score_r DESC, vec_id LIMIT {TOPK}
+            """
+        ),
+        "mmr_rerank": _with(
+            f"""
+            , {doclen_cte}
+            , stats AS (SELECT avg(doc_length) AS avgdl FROM doclen)
+            , scores AS (
+              SELECT p.doc_id,
+                     sum( ln(({n_docs} - t.df + 0.5) / (t.df + 0.5) + 1.0)
+                          * p.tf * (1.2 + 1.0)
+                          / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_length / s.avgdl)) ) AS s
+              FROM postings p
+              JOIN term_df t USING (term)
+              JOIN doclen dl ON dl.doc_id = p.doc_id
+              CROSS JOIN stats s
+              WHERE p.term IN ({qterms})
+              GROUP BY p.doc_id
+            )
+            , pool AS MATERIALIZED (SELECT doc_id FROM scores
+                       ORDER BY round(s, 4) DESC, doc_id LIMIT {_RERANK_POOL})
+            , qv AS (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1)
+            , pe AS MATERIALIZED (SELECT e.vec_id, e.embedding
+                     FROM embeddings e JOIN pool p ON e.vec_id = p.doc_id)
+            , rel AS MATERIALIZED (SELECT e.vec_id,
+                             list_cosine_similarity(e.embedding, q.embedding)::DOUBLE AS rel
+                      FROM pe e CROSS JOIN qv q)
+            , psim AS MATERIALIZED (SELECT a.vec_id AS i, b.vec_id AS j,
+                              list_cosine_similarity(a.embedding, b.embedding)::DOUBLE AS sim
+                       FROM pe a, pe b)
+            {mmr_chain}
+            SELECT rank, vec_id, round(score, 4) AS mmr_r
+            FROM sel{TOPK} ORDER BY rank
             """
         ),
         "ltr_features": _with(

@@ -93,7 +93,7 @@ def test_query_and_oracle_keys_align(entry):
         "tfidf_topk", "bm25_topk", "bm25_msm", "bm25_filtered", "bm25_capped",
         "bm25_grouped", "bm25_prf",
         "bm25_wand", "bm25_maxscore", "ltr_features", "ltr_training",
-        "dense_rerank",
+        "dense_rerank", "mmr_rerank",
         "bm25_distributed",
         "bm25_segments", "bm25_blend", "phrase", "phrase_slop", "within_window",
         "proximity", "fuzzy", "prefix_search",
@@ -144,7 +144,7 @@ def test_sql_parity(entry, con, name):
              "bloom_new_docs",
              "ann_lsh_topk", "cosine_neardup", "value_quantiles_approx", "vocab_size_hll",
              "embedding_clusters", "semdedup_pairs", "cdc_chunks",
-             "cdc_dup_chunks", "dedup_chunks", "mmr_rerank",
+             "cdc_dup_chunks", "dedup_chunks",
              "host_mirrors_near", "textrank_keywords", "count_min"]
 )
 def test_rows_only_queries_run(entry, name):
