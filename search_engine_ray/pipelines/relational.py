@@ -100,25 +100,57 @@ def pricing_summary(lineitem: "ray.data.Dataset",
 def revenue_by_nation(lineitem: "ray.data.Dataset", orders: "ray.data.Dataset",
                       customer: "ray.data.Dataset", nation: "ray.data.Dataset",
                       date_from: str = "1996-01-01",
-                      date_to: str = "1997-01-01") -> pd.DataFrame:
+                      date_to: str = "1997-01-01",
+                      broadcast_cap: int = 5_000_000) -> pd.DataFrame:
     """Star join: revenue Σ l_extendedprice·(1−l_discount) per customer
     nation for orders placed in [date_from, date_to). ONE fact-fact hash
     join (lineitem ⋈ filtered orders on l_orderkey); the customer⇒nation
-    path collapses into a broadcast custkey→nation-name lookup (dimension
-    tables; at a scale where customer stops fitting a worker, replace
-    with a hash join on custkey). → (n_name, revenue_r) rounded to 4."""
+    path follows the corpus operators' broadcast-or-join discipline:
+    ≤ ``broadcast_cap`` customer rows collapse into a broadcast
+    custkey→nation-name lookup (one ray.put, read per task), above it
+    customer becomes a (o_custkey, n_name) Dataset — nation, always
+    dim-tiny, broadcast onto it — hash-joined to the fact stream on
+    o_custkey, so no worker ever holds the customer table.
+    → (n_name, revenue_r) rounded to 4, identical on both paths."""
     d0 = np.datetime64(date_from, "us")
     d1 = np.datetime64(date_to, "us")
 
-    # dimension lookup: custkey -> nation name (driver-side, dim-sized)
-    cust = customer.select_columns(["c_custkey", "c_nationkey"]).to_pandas()
-    nat = nation.select_columns(["n_nationkey", "n_name"]).to_pandas()
-    nname = dict(zip(nat.n_nationkey, nat.n_name))
-    ck = np.sort(cust.c_custkey.to_numpy().astype(np.int64))
-    order_ = np.argsort(cust.c_custkey.to_numpy().astype(np.int64), kind="stable")
-    cnation = np.asarray([nname[int(v)] for v in
-                          cust.c_nationkey.to_numpy()[order_]], object)
-    ref = ray.put((ck, cnation))
+    use_join = customer.count() > broadcast_cap
+    if use_join:
+        # nation stays a broadcast (25ish rows); customer streams
+        nat = nation.select_columns(["n_nationkey", "n_name"]).to_pandas()
+        nk_sorted = np.sort(nat.n_nationkey.to_numpy().astype(np.int64))
+        nord = np.argsort(nat.n_nationkey.to_numpy().astype(np.int64),
+                          kind="stable")
+        nref = ray.put((nk_sorted, nat.n_name.to_numpy()[nord]))
+
+        def cust_named(batch: pa.Table) -> pa.Table:
+            batch = batch.combine_chunks()
+            if batch.num_rows == 0:
+                return pa.table({"o_custkey": pa.array([], pa.int64()),
+                                 "n_name": pa.array([], pa.string())})
+            nks, nnames = ray.get(nref)
+            nkeys = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            i = np.clip(np.searchsorted(nks, nkeys), 0, len(nks) - 1)
+            if not (nks[i] == nkeys).all():  # FK violation → loud, not wrong
+                missing = nkeys[nks[i] != nkeys][:5]
+                raise ValueError(f"c_nationkey values missing from nation: {missing}")
+            return pa.table({"o_custkey": batch["c_custkey"].cast(pa.int64()),
+                             "n_name": pa.array(list(nnames[i]), pa.string())})
+
+        cn = (customer.select_columns(["c_custkey", "c_nationkey"])
+              .map_batches(cust_named, batch_format="pyarrow"))
+        ref = None
+    else:
+        # dimension lookup: custkey -> nation name (driver-side, dim-sized)
+        cust = customer.select_columns(["c_custkey", "c_nationkey"]).to_pandas()
+        nat = nation.select_columns(["n_nationkey", "n_name"]).to_pandas()
+        nname = dict(zip(nat.n_nationkey, nat.n_name))
+        ck = np.sort(cust.c_custkey.to_numpy().astype(np.int64))
+        order_ = np.argsort(cust.c_custkey.to_numpy().astype(np.int64), kind="stable")
+        cnation = np.asarray([nname[int(v)] for v in
+                              cust.c_nationkey.to_numpy()[order_]], object)
+        ref = ray.put((ck, cnation))
 
     def ofilter(batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
@@ -150,19 +182,30 @@ def revenue_by_nation(lineitem: "ray.data.Dataset", orders: "ray.data.Dataset",
         if batch.num_rows == 0:
             return pa.table({"n_name": pa.array([], pa.string()),
                              "rev": pa.array([], pa.float64())})
-        ckeys, cnames = ray.get(ref)
-        cust_ids = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        i = np.clip(np.searchsorted(ckeys, cust_ids), 0, len(ckeys) - 1)
-        if not (ckeys[i] == cust_ids).all():  # FK violation → loud, not wrong
-            missing = cust_ids[ckeys[i] != cust_ids][:5]
-            raise ValueError(f"o_custkey values missing from customer: {missing}")
-        names = cnames[i]
+        if ref is not None:  # broadcast path: resolve names per batch
+            ckeys, cnames = ray.get(ref)
+            cust_ids = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            i = np.clip(np.searchsorted(ckeys, cust_ids), 0, len(ckeys) - 1)
+            if not (ckeys[i] == cust_ids).all():  # FK violation → loud, not wrong
+                missing = cust_ids[ckeys[i] != cust_ids][:5]
+                raise ValueError(f"o_custkey values missing from customer: {missing}")
+            names = cnames[i]
+            uniq, inv = np.unique(names, return_inverse=True)
+            uniq = list(uniq)
+        else:  # join path: n_name arrived on the joined rows
+            enc = batch["n_name"].dictionary_encode().combine_chunks()
+            inv = enc.indices.to_numpy(zero_copy_only=False)
+            uniq = enc.dictionary.cast(pa.string())
         rev = (batch["l_extendedprice"].to_numpy(zero_copy_only=False)
                * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)))
-        uniq, inv = np.unique(names, return_inverse=True)
-        return pa.table({"n_name": pa.array(list(uniq), pa.string()),
-                         "rev": pa.array(np.bincount(inv, weights=rev), pa.float64())})
+        return pa.table({"n_name": pa.array(uniq, pa.string()),
+                         "rev": pa.array(np.bincount(inv, weights=rev,
+                                                     minlength=len(uniq)),
+                                         pa.float64())})
 
+    if use_join:
+        j = j.join(cn, join_type="inner", num_partitions=npart,
+                   on=("o_custkey",))
     out = grouped_reduce(j.map_batches(rev_partial, batch_format="pyarrow"),
                          ["n_name"], sums=[("rev", "revenue")]).to_pandas()
     out["revenue_r"] = out["revenue"].round(4)

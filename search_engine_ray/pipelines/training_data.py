@@ -16,6 +16,8 @@ tests/test_property_kernels.py.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -35,6 +37,7 @@ from search_engine_ray.functions.minhash import (
 from search_engine_ray.functions.quality import bpe_ish_token_count
 
 _U64 = np.uint64
+_LOG = logging.getLogger(__name__)
 
 
 def _tok_hashes(text: str) -> np.ndarray:
@@ -2640,24 +2643,54 @@ def _pair_template(size: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _group_pair_indices(gid: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarray]:
-    """Row-index pairs (i < j) within each group of the sorted gid array,
-    capped at ``cap`` rows per group; vectorized per distinct group size."""
+    """Row-index pairs (i < j) within each group of the sorted gid array.
+    Groups ≤ ``cap`` pair exhaustively (vectorized per distinct group
+    size). Groups over the cap pair in cap-sized WINDOWS overlapping by
+    cap//8 (≥1): every row pairs inside at least one window and adjacent
+    windows share rows, so an oversized bucket (a near-clique of
+    near-identical docs) stays connected through the verify step instead
+    of rows past the cap silently losing all their pairs — the old
+    truncate-to-first-cap guard dropped them. Non-adjacent cross-window
+    pairs are the recall cost, logged (never silent); cost stays linear:
+    ~size·cap/2 emitted pairs per oversized bucket. Duplicate emissions
+    from shared overlap rows are fine — every caller dedups (a, b)."""
     n = len(gid)
     change = np.empty(n, bool)
     change[0] = True
     np.not_equal(gid[1:], gid[:-1], out=change[1:])
     starts = np.flatnonzero(change)
-    sizes = np.minimum(np.diff(np.append(starts, n)), cap)
-    multi = sizes >= 2
-    if not multi.any():
-        z = np.zeros(0, np.int64)
-        return z, z
+    sizes = np.diff(np.append(starts, n))
     a_parts, b_parts = [], []
+    multi = (sizes >= 2) & (sizes <= cap)
     for s in np.unique(sizes[multi]):
         iu, ju = _pair_template(int(s))
         g_starts = starts[multi][sizes[multi] == s]
         a_parts.append((g_starts[:, None] + iu[None, :]).ravel())
         b_parts.append((g_starts[:, None] + ju[None, :]).ravel())
+    big = np.flatnonzero(sizes > cap)
+    if len(big):
+        overlap = max(1, cap // 8)
+        stride = cap - overlap
+        iu, ju = _pair_template(cap)
+        full_pairs = emitted = 0
+        for g in big:
+            s, sz = int(starts[g]), int(sizes[g])
+            full_pairs += sz * (sz - 1) // 2
+            offs = list(range(0, sz - cap + 1, stride))
+            if offs[-1] != sz - cap:
+                offs.append(sz - cap)
+            for off in offs:
+                a_parts.append(s + off + iu)
+                b_parts.append(s + off + ju)
+                emitted += len(iu)
+        _LOG.warning(
+            "pair cap: %d bucket(s) over cap=%d (max size %d); windowed "
+            "pairing (overlap=%d) emitted %d of %d full pairs — "
+            "non-adjacent cross-window pairs dropped",
+            len(big), cap, int(sizes[big].max()), overlap, emitted, full_pairs)
+    if not a_parts:
+        z = np.zeros(0, np.int64)
+        return z, z
     return np.concatenate(a_parts), np.concatenate(b_parts)
 
 
@@ -3938,10 +3971,101 @@ def embedding_kmeans(embeddings, k: int = 16, iters: int = 10,
     return embeddings.map_batches(assign, batch_format="pyarrow"), cents, history
 
 
+def _cos_pairs_dense(gi: np.ndarray, gm: np.ndarray, threshold: float):
+    """Exhaustive pairwise-cosine pairs (a < b, cos ≥ threshold) over one
+    id-array + normalized-matrix block; None when nothing qualifies."""
+    if len(gi) < 2:
+        return None
+    sims = gm @ gm.T
+    iu, ju = np.triu_indices(len(gi), k=1)
+    hit = sims[iu, ju] >= threshold
+    if not hit.any():
+        return None
+    ai, bi = gi[iu[hit]], gi[ju[hit]]
+    sw = ai > bi
+    return (np.where(sw, bi, ai), np.where(sw, ai, bi), sims[iu[hit], ju[hit]])
+
+
+def _semdedup_subsplit(gi, gm, threshold, max_cluster, seed, cluster_id,
+                       tables: int = 3):
+    """Salted hyperplane sub-split for an OVERSIZED k-means cluster:
+    ``tables`` independent seeded sign sketches of the embeddings split
+    the cluster into ≤max_cluster sub-buckets; pairs emit within each
+    sub-bucket and union across tables (recall degrades gracefully
+    instead of truncating). Splitting on the EMBEDDING (not on ids) means
+    exact duplicates share every sketch bit and are never separated, and
+    a cos ≥ θ pair co-buckets per table w.p. ≈ (1 − arccos(θ)/π)^bits —
+    with 3 tables and the minimal bit count, ≳99% for θ=0.95. A
+    sub-bucket still over the cap after +16 extra bits is sign-identical
+    (near-identical vectors): overlapping cap-windows keep it CONNECTED
+    for the downstream clustering. Dropped volume is logged, never
+    silent. Deterministic in (seed, cluster_id, table) regardless of
+    partition layout."""
+    n, dim = gm.shape
+    base_bits = max(1, int(np.ceil(np.log2(n / max_cluster))))
+    out_a, out_b, out_c = [], [], []
+
+    def emit(res):
+        if res is not None:
+            out_a.append(res[0]); out_b.append(res[1]); out_c.append(res[2])
+
+    for t in range(tables):
+        rng = np.random.default_rng(
+            np.random.SeedSequence([int(seed), int(cluster_id) & 0x7FFFFFFF, t]))
+        bits = base_bits
+        while True:
+            planes = rng.standard_normal((dim, bits))
+            keys = ((gm @ planes) > 0).dot(1 << np.arange(bits, dtype=np.int64))
+            order = np.argsort(keys, kind="stable")  # id-asc within a key
+            ks = keys[order]
+            bounds = np.append(
+                np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]]), len(ks))
+            if int(np.diff(bounds).max()) <= max_cluster or bits >= base_bits + 16:
+                break
+            bits += 1
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            sel = order[s:e]
+            if len(sel) <= max_cluster:
+                emit(_cos_pairs_dense(gi[sel], gm[sel], threshold))
+            else:
+                # sign bits can't split this block (a blob tighter than
+                # any hyperplane): SORTED-projection windows instead —
+                # order by a random continuous projection so
+                # near-identical vectors sit ADJACENT (exact duplicates
+                # tie and are always co-windowed; overlap ≥ 1 makes
+                # adjacent positions always share a window), then pair
+                # inside overlapping max_cluster windows. Distant
+                # same-window-less pairs are the logged recall cost.
+                proj = gm[sel] @ rng.standard_normal(dim)
+                sel = sel[np.lexsort((gi[sel], proj))]
+                overlap = max(1, max_cluster // 8)
+                stride = max_cluster - overlap
+                offs = list(range(0, len(sel) - max_cluster + 1, stride))
+                if offs[-1] != len(sel) - max_cluster:
+                    offs.append(len(sel) - max_cluster)
+                _LOG.warning(
+                    "semdedup sub-split: cluster %s has a %d-vector block "
+                    "sign bits cannot split (> max_cluster=%d); "
+                    "projection-sorted windowed pairing, cross-window "
+                    "pairs dropped", cluster_id, len(sel), max_cluster)
+                for off in offs:
+                    w = sel[off:off + max_cluster]
+                    emit(_cos_pairs_dense(gi[w], gm[w], threshold))
+    if not out_a:
+        return None
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    c = np.concatenate(out_c)
+    ordr = np.lexsort((b, a))
+    a, b, c = a[ordr], b[ordr], c[ordr]
+    first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]  # table dedup
+    return a[first], b[first], c[first]
+
+
 def semdedup_pairs(embeddings, threshold: float = 0.95, k: int = 16,
                    iters: int = 10, max_cluster: int = 4096,
                    id_col: str = "vec_id", emb_col: str = "embedding",
-                   seed: int = 7):
+                   seed: int = 7, subsplit_tables: int = 3):
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023):
     k-means-cluster the embeddings, then compare vectors EXACTLY (pairwise
     cosine) only WITHIN each cluster → (a, b, cos) pairs with cos ≥
@@ -3949,10 +4073,12 @@ def semdedup_pairs(embeddings, threshold: float = 0.95, k: int = 16,
     into Σ|cluster|² local ones; one sort-co-group exchange moves each
     vector once (the cluster column rides the sort, embeddings ride as
     binary), and per-cluster pairwise matmuls run vectorized inside
-    complete-group blocks. Clusters above ``max_cluster`` are truncated
-    to their ``max_cluster`` smallest ids (deterministic; same guard as
-    the LSH buckets — a salted sub-split is the documented refinement).
-    Feed the pairs to :func:`clusters_distributed` for keeper selection."""
+    complete-group blocks. Clusters above ``max_cluster`` take the salted
+    hyperplane sub-split (:func:`_semdedup_subsplit`, ``subsplit_tables``
+    sketches, logged recall) instead of silently truncating — a skewed
+    100-TB embedding space with one dominant cluster keeps finding its
+    duplicates. Feed the pairs to :func:`clusters_distributed` for keeper
+    selection."""
     from search_engine_ray.stages.grouped import sorted_group_map
 
     embeddings = embeddings.materialize()
@@ -4005,20 +4131,16 @@ def semdedup_pairs(embeddings, threshold: float = 0.95, k: int = 16,
         out_a, out_b, out_c = [], [], []
         for s, e in zip(bounds[:-1], bounds[1:]):
             gi, gm = ids[s:e], mat[s:e]
-            if len(gi) > max_cluster:  # deterministic truncation guard
-                keep = np.argsort(gi, kind="stable")[:max_cluster]
-                gi, gm = gi[np.sort(keep)], gm[np.sort(keep)]
-            if len(gi) < 2:
-                continue
-            sims = gm @ gm.T
-            iu, ju = np.triu_indices(len(gi), k=1)
-            hit = sims[iu, ju] >= threshold
-            if hit.any():
-                ai, bi = gi[iu[hit]], gi[ju[hit]]
-                sw = ai > bi
-                out_a.append(np.where(sw, bi, ai))
-                out_b.append(np.where(sw, ai, bi))
-                out_c.append(sims[iu[hit], ju[hit]])
+            if len(gi) > max_cluster:
+                res = _semdedup_subsplit(gi, gm, threshold, max_cluster,
+                                         seed, int(cl[s]),
+                                         tables=subsplit_tables)
+            else:
+                res = _cos_pairs_dense(gi, gm, threshold)
+            if res is not None:
+                out_a.append(res[0])
+                out_b.append(res[1])
+                out_c.append(res[2])
         if not out_a:
             return empty
         return pa.table({"a": pa.array(np.concatenate(out_a), pa.int64()),

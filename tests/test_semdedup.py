@@ -73,12 +73,65 @@ def test_semdedup_matches_brute_force(ray_session):
     assert (pairs["a"] < pairs["b"]).all()
 
 
-def test_semdedup_max_cluster_truncation(ray_session):
+def test_semdedup_subsplit_finds_pairs_beyond_cap(ray_session):
+    """Oversized-cluster sub-split (the old guard truncated to the
+    max_cluster smallest ids, silently dropping every pair beyond them).
+    An exact duplicate planted past the cap must be found: embedding-sign
+    sub-buckets never separate identical vectors."""
     from search_engine_ray.pipelines.training_data import semdedup_pairs
 
     m = _blobs(n=60, n_blobs=1, planted=())
-    full = semdedup_pairs(_ds(m), threshold=0.0, k=1, iters=2,
-                          max_cluster=10).to_pandas()
-    # truncation keeps the 10 smallest ids → 45 pairs among ids 0..9
-    assert len(full) == 45
-    assert full[["a", "b"]].to_numpy().max() <= 9
+    m[55] = m[40]  # exact dup, both ids outside the 10 smallest
+    thr = 0.999
+    pairs = semdedup_pairs(_ds(m), threshold=thr, k=1, iters=2,
+                           max_cluster=10).to_pandas()
+    got = set(zip(pairs["a"].tolist(), pairs["b"].tolist()))
+    assert (40, 55) in got  # the pair the truncation guard used to drop
+    # soundness: every returned pair is a true brute-force pair
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    iu, ju = np.triu_indices(len(m), k=1)
+    bf = set(zip(iu[sims[iu, ju] >= thr].tolist(),
+                 ju[sims[iu, ju] >= thr].tolist()))
+    assert got <= bf and (pairs["a"] < pairs["b"]).all()
+    assert not pairs.duplicated(["a", "b"]).any()  # cross-table dedup
+
+
+def test_semdedup_subsplit_partition_invariant(ray_session):
+    from search_engine_ray.pipelines.training_data import semdedup_pairs
+
+    m = _blobs(n=80, n_blobs=1, planted=())
+    m[70] = m[12]
+    kw = dict(threshold=0.99, k=1, iters=2, max_cluster=16)
+    a = (semdedup_pairs(_ds(m, parts=1), **kw).to_pandas()
+         .sort_values(["a", "b"]).reset_index(drop=True))
+    b = (semdedup_pairs(_ds(m, parts=7), **kw).to_pandas()
+         .sort_values(["a", "b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert (12, 70) in set(zip(a["a"].tolist(), a["b"].tolist()))
+
+
+def test_group_pair_indices_windows_keep_buckets_connected():
+    """Oversized band buckets emit overlapping cap-windows: every row
+    pairs with someone and the union graph spans the bucket (the old cap
+    orphaned every row past the first ``cap``)."""
+    from search_engine_ray.pipelines.training_data import _group_pair_indices
+
+    gid = np.r_[np.zeros(100, np.int64), np.ones(3, np.int64)]
+    ai, bi = _group_pair_indices(gid, cap=16)
+    assert set(np.unique(np.r_[ai, bi])) == set(range(103))
+    # single connected component over the size-100 bucket
+    parent = list(range(103))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(ai, bi):
+        parent[find(int(a))] = find(int(b))
+    assert len({find(i) for i in range(100)}) == 1
+    # small group still pairs exhaustively
+    assert {(a, b) for a, b in zip(ai, bi) if a >= 100} == {
+        (100, 101), (100, 102), (101, 102)}
