@@ -2012,6 +2012,41 @@ def q_bloom_new_docs(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_new_vs_snapshot_near(sf_dir: str):
+    """Incremental NEAR-dup dedup (md5 hash mode, SQL-oracle twin):
+    odd-id docs ('today's crawl') LSH-probed against a PERSISTED band
+    index of the even-id docs ('yesterday's snapshot') — band signatures
+    on both sides, one sort-co-group on band keys, join-verified; the
+    snapshot is never broadcast or re-shuffled per crawl."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from search_engine_ray.pipelines.training_data import (
+        new_vs_snapshot_near, write_snapshot_band_index)
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def half(parity):
+        return lambda b: b.filter(
+            pc.equal(pc.bit_wise_and(b["doc_id"], 1), parity))
+
+    snap = docs.map_batches(half(0), batch_format="pyarrow")
+    new = docs.map_batches(half(1), batch_format="pyarrow")
+    idx = tempfile.mkdtemp(prefix="snapidx_", dir="/tmp")
+    try:
+        write_snapshot_band_index(snap, idx, shingle_k=2, num_perm=128,
+                                  bands=32, hash_mode="md5")
+        out = new_vs_snapshot_near(new, idx, threshold=0.5).to_pandas()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    # jaccard is matches/num_perm — an exact dyadic, no rounding needed
+    return out.sort_values(["doc_id", "snap_id"]).reset_index(drop=True)
+
+
 def q_dedup_lines(sf_dir: str):
     """CCNet-style cross-document line dedup: every non-empty line survives
     exactly once corpus-wide, in its smallest (doc_id, line_idx)."""
@@ -2866,6 +2901,62 @@ def _fuzzy_decon_sql(num_perm: int = 128, bands: int = 32, k: int = 2,
         )
         SELECT doc_id, eval_id, jac AS jaccard FROM j
         WHERE jac >= {threshold} ORDER BY doc_id, eval_id
+    """
+
+
+def _snapshot_near_sql(num_perm: int = 128, bands: int = 32, k: int = 2,
+                       threshold: float = 0.5, max_bucket: int = 64) -> str:
+    """DuckDB twin of q_new_vs_snapshot_near: the cross-corpus variant of
+    _minhash_pairs_sql — odd-id (new) bands join even-id (snapshot)
+    bands; the SNAPSHOT side caps at max_bucket per (band, key) by doc_id
+    rank (mirrors _cross_side_pairs_batch), the new side never caps."""
+    from search_engine_ray.pipelines.training_data import md5_minhash_perms
+
+    a, b = md5_minhash_perms(num_perm)
+    vals = ",".join(f"({i},{int(a[i])},{int(b[i])})" for i in range(num_perm))
+    rows = num_perm // bands
+    return f"""
+        WITH perms(i, a, b) AS (VALUES {vals}),
+        toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                     x -> x <> '') AS t
+          FROM documents
+        ),
+        g AS (
+          SELECT DISTINCT doc_id,
+                 ('0x' || substr(md5(array_to_string(t[i:i+{k - 1}], ' ')), 1, 12))::BIGINT AS h
+          FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {k - 1})) AS i
+                FROM toks WHERE len(t) >= {k})
+        ),
+        sig AS (
+          SELECT doc_id, p.i,
+                 min((p.a::HUGEINT * g.h + p.b) % 2305843009213693951)::BIGINT AS v
+          FROM g CROSS JOIN perms p GROUP BY doc_id, p.i
+        ),
+        bk AS (
+          SELECT doc_id, i // {rows} AS band,
+                 string_agg(v::VARCHAR, ',' ORDER BY i) AS key
+          FROM sig GROUP BY doc_id, i // {rows}
+        ),
+        snapc AS (
+          SELECT * FROM bk WHERE doc_id % 2 = 0
+          QUALIFY row_number() OVER (PARTITION BY band, key ORDER BY doc_id) <= {max_bucket}
+        ),
+        cand AS (
+          SELECT DISTINCT n.doc_id AS doc_id, s.doc_id AS snap_id
+          FROM bk n JOIN snapc s ON n.band = s.band AND n.key = s.key
+          WHERE n.doc_id % 2 = 1
+        ),
+        j AS (
+          SELECT c.doc_id, c.snap_id,
+                 (sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END)::DOUBLE / {num_perm}) AS jac
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.doc_id
+          JOIN sig sb ON sb.doc_id = c.snap_id AND sb.i = sa.i
+          GROUP BY c.doc_id, c.snap_id
+        )
+        SELECT doc_id, snap_id, jac AS jaccard FROM j
+        WHERE jac >= {threshold} ORDER BY doc_id, snap_id
     """
 
 
@@ -4834,6 +4925,7 @@ def oracle_queries() -> dict[str, str]:
             FROM documents
         """,
         "minhash_pairs": _minhash_pairs_sql(),
+        "new_vs_snapshot_near": _snapshot_near_sql(),
         "decontaminate_fuzzy": _fuzzy_decon_sql(
             threshold=_FUZZY_DECON_T, eval_mod=_FUZZY_EVAL_MOD),
         # int8 max-abs quantization recomputed per dimension: scale =
@@ -5656,6 +5748,7 @@ RAY_QUERIES = {
     "grouped_quantiles": q_grouped_quantiles,
     "clean_corpus": q_clean_corpus,
     "new_vs_snapshot": q_new_vs_snapshot,
+    "new_vs_snapshot_near": q_new_vs_snapshot_near,
     "dedup_lines": q_dedup_lines,
     "host_boilerplate": q_host_boilerplate,
     "clean_corpus_full": q_clean_corpus_full,

@@ -2949,16 +2949,24 @@ def _verify_pairs_broadcast(cand, sig_ds, threshold: float, pdf=None):
     return cand.map_batches(score, batch_format="pyarrow")
 
 
-def _verify_pairs_join(cand, sig_ds, threshold: float):
+def _verify_pairs_join(cand, sig_ds, threshold: float, sig_ds_b=None):
     """Scale path: two hash joins move each signature O(1) times however
-    large the candidate set (vs bands× in the old sig-carrying shuffle)."""
+    large the candidate set (vs bands× in the old sig-carrying shuffle).
+    ``sig_ds_b`` (optional) resolves the ``b`` side from a DIFFERENT
+    signature table — the cross-corpus case (new crawl vs snapshot)."""
     try:
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     except Exception:  # pragma: no cover
         ncpu = 8
+    from search_engine_ray.stages.grouped import coalesce_for_join
+
     j1 = cand.join(sig_ds, join_type="inner", num_partitions=max(4, ncpu // 2),
                    on=("a",), right_on=("doc_id",))
-    j2 = j1.join(sig_ds, join_type="inner", num_partitions=max(4, ncpu // 2),
+    # join1's empty output partitions are SCHEMALESS blocks and break
+    # join2's key resolution — rebuild them (pair-cardinality, cheap)
+    j1 = coalesce_for_join(j1, max(4, ncpu // 2))
+    j2 = j1.join(sig_ds_b if sig_ds_b is not None else sig_ds,
+                 join_type="inner", num_partitions=max(4, ncpu // 2),
                  on=("b",), right_on=("doc_id",), right_suffix="_b")
 
     def score(batch: pa.Table) -> pa.Table:
@@ -3200,6 +3208,165 @@ def minhash_lsh_dedup(docs, shingle_k=3, num_perm=128, bands=32, threshold=0.7,
     else:
         sigs = minhash_signatures(docs, shingle_k, num_perm, 1, id_col, text_col)
     return minhash_verified_pairs(sigs, bands, threshold, num_perm=num_perm)
+
+
+def write_snapshot_band_index(snapshot_docs, out_dir: str, shingle_k: int = 2,
+                              num_perm: int = 128, bands: int = 32,
+                              band_parts: int = 32, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              hash_mode: str = "poly") -> str:
+    """Persist a snapshot corpus' MinHash near-dup index ONCE per snapshot
+    publish: ``sigs/`` (doc_id, sig) and ``bands/`` (band_key, doc_id)
+    hive-partitioned by band_part = band_key mod ``band_parts``. Each
+    subsequent crawl probes this index (:func:`new_vs_snapshot_near`)
+    paying only its OWN signatures + one band-key co-group — the 100-TB
+    snapshot is never re-hashed, never re-shuffled, never broadcast. A
+    meta.json pins the hash parameters so a probe with mismatched
+    settings fails loudly instead of silently finding nothing."""
+    import json
+    import os
+
+    sig_fn = minhash_signatures_md5 if hash_mode == "md5" else minhash_signatures
+    sigs = sig_fn(snapshot_docs, shingle_k, num_perm, 1, id_col, text_col).materialize()
+    sigs.write_parquet(os.path.join(out_dir, "sigs"))
+    rows = minhash_band_rows(sigs, bands)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        bk = b["band_key"].to_numpy(zero_copy_only=False).view(_U64)
+        return b.append_column(
+            "band_part", pa.array((bk % _U64(band_parts)).astype(np.int64),
+                                  pa.int64()))
+
+    rows.map_batches(add_part, batch_format="pyarrow").write_parquet(
+        os.path.join(out_dir, "bands"), partition_cols=["band_part"])
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump({"shingle_k": shingle_k, "num_perm": num_perm,
+                   "bands": bands, "band_parts": band_parts,
+                   "hash_mode": hash_mode}, f)
+    return out_dir
+
+
+def _cross_side_pairs_batch(batch: pa.Table, cap: int,
+                            id_col: str = "doc_id") -> pa.Table:
+    """Whole-bucket batch (sorted by band_key, side, id; side 0 =
+    snapshot, 1 = new) → cross-side candidate (a=new, b=snap) pairs.
+    Only buckets holding BOTH sides emit (rare: genuine cross-corpus
+    collisions), so the per-qualifying-bucket loop is cheap. The SNAPSHOT
+    side caps at its ``cap`` smallest ids per bucket (logged): a new doc
+    in an over-cap bucket still verifies against cap near-identical
+    snapshot witnesses, which is all the is-this-new-doc-a-dup decision
+    needs. The new side never caps — every new row must get its
+    candidates."""
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    batch = batch.combine_chunks()
+    n = batch.num_rows
+    if n < 2:
+        return empty
+    keys = batch["band_key"].to_numpy(zero_copy_only=False)
+    side = batch["side"].to_numpy(zero_copy_only=False)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    change = np.empty(n, bool)
+    change[0] = True
+    np.not_equal(keys[1:], keys[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], n)
+    n_new_per = np.add.reduceat(side.astype(np.int64), starts)
+    sizes = ends - starts
+    both = (n_new_per > 0) & (n_new_per < sizes)
+    if not both.any():
+        return empty
+    out_a, out_b = [], []
+    capped = 0
+    for g in np.flatnonzero(both):
+        s, e = int(starts[g]), int(ends[g])
+        k = int(sizes[g] - n_new_per[g])  # snapshot rows come first
+        take = min(k, cap)
+        if k > cap:
+            capped += 1
+        out_a.append(np.repeat(ids[s + k:e], take))
+        out_b.append(np.tile(ids[s:s + take], int(n_new_per[g])))
+    if capped:
+        _LOG.warning(
+            "new_vs_snapshot_near: %d bucket(s) capped snapshot side at "
+            "%d witnesses (near-identical rows; dup decision unaffected)",
+            capped, cap)
+    return pa.table({"a": pa.array(np.concatenate(out_a), pa.int64()),
+                     "b": pa.array(np.concatenate(out_b), pa.int64())})
+
+
+def new_vs_snapshot_near(new_docs, snapshot_index_dir: str,
+                         threshold: float = 0.5, max_bucket: int = 64,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         snap_id_col: str = "snap_id"):
+    """Incremental NEAR-dup dedup of a new crawl against a persisted
+    snapshot index — the LSH analog of
+    :func:`~search_engine_ray.pipelines.corpus_clean.new_vs_snapshot`
+    (whose md5 equality misses lightly-edited recrawls). → (doc_id,
+    snap_id, jaccard) for signature estimates ≥ threshold.
+
+    Scale shape (what a recurring 100-TB crawl actually runs): the
+    snapshot side streams straight out of its
+    :func:`write_snapshot_band_index` parquet — never broadcast (unlike
+    decontaminate_fuzzy's eval side), never re-hashed or re-shuffled per
+    crawl; the new crawl computes its own signatures, and ONE
+    sort-co-group over the unioned (band_key, side, id) rows yields
+    cross-side candidates, verified by the existing join kernels (each
+    signature moves once)."""
+    import json
+    import os
+
+    with open(os.path.join(snapshot_index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    sig_fn = (minhash_signatures_md5 if meta["hash_mode"] == "md5"
+              else minhash_signatures)
+    sig_new = sig_fn(new_docs, meta["shingle_k"], meta["num_perm"], 1,
+                     id_col, text_col).materialize()
+
+    def tag(side_val: int):
+        def fn(b: pa.Table) -> pa.Table:
+            b = b.combine_chunks()
+            return pa.table({
+                "band_key": b["band_key"].cast(pa.int64()),
+                "side": pa.array(np.full(b.num_rows, side_val, np.int8), pa.int8()),
+                "doc_id": b["doc_id"].cast(pa.int64()),
+            })
+        return fn
+
+    snap_bands = ray.data.read_parquet(
+        os.path.join(snapshot_index_dir, "bands"),
+        columns=["band_key", "doc_id"]).map_batches(tag(0), batch_format="pyarrow")
+    new_bands = minhash_band_rows(sig_new, meta["bands"]).map_batches(
+        tag(1), batch_format="pyarrow")
+
+    from search_engine_ray.stages.grouped import (
+        coalesce_for_join, grouped_reduce, sorted_group_map)
+
+    cand_raw = sorted_group_map(
+        snap_bands.union(new_bands), ["band_key"],
+        lambda b: _cross_side_pairs_batch(b, max_bucket),
+        sort_cols=["band_key", "side", "doc_id"]).materialize()
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      snap_id_col: pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    if cand_raw.count() == 0:
+        return ray.data.from_arrow(empty)
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:  # pragma: no cover
+        ncpu = 8
+    npart = max(4, ncpu // 2)
+    cand = coalesce_for_join(grouped_reduce(cand_raw, ["a", "b"]), npart)
+    snap_sigs = ray.data.read_parquet(os.path.join(snapshot_index_dir, "sigs"))
+    out = _verify_pairs_join(cand, coalesce_for_join(sig_new, npart), threshold,
+                             sig_ds_b=coalesce_for_join(snap_sigs, npart))
+
+    def rename(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        return pa.table({id_col: b["a"], snap_id_col: b["b"],
+                         "jaccard": b["jaccard"]})
+
+    return out.map_batches(rename, batch_format="pyarrow")
 
 
 def _md5_tok_hashes(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:

@@ -122,7 +122,8 @@ def test_query_and_oracle_keys_align(entry):
         "event_sessions", "event_asof", "event_range", "funnel",
         "cohort_retention", "window_anomalies",
         "pricing_summary", "revenue_by_nation",
-        "clean_corpus", "clean_corpus_full", "new_vs_snapshot", "dedup_lines",
+        "clean_corpus", "clean_corpus_full", "new_vs_snapshot",
+        "new_vs_snapshot_near", "dedup_lines",
         "host_boilerplate",
         "cosine_norms", "jaccard_verify", "containment_verify", "dedup_clusters",
         "lsh_recall", "triplets",

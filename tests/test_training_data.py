@@ -1217,3 +1217,46 @@ def test_textrank_keywords(ray_session):
     want = sorted(zip(np.round(r, 6), vocab), key=lambda t: (-t[0], t[1]))[:2]
     got = list(zip(d0["score_r"], d0["term"]))
     assert got == [(w[0], w[1]) for w in want]
+
+
+def test_new_vs_snapshot_near(ray_session, tmp_path):
+    """Persisted snapshot band index + cross-side LSH probe: lightly
+    edited and exact recrawls match their snapshot originals, novel docs
+    don't; a second crawl reuses the index without rebuilding."""
+    import ray.data
+
+    from search_engine_ray.pipelines.training_data import (
+        new_vs_snapshot_near, write_snapshot_band_index)
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest before sunset tonight").split()
+    snap_texts = {
+        100: " ".join(base),
+        102: " ".join(base[::-1]),
+        104: "completely different snapshot content about databases and "
+             "query engines with many unrelated words here",
+    }
+    new_texts = {
+        201: " ".join(base[:-1] + ["tomorrow"]),  # light edit of 100
+        203: " ".join(base),                      # exact recrawl of 100
+        205: "a totally novel page about gardening tulips soil compost "
+             "watering schedules and sunlight exposure",
+    }
+
+    def ds(d):
+        return ray.data.from_items(
+            [{"doc_id": k, "text": v} for k, v in d.items()])
+
+    idx = str(tmp_path / "snapidx")
+    write_snapshot_band_index(ds(snap_texts), idx, shingle_k=2)
+    out = new_vs_snapshot_near(ds(new_texts), idx, threshold=0.5).to_pandas()
+    pairs = set(zip(out["doc_id"].tolist(), out["snap_id"].tolist()))
+    assert (203, 100) in pairs          # exact recrawl
+    assert (201, 100) in pairs          # light edit
+    assert not any(d == 205 for d, _ in pairs)  # novel doc clean
+    exact = out[(out.doc_id == 203) & (out.snap_id == 100)]
+    assert float(exact["jaccard"].iloc[0]) == 1.0
+    # second crawl probes the SAME index (no rebuild)
+    out2 = new_vs_snapshot_near(
+        ds({301: " ".join(base)}), idx, threshold=0.5).to_pandas()
+    assert set(zip(out2["doc_id"], out2["snap_id"])) == {(301, 100)}
