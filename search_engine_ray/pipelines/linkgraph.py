@@ -137,14 +137,18 @@ def anchor_terms(pages, k: int = 3, url_col: str = "url",
         tbl = pa.table({"dst": dsts.combine_chunks(), "term": flat}).filter(keep)
         if tbl.num_rows == 0:
             return empty
-        # per-batch (dst, term) counts
-        key = pa.table({"d": tbl["dst"], "t": tbl["term"]})
-        import pandas as pd
-        df = key.to_pandas()
-        g = df.groupby(["d", "t"], sort=False).size().reset_index(name="n")
-        return pa.table({"dst": pa.array(g["d"], pa.string()),
-                         "term": pa.array(g["t"], pa.string()),
-                         "n_part": pa.array(g["n"].to_numpy(np.int64), pa.int64())})
+        # per-batch (dst, term) counts: dictionary-encode both columns and
+        # bincount the fused code — sparse_knn's df_partial shape, no pandas
+        de = tbl["dst"].combine_chunks().dictionary_encode()
+        te = tbl["term"].combine_chunks().dictionary_encode()
+        dc = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tc = te.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = len(te.dictionary)
+        uniq, counts = np.unique(dc * nt + tc, return_counts=True)
+        return pa.table({
+            "dst": de.dictionary.take(pa.array(uniq // nt)).cast(pa.string()),
+            "term": te.dictionary.take(pa.array(uniq % nt)).cast(pa.string()),
+            "n_part": pa.array(counts.astype(np.int64), pa.int64())})
 
     # (dst × term) cardinality scales with the anchor corpus —
     # sort+reduceat, not Ray's hash groupby (see grouped_reduce)

@@ -3884,6 +3884,48 @@ def dequantize_embeddings(quantized, id_col: str = "vec_id"
     return quantized.map_batches(fn, batch_format="pyarrow")
 
 
+def _ann_final_topk(partials, k: int, id_col: str,
+                    round_digits: int | None = None, rank_dtype=np.int32):
+    """Per-query global top-k reduce over partial candidate rows,
+    Arrow-native via sorted_group_map (the per-group pandas map_groups it
+    replaces paid a Python call + Arrow→pandas conversion per query).
+    One whole-batch lexsort ranks every query's candidates at once;
+    ``round_digits`` rounds scores before ranking (brute-force path —
+    IVF/LSH partials arrive pre-rounded). Tie contract unchanged:
+    (score_r desc, id asc), rank 1 = best."""
+    from search_engine_ray.stages.grouped import sorted_group_map
+
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        n = t.num_rows
+        if n == 0:
+            return pa.table({
+                "query_id": pa.array([], pa.int32()),
+                "rank": pa.array(np.zeros(0, rank_dtype)),
+                id_col: pa.array([], pa.int64()),
+                "score_r": pa.array([], pa.float64())})
+        q = t["query_id"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        s = t["score"].to_numpy(zero_copy_only=False)
+        sr = np.round(s, round_digits) if round_digits is not None else s
+        order = np.lexsort((ids, -sr, q))
+        qs = q[order]
+        change = np.empty(n, bool)
+        change[0] = True
+        np.not_equal(qs[1:], qs[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        pos = np.arange(n, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, n)))
+        keep = pos < k
+        return pa.table({
+            "query_id": pa.array(qs[keep], pa.int32()),
+            "rank": pa.array((pos[keep] + 1).astype(rank_dtype)),
+            id_col: pa.array(ids[order][keep], pa.int64()),
+            "score_r": pa.array(sr[order][keep], pa.float64())})
+
+    return sorted_group_map(partials, ["query_id"], kernel)
+
+
 def ann_brute_force(embeddings, query_matrix: np.ndarray, k: int = 10,
                     id_col: str = "vec_id", emb_col: str = "embedding",
                     round_digits: int = 6):
@@ -3921,15 +3963,8 @@ def ann_brute_force(embeddings, query_matrix: np.ndarray, k: int = 10,
         )
 
     partials = embeddings.map_batches(score, batch_format="pyarrow")
-
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["score_r"] = g["score"].round(round_digits)
-        g = g.sort_values(["score_r", id_col], ascending=[False, True]).head(k)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "rank", id_col, "score_r"]]
-
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return _ann_final_topk(partials, k, id_col, round_digits=round_digits,
+                           rank_dtype=np.int64)
 
 
 def ivf_index(embeddings, n_centroids: int = 16, id_col="vec_id", emb_col="embedding",
@@ -4040,15 +4075,7 @@ def ann_ivf(embeddings_with_centroid, centroids: np.ndarray, query_matrix: np.nd
         )
 
     partials = embeddings_with_centroid.map_batches(score, batch_format="pyarrow")
-
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["score_r"] = g["score"]  # already rounded at selection time
-        g = g.sort_values(["score_r", id_col], ascending=[False, True]).head(k)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
-        return g[["query_id", "rank", id_col, "score_r"]]
-
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return _ann_final_topk(partials, k, id_col)  # scores pre-rounded
 
 
 def embedding_kmeans(embeddings, k: int = 16, iters: int = 10,
@@ -4449,15 +4476,7 @@ def ann_lsh(embeddings_with_bucket, planes: np.ndarray, query_matrix: np.ndarray
                          "score": pa.array(out_s, pa.float64())})
 
     partials = embeddings_with_bucket.map_batches(score, batch_format="pyarrow")
-
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["score_r"] = g["score"]  # already rounded at selection time
-        g = g.sort_values(["score_r", id_col], ascending=[False, True]).head(k)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
-        return g[["query_id", "rank", id_col, "score_r"]]
-
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return _ann_final_topk(partials, k, id_col)  # scores pre-rounded
 
 
 def cosine_verify(pairs, embeddings, threshold: float = 0.5,
