@@ -69,9 +69,44 @@ class TestFrameSample:
 
 
 class TestStubSeam:
-    def test_real_decode_raises(self):
+    def test_real_decode_raises_only_without_pil(self):
+        stage = MediaFeatureStage()
+        assert not stage.pil_available  # this container has no codecs
         with pytest.raises(NotImplementedError):
-            MediaFeatureStage().decode_real(b"abc")
+            stage.decode_real(b"abc")
+        # use_real=True still serves batches (graceful fallback to fake)
+        out = stage.__class__(use_real_decoder=True)(_batch([b"xy"])).to_pandas()
+        assert len(out) == 1 and out["n_bytes"][0] == 2
+
+    def test_real_decode_implemented_with_pil(self, monkeypatch):
+        """With PIL importable the NotImplementedError is unreachable:
+        decode_real opens the bytes and reports true dimensions. PIL is
+        absent here, so a minimal stand-in module exercises the path."""
+        import sys
+        import types
+
+        class _Img:
+            size = (640, 480)
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+        pil = types.ModuleType("PIL")
+        pil_image = types.ModuleType("PIL.Image")
+        pil_image.open = lambda fp: _Img()
+        pil.Image = pil_image
+        monkeypatch.setitem(sys.modules, "PIL", pil)
+        monkeypatch.setitem(sys.modules, "PIL.Image", pil_image)
+        stage = MediaFeatureStage(use_real_decoder=True)
+        assert stage.pil_available
+        f = stage.decode_real(b"fake-image-bytes")
+        assert (f["pseudo_width"], f["pseudo_height"]) == (640, 480)
+        assert f["n_bytes"] == 16
+        out = stage(_batch([b"fake-image-bytes"])).to_pandas()
+        assert out["pseudo_width"][0] == 640  # real path used in __call__
 
 
 class TestPipelines:
