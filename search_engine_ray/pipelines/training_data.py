@@ -3247,6 +3247,42 @@ def write_snapshot_band_index(snapshot_docs, out_dir: str, shingle_k: int = 2,
     return out_dir
 
 
+def append_to_snapshot_band_index(new_docs, index_dir: str,
+                                  id_col: str = "doc_id",
+                                  text_col: str = "text") -> str:
+    """Fold a crawl INTO the persisted snapshot index after it has been
+    deduped/accepted: append the new docs' signature and band-row parquet
+    files into the existing ``sigs/`` and hive-partitioned ``bands/``
+    layout (same meta parameters, read from meta.json — mismatches are
+    impossible by construction). Existing files are never rewritten, so
+    the nightly cycle is probe → accept → append, each crawl paying only
+    its own rows; callers must keep doc ids unique across appends (the
+    same contract as segments.add_segment)."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    sig_fn = (minhash_signatures_md5 if meta["hash_mode"] == "md5"
+              else minhash_signatures)
+    sigs = sig_fn(new_docs, meta["shingle_k"], meta["num_perm"], 1,
+                  id_col, text_col).materialize()
+    sigs.write_parquet(os.path.join(index_dir, "sigs"))
+    rows = minhash_band_rows(sigs, meta["bands"])
+    band_parts = int(meta["band_parts"])
+
+    def add_part(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        bk = b["band_key"].to_numpy(zero_copy_only=False).view(_U64)
+        return b.append_column(
+            "band_part", pa.array((bk % _U64(band_parts)).astype(np.int64),
+                                  pa.int64()))
+
+    rows.map_batches(add_part, batch_format="pyarrow").write_parquet(
+        os.path.join(index_dir, "bands"), partition_cols=["band_part"])
+    return index_dir
+
+
 def _cross_side_pairs_batch(batch: pa.Table, cap: int,
                             id_col: str = "doc_id") -> pa.Table:
     """Whole-bucket batch (sorted by band_key, side, id; side 0 =

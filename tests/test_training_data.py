@@ -1260,3 +1260,15 @@ def test_new_vs_snapshot_near(ray_session, tmp_path):
     out2 = new_vs_snapshot_near(
         ds({301: " ".join(base)}), idx, threshold=0.5).to_pandas()
     assert set(zip(out2["doc_id"], out2["snap_id"])) == {(301, 100)}
+
+    # accepted crawl folds INTO the index (append-only files); a later
+    # crawl that recrawls an appended doc now matches it too
+    from search_engine_ray.pipelines.training_data import (
+        append_to_snapshot_band_index)
+
+    append_to_snapshot_band_index(ds(new_texts), idx)
+    out3 = new_vs_snapshot_near(
+        ds({401: new_texts[205]}), idx, threshold=0.5).to_pandas()
+    pairs3 = set(zip(out3["doc_id"].tolist(), out3["snap_id"].tolist()))
+    assert (401, 205) in pairs3  # appended doc is now a snapshot witness
+    assert all(d == 401 for d, _ in pairs3)
