@@ -1048,6 +1048,18 @@ def q_classifier_scores(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def q_quality_logreg(sf_dir: str):
+    """Distributed TRAINED quality classifier: full-batch logistic
+    regression over the scaled Gopher feature vector, labels =
+    gopher_pass; each GD iteration is one corpus pass reducing to d+1
+    driver scalars, unrolled iteration-for-iteration in the oracle (the
+    pagerank trick)."""
+    from search_engine_ray.pipelines.training_data import train_quality_classifier
+
+    return (train_quality_classifier(_read_docs(sf_dir), iters=3, lr=0.5)
+            .sort_values("feature").reset_index(drop=True))
+
+
 _KNN_K, _KNN_CAP = 3, 1000
 
 
@@ -2902,6 +2914,73 @@ def _fuzzy_decon_sql(num_perm: int = 128, bands: int = 32, k: int = 2,
         SELECT doc_id, eval_id, jac AS jaccard FROM j
         WHERE jac >= {threshold} ORDER BY doc_id, eval_id
     """
+
+
+def _quality_logreg_sql(iters: int = 3, lr: float = 0.5) -> str:
+    """DuckDB twin of q_quality_logreg: the full-batch logistic-GD loop
+    unrolled into one (gradient, weight-update) CTE pair per iteration
+    over the SAME Gopher feature CTE the gopher_rules oracle uses.
+    MATERIALIZED: w_k is referenced twice by iteration k+1."""
+    d = 8
+    feats = ["bias", "n_words_s", "mean_word_len_s", "symbol_ratio",
+             "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+             "n_stop_hits_s"]
+    dot = " + ".join(f"w.w{j}*f.x{j}" for j in range(d))
+    parts = [f"""
+        WITH raw AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
+                 string_split(text, chr(10)) AS lines
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+            len(toks)::BIGINT AS n_words,
+            CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE list_aggregate(list_transform(toks, t -> length(t)), 'sum')::DOUBLE / len(toks) END AS mwl,
+            CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE ((length(text) - length(replace(text, '#', '')))
+                     + (length(text) - length(replace(text, '...', ''))) // 3
+                     + (length(text) - length(replace(text, '…', ''))))::DOUBLE / len(toks) END AS sym,
+            len(list_filter(lines, l -> regexp_matches(l, '^[ \t]*[-•*] ')))::DOUBLE
+                / len(lines) AS bullet,
+            len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)[ \t]*$')))::DOUBLE
+                / len(lines) AS ell,
+            CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE / len(toks) END AS alphaw,
+            len(list_filter(['the','be','to','of','and','that','have','with'],
+                w -> list_contains(list_transform(toks, t -> lower(t)), w)))::BIGINT AS n_stop_hits
+          FROM raw
+        ),
+        f AS MATERIALIZED (
+          SELECT 1.0 AS x0, n_words/100.0 AS x1, mwl/10.0 AS x2, sym AS x3,
+                 bullet AS x4, ell AS x5, alphaw AS x6, n_stop_hits/10.0 AS x7,
+                 (n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+                  AND sym <= 0.1 AND bullet <= 0.9 AND ell <= 0.3
+                  AND alphaw >= 0.8 AND n_stop_hits >= 2)::BIGINT::DOUBLE AS y
+          FROM m
+        ),
+        w0 AS ({' '.join(['SELECT'] + [', '.join(f'0.0 AS w{j}' for j in range(d))])})"""]
+    for k in range(1, iters + 1):
+        gsums = ", ".join(
+            f"sum((1/(1+exp(-({dot}))) - f.y) * f.x{j}) AS g{j}"
+            for j in range(d))
+        wupd = ", ".join(f"w.w{j} - {lr}*g.g{j}/g.n AS w{j}" for j in range(d))
+        parts.append(f""",
+        g{k} AS MATERIALIZED (
+          SELECT {gsums}, count(*)::DOUBLE AS n
+          FROM f, w{k - 1} w
+        ),
+        w{k} AS MATERIALIZED (
+          SELECT {wupd} FROM w{k - 1} w, g{k} g
+        )""")
+    sel = "\n        UNION ALL ".join(
+        f"SELECT '{name}' AS feature, round(w{j}, 6) AS weight_r FROM w{iters}"
+        for j, name in enumerate(feats))
+    parts.append(f"""
+        {sel}
+        ORDER BY feature""")
+    return "".join(parts)
 
 
 def _snapshot_near_sql(num_perm: int = 128, bands: int = 32, k: int = 2,
@@ -4926,6 +5005,7 @@ def oracle_queries() -> dict[str, str]:
         """,
         "minhash_pairs": _minhash_pairs_sql(),
         "new_vs_snapshot_near": _snapshot_near_sql(),
+        "quality_logreg": _quality_logreg_sql(),
         "decontaminate_fuzzy": _fuzzy_decon_sql(
             threshold=_FUZZY_DECON_T, eval_mod=_FUZZY_EVAL_MOD),
         # int8 max-abs quantization recomputed per dimension: scale =
@@ -5686,6 +5766,7 @@ RAY_QUERIES = {
     "validate": q_validate,
     "text_stats": q_text_stats,
     "classifier_scores": q_classifier_scores,
+    "quality_logreg": q_quality_logreg,
     "gopher_rules": q_gopher_rules,
     "doc_keywords": q_doc_keywords,
     "sparse_knn": q_sparse_knn,

@@ -315,6 +315,90 @@ def classifier_scores(docs: "ray.data.Dataset", n_buckets: int = 1 << 16,
     )
 
 
+#: feature names of the trained quality classifier, in weight order
+LOGREG_FEATURES = ["bias", "n_words_s", "mean_word_len_s", "symbol_ratio",
+                   "bullet_line_frac", "ellipsis_line_frac",
+                   "alpha_word_frac", "n_stop_hits_s"]
+
+
+def train_quality_classifier(docs: "ray.data.Dataset", iters: int = 3,
+                             lr: float = 0.5, id_col: str = "doc_id",
+                             text_col: str = "text") -> pd.DataFrame:
+    """TRAIN a quality classifier distributed — logistic regression by
+    full-batch gradient descent over the Gopher feature vector (scaled
+    row-local: [1, n_words/100, mean_word_len/10, symbol_ratio,
+    bullet_frac, ellipsis_frac, alpha_frac, n_stop_hits/10]), labels =
+    the deterministic ``gopher_pass`` proxy. Complements the fixed-weight
+    hashed scorer (:func:`classifier_scores`) with the TRAINING side a
+    curation stack needs.
+
+    Scale shape (the pagerank discipline): features+labels compute once
+    (one streaming pass; persisted via materialize — at 10^12 docs write
+    the 9-column table to parquet instead, same topology) and each
+    iteration is ONE map_batches pass emitting a (d+2)-value partial
+    (gradient component sums + count) per block; only block-cardinality
+    partials reach the driver, which does the O(d) weight update. The
+    gradient is a plain sum — associative, partition-invariant up to
+    float addition order. → (feature, weight_r) rows, round(6)."""
+    from search_engine_ray.functions.quality import (
+        batch_gopher_pass, batch_gopher_stats)
+
+    d = len(LOGREG_FEATURES)
+
+    def feat_label(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        s = batch_gopher_stats(batch[text_col])
+        y = np.asarray(batch_gopher_pass(s), np.float64)
+        X = np.column_stack([
+            np.ones(len(y)),
+            np.asarray(s["n_words"], np.float64) / 100.0,
+            np.asarray(s["mean_word_len"], np.float64) / 10.0,
+            np.asarray(s["symbol_ratio"], np.float64),
+            np.asarray(s["bullet_line_frac"], np.float64),
+            np.asarray(s["ellipsis_line_frac"], np.float64),
+            np.asarray(s["alpha_word_frac"], np.float64),
+            np.asarray(s["n_stop_hits"], np.float64) / 10.0,
+        ])
+        cols = {f"x{j}": pa.array(X[:, j], pa.float64()) for j in range(d)}
+        cols["y"] = pa.array(y, pa.float64())
+        return pa.table(cols)
+
+    feats = docs.map_batches(feat_label, batch_format="pyarrow").materialize()
+    w = np.zeros(d, np.float64)
+    for _ in range(iters):
+        wref = ray.put(w.copy())
+
+        def grad_partial(batch: pa.Table) -> pa.Table:
+            batch = batch.combine_chunks()
+            ww = ray.get(wref)
+            n = batch.num_rows
+            if n == 0:
+                return pa.table({**{f"g{j}": pa.array([], pa.float64())
+                                    for j in range(d)},
+                                 "n": pa.array([], pa.float64())})
+            X = np.column_stack([batch[f"x{j}"].to_numpy(zero_copy_only=False)
+                                 for j in range(d)])
+            y = batch["y"].to_numpy(zero_copy_only=False)
+            z = X @ ww
+            # stable sigmoid ≡ 1/(1+exp(−z)) value-for-value (the oracle's
+            # plain form overflows to the same 0/1 limits)
+            sig = np.where(z >= 0, 1.0 / (1.0 + np.exp(-np.abs(z))),
+                           np.exp(-np.abs(z)) / (1.0 + np.exp(-np.abs(z))))
+            g = X.T @ (sig - y)
+            return pa.table({**{f"g{j}": pa.array([g[j]], pa.float64())
+                                for j in range(d)},
+                             "n": pa.array([float(n)], pa.float64())})
+
+        part = feats.map_batches(grad_partial, batch_format="pyarrow").to_pandas()
+        n_total = part["n"].sum()
+        if n_total == 0:
+            break
+        g = np.array([part[f"g{j}"].sum() for j in range(d)])
+        w = w - lr * g / n_total
+    return pd.DataFrame({"feature": LOGREG_FEATURES,
+                         "weight_r": np.round(w, 6)})
+
+
 def gopher_rules_table(docs: "ray.data.Dataset", id_col: str = "doc_id",
                        text_col: str = "text"):
     """(doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,

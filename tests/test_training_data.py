@@ -1272,3 +1272,46 @@ def test_new_vs_snapshot_near(ray_session, tmp_path):
     pairs3 = set(zip(out3["doc_id"].tolist(), out3["snap_id"].tolist()))
     assert (401, 205) in pairs3  # appended doc is now a snapshot witness
     assert all(d == 401 for d, _ in pairs3)
+
+
+def test_train_quality_classifier(ray_session):
+    """Distributed logistic-GD: partition-invariant (gradient is a sum),
+    and the learned weights actually separate the gopher_pass label
+    better than the zero model (training loss decreases)."""
+    import ray.data
+
+    from search_engine_ray.functions.quality import (
+        batch_gopher_pass, batch_gopher_stats)
+    from search_engine_ray.pipelines.training_data import (
+        train_quality_classifier)
+
+    good = ("the quick brown fox jumps over the lazy dog and that have "
+            "with be to of many plain words " * 5)
+    bad = "### ### ### ... ... #!# " * 10
+    rows = [{"doc_id": i, "text": good if i % 2 else bad} for i in range(60)]
+    w1 = train_quality_classifier(
+        ray.data.from_items(rows, override_num_blocks=1), iters=3)
+    w7 = train_quality_classifier(
+        ray.data.from_items(rows, override_num_blocks=7), iters=3)
+    pd.testing.assert_frame_equal(w1, w7)  # partition-invariant to round(6)
+
+    # loss(w_trained) < loss(0) on the training set
+    import pyarrow as pa
+
+    texts = pa.array([r["text"] for r in rows])
+    s = batch_gopher_stats(texts)
+    y = np.asarray(batch_gopher_pass(s), np.float64)
+    X = np.column_stack([
+        np.ones(len(y)), np.asarray(s["n_words"], np.float64) / 100,
+        np.asarray(s["mean_word_len"], np.float64) / 10,
+        s["symbol_ratio"], s["bullet_line_frac"], s["ellipsis_line_frac"],
+        s["alpha_word_frac"], np.asarray(s["n_stop_hits"], np.float64) / 10])
+    w = w1.set_index("feature").loc[
+        ["bias", "n_words_s", "mean_word_len_s", "symbol_ratio",
+         "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+         "n_stop_hits_s"], "weight_r"].to_numpy()
+    p = 1 / (1 + np.exp(-(X @ w)))
+    loss = -(y * np.log(p + 1e-12) + (1 - y) * np.log(1 - p + 1e-12)).mean()
+    assert loss < np.log(2)  # zero-weight model has loss ln(2)
+    # stopword hits separate good from bad here -> positive weight
+    assert w1.set_index("feature").loc["n_stop_hits_s", "weight_r"] > 0
