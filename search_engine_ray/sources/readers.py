@@ -126,3 +126,207 @@ def _expand_articles(batch: pa.Table) -> pa.Table:
         }
     )
 
+
+
+# ---------------------------------------------------------------------------
+# WARC — the native Common-Crawl container (ISO 28500). Pure-Python parse:
+# the warc libraries aren't in this container and aren't needed — records
+# are length-framed headers + payload, and .warc.gz files are concatenated
+# per-record gzip MEMBERS that zlib walks via unused_data.
+# ---------------------------------------------------------------------------
+
+
+def _gzip_members(data: bytes):
+    """Yield each decompressed member of a concatenated-gzip stream (the
+    Common-Crawl layout: one member per WARC record so ranges are
+    seekable). A truncated/corrupt tail member is skipped, not fatal."""
+    import zlib
+
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=47)  # gzip header + window
+        try:
+            out = d.decompress(data[pos:])
+        except zlib.error:
+            return
+        if not d.eof:  # truncated final member
+            return
+        yield out
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:  # pragma: no cover - defensive
+            return
+        pos += consumed
+
+
+def parse_warc_records(raw: bytes) -> list[dict]:
+    """WARC records of one (decompressed) stream → dicts with lowercase
+    header keys + ``payload`` bytes. Malformed framing skips the rest of
+    the stream (records are length-framed; resync is not possible)."""
+    out = []
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and raw[pos:pos + 2] in (b"\r\n", b"\n"):
+            pos += 2 if raw[pos:pos + 2] == b"\r\n" else 1
+        if pos >= n:
+            break
+        if not raw.startswith(b"WARC/", pos):
+            break
+        hdr_end = raw.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            break
+        headers: dict[str, str] = {}
+        for line in raw[pos:hdr_end].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode("latin-1")] = v.strip().decode(
+                "latin-1", "replace")
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            break
+        body_start = hdr_end + 4
+        if body_start + clen > n:
+            break
+        headers["payload"] = raw[body_start:body_start + clen]
+        out.append(headers)
+        pos = body_start + clen
+    return out
+
+
+def _http_body(payload: bytes) -> bytes:
+    """Strip the HTTP response header block from a WARC response payload
+    (Content-Type: application/http); payloads without one pass through."""
+    if payload[:5] in (b"HTTP/",):
+        sep = payload.find(b"\r\n\r\n")
+        if sep >= 0:
+            return payload[sep + 4:]
+    return payload
+
+
+def read_warc(path: str) -> "ray.data.Dataset":
+    """Recursive .warc / .warc.gz discovery → webpages Dataset (url,
+    warc_ts, html, text, lang), one read task per file: response records
+    keep their WARC-Target-URI and WARC-Date (fallback: deterministic
+    hash-derived timestamp), the HTTP header block is stripped, and
+    request/metadata records, malformed framing and corrupt gzip members
+    are skipped — the streaming shape Common Crawl's own layout (one gzip
+    member per record) is built for."""
+    # File discovery happens driver-side (file-cardinality, like the
+    # manifest scans) and tasks read RAW bytes: read_binary_files would
+    # auto-gunzip .gz by extension as ONE stream — losing the per-member
+    # framing and dying on a corrupt tail member, both of which the
+    # CC layout's member-per-record design exists to survive.
+    import os
+
+    paths = []
+    if os.path.isfile(path):
+        paths = [path]
+    else:
+        for root, _dirs, files_ in os.walk(path):
+            for f in sorted(files_):
+                if f.endswith(".warc") or f.endswith(".warc.gz"):
+                    paths.append(os.path.join(root, f))
+    if not paths:
+        raise ValueError(f"no .warc/.warc.gz files under {path}")
+
+    def load(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for p in batch["path"].to_pylist():
+            with open(p, "rb") as fh:
+                payloads.append(fh.read())
+        return pa.table({"bytes": pa.array(payloads, pa.binary())})
+
+    files = ray.data.from_items([{"path": p} for p in paths],
+                                override_num_blocks=len(paths))
+    return files.map_batches(load, batch_format="pyarrow").map_batches(
+        _expand_warc, batch_format="pyarrow")
+
+
+def _expand_warc(batch: pa.Table) -> pa.Table:
+    from search_engine_ray.functions.hashing import poly_hash_str
+
+    urls, ts, htmls, texts, langs = [], [], [], [], []
+    for payload in batch["bytes"].to_pylist():
+        if payload[:2] == b"\x1f\x8b":
+            streams = _gzip_members(payload)
+        else:
+            streams = [payload]
+        for raw in streams:
+            for rec in parse_warc_records(raw):
+                if rec.get("warc-type") != "response":
+                    continue
+                url = rec.get("warc-target-uri")
+                body = _http_body(rec["payload"])
+                if not url:
+                    url = f"warc-{poly_hash_str(body.decode('utf-8', 'replace')):016x}"
+                date = rec.get("warc-date", "")
+                t = _parse_warc_date(date)
+                if t is None:
+                    t = EPOCH_US + (poly_hash_str(url) % 1_000_000) * 1_000_000
+                urls.append(url)
+                ts.append(t)
+                htmls.append(body)
+                texts.append("")
+                langs.append("und")
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+
+
+def _parse_warc_date(s: str):
+    """ISO-8601 WARC-Date → microseconds since epoch (None if absent or
+    unparseable — caller falls back to a deterministic pseudo-ts)."""
+    if not s:
+        return None
+    try:
+        from datetime import datetime, timezone
+
+        dt = datetime.fromisoformat(s.replace("Z", "+00:00"))
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return int(dt.timestamp() * 1_000_000)
+    except ValueError:
+        return None
+
+
+def read_webpages_csv(path: str) -> "ray.data.Dataset":
+    """CSV ingest (columns: url, text[, lang]) → webpages Dataset with
+    the input-hint schema; ``html`` carries the raw text bytes (extraction
+    downstream, like every other reader). Ray's read_csv does the dir
+    walk + parallel parse; rows with a null/empty url are dropped."""
+    ds = ray.data.read_csv(path)
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from search_engine_ray.functions.hashing import poly_hash_str
+
+        b = b.combine_chunks()
+        if "url" not in b.column_names or "text" not in b.column_names:
+            raise ValueError(
+                f"webpages csv needs url,text columns; got {b.column_names}")
+        keep = pc.and_(pc.is_valid(b["url"]),
+                       pc.not_equal(pc.fill_null(b["url"], ""), ""))
+        b = b.filter(keep)
+        urls = b["url"].to_pylist()
+        texts = [t or "" for t in b["text"].to_pylist()]
+        langs = ([l or "und" for l in b["lang"].to_pylist()]
+                 if "lang" in b.column_names else ["und"] * len(urls))
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(
+                [EPOCH_US + (poly_hash_str(u) % 1_000_000) * 1_000_000
+                 for u in urls], pa.timestamp("us")),
+            "html": pa.array([t.encode("utf-8") for t in texts], pa.binary()),
+            "text": pa.array([""] * len(urls), pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        })
+
+    return ds.map_batches(to_pages, batch_format="pyarrow")

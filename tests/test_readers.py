@@ -98,3 +98,93 @@ class TestJsonlReader:
         by_url = dict(zip(rows["url"], rows["html"]))
         assert by_url["https://c4/x"] == b"plain string body here"
         assert by_url["https://w/a"] == article_body(ARTICLES[0]).encode()
+
+
+def _warc_record(rtype: str, uri: str | None, body: bytes,
+                 date: str = "2023-05-01T12:00:00Z",
+                 http: bool = True) -> bytes:
+    payload = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+               if http else body)
+    hdrs = [b"WARC/1.0", b"WARC-Type: " + rtype.encode()]
+    if uri:
+        hdrs.append(b"WARC-Target-URI: " + uri.encode())
+    hdrs.append(b"WARC-Date: " + date.encode())
+    hdrs.append(b"Content-Length: " + str(len(payload)).encode())
+    return b"\r\n".join(hdrs) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+class TestWarcReader:
+    def test_plain_and_gzip_members(self, ray_session, tmp_path):
+        import gzip
+
+        from search_engine_ray.sources.readers import read_warc
+
+        recs = [
+            _warc_record("request", "https://w/a", b"GET / HTTP/1.1"),
+            _warc_record("response", "https://w/a", b"<html>alpha page</html>"),
+            _warc_record("response", "https://w/b", b"<html>beta page</html>",
+                         date="2024-01-02T03:04:05Z"),
+            _warc_record("metadata", "https://w/a", b"meta"),
+        ]
+        (tmp_path / "plain.warc").write_bytes(b"".join(recs))
+        # Common-Crawl layout: one gzip MEMBER per record, concatenated
+        gz = b"".join(gzip.compress(r) for r in [
+            _warc_record("response", "https://w/c", b"<html>gamma</html>")])
+        gz += b"\x1f\x8btruncated-garbage"  # corrupt tail member skipped
+        (tmp_path / "cc.warc.gz").write_bytes(gz)
+
+        rows = (read_warc(str(tmp_path)).to_pandas()
+                .sort_values("url").reset_index(drop=True))
+        assert rows["url"].tolist() == ["https://w/a", "https://w/b",
+                                        "https://w/c"]
+        assert rows["html"].tolist() == [b"<html>alpha page</html>",
+                                         b"<html>beta page</html>",
+                                         b"<html>gamma</html>"]
+        # WARC-Date parsed into warc_ts (2024 > 2023)
+        assert rows["warc_ts"][1] > rows["warc_ts"][0]
+
+    def test_malformed_framing_skips_rest(self, tmp_path):
+        from search_engine_ray.sources.readers import parse_warc_records
+
+        ok = _warc_record("response", "https://w/x", b"body")
+        bad = b"WARC/1.0\r\nContent-Length: notanumber\r\n\r\nxx"
+        recs = parse_warc_records(ok + bad + ok)
+        assert len(recs) == 1  # framing lost after the malformed record
+
+    def test_warc_build_query(self, ray_session, tmp_path):
+        from search_engine_ray.config import EngineConfig
+        from search_engine_ray.pipelines.build import build_index
+        from search_engine_ray.query.engine import SearchEngine
+        from search_engine_ray.sources.readers import read_warc
+
+        recs = [_warc_record("response", f"https://w/{i:03d}",
+                             f"<p>zebra document number {i}</p>".encode())
+                for i in range(12)]
+        (tmp_path / "c.warc").write_bytes(b"".join(recs))
+        out = str(tmp_path / "idx")
+        build_index(read_warc(str(tmp_path)), out, EngineConfig())
+        eng = SearchEngine(out)
+        assert len(eng.boolean_and("zebra")) == 12
+
+
+class TestCsvReader:
+    def test_csv_to_webpages_and_build(self, ray_session, tmp_path):
+        from search_engine_ray.config import EngineConfig
+        from search_engine_ray.pipelines.build import build_index
+        from search_engine_ray.query.engine import SearchEngine
+        from search_engine_ray.sources.readers import read_webpages_csv
+
+        (tmp_path / "a.csv").write_text(
+            "url,text,lang\n"
+            "https://c/1,quokka first document,en\n"
+            "https://c/2,quokka second document,de\n"
+            ",dropped row no url,en\n")
+        ds = read_webpages_csv(str(tmp_path / "a.csv"))
+        rows = ds.to_pandas().sort_values("url").reset_index(drop=True)
+        assert rows["url"].tolist() == ["https://c/1", "https://c/2"]
+        assert rows["lang"].tolist() == ["en", "de"]
+        out = str(tmp_path / "idx")
+        build_index(read_webpages_csv(str(tmp_path / "a.csv")), out,
+                    EngineConfig())
+        eng = SearchEngine(out)
+        assert len(eng.boolean_and("quokka")) == 2
