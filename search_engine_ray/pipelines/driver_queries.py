@@ -1048,6 +1048,23 @@ def q_classifier_scores(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def q_bitext_mine(sf_dir: str):
+    """Margin-based bitext mining (Artetxe & Schwenk'19): each de-lang
+    doc's best en-lang doc by ratio margin over embedding cosines —
+    round(4): DuckDB's float32 list_cosine_similarity noise floor."""
+    import ray.data
+
+    from search_engine_ray.pipelines.training_data import bitext_mine
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    langs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "lang"])
+    out = bitext_mine(emb, langs, "de", "en", margin_k=4, threshold=1.0,
+                      round_digits=4).to_pandas()
+    return out.sort_values("src_id").reset_index(drop=True)
+
+
 def q_quality_logreg(sf_dir: str):
     """Distributed TRAINED quality classifier: full-batch logistic
     regression over the scaled Gopher feature vector, labels =
@@ -2913,6 +2930,50 @@ def _fuzzy_decon_sql(num_perm: int = 128, bands: int = 32, k: int = 2,
         )
         SELECT doc_id, eval_id, jac AS jaccard FROM j
         WHERE jac >= {threshold} ORDER BY doc_id, eval_id
+    """
+
+
+def _bitext_mine_sql(k: int = 4, threshold: float = 1.0) -> str:
+    """DuckDB twin of q_bitext_mine: full de×en cosine cross join, both
+    neighborhoods as window top-k averages, ratio margin, per-src argmax
+    with margin-desc/tgt-id-asc ties."""
+    return f"""
+        WITH src AS MATERIALIZED (
+          SELECT e.vec_id, e.embedding FROM embeddings e
+          JOIN documents d ON e.vec_id = d.doc_id WHERE d.lang = 'de'
+        ),
+        tgt AS MATERIALIZED (
+          SELECT e.vec_id, e.embedding FROM embeddings e
+          JOIN documents d ON e.vec_id = d.doc_id WHERE d.lang = 'en'
+        ),
+        c AS MATERIALIZED (
+          SELECT s.vec_id AS sid, t.vec_id AS tid,
+                 list_cosine_similarity(s.embedding, t.embedding)::DOUBLE AS cos
+          FROM src s, tgt t
+        ),
+        ax AS MATERIALIZED (
+          SELECT sid, avg(cos) AS avgx FROM (
+            SELECT sid, cos,
+                   row_number() OVER (PARTITION BY sid ORDER BY cos DESC, tid) AS r
+            FROM c) WHERE r <= {k} GROUP BY sid
+        ),
+        ay AS MATERIALIZED (
+          SELECT tid, avg(cos) AS avgy FROM (
+            SELECT tid, cos,
+                   row_number() OVER (PARTITION BY tid ORDER BY cos DESC, sid) AS r
+            FROM c) WHERE r <= {k} GROUP BY tid
+        ),
+        m AS (
+          SELECT c.sid, c.tid, c.cos / ((ax.avgx + ay.avgy) / 2) AS margin
+          FROM c JOIN ax USING (sid) JOIN ay ON c.tid = ay.tid
+        ),
+        best AS (
+          SELECT sid, tid, margin,
+                 row_number() OVER (PARTITION BY sid ORDER BY margin DESC, tid) AS r
+          FROM m
+        )
+        SELECT sid AS src_id, tid AS tgt_id, round(margin, 4) AS margin_r
+        FROM best WHERE r = 1 AND margin >= {threshold} ORDER BY src_id
     """
 
 
@@ -5006,6 +5067,7 @@ def oracle_queries() -> dict[str, str]:
         "minhash_pairs": _minhash_pairs_sql(),
         "new_vs_snapshot_near": _snapshot_near_sql(),
         "quality_logreg": _quality_logreg_sql(),
+        "bitext_mine": _bitext_mine_sql(),
         "decontaminate_fuzzy": _fuzzy_decon_sql(
             threshold=_FUZZY_DECON_T, eval_mod=_FUZZY_EVAL_MOD),
         # int8 max-abs quantization recomputed per dimension: scale =
@@ -5767,6 +5829,7 @@ RAY_QUERIES = {
     "text_stats": q_text_stats,
     "classifier_scores": q_classifier_scores,
     "quality_logreg": q_quality_logreg,
+    "bitext_mine": q_bitext_mine,
     "gopher_rules": q_gopher_rules,
     "doc_keywords": q_doc_keywords,
     "sparse_knn": q_sparse_knn,

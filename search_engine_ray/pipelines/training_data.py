@@ -3944,6 +3944,161 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def bitext_mine(embeddings, langs, src_lang: str, tgt_lang: str,
+                margin_k: int = 4, threshold: float = 1.0,
+                id_col: str = "vec_id", emb_col: str = "embedding",
+                lang_id_col: str = "doc_id", lang_col: str = "lang",
+                broadcast_cap: int = 1_000_000, round_digits: int = 6):
+    """Margin-based bitext mining (Artetxe & Schwenk, ACL'19): for every
+    src-lang doc, its best tgt-lang doc by RATIO margin
+
+        margin(x, y) = cos(x, y) / ((avgtop_x + avgtop_y) / 2)
+
+    where avgtop_* is the mean of that side's ``margin_k`` best cosines —
+    the neighborhood normalization that suppresses hub vectors plain
+    cosine top-1 mining drowns in. → (src_id, tgt_id, margin_r) rows for
+    margin ≥ threshold, one row per src doc, ties tgt-id-asc.
+
+    Scale shape: langs attach by ONE hash join (the corpus never
+    broadcasts); the tgt-side matrix broadcasts once via ray.put
+    (guarded by ``broadcast_cap`` — past it, shard tgt and bucket by LSH
+    like cosine_neardup, the documented seam); two streaming passes over
+    the src side: pass 1 emits per-batch per-tgt top-k cosine partials
+    (global top-k ⊆ union of per-batch top-k's) reduced to the
+    tgt-neighborhood table by one sorted_group_map, pass 2 scores
+    margins row-vectorized and argmaxes with pinned ties."""
+    from search_engine_ray.stages.grouped import coalesce_for_join, sorted_group_map
+
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:  # pragma: no cover
+        ncpu = 8
+    npart = max(4, ncpu // 2)
+
+    def pack(b: pa.Table) -> pa.Table:
+        # Arrow's hash join can't carry list payload columns — embeddings
+        # ride the lang join as normalized-float64 BINARY (semdedup's trick)
+        b = b.combine_chunks()
+        if b.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "embp": pa.array([], pa.binary())})
+        m = _normalize(_to_matrix(b[emb_col]))
+        return pa.table({id_col: b[id_col].cast(pa.int64()),
+                         "embp": pa.array([m[i].tobytes() for i in range(len(m))],
+                                          pa.binary())})
+
+    def _unpack(b: pa.Table) -> np.ndarray:
+        from search_engine_ray.functions.vb import binary_column_parts
+
+        col = b["embp"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        offs, data = binary_column_parts(col)
+        dim = int((offs[1] - offs[0]) // 8) if len(offs) > 1 else 1
+        return data[offs[0]:offs[-1]].view(np.float64).reshape(b.num_rows, dim)
+
+    lang_slim = langs.select_columns([lang_id_col, lang_col])
+    joined = coalesce_for_join(
+        embeddings.map_batches(pack, batch_format="pyarrow"), npart).join(
+        coalesce_for_join(lang_slim, npart), join_type="inner",
+        num_partitions=npart, on=(id_col,), right_on=(lang_id_col,))
+
+    def side(lang_val):
+        def fn(b: pa.Table) -> pa.Table:
+            b = b.combine_chunks()
+            keep = pc.equal(pc.fill_null(b[lang_col], ""), lang_val)
+            return b.filter(keep).select([id_col, "embp"])
+        return fn
+
+    src = joined.map_batches(side(src_lang), batch_format="pyarrow").materialize()
+    empty = pa.table({"src_id": pa.array([], pa.int64()),
+                      "tgt_id": pa.array([], pa.int64()),
+                      "margin_r": pa.array([], pa.float64())})
+    tgt = joined.map_batches(side(tgt_lang), batch_format="pyarrow")
+    n_tgt = tgt.count()
+    if n_tgt == 0 or src.count() == 0:
+        return ray.data.from_arrow(empty)
+    if n_tgt > broadcast_cap:
+        raise ValueError(
+            f"tgt side has {n_tgt} rows > broadcast_cap={broadcast_cap}; "
+            "shard the tgt matrix / bucket by hyperplane LSH (the "
+            "cosine_neardup shape) instead of the broadcast path")
+    rows = tgt.take_all()
+    ids_t = np.asarray([r[id_col] for r in rows], np.int64)
+    order = np.argsort(ids_t, kind="stable")
+    ids_t = ids_t[order]
+    mat_t = np.asarray([np.frombuffer(rows[int(i)]["embp"], np.float64)
+                        for i in order])
+    tref = ray.put((ids_t, np.ascontiguousarray(mat_t)))
+
+    k = int(margin_k)
+
+    def tgt_topk_partial(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        if b.num_rows == 0:
+            return pa.table({"tid": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        t_ids, t_mat = ray.get(tref)
+        m = _unpack(b)
+        sims = m @ t_mat.T  # (n_src_batch, n_tgt)
+        kk = min(k, sims.shape[0])
+        top = np.partition(sims, sims.shape[0] - kk, axis=0)[-kk:]  # (kk, n_tgt)
+        return pa.table({
+            "tid": pa.array(np.tile(t_ids, kk), pa.int64()),
+            "cos": pa.array(top.reshape(-1), pa.float64())})
+
+    def topk_avg(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.table({"tid": pa.array([], pa.int64()),
+                             "avgy": pa.array([], pa.float64())})
+        tid = t["tid"].to_numpy(zero_copy_only=False)
+        cos = t["cos"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((-cos, tid))
+        tid, cos = tid[o], cos[o]
+        change = np.r_[True, tid[1:] != tid[:-1]]
+        starts = np.flatnonzero(change)
+        pos = np.arange(len(tid)) - np.repeat(starts, np.diff(np.append(starts, len(tid))))
+        keep = pos < k
+        grp = np.cumsum(change) - 1
+        sums = np.bincount(grp[keep], weights=cos[keep])
+        cnts = np.bincount(grp[keep])
+        return pa.table({"tid": pa.array(tid[starts], pa.int64()),
+                         "avgy": pa.array(sums / cnts, pa.float64())})
+
+    ay_pdf = sorted_group_map(
+        src.map_batches(tgt_topk_partial, batch_format="pyarrow"),
+        ["tid"], topk_avg).to_pandas()  # tgt-cardinality (≤ broadcast_cap)
+    avgy = np.zeros(len(ids_t), np.float64)
+    avgy[np.searchsorted(ids_t, ay_pdf["tid"].to_numpy())] = ay_pdf["avgy"].to_numpy()
+    ayref = ray.put(avgy)
+
+    def score(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        if b.num_rows == 0:
+            return empty
+        t_ids, t_mat = ray.get(tref)
+        ay = ray.get(ayref)
+        m = _unpack(b)
+        sids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = m @ t_mat.T
+        kk = min(k, sims.shape[1])
+        topx = np.partition(sims, sims.shape[1] - kk, axis=1)[:, -kk:]
+        avgx = topx.mean(axis=1)
+        margins = sims / ((avgx[:, None] + ay[None, :]) / 2.0)
+        best = np.argmax(margins, axis=1)  # first max: tgt ids sorted asc
+        mbest = margins[np.arange(len(sids)), best]
+        keep = mbest >= threshold
+        if not keep.any():
+            return empty
+        return pa.table({
+            "src_id": pa.array(sids[keep], pa.int64()),
+            "tgt_id": pa.array(t_ids[best[keep]], pa.int64()),
+            "margin_r": pa.array(np.round(mbest[keep], round_digits),
+                                 pa.float64())})
+
+    return src.map_batches(score, batch_format="pyarrow")
+
+
 def quantize_embeddings(embeddings, id_col: str = "vec_id",
                         emb_col: str = "embedding") -> "ray.data.Dataset":
     """Symmetric per-vector int8 max-abs quantization → (id, scale,

@@ -102,7 +102,8 @@ def test_query_and_oracle_keys_align(entry):
         "bm25_corrected",
         "normalize_text", "lang_counts", "lang_confusion", "corpus_drift",
         "validate",
-        "text_stats", "classifier_scores", "quality_logreg", "gopher_rules",
+        "text_stats", "classifier_scores", "quality_logreg", "bitext_mine",
+        "gopher_rules",
         "doc_keywords", "sparse_knn",
         "doc_logprob", "dsir_weights",
         "ccnet_buckets", "doc_novelty",

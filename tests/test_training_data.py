@@ -1315,3 +1315,38 @@ def test_train_quality_classifier(ray_session):
     assert loss < np.log(2)  # zero-weight model has loss ln(2)
     # stopword hits separate good from bad here -> positive weight
     assert w1.set_index("feature").loc["n_stop_hits_s", "weight_r"] > 0
+
+
+def test_bitext_mine_planted_pairs(ray_session):
+    """Planted translations (same direction + small noise across langs)
+    mine as (src, tgt) pairs with high margin; unrelated src docs don't
+    clear the threshold at top margin gap. Partition-invariant."""
+    import ray.data
+
+    from search_engine_ray.pipelines.training_data import bitext_mine
+
+    rng = np.random.default_rng(11)
+    dim = 12
+    n_en = 30
+    en = rng.standard_normal((n_en, dim))
+    # de docs 100..104 translate en docs 0..4; de 105 is unrelated
+    de = np.vstack([en[:5] + rng.standard_normal((5, dim)) * 0.05,
+                    rng.standard_normal((1, dim))])
+    emb_rows = ([{"vec_id": i, "embedding": list(map(float, en[i]))}
+                 for i in range(n_en)]
+                + [{"vec_id": 100 + j, "embedding": list(map(float, de[j]))}
+                   for j in range(6)])
+    lang_rows = ([{"doc_id": i, "lang": "en"} for i in range(n_en)]
+                 + [{"doc_id": 100 + j, "lang": "de"} for j in range(6)])
+    emb = ray.data.from_items(emb_rows, override_num_blocks=4)
+    langs = ray.data.from_items(lang_rows, override_num_blocks=3)
+    out = (bitext_mine(emb, langs, "de", "en", margin_k=4, threshold=1.0)
+           .to_pandas().sort_values("src_id").reset_index(drop=True))
+    got = dict(zip(out["src_id"], out["tgt_id"]))
+    for j in range(5):
+        assert got[100 + j] == j  # planted translation wins the argmax
+    assert (out["margin_r"] >= 1.0).all()
+    out2 = (bitext_mine(emb.repartition(9), langs.repartition(2), "de", "en",
+                        margin_k=4, threshold=1.0)
+            .to_pandas().sort_values("src_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, out2)
