@@ -328,6 +328,40 @@ def run_bench() -> dict:
     compact(seg_root, cfg)
     results["segment_compact"] = time.perf_counter() - t0
 
+    # --- round-4 ops --------------------------------------------------------
+    from search_engine_ray.pipelines.training_data import (
+        bitext_mine,
+        new_vs_snapshot_near,
+        train_quality_classifier,
+        write_snapshot_band_index,
+    )
+
+    t0 = time.perf_counter()
+    train_quality_classifier(docs, iters=3)
+    results["quality_logreg"] = time.perf_counter() - t0
+
+    langs_ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                                     columns=["doc_id", "lang"])
+    t0 = time.perf_counter()
+    bitext_mine(ray.data.read_parquet(emb_path), langs_ds, "de", "en",
+                margin_k=4, threshold=1.0).count()
+    results["bitext_mine"] = time.perf_counter() - t0
+
+    snap_idx = "/tmp/se_ray_bench/snapidx"
+    shutil.rmtree(snap_idx, ignore_errors=True)
+    snap_half = docs.map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 1), 0)),
+        batch_format="pyarrow")
+    new_half = docs.map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 1), 1)),
+        batch_format="pyarrow")
+    # index build is untimed: it happens once per snapshot PUBLISH; the
+    # per-crawl cost is the probe
+    write_snapshot_band_index(snap_half, snap_idx, shingle_k=2)
+    t0 = time.perf_counter()
+    new_vs_snapshot_near(new_half, snap_idx, threshold=0.5).count()
+    results["snapshot_near_probe"] = time.perf_counter() - t0
+
     num_docs = json.load(open(os.path.join(zipf_out, "stats.json")))["num_docs"]
     out = {
         "metric": "index build seconds (zipf corpus, end-to-end)",
