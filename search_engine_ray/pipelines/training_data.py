@@ -3418,7 +3418,8 @@ def _cross_side_pairs_batch(batch: pa.Table, cap: int,
 def new_vs_snapshot_near(new_docs, snapshot_index_dir: str,
                          threshold: float = 0.5, max_bucket: int = 64,
                          id_col: str = "doc_id", text_col: str = "text",
-                         snap_id_col: str = "snap_id"):
+                         snap_id_col: str = "snap_id",
+                         broadcast_cap: int = 500_000):
     """Incremental NEAR-dup dedup of a new crawl against a persisted
     snapshot index — the LSH analog of
     :func:`~search_engine_ray.pipelines.corpus_clean.new_vs_snapshot`
@@ -3469,23 +3470,68 @@ def new_vs_snapshot_near(new_docs, snapshot_index_dir: str,
     empty = pa.table({id_col: pa.array([], pa.int64()),
                       snap_id_col: pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
-    if cand_raw.count() == 0:
+    n_raw = cand_raw.count()
+    if n_raw == 0:
         return ray.data.from_arrow(empty)
-    try:
-        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    except Exception:  # pragma: no cover
-        ncpu = 8
-    npart = max(4, ncpu // 2)
-    cand = coalesce_for_join(grouped_reduce(cand_raw, ["a", "b"]), npart)
     snap_sigs = ray.data.read_parquet(os.path.join(snapshot_index_dir, "sigs"))
-    out = _verify_pairs_join(cand, coalesce_for_join(sig_new, npart), threshold,
-                             sig_ds_b=coalesce_for_join(snap_sigs, npart))
 
     def rename(b: pa.Table) -> pa.Table:
         b = b.combine_chunks()
         return pa.table({id_col: b["a"], snap_id_col: b["b"],
                          "jaccard": b["jaccard"]})
 
+    if n_raw <= broadcast_cap:
+        # small candidate set (the common recurring-crawl case: few dups):
+        # dedup driver-side, gather exactly the needed signatures from
+        # EACH side once via a broadcast id filter, score distributed —
+        # the minhash_verified_pairs broadcast path, two-sided
+        pdf = cand_raw.to_pandas().drop_duplicates(["a", "b"], ignore_index=True)
+
+        def gather(side_ds, wanted):
+            wref = ray.put(np.unique(wanted.astype(np.int64)))
+
+            def fn(b: pa.Table) -> pa.Table:
+                b = b.combine_chunks()
+                ids = b["doc_id"].to_numpy(zero_copy_only=False)
+                return b.filter(pa.array(np.isin(ids, ray.get(wref))))
+
+            rows = side_ds.map_batches(fn, batch_format="pyarrow").take_all()
+            ids = np.asarray([r["doc_id"] for r in rows], np.int64)
+            o = np.argsort(ids)
+            mat = (np.stack([np.frombuffer(rows[int(i)]["sig"], _U64) for i in o])
+                   if len(rows) else np.zeros((0, int(meta["num_perm"])), _U64))
+            return ids[o], mat
+
+        a_ids, a_mat = gather(sig_new, pdf["a"].to_numpy())
+        b_ids, b_mat = gather(snap_sigs, pdf["b"].to_numpy())
+        mref = ray.put((a_ids, a_mat, b_ids, b_mat))
+        cand = ray.data.from_pandas(pdf)
+
+        def score(batch: pa.Table) -> pa.Table:
+            batch = batch.combine_chunks()
+            if batch.num_rows == 0:
+                return empty
+            ai, am, bi, bm = ray.get(mref)
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            est = (am[np.searchsorted(ai, a)] == bm[np.searchsorted(bi, b)]).mean(axis=1)
+            keep = est >= threshold
+            if not keep.any():
+                return empty
+            return pa.table({id_col: pa.array(a[keep], pa.int64()),
+                             snap_id_col: pa.array(b[keep], pa.int64()),
+                             "jaccard": pa.array(est[keep], pa.float64())})
+
+        return cand.map_batches(score, batch_format="pyarrow")
+
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:  # pragma: no cover
+        ncpu = 8
+    npart = max(4, ncpu // 2)
+    cand = coalesce_for_join(grouped_reduce(cand_raw, ["a", "b"]), npart)
+    out = _verify_pairs_join(cand, coalesce_for_join(sig_new, npart), threshold,
+                             sig_ds_b=coalesce_for_join(snap_sigs, npart))
     return out.map_batches(rename, batch_format="pyarrow")
 
 

@@ -1260,6 +1260,12 @@ def test_new_vs_snapshot_near(ray_session, tmp_path):
     out2 = new_vs_snapshot_near(
         ds({301: " ".join(base)}), idx, threshold=0.5).to_pandas()
     assert set(zip(out2["doc_id"], out2["snap_id"])) == {(301, 100)}
+    # broadcast_cap=0 forces the hash-join verify path — identical result
+    outj = (new_vs_snapshot_near(ds(new_texts), idx, threshold=0.5,
+                                 broadcast_cap=0).to_pandas()
+            .sort_values(["doc_id", "snap_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(outj, out.sort_values(
+        ["doc_id", "snap_id"]).reset_index(drop=True))
 
     # accepted crawl folds INTO the index (append-only files); a later
     # crawl that recrawls an appended doc now matches it too
