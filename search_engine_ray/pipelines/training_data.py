@@ -4042,11 +4042,36 @@ def bitext_mine(embeddings, langs, src_lang: str, tgt_lang: str,
         dim = int((offs[1] - offs[0]) // 8) if len(offs) > 1 else 1
         return data[offs[0]:offs[-1]].view(np.float64).reshape(b.num_rows, dim)
 
-    lang_slim = langs.select_columns([lang_id_col, lang_col])
-    joined = coalesce_for_join(
-        embeddings.map_batches(pack, batch_format="pyarrow"), npart).join(
-        coalesce_for_join(lang_slim, npart), join_type="inner",
-        num_partitions=npart, on=(id_col,), right_on=(lang_id_col,))
+    lang_slim = langs.select_columns([lang_id_col, lang_col]).materialize()
+    packed = embeddings.map_batches(pack, batch_format="pyarrow")
+    if lang_slim.count() <= broadcast_cap:
+        # lang table under the cap: broadcast (sorted ids, wanted-side
+        # flags) once instead of paying a hash-join shuffle — at corpus
+        # scale the table is doc-cardinality and the join path below runs
+        lp = lang_slim.to_pandas()
+        lids = lp[lang_id_col].to_numpy().astype(np.int64)
+        lv = lp[lang_col].fillna("").to_numpy()
+        o = np.argsort(lids, kind="stable")
+        lref = ray.put((lids[o], lv[o]))
+
+        def attach(b: pa.Table) -> pa.Table:
+            b = b.combine_chunks()
+            if b.num_rows == 0:
+                return b.append_column(lang_col, pa.array([], pa.string()))
+            ids_s, langs_s = ray.get(lref)
+            ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            i = np.clip(np.searchsorted(ids_s, ids), 0, max(len(ids_s) - 1, 0))
+            hit = (ids_s[i] == ids) if len(ids_s) else np.zeros(len(ids), bool)
+            lv_rows = np.where(hit, langs_s[i] if len(ids_s) else "", "")
+            return (b.filter(pa.array(hit))
+                    .append_column(lang_col,
+                                   pa.array(list(lv_rows[hit]), pa.string())))
+
+        joined = packed.map_batches(attach, batch_format="pyarrow")
+    else:
+        joined = coalesce_for_join(packed, npart).join(
+            coalesce_for_join(lang_slim, npart), join_type="inner",
+            num_partitions=npart, on=(id_col,), right_on=(lang_id_col,))
 
     def side(lang_val):
         def fn(b: pa.Table) -> pa.Table:

@@ -1356,3 +1356,9 @@ def test_bitext_mine_planted_pairs(ray_session):
                         margin_k=4, threshold=1.0)
             .to_pandas().sort_values("src_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(out, out2)
+    # cap between n_tgt (30) and n_langs (36): lang attach takes the
+    # hash-JOIN path while the tgt broadcast guard still passes — identical
+    out3 = (bitext_mine(emb, langs, "de", "en", margin_k=4, threshold=1.0,
+                        broadcast_cap=32)
+            .to_pandas().sort_values("src_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, out3)
