@@ -4231,14 +4231,19 @@ def dequantize_embeddings(quantized, id_col: str = "vec_id"
 
 
 def _ann_final_topk(partials, k: int, id_col: str,
-                    round_digits: int | None = None, rank_dtype=np.int32):
+                    round_digits: int | None = None, rank_dtype=np.int32,
+                    driver_cap: int = 200_000):
     """Per-query global top-k reduce over partial candidate rows,
     Arrow-native via sorted_group_map (the per-group pandas map_groups it
     replaces paid a Python call + Arrow→pandas conversion per query).
     One whole-batch lexsort ranks every query's candidates at once;
     ``round_digits`` rounds scores before ranking (brute-force path —
     IVF/LSH partials arrive pre-rounded). Tie contract unchanged:
-    (score_r desc, id asc), rank 1 = best."""
+    (score_r desc, id asc), rank 1 = best. Partial volume is
+    nq × (k+margin) × n_blocks; below ``driver_cap`` rows the SAME kernel
+    runs once driver-side (skipping the distributed sort's fixed cost —
+    measured ~0.45 s at toy sizes), above it sorted_group_map
+    distributes."""
     from search_engine_ray.stages.grouped import sorted_group_map
 
     def kernel(t: pa.Table) -> pa.Table:
@@ -4269,6 +4274,15 @@ def _ann_final_topk(partials, k: int, id_col: str,
             id_col: pa.array(ids[order][keep], pa.int64()),
             "score_r": pa.array(sr[order][keep], pa.float64())})
 
+    partials = partials.materialize()
+    if partials.count() <= driver_cap:
+        batches = list(partials.iter_batches(batch_format="pyarrow",
+                                             batch_size=None))
+        if not batches:
+            batches = [pa.table({"query_id": pa.array([], pa.int32()),
+                                 id_col: pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.float64())})]
+        return ray.data.from_arrow(kernel(pa.concat_tables(batches)))
     return sorted_group_map(partials, ["query_id"], kernel)
 
 
