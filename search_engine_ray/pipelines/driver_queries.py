@@ -1573,6 +1573,19 @@ def q_pagerank(sf_dir: str):
     return out[["node", "rank_r"]].sort_values("node").reset_index(drop=True)
 
 
+def q_reciprocal_links(sf_dir: str):
+    """Link-farm spam signal: per-source-host reciprocal-link fraction
+    over distinct non-self edges of the same extracted link graph
+    pagerank uses (a directed edge is reciprocal iff its reverse
+    exists)."""
+    from search_engine_ray.pipelines.linkgraph import (
+        extract_links, reciprocal_link_stats)
+
+    out = reciprocal_link_stats(extract_links(_link_pages(sf_dir))).to_pandas()
+    return (out.sort_values("host").reset_index(drop=True)
+            .astype({"n_edges": np.int64, "n_reciprocal": np.int64}))
+
+
 _HITS_ITERS = 3
 
 
@@ -1705,6 +1718,38 @@ def q_latest_snapshot(sf_dir: str):
     out = latest_snapshot(snaps).to_pandas()
     return (out[["url", "doc_id"]].astype({"doc_id": np.int64})
             .sort_values("url").reset_index(drop=True))
+
+
+def _reciprocal_links_sql() -> str:
+    """DuckDB twin of q_reciprocal_links over the same synthetic graph:
+    distinct non-self edges, reciprocity by reverse-edge self-join,
+    grouped by source host."""
+    return r"""
+        WITH links AS MATERIALIZED (
+          SELECT doc_id AS s, unnest([(doc_id*2+1) % p.n, (doc_id*3+2) % p.n]) AS t
+          FROM documents, (SELECT COUNT(*)::BIGINT AS n FROM documents) p
+          WHERE doc_id % 7 <> 0
+        ),
+        e AS (
+          SELECT DISTINCT 'https://d' || s || '.test/' AS src,
+                          'https://d' || t || '.test/' AS dst
+          FROM links WHERE s <> t
+        ),
+        r AS (
+          SELECT e1.src,
+                 CASE WHEN e2.src IS NOT NULL THEN 1 ELSE 0 END AS recip
+          FROM e e1 LEFT JOIN e e2 ON e1.src = e2.dst AND e1.dst = e2.src
+        ),
+        h AS (
+          SELECT regexp_extract(src, '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/:?#]+)', 1) AS host,
+                 count(*)::BIGINT AS n_edges,
+                 sum(recip)::BIGINT AS n_reciprocal
+          FROM r GROUP BY host
+        )
+        SELECT host, n_edges, n_reciprocal,
+               round(n_reciprocal::DOUBLE / n_edges, 6) AS reciprocal_frac_r
+        FROM h ORDER BY host
+    """
 
 
 def _pagerank_sql() -> str:
@@ -4794,6 +4839,7 @@ def oracle_queries() -> dict[str, str]:
         """,
         "pagerank": _pagerank_sql(),
         "hits": _hits_sql(),
+        "reciprocal_links": _reciprocal_links_sql(),
         "link_components": f"""
             WITH RECURSIVE edges AS (
               SELECT 'https://d' || doc_id || '.test/' AS src,
@@ -5860,6 +5906,7 @@ RAY_QUERIES = {
     "cooccurrence": q_cooccurrence,
     "prune_postings": q_prune_postings,
     "pagerank": q_pagerank,
+    "reciprocal_links": q_reciprocal_links,
     "hits": q_hits,
     "link_components": q_link_components,
     "anchor_terms": q_anchor_terms,

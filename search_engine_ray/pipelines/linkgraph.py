@@ -262,6 +262,79 @@ def degree_stats(edges):
     return joined.map_batches(fill, batch_format="pyarrow")
 
 
+def reciprocal_link_stats(edges, src_col: str = "src", dst_col: str = "dst"):
+    """Per-source-host reciprocal-link profile — the classic link-farm /
+    link-exchange spam signal (organic webs link mostly one-way;
+    mutual-admiration rings don't): → (host, n_edges, n_reciprocal,
+    reciprocal_frac_r) over DISTINCT non-self directed edges, where an
+    edge is reciprocal iff its reverse also exists.
+
+    Shape: one pair-cardinality distinct reduce, then ONE sort-co-group
+    on the unordered (lo, hi) endpoint key — a bucket holds at most the
+    two directions, so reciprocity is a group-size-2 test, no self-join —
+    and a host-cardinality combiner reduce. Nothing driver-side."""
+    from search_engine_ray.pipelines.webcorpus import host_of
+    from search_engine_ray.stages.grouped import grouped_reduce, sorted_group_map
+
+    def norm(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        s = b[src_col].cast(pa.string())
+        d = b[dst_col].cast(pa.string())
+        keep = pc.invert(pc.equal(s, d))  # self-loops are never reciprocal
+        t = pa.table({"src": s, "dst": d}).filter(keep).combine_chunks()
+        lo = pc.min_element_wise(t["src"], t["dst"])
+        hi = pc.max_element_wise(t["src"], t["dst"])
+        return pa.table({"lo": lo, "hi": hi, "src": t["src"], "dst": t["dst"]})
+
+    distinct = grouped_reduce(
+        edges.map_batches(norm, batch_format="pyarrow"),
+        ["lo", "hi", "src", "dst"])
+
+    def recip_kernel(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        empty = pa.table({"host": pa.array([], pa.string()),
+                          "n_part": pa.array([], pa.int64()),
+                          "r_part": pa.array([], pa.int64())})
+        n = t.num_rows
+        if n == 0:
+            return empty
+        le = t["lo"].dictionary_encode().combine_chunks()
+        he = t["hi"].dictionary_encode().combine_chunks()
+        lc = le.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        hc = he.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        fused = lc * (hc.max() + 1 if n else 1) + hc
+        change = np.r_[True, fused[1:] != fused[:-1]]
+        gid = np.cumsum(change) - 1
+        sizes = np.bincount(gid)
+        recip = (sizes[gid] == 2).astype(np.int64)  # both directions present
+        hosts = host_of(t["src"])
+        enc = hosts.dictionary_encode().combine_chunks() \
+            if isinstance(hosts, pa.ChunkedArray) else hosts.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        nh = len(enc.dictionary)
+        return pa.table({
+            "host": enc.dictionary.cast(pa.string()),
+            "n_part": pa.array(np.bincount(codes, minlength=nh).astype(np.int64),
+                               pa.int64()),
+            "r_part": pa.array(np.bincount(codes, weights=recip,
+                                           minlength=nh).astype(np.int64),
+                               pa.int64())})
+
+    parts = sorted_group_map(distinct, ["lo", "hi"], recip_kernel)
+    red = grouped_reduce(parts, ["host"],
+                         sums=[("n_part", "n_edges"), ("r_part", "n_reciprocal")])
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        n = b["n_edges"].to_numpy(zero_copy_only=False).astype(np.float64)
+        r = b["n_reciprocal"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return b.append_column(
+            "reciprocal_frac_r",
+            pa.array(np.round(r / np.maximum(n, 1), 6), pa.float64()))
+
+    return red.map_batches(finish, batch_format="pyarrow")
+
+
 def pagerank(edges, n_iters: int = 3, damping: float = 0.85,
              round_digits: int = 6, tol: float | None = None):
     """(node, rank_r) after ``n_iters`` power iterations from the uniform

@@ -203,3 +203,27 @@ def test_link_components_small_graph(ray_session):
            .set_index("node")["component"].to_dict())
     assert out == {"a": "a", "b": "a", "c": "a",
                    "d": "d", "e": "d", "f": "f"}
+
+
+def test_reciprocal_link_stats_flags_link_farm(ray_session):
+    """A mutual-admiration ring scores reciprocal_frac 1.0; organic
+    one-way links score 0; duplicate and self edges don't distort."""
+    import ray.data
+
+    from search_engine_ray.pipelines.linkgraph import reciprocal_link_stats
+
+    farm = [(f"https://farm{i}.test/p", f"https://farm{j}.test/p")
+            for i in range(3) for j in range(3) if i != j]  # full mutual ring
+    organic = [(f"https://org{i}.test/a", "https://hub.test/") for i in range(4)]
+    edges = farm + organic + [organic[0]] * 3  # duplicates collapse
+    edges += [("https://org0.test/a", "https://org0.test/a")]  # self edge
+    ds = ray.data.from_items(
+        [{"src": s, "dst": d} for s, d in edges], override_num_blocks=3)
+    out = (reciprocal_link_stats(ds).to_pandas()
+           .set_index("host").sort_index())
+    for i in range(3):
+        assert out.loc[f"farm{i}.test", "reciprocal_frac_r"] == 1.0
+        assert out.loc[f"farm{i}.test", "n_edges"] == 2
+    for i in range(4):
+        assert out.loc[f"org{i}.test", "reciprocal_frac_r"] == 0.0
+        assert out.loc[f"org{i}.test", "n_edges"] == 1  # dups collapsed
