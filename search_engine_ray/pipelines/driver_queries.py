@@ -1573,6 +1573,40 @@ def q_pagerank(sf_dir: str):
     return out[["node", "rank_r"]].sort_values("node").reset_index(drop=True)
 
 
+def q_robots_meta(sf_dir: str):
+    """Robots-meta directive parsing over synthesized pages covering both
+    attribute orders, mixed case and quote styles; the oracle rebuilds
+    the same html and replays the regexes (single-quote variants are
+    pytest-covered — DuckDB string literals make them awkward here)."""
+    import ray.data
+
+    from search_engine_ray.pipelines.webcorpus import robots_meta_table
+
+    docs = _read_docs(sf_dir, ("doc_id",))
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        urls, htmls = [], []
+        for i in ids:
+            i = int(i)
+            if i % 3 == 0:
+                meta = '<meta name="robots" content="noindex,follow">'
+            elif i % 5 == 0:
+                meta = '<META CONTENT="NOFOLLOW" NAME=ROBOTS>'
+            else:
+                meta = '<meta name="viewport" content="width=1">'
+            urls.append(f"https://r{i:09d}.test/")
+            htmls.append(
+                f"<html><head>{meta}</head><body>p{i}</body></html>".encode())
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "html": pa.array(htmls, pa.binary())})
+
+    pages = docs.map_batches(to_pages, batch_format="pyarrow")
+    out = robots_meta_table(pages).to_pandas()
+    return (out.sort_values("url").reset_index(drop=True)
+            .astype({"noindex": np.int64, "nofollow": np.int64}))
+
+
 def q_reciprocal_links(sf_dir: str):
     """Link-farm spam signal: per-source-host reciprocal-link fraction
     over distinct non-self edges of the same extracted link graph
@@ -1718,6 +1752,47 @@ def q_latest_snapshot(sf_dir: str):
     out = latest_snapshot(snaps).to_pandas()
     return (out[["url", "doc_id"]].astype({"doc_id": np.int64})
             .sort_values("url").reset_index(drop=True))
+
+
+def _robots_meta_sql() -> str:
+    """DuckDB twin of q_robots_meta: rebuild the synthetic pages and
+    replay the two attribute-order regexes with the library's exact
+    no-match-vs-empty semantics (match test first, then extract)."""
+    from search_engine_ray.pipelines.webcorpus import (
+        _ROBOTS_CONTENT_FIRST, _ROBOTS_NAME_FIRST)
+
+    p1 = _ROBOTS_NAME_FIRST.replace("(?P<c>", "(").replace("'", "''")
+    p2 = _ROBOTS_CONTENT_FIRST.replace("(?P<c>", "(").replace("'", "''")
+    return f"""
+        WITH p AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0
+                        THEN '<meta name="robots" content="noindex,follow">'
+                      WHEN doc_id % 5 = 0
+                        THEN '<META CONTENT="NOFOLLOW" NAME=ROBOTS>'
+                      ELSE '<meta name="viewport" content="width=1">' END AS meta
+          FROM documents
+        ),
+        h AS (
+          SELECT printf('https://r%09d.test/', doc_id) AS url,
+                 '<html><head>' || meta || '</head><body>p' || doc_id
+                   || '</body></html>' AS html
+          FROM p
+        ),
+        c AS (
+          SELECT url,
+                 lower(CASE WHEN regexp_matches(html, '{p1}')
+                              THEN regexp_extract(html, '{p1}', 1)
+                            WHEN regexp_matches(html, '{p2}')
+                              THEN regexp_extract(html, '{p2}', 1)
+                            ELSE '' END) AS content
+          FROM h
+        )
+        SELECT url,
+               (content LIKE '%noindex%')::BIGINT AS noindex,
+               (content LIKE '%nofollow%')::BIGINT AS nofollow
+        FROM c ORDER BY url
+    """
 
 
 def _reciprocal_links_sql() -> str:
@@ -4840,6 +4915,7 @@ def oracle_queries() -> dict[str, str]:
         "pagerank": _pagerank_sql(),
         "hits": _hits_sql(),
         "reciprocal_links": _reciprocal_links_sql(),
+        "robots_meta": _robots_meta_sql(),
         "link_components": f"""
             WITH RECURSIVE edges AS (
               SELECT 'https://d' || doc_id || '.test/' AS src,
@@ -5907,6 +5983,7 @@ RAY_QUERIES = {
     "prune_postings": q_prune_postings,
     "pagerank": q_pagerank,
     "reciprocal_links": q_reciprocal_links,
+    "robots_meta": q_robots_meta,
     "hits": q_hits,
     "link_components": q_link_components,
     "anchor_terms": q_anchor_terms,

@@ -37,6 +37,61 @@ def with_host(pages, url_col: str = "url", out_col: str = "host"):
     return pages.map_batches(fn, batch_format="pyarrow")
 
 
+#: robots-meta content captured in either attribute order (name first or
+#: content first), quotes optional, case-insensitive — FIRST tag wins
+_ROBOTS_NAME_FIRST = (r'(?i)<meta[^>]*\bname\s*=\s*["\']?robots["\']?'
+                      r'[^>]*\bcontent\s*=\s*["\']?(?P<c>[^"\'>]*)')
+_ROBOTS_CONTENT_FIRST = (r'(?i)<meta[^>]*\bcontent\s*=\s*["\']?(?P<c>[^"\'>]*)'
+                         r'["\']?[^>]*\bname\s*=\s*["\']?robots')
+
+
+def _robots_content(html_col) -> "pa.Array":
+    """Lowercased content of the page's first robots meta tag ('' when
+    absent) — batch-vectorized RE2, both attribute orders."""
+    html = pc.cast(html_col, pa.string())
+    c1 = pc.struct_field(pc.extract_regex(html, _ROBOTS_NAME_FIRST), "c")
+    c2 = pc.struct_field(pc.extract_regex(html, _ROBOTS_CONTENT_FIRST), "c")
+    return pc.utf8_lower(pc.fill_null(pc.coalesce(c1, c2), ""))
+
+
+def robots_meta_table(pages, url_col: str = "url", html_col: str = "html"):
+    """(url, noindex, nofollow) from ``<meta name="robots" ...>``
+    directives — the crawl-politeness gate an indexing pipeline applies
+    BEFORE extract (pages a site asked out of the index must not enter
+    it). The first robots meta tag wins (either attribute order,
+    optional quotes, case-insensitive); pages without one are fully
+    indexable. Map-only — streams at any scale."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return pa.table({url_col: pa.array([], pa.string()),
+                             "noindex": pa.array([], pa.int64()),
+                             "nofollow": pa.array([], pa.int64())})
+        content = _robots_content(batch[html_col])
+        return pa.table({
+            url_col: batch[url_col].cast(pa.string()),
+            "noindex": pc.cast(pc.match_substring(content, "noindex"), pa.int64()),
+            "nofollow": pc.cast(pc.match_substring(content, "nofollow"), pa.int64()),
+        })
+
+    return pages.map_batches(fn, batch_format="pyarrow")
+
+
+def robots_index_filter(pages, html_col: str = "html"):
+    """Drop noindex pages (row-local, one pass) — the composition a
+    build pipeline applies directly upstream of extract."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return batch
+        content = _robots_content(batch[html_col])
+        return batch.filter(pc.invert(pc.match_substring(content, "noindex")))
+
+    return pages.map_batches(fn, batch_format="pyarrow")
+
+
 def host_stats(pages, url_col: str = "url", text_col: str = "text"):
     """Per-host (host, n_docs, total_tokens): the curation signal for
     dominance filtering. Partial counts per batch; the final groupby moves

@@ -459,3 +459,37 @@ def test_host_mirrors_near(ray_session):
     assert len(out) == 1
     r = out.iloc[0]
     assert (r["host_a"], r["host_b"], r["n_near_dups"]) == ("a.test", "b.test", 1)
+
+
+class TestRobotsMeta:
+    def _pages(self, htmls):
+        import ray.data
+
+        return ray.data.from_items(
+            [{"url": f"https://x{i}.test/", "html": h.encode()}
+             for i, h in enumerate(htmls)])
+
+    def test_directive_parsing_variants(self, ray_session):
+        from search_engine_ray.pipelines.webcorpus import robots_meta_table
+
+        htmls = [
+            '<head><meta name="robots" content="noindex, nofollow"></head>',
+            "<head><META NAME='ROBOTS' CONTENT='NOINDEX'></head>",
+            '<head><meta content="nofollow" name="robots"></head>',  # reversed
+            '<head><meta name=robots content=noindex></head>',       # unquoted
+            '<head><meta name="viewport" content="noindex"></head>', # not robots
+            '<head><meta name="robots" content="index, follow"></head>',
+            "<head>no meta at all</head>",
+        ]
+        out = (robots_meta_table(self._pages(htmls)).to_pandas()
+               .sort_values("url").reset_index(drop=True))
+        assert out["noindex"].tolist() == [1, 1, 0, 1, 0, 0, 0]
+        assert out["nofollow"].tolist() == [1, 0, 1, 0, 0, 0, 0]
+
+    def test_index_filter_drops_noindex(self, ray_session):
+        from search_engine_ray.pipelines.webcorpus import robots_index_filter
+
+        htmls = ['<meta name="robots" content="noindex">', "<p>keep</p>",
+                 '<meta name="robots" content="all">']
+        out = robots_index_filter(self._pages(htmls)).to_pandas()
+        assert sorted(out["url"]) == ["https://x1.test/", "https://x2.test/"]
