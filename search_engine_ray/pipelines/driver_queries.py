@@ -1607,6 +1607,37 @@ def q_robots_meta(sf_dir: str):
             .astype({"noindex": np.int64, "nofollow": np.int64}))
 
 
+def q_resolve_redirects(sf_dir: str):
+    """Redirect-chain resolution (pointer jumping): synthetic chains
+    i → i−1 ending on multiples of 4; multiples of 12 self-redirect, so
+    chains landing there have no terminal and drop — the oracle walks
+    the same graph with a recursive CTE."""
+    import ray.data
+
+    from search_engine_ray.pipelines.linkgraph import resolve_redirects
+
+    docs = _read_docs(sf_dir, ("doc_id",))
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        srcs, dsts = [], []
+        for i in ids:
+            i = int(i)
+            if i % 4 != 0:
+                srcs.append(f"https://r{i}.test/")
+                dsts.append(f"https://r{i - 1}.test/")
+            elif i % 12 == 0:
+                srcs.append(f"https://r{i}.test/")
+                dsts.append(f"https://r{i}.test/")
+        return pa.table({"src": pa.array(srcs, pa.string()),
+                         "dst": pa.array(dsts, pa.string())})
+
+    out = resolve_redirects(
+        docs.map_batches(to_edges, batch_format="pyarrow")).to_pandas()
+    return (out.sort_values("src").reset_index(drop=True)
+            .astype({"hops": np.int64}))
+
+
 def q_reciprocal_links(sf_dir: str):
     """Link-farm spam signal: per-source-host reciprocal-link fraction
     over distinct non-self edges of the same extracted link graph
@@ -1792,6 +1823,31 @@ def _robots_meta_sql() -> str:
                (content LIKE '%noindex%')::BIGINT AS noindex,
                (content LIKE '%nofollow%')::BIGINT AS nofollow
         FROM c ORDER BY url
+    """
+
+
+def _resolve_redirects_sql(max_chain: int = 32) -> str:
+    """DuckDB twin of q_resolve_redirects: unit-step recursive walk with
+    a hop cap; terminal rows are those whose cursor is not itself a
+    redirect source (self-loop nodes count as sources, so chains into
+    them correctly never terminate)."""
+    return f"""
+        WITH RECURSIVE r AS (
+          SELECT 'https://r' || doc_id || '.test/' AS src,
+                 'https://r' || (CASE WHEN doc_id % 12 = 0 THEN doc_id
+                                      ELSE doc_id - 1 END) || '.test/' AS dst
+          FROM documents WHERE doc_id % 4 <> 0 OR doc_id % 12 = 0
+        ),
+        walk(src, cur, hops) AS (
+          SELECT src, dst, 1 FROM r WHERE src <> dst
+          UNION ALL
+          SELECT w.src, r.dst, w.hops + 1
+          FROM walk w JOIN r ON w.cur = r.src
+          WHERE w.hops < {max_chain} AND w.cur <> r.dst
+        )
+        SELECT src, cur AS final_url, hops
+        FROM walk WHERE cur NOT IN (SELECT src FROM r)
+        ORDER BY src
     """
 
 
@@ -4916,6 +4972,7 @@ def oracle_queries() -> dict[str, str]:
         "hits": _hits_sql(),
         "reciprocal_links": _reciprocal_links_sql(),
         "robots_meta": _robots_meta_sql(),
+        "resolve_redirects": _resolve_redirects_sql(),
         "link_components": f"""
             WITH RECURSIVE edges AS (
               SELECT 'https://d' || doc_id || '.test/' AS src,
@@ -5984,6 +6041,7 @@ RAY_QUERIES = {
     "pagerank": q_pagerank,
     "reciprocal_links": q_reciprocal_links,
     "robots_meta": q_robots_meta,
+    "resolve_redirects": q_resolve_redirects,
     "hits": q_hits,
     "link_components": q_link_components,
     "anchor_terms": q_anchor_terms,

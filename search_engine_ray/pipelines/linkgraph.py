@@ -262,6 +262,91 @@ def degree_stats(edges):
     return joined.map_batches(fill, batch_format="pyarrow")
 
 
+def resolve_redirects(redirects, max_chain: int = 32,
+                      src_col: str = "src", dst_col: str = "dst"):
+    """Resolve HTTP-redirect chains to their terminal target → (src,
+    final_url, hops) for every source whose chain ends within
+    ``max_chain`` hops; cycles and longer chains produce NO row (they
+    have no terminal). The canonical crawl-frontier op: dedup and
+    ranking must credit the final URL, not the hop.
+
+    Input is (src, dst) one-hop redirect edges; a src with several
+    recorded targets keeps its MIN dst (deterministic). Pointer
+    JUMPING, not a walk: each round composes the mapping with itself
+    (one hash join), so chain depth covered doubles per round —
+    ceil(log2(max_chain)) joins total, the clusters_distributed
+    shortcut applied to paths. Hops compose additively through the
+    jump, so the reported count is the true unit-step chain length."""
+    import math
+
+    from search_engine_ray.stages.grouped import coalesce_for_join, grouped_reduce
+
+    base = grouped_reduce(
+        redirects.map_batches(
+            lambda b: pa.table({"src": b[src_col].cast(pa.string()),
+                                "dst": b[dst_col].cast(pa.string())}),
+            batch_format="pyarrow"),
+        ["src"], mins=[("dst", "dst")])
+
+    def seed(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        # self-redirects are degenerate cycles — no terminal
+        keep = pc.invert(pc.equal(b["src"], b["dst"]))
+        t = b.filter(keep)
+        return pa.table({"src": t["src"], "cur": t["dst"],
+                         "hops": pa.array(np.ones(t.num_rows, np.int64),
+                                          pa.int64())})
+
+    m = coalesce_for_join(base.map_batches(seed, batch_format="pyarrow"),
+                          _nparts())
+    rounds = max(1, math.ceil(math.log2(max(2, max_chain))))
+    for _ in range(rounds):
+        j = m.join(m, join_type="left_outer", num_partitions=_nparts(),
+                   on=("cur",), right_on=("src",), right_suffix="_m")
+
+        def compose(b: pa.Table) -> pa.Table:
+            b = b.combine_chunks()
+            if b.num_rows == 0:
+                return pa.table({"src": pa.array([], pa.string()),
+                                 "cur": pa.array([], pa.string()),
+                                 "hops": pa.array([], pa.int64())})
+            hit = pc.is_valid(b["cur_m"])
+            cur = pc.if_else(hit, b["cur_m"], b["cur"])
+            hops = pc.add(b["hops"],
+                          pc.if_else(hit, pc.fill_null(b["hops_m"], 0),
+                                     pa.scalar(0, pa.int64())))
+            # a jump that lands back on the ORIGIN is a cycle: freeze it
+            # past max_chain so it can't masquerade as resolved later
+            cyc = pc.equal(cur, b["src"])
+            hops = pc.if_else(cyc, pa.scalar(int(max_chain) + 1, pa.int64()),
+                              hops)
+            return pa.table({"src": b["src"], "cur": cur,
+                             "hops": hops.cast(pa.int64())})
+
+        m = coalesce_for_join(j.map_batches(compose, batch_format="pyarrow"),
+                              _nparts())
+
+    # terminal = cur is not itself a redirect source; drop over-cap rows
+    fin = m.join(base, join_type="left_outer", num_partitions=_nparts(),
+                 on=("cur",), right_on=("src",), right_suffix="_t")
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        if b.num_rows == 0:
+            return pa.table({"src": pa.array([], pa.string()),
+                             "final_url": pa.array([], pa.string()),
+                             "hops": pa.array([], pa.int64())})
+        terminal = pc.is_null(b["dst"])  # right's only non-key column
+        ok = pc.and_(terminal,
+                     pc.less_equal(b["hops"], pa.scalar(int(max_chain),
+                                                        pa.int64())))
+        t = b.filter(ok)
+        return pa.table({"src": t["src"], "final_url": t["cur"],
+                         "hops": t["hops"]})
+
+    return fin.map_batches(finish, batch_format="pyarrow")
+
+
 def reciprocal_link_stats(edges, src_col: str = "src", dst_col: str = "dst"):
     """Per-source-host reciprocal-link profile — the classic link-farm /
     link-exchange spam signal (organic webs link mostly one-way;

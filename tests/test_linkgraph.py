@@ -227,3 +227,49 @@ def test_reciprocal_link_stats_flags_link_farm(ray_session):
     for i in range(4):
         assert out.loc[f"org{i}.test", "reciprocal_frac_r"] == 0.0
         assert out.loc[f"org{i}.test", "n_edges"] == 1  # dups collapsed
+
+
+def test_resolve_redirects_chains_and_cycles(ray_session):
+    """Chains resolve to their terminal with true hop counts (pointer
+    jumping); cycles and self-redirects emit nothing; multi-target
+    sources keep the min dst deterministically."""
+    import ray.data
+
+    from search_engine_ray.pipelines.linkgraph import resolve_redirects
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "d"),          # chain a->b->c->d
+        ("e", "f"),                                   # single hop
+        ("g", "h"), ("h", "g"),                       # 2-cycle
+        ("i", "i"),                                   # self-redirect
+        ("j", "k"), ("j", "z"),                       # multi-target: min 'k'
+        ("k", "d"),
+    ]
+    ds = ray.data.from_items([{"src": s, "dst": d} for s, d in edges],
+                             override_num_blocks=3)
+    out = (resolve_redirects(ds).to_pandas()
+           .sort_values("src").reset_index(drop=True))
+    got = {r.src: (r.final_url, r.hops) for r in out.itertuples()}
+    assert got == {
+        "a": ("d", 3), "b": ("d", 2), "c": ("d", 1),
+        "e": ("f", 1), "j": ("d", 2), "k": ("d", 1),
+    }  # g, h, i produce no rows (no terminal)
+
+
+def test_resolve_redirects_long_chain_and_cap(ray_session):
+    import ray.data
+
+    from search_engine_ray.pipelines.linkgraph import resolve_redirects
+
+    chain = [(f"n{i}", f"n{i+1}") for i in range(20)]
+    ds = ray.data.from_items([{"src": s, "dst": d} for s, d in chain],
+                             override_num_blocks=4)
+    out = resolve_redirects(ds, max_chain=32).to_pandas()
+    got = {r.src: (r.final_url, r.hops) for r in out.itertuples()}
+    assert got["n0"] == ("n20", 20)
+    assert len(got) == 20
+    # cap below the chain length: deep sources drop, shallow ones resolve
+    capped = resolve_redirects(ds, max_chain=4).to_pandas()
+    gc = {r.src: r.hops for r in capped.itertuples()}
+    assert "n19" in gc and gc["n19"] == 1
+    assert "n0" not in gc  # 20 hops > cap
