@@ -1607,6 +1607,21 @@ def q_robots_meta(sf_dir: str):
             .astype({"noindex": np.int64, "nofollow": np.int64}))
 
 
+def q_docid_gap_report(sf_dir: str):
+    """docID-reordering compression report: total posting delta-gap VB
+    bytes under natural doc_id order vs source-clustered rank order —
+    the measure-before-rebuild evidence for docID reassignment."""
+    import ray.data
+
+    from search_engine_ray.pipelines.training_data import docid_gap_report
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "source"])
+    return (docid_gap_report(docs).to_pandas()
+            .sort_values("ordering").reset_index(drop=True)
+            .astype({"total_gap_bytes": np.int64}))
+
+
 def q_resolve_redirects(sf_dir: str):
     """Redirect-chain resolution (pointer jumping): synthetic chains
     i → i−1 ending on multiples of 4; multiples of 12 self-redirect, so
@@ -1823,6 +1838,48 @@ def _robots_meta_sql() -> str:
                (content LIKE '%noindex%')::BIGINT AS noindex,
                (content LIKE '%nofollow%')::BIGINT AS nofollow
         FROM c ORDER BY url
+    """
+
+
+def _docid_gap_sql() -> str:
+    """DuckDB twin of q_docid_gap_report: lag-window gaps per term under
+    both orderings, VB length by threshold indicators (first gap =
+    id + 1, delta from −1)."""
+    vb = ("1 + (gap >= 128)::INT + (gap >= 16384)::INT "
+          "+ (gap >= 2097152)::INT + (gap >= 268435456)::INT")
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        p AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks),
+        codes AS (
+          SELECT source, row_number() OVER (ORDER BY source) - 1 AS c
+          FROM (SELECT DISTINCT source FROM documents)
+        ),
+        rk AS (
+          SELECT d.doc_id,
+                 row_number() OVER (ORDER BY cd.c, d.doc_id) - 1 AS rank
+          FROM documents d JOIN codes cd USING (source)
+        ),
+        pj AS (SELECT p.term, p.doc_id, rk.rank FROM p JOIN rk USING (doc_id)),
+        g1 AS (
+          SELECT doc_id - coalesce(lag(doc_id) OVER
+                   (PARTITION BY term ORDER BY doc_id), -1) AS gap
+          FROM pj
+        ),
+        g2 AS (
+          SELECT rank - coalesce(lag(rank) OVER
+                   (PARTITION BY term ORDER BY rank), -1) AS gap
+          FROM pj
+        )
+        SELECT 'clustered' AS ordering,
+               (SELECT sum({vb})::BIGINT FROM g2) AS total_gap_bytes
+        UNION ALL
+        SELECT 'doc_id', (SELECT sum({vb})::BIGINT FROM g1)
+        ORDER BY ordering
     """
 
 
@@ -4973,6 +5030,7 @@ def oracle_queries() -> dict[str, str]:
         "reciprocal_links": _reciprocal_links_sql(),
         "robots_meta": _robots_meta_sql(),
         "resolve_redirects": _resolve_redirects_sql(),
+        "docid_gap_report": _docid_gap_sql(),
         "link_components": f"""
             WITH RECURSIVE edges AS (
               SELECT 'https://d' || doc_id || '.test/' AS src,
@@ -6042,6 +6100,7 @@ RAY_QUERIES = {
     "reciprocal_links": q_reciprocal_links,
     "robots_meta": q_robots_meta,
     "resolve_redirects": q_resolve_redirects,
+    "docid_gap_report": q_docid_gap_report,
     "hits": q_hits,
     "link_components": q_link_components,
     "anchor_terms": q_anchor_terms,

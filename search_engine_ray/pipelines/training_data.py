@@ -1978,6 +1978,114 @@ def cooccurrence(docs: "ray.data.Dataset", window: int = 4, k: int = 20,
     return pruned.sort(["n_pair", "w1", "w2"], descending=[True, False, False]).limit(k)
 
 
+def _vb_gap_bytes(ids_sorted: np.ndarray) -> int:
+    """Σ variable-byte lengths of the delta gaps of an ascending id array
+    (first gap = id+1, i.e. delta from −1): ceil(bits/7) groups."""
+    gaps = np.diff(ids_sorted, prepend=-1)
+    return int((1 + (gaps >= 128) + (gaps >= 16384) + (gaps >= 2097152)
+                + (gaps >= 268435456)).sum())
+
+
+def docid_gap_report(docs: "ray.data.Dataset", cluster_col: str = "source",
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> "ray.data.Dataset":
+    """Document-id reordering compression report — the classic index-size
+    lever (docID reassignment / recursive-bisection literature): posting
+    gaps shrink when similar docs get adjacent ids, and gap VB bytes ARE
+    the postings' dominant cost. → two rows
+    (ordering ∈ {doc_id, clustered}, total_gap_bytes): total delta-gap VB
+    bytes of the distinct (term, doc) postings under the natural doc_id
+    order vs ids REASSIGNED by rank over (cluster_col, doc_id) — the
+    evidence for whether a clustered rebuild pays before running one.
+
+    Shape: one distinct-postings reduce, the rank via the distributed
+    ordered_prefix_sum (only per-block totals reach the driver; the
+    cluster code table is category-cardinality, broadcast), one hash
+    join, and one sort per ordering with per-term vectorized gap
+    kernels; nothing corpus-sized materializes."""
+    from search_engine_ray.stages.grouped import (
+        coalesce_for_join, grouped_reduce, sorted_group_map)
+    from search_engine_ray.stages.scan import ordered_prefix_sum
+
+    def explode(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        empty = pa.table({"term": pa.array([], pa.string()),
+                          id_col: pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(b[text_col]))
+        lens = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if len(flat) == 0:
+            return empty
+        ids = np.repeat(b[id_col].to_numpy(zero_copy_only=False), lens)
+        t = pa.table({"term": flat, id_col: pa.array(ids, pa.int64())})
+        t = t.filter(pc.not_equal(t["term"], ""))
+        return t
+
+    postings = grouped_reduce(  # distinct (term, doc)
+        docs.map_batches(explode, batch_format="pyarrow"), ["term", id_col])
+
+    # clustered rank: fused (cluster code, doc_id) int64 key -> prefix rank
+    srcs = sorted(set(
+        docs.select_columns([cluster_col]).unique(cluster_col)))
+    code = {s: i for i, s in enumerate(srcs)}
+    cref = ray.put(code)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        cmap = ray.get(cref)
+        codes = np.asarray([cmap[v] for v in b[cluster_col].to_pylist()],
+                           np.int64)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "k": pa.array(codes * (1 << 40) + ids, pa.int64()),
+            id_col: pa.array(ids, pa.int64()),
+            "one": pa.array(np.ones(len(ids), np.int64), pa.int64())})
+
+    ranked = ordered_prefix_sum(
+        docs.select_columns([id_col, cluster_col]).map_batches(
+            keyed, batch_format="pyarrow"),
+        "k", "one", out_col="rank").drop_columns(["k", "one"])
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:  # pragma: no cover
+        ncpu = 8
+    npart = max(4, ncpu // 2)
+    pj = coalesce_for_join(postings, npart).join(
+        coalesce_for_join(ranked, npart), join_type="inner",
+        num_partitions=npart, on=(id_col,))
+
+    def bytes_kernel(col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.combine_chunks()
+            if t.num_rows == 0:
+                return pa.table({"b_part": pa.array([], pa.int64())})
+            enc = t["term"].dictionary_encode().combine_chunks()
+            codes_ = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            o = np.lexsort((vals, codes_))
+            codes_, vals = codes_[o], vals[o]
+            change = np.r_[True, codes_[1:] != codes_[:-1]]
+            gaps = np.diff(vals, prepend=0)
+            gaps[change] = vals[change] + 1  # first gap per term = id+1
+            total = int((1 + (gaps >= 128) + (gaps >= 16384)
+                         + (gaps >= 2097152) + (gaps >= 268435456)).sum())
+            return pa.table({"b_part": pa.array([total], pa.int64())})
+        return fn
+
+    from ray.data.aggregate import Sum as _Sum
+
+    rows = []
+    for name, col in (("clustered", "rank"), ("doc_id", id_col)):
+        parts = sorted_group_map(pj, ["term"], bytes_kernel(col),
+                                 sort_cols=["term", col])
+        total = parts.aggregate(_Sum("b_part", alias_name="s"))["s"] or 0
+        rows.append({"ordering": name, "total_gap_bytes": int(total)})
+    return ray.data.from_items(sorted(rows, key=lambda r: r["ordering"]))
+
+
 def prune_postings(docs: "ray.data.Dataset", keep_n: int = 2,
                    id_col: str = "doc_id", text_col: str = "text"):
     """Static index pruning (Carmel et al.-style top-N-by-tf): for each

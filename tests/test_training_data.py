@@ -1362,3 +1362,41 @@ def test_bitext_mine_planted_pairs(ray_session):
                         broadcast_cap=32)
             .to_pandas().sort_values("src_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(out, out3)
+
+
+def test_docid_gap_report_matches_scalar_spec(ray_session):
+    """Both orderings' totals equal a pandas/numpy twin; a corpus whose
+    term locality follows the cluster column compresses strictly better
+    under the clustered ranks."""
+    import ray.data
+
+    from search_engine_ray.pipelines.training_data import (
+        _vb_gap_bytes, docid_gap_report)
+
+    rng = np.random.default_rng(5)
+    rows = []
+    # interleave two sources with disjoint sparse vocabularies: natural
+    # ids scatter a term's postings across the whole range (gaps past the
+    # 128 VB boundary), clustered ranks pack each source contiguously
+    for i in range(600):
+        src = "a" if i % 2 else "b"
+        words = [f"{src}w{int(w)}" for w in rng.integers(0, 300, 6)]
+        rows.append({"doc_id": i, "text": " ".join(words), "source": src})
+    out = (docid_gap_report(ray.data.from_items(rows, override_num_blocks=4))
+           .to_pandas().set_index("ordering"))
+
+    # scalar twin
+    import collections
+    post = collections.defaultdict(set)
+    for r in rows:
+        for w in set(r["text"].lower().split()):
+            post[w].add(r["doc_id"])
+    rank = {r["doc_id"]: j for j, r in enumerate(
+        sorted(rows, key=lambda r: (r["source"], r["doc_id"])))}
+    want_doc = sum(_vb_gap_bytes(np.sort(np.array(list(ids))))
+                   for ids in post.values())
+    want_cl = sum(_vb_gap_bytes(np.sort(np.array([rank[i] for i in ids])))
+                  for ids in post.values())
+    assert int(out.loc["doc_id", "total_gap_bytes"]) == want_doc
+    assert int(out.loc["clustered", "total_gap_bytes"]) == want_cl
+    assert want_cl < want_doc  # clustering genuinely compresses here
