@@ -1802,13 +1802,12 @@ def q_latest_snapshot(sf_dir: str):
 
 def _robots_meta_sql() -> str:
     """DuckDB twin of q_robots_meta: rebuild the synthetic pages and
-    replay the two attribute-order regexes with the library's exact
-    no-match-vs-empty semantics (match test first, then extract)."""
-    from search_engine_ray.pipelines.webcorpus import (
-        _ROBOTS_CONTENT_FIRST, _ROBOTS_NAME_FIRST)
+    replay the library's SINGLE leftmost-match alternation (RE2 both
+    sides); whichever alternative matched fills its group, the other is
+    empty — matched-but-empty content collapses to '' identically."""
+    from search_engine_ray.pipelines.webcorpus import _ROBOTS_META
 
-    p1 = _ROBOTS_NAME_FIRST.replace("(?P<c>", "(").replace("'", "''")
-    p2 = _ROBOTS_CONTENT_FIRST.replace("(?P<c>", "(").replace("'", "''")
+    p = _ROBOTS_META.replace("'", "''")
     return f"""
         WITH p AS (
           SELECT doc_id,
@@ -1827,11 +1826,9 @@ def _robots_meta_sql() -> str:
         ),
         c AS (
           SELECT url,
-                 lower(CASE WHEN regexp_matches(html, '{p1}')
-                              THEN regexp_extract(html, '{p1}', 1)
-                            WHEN regexp_matches(html, '{p2}')
-                              THEN regexp_extract(html, '{p2}', 1)
-                            ELSE '' END) AS content
+                 lower(coalesce(nullif(regexp_extract(html, '{p}', 1), ''),
+                                nullif(regexp_extract(html, '{p}', 2), ''),
+                                '')) AS content
           FROM h
         )
         SELECT url,

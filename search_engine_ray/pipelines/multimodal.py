@@ -98,7 +98,13 @@ class MediaFeatureStage:
         feats = {"n_bytes": [], "payload_md5": [], "pseudo_width": [], "pseudo_height": []}
         for payload in batch["payload"].to_pylist():
             if self.use_real and self.pil_available:
-                f = self.decode_real(payload)
+                try:
+                    f = self.decode_real(payload or b"")
+                except Exception:
+                    # undecodable payload (wrong format, truncated, not an
+                    # image at all): deterministic fake instead of killing
+                    # the actor task — the decode seam stays best-effort
+                    f = self.decode_fake(payload or b"")
             else:
                 f = self.decode_fake(payload or b"")
             for k in feats:

@@ -193,7 +193,13 @@ def revenue_by_nation(lineitem: "ray.data.Dataset", orders: "ray.data.Dataset",
             uniq, inv = np.unique(names, return_inverse=True)
             uniq = list(uniq)
         else:  # join path: n_name arrived on the joined rows
-            enc = batch["n_name"].dictionary_encode().combine_chunks()
+            import pyarrow.compute as pc
+
+            nn = batch["n_name"]
+            if nn.null_count:  # FK violation → loud, like the broadcast path
+                miss = batch.filter(pc.is_null(nn))["o_custkey"].to_pylist()[:5]
+                raise ValueError(f"o_custkey values missing from customer: {miss}")
+            enc = nn.dictionary_encode().combine_chunks()
             inv = enc.indices.to_numpy(zero_copy_only=False)
             uniq = enc.dictionary.cast(pa.string())
         rev = (batch["l_extendedprice"].to_numpy(zero_copy_only=False)
@@ -204,8 +210,17 @@ def revenue_by_nation(lineitem: "ray.data.Dataset", orders: "ray.data.Dataset",
                                          pa.float64())})
 
     if use_join:
-        j = j.join(cn, join_type="inner", num_partitions=npart,
-                   on=("o_custkey",))
+        from search_engine_ray.stages.grouped import coalesce_for_join
+
+        # left_outer, not inner: a custkey missing from customer must fail
+        # LOUDLY (null n_name in rev_partial), exactly like the broadcast
+        # path — an inner join would silently drop that revenue. Both join
+        # inputs coalesce: join1's empty output partitions are schemaless
+        # and break join2's key resolution (hash joins fully buffer their
+        # inputs anyway; this adds one pass of the date-FILTERED rows)
+        j = coalesce_for_join(j, npart).join(
+            coalesce_for_join(cn, npart), join_type="left_outer",
+            num_partitions=npart, on=("o_custkey",))
     out = grouped_reduce(j.map_batches(rev_partial, batch_format="pyarrow"),
                          ["n_name"], sums=[("rev", "revenue")]).to_pandas()
     out["revenue_r"] = out["revenue"].round(4)

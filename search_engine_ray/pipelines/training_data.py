@@ -2890,9 +2890,10 @@ def _bucket_candidate_pairs_batch(batch: pa.Table, max_bucket: int,
                                   id_col: str = "doc_id") -> pa.Table:
     """Whole-bucket batch (sorted by band_key, id) → candidate (a, b)
     pairs. Vectorized across ALL buckets in the batch (no per-group
-    Python). Buckets are capped at ``max_bucket`` docs (beyond the cap a
-    bucket is a near-clique of near-identical docs; its smallest ids
-    represent it)."""
+    Python). Buckets over ``max_bucket`` pair in overlapping cap-windows
+    (see :func:`_group_pair_indices`) — every row pairs and the bucket
+    stays connected; overlap rows emit duplicate pairs, so every caller
+    must dedup (a, b) downstream (they all do)."""
     empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
     batch = batch.combine_chunks()
     if batch.num_rows < 2:
@@ -4151,6 +4152,8 @@ def bitext_mine(embeddings, langs, src_lang: str, tgt_lang: str,
         return data[offs[0]:offs[-1]].view(np.float64).reshape(b.num_rows, dim)
 
     lang_slim = langs.select_columns([lang_id_col, lang_col]).materialize()
+    # packed+attached lineage feeds BOTH sides plus a count — materialize
+    # once or the normalize/tobytes pass re-runs per consumer
     packed = embeddings.map_batches(pack, batch_format="pyarrow")
     if lang_slim.count() <= broadcast_cap:
         # lang table under the cap: broadcast (sorted ids, wanted-side
@@ -4180,6 +4183,7 @@ def bitext_mine(embeddings, langs, src_lang: str, tgt_lang: str,
         joined = coalesce_for_join(packed, npart).join(
             coalesce_for_join(lang_slim, npart), join_type="inner",
             num_partitions=npart, on=(id_col,), right_on=(lang_id_col,))
+    joined = joined.materialize()
 
     def side(lang_val):
         def fn(b: pa.Table) -> pa.Table:
@@ -4192,7 +4196,7 @@ def bitext_mine(embeddings, langs, src_lang: str, tgt_lang: str,
     empty = pa.table({"src_id": pa.array([], pa.int64()),
                       "tgt_id": pa.array([], pa.int64()),
                       "margin_r": pa.array([], pa.float64())})
-    tgt = joined.map_batches(side(tgt_lang), batch_format="pyarrow")
+    tgt = joined.map_batches(side(tgt_lang), batch_format="pyarrow").materialize()
     n_tgt = tgt.count()
     if n_tgt == 0 or src.count() == 0:
         return ray.data.from_arrow(empty)

@@ -37,21 +37,29 @@ def with_host(pages, url_col: str = "url", out_col: str = "host"):
     return pages.map_batches(fn, batch_format="pyarrow")
 
 
-#: robots-meta content captured in either attribute order (name first or
-#: content first), quotes optional, case-insensitive — FIRST tag wins
-_ROBOTS_NAME_FIRST = (r'(?i)<meta[^>]*\bname\s*=\s*["\']?robots["\']?'
-                      r'[^>]*\bcontent\s*=\s*["\']?(?P<c>[^"\'>]*)')
-_ROBOTS_CONTENT_FIRST = (r'(?i)<meta[^>]*\bcontent\s*=\s*["\']?(?P<c>[^"\'>]*)'
-                         r'["\']?[^>]*\bname\s*=\s*["\']?robots')
+#: ONE alternation so RE2's leftmost match picks the page's genuinely
+#: FIRST robots meta tag whichever attribute order it uses (two separate
+#: extracts would prefer one order over document position). The name must
+#: be exactly "robots": a quote / whitespace / slash delimiter after it
+#: rejects robots2 / robots-nocontent style custom names.
+_ROBOTS_META = (
+    r'(?i)<meta[^>]*\bname\s*=\s*["\']?robots["\'\s/][^>]*'
+    r'\bcontent\s*=\s*["\']?(?P<a>[^"\'>]*)'
+    r'|<meta[^>]*\bcontent\s*=\s*["\']?(?P<b>[^"\'>]*)'
+    r'["\']?[^>]*\bname\s*=\s*["\']?robots["\'\s/>]'
+)
 
 
 def _robots_content(html_col) -> "pa.Array":
-    """Lowercased content of the page's first robots meta tag ('' when
-    absent) — batch-vectorized RE2, both attribute orders."""
+    """Lowercased content of the page's FIRST robots meta tag ('' when
+    absent) — batch-vectorized RE2; one alternation, leftmost match."""
     html = pc.cast(html_col, pa.string())
-    c1 = pc.struct_field(pc.extract_regex(html, _ROBOTS_NAME_FIRST), "c")
-    c2 = pc.struct_field(pc.extract_regex(html, _ROBOTS_CONTENT_FIRST), "c")
-    return pc.utf8_lower(pc.fill_null(pc.coalesce(c1, c2), ""))
+    ex = pc.extract_regex(html, _ROBOTS_META)
+    a = pc.fill_null(pc.struct_field(ex, "a"), "")
+    b = pc.fill_null(pc.struct_field(ex, "b"), "")
+    # Arrow fills the NON-participating alternation group with '' (not
+    # null): prefer a when non-empty, else b — the SQL twin's nullif chain
+    return pc.utf8_lower(pc.if_else(pc.not_equal(a, ""), a, b))
 
 
 def robots_meta_table(pages, url_col: str = "url", html_col: str = "html"):

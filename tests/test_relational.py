@@ -64,3 +64,32 @@ def test_revenue_by_nation_paths_match(ray_session, cap):
                             ds["nation"], broadcast_cap=cap)
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
                                   check_dtype=False)
+
+
+def test_revenue_join_path_fk_violation_is_loud(ray_session):
+    """The join path must fail like the broadcast path on an o_custkey
+    missing from customer, not silently drop that revenue."""
+    import numpy as np
+    import ray.data
+
+    from search_engine_ray.pipelines.relational import revenue_by_nation
+
+    nation = ray.data.from_arrow(pa.table(
+        {"n_nationkey": pa.array([0], pa.int64()),
+         "n_name": pa.array(["X"], pa.string())}))
+    customer = ray.data.from_arrow(pa.table(
+        {"c_custkey": pa.array([1], pa.int64()),
+         "c_nationkey": pa.array([0], pa.int64())}))
+    orders = ray.data.from_arrow(pa.table(
+        {"o_orderkey": pa.array([10], pa.int64()),
+         "o_custkey": pa.array([9999], pa.int64()),  # not in customer
+         "o_orderdate": pa.array(np.array(["1996-05-01"], "datetime64[us]"),
+                                 pa.timestamp("us"))}))
+    lineitem = ray.data.from_arrow(pa.table(
+        {"l_orderkey": pa.array([10], pa.int64()),
+         "l_extendedprice": pa.array([100.0], pa.float64()),
+         "l_discount": pa.array([0.0], pa.float64())}))
+    for cap in (0, 5_000_000):  # join path and broadcast path alike
+        with pytest.raises(Exception, match="missing from customer"):
+            revenue_by_nation(lineitem, orders, customer, nation,
+                              broadcast_cap=cap)
