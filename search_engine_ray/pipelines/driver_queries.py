@@ -1622,6 +1622,40 @@ def q_docid_gap_report(sf_dir: str):
             .astype({"total_gap_bytes": np.int64}))
 
 
+def q_hreflang_map(sf_dir: str):
+    """hreflang alternate-language link extraction over synthesized
+    pages: doc i declares de/fr alternates when i%4==0 (mixed attribute
+    order and quoting); the oracle rebuilds the pages and replays the
+    tag findall + attribute regexes with regexp_extract_all."""
+    import ray.data
+
+    from search_engine_ray.pipelines.linkgraph import extract_hreflang
+
+    docs = _read_docs(sf_dir, ("doc_id",))
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        urls, htmls = [], []
+        for i in ids:
+            i = int(i)
+            if i % 4 == 0:
+                body = (f'<link rel="alternate" hreflang="de" '
+                        f'href="https://h{i}.test/de">'
+                        f'<LINK HREFLANG=FR REL=ALTERNATE '
+                        f'HREF=https://h{i}.test/fr>'
+                        f'<link rel="stylesheet" href="https://h{i}.test/css">')
+            else:
+                body = f'<link rel="canonical" href="https://h{i}.test/">'
+            urls.append(f"https://h{i}.test/")
+            htmls.append(f"<html><head>{body}</head></html>".encode())
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "html": pa.array(htmls, pa.binary())})
+
+    out = extract_hreflang(
+        docs.map_batches(to_pages, batch_format="pyarrow")).to_pandas()
+    return out.sort_values(["src", "hreflang"]).reset_index(drop=True)
+
+
 def q_resolve_redirects(sf_dir: str):
     """Redirect-chain resolution (pointer jumping): synthetic chains
     i → i−1 ending on multiples of 4; multiples of 12 self-redirect, so
@@ -1877,6 +1911,48 @@ def _docid_gap_sql() -> str:
         UNION ALL
         SELECT 'doc_id', (SELECT sum({vb})::BIGINT FROM g1)
         ORDER BY ordering
+    """
+
+
+def _hreflang_sql() -> str:
+    """DuckDB twin of q_hreflang_map: regexp_extract_all finds the link
+    tags, per-tag regexes replay the rel/hreflang/href extraction."""
+    from search_engine_ray.pipelines.linkgraph import (
+        _HREF_ATTR, _HREFLANG_ATTR, _LINK_TAG_RE, _REL_ALTERNATE)
+
+    tag = _LINK_TAG_RE.replace("'", "''")
+    lang = _HREFLANG_ATTR.replace("'", "''")
+    href = _HREF_ATTR.replace("'", "''")
+    rel = _REL_ALTERNATE.replace("'", "''")
+    return f"""
+        WITH h AS (
+          SELECT 'https://h' || doc_id || '.test/' AS src,
+                 '<html><head>' ||
+                 CASE WHEN doc_id % 4 = 0 THEN
+                   '<link rel="alternate" hreflang="de" href="https://h'
+                     || doc_id || '.test/de">'
+                   || '<LINK HREFLANG=FR REL=ALTERNATE HREF=https://h'
+                     || doc_id || '.test/fr>'
+                   || '<link rel="stylesheet" href="https://h' || doc_id
+                     || '.test/css">'
+                 ELSE '<link rel="canonical" href="https://h' || doc_id
+                     || '.test/">' END || '</head></html>' AS html
+          FROM documents
+        ),
+        tags AS (
+          SELECT src, unnest(regexp_extract_all(html, '{tag}')) AS tag
+          FROM h
+        ),
+        ok AS (
+          SELECT src,
+                 lower(regexp_extract(tag, '{lang}', 1)) AS hreflang,
+                 regexp_extract(tag, '{href}', 1) AS href
+          FROM tags
+          WHERE regexp_matches(tag, '{rel}')
+            AND regexp_extract(tag, '{lang}', 1) <> ''
+            AND regexp_extract(tag, '{href}', 1) <> ''
+        )
+        SELECT src, hreflang, href FROM ok ORDER BY src, hreflang
     """
 
 
@@ -5028,6 +5104,7 @@ def oracle_queries() -> dict[str, str]:
         "robots_meta": _robots_meta_sql(),
         "resolve_redirects": _resolve_redirects_sql(),
         "docid_gap_report": _docid_gap_sql(),
+        "hreflang_map": _hreflang_sql(),
         "link_components": f"""
             WITH RECURSIVE edges AS (
               SELECT 'https://d' || doc_id || '.test/' AS src,
@@ -6098,6 +6175,7 @@ RAY_QUERIES = {
     "robots_meta": q_robots_meta,
     "resolve_redirects": q_resolve_redirects,
     "docid_gap_report": q_docid_gap_report,
+    "hreflang_map": q_hreflang_map,
     "hits": q_hits,
     "link_components": q_link_components,
     "anchor_terms": q_anchor_terms,

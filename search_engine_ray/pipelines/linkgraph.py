@@ -70,6 +70,67 @@ def extract_links(pages, url_col: str = "url", html_col: str = "html"):
 _ANCHOR_RE = r"""(?is)<a\b[^>]*?href\s*=\s*["']([^"']+)["'][^>]*>([^<]*)"""
 
 
+#: any <link ...> tag; cannot span rows when rows join on '>'
+_LINK_TAG_RE = r"(?is)<link\b[^>]*>"
+#: attribute values: quotes optional, unquoted stops at whitespace/>
+_HREFLANG_ATTR = r'(?i)\bhreflang\s*=\s*["\']?([^"\'\s>]+)'
+_HREF_ATTR = r'(?i)\bhref\s*=\s*["\']?([^"\'\s>]+)'
+_REL_ALTERNATE = r'(?i)\brel\s*=\s*["\']?[^"\'>]*alternate'
+
+
+def extract_hreflang(pages, url_col: str = "url", html_col: str = "html"):
+    """(src, hreflang, href) rows from ``<link rel="alternate"
+    hreflang=...>`` tags — the EXPLICIT cross-language page alignment
+    sites publish (the supervision/eval signal for
+    :func:`~search_engine_ray.pipelines.training_data.bitext_mine`'s
+    mined pairs). Any attribute order, optional quotes, case-insensitive;
+    tags missing rel=alternate, hreflang or href are skipped. One
+    compiled-regex findall per BATCH over '>'-joined rows (a tag match
+    cannot cross '>', so never a row boundary), then tag-cardinality
+    attribute extraction — metadata density, not content density."""
+    import re
+
+    tag_pat = re.compile(_LINK_TAG_RE)
+    lang_pat = re.compile(_HREFLANG_ATTR)
+    href_pat = re.compile(_HREF_ATTR)
+    rel_pat = re.compile(_REL_ALTERNATE)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        empty = pa.table({"src": pa.array([], pa.string()),
+                          "hreflang": pa.array([], pa.string()),
+                          "href": pa.array([], pa.string())})
+        if batch.num_rows == 0:
+            return empty
+        srcs = np.asarray(batch[url_col].to_pylist(), dtype=object)
+        texts = [
+            (h.decode("utf-8", errors="replace") if isinstance(h, (bytes, bytearray))
+             else ("" if h is None else str(h)))
+            for h in batch[html_col].to_pylist()
+        ]
+        big = ">".join(texts)
+        starts = np.zeros(len(texts), np.int64)
+        np.cumsum([len(t) + 1 for t in texts[:-1]], out=starts[1:])
+        pos, langs, hrefs = [], [], []
+        for m in tag_pat.finditer(big):
+            tag = m.group(0)
+            if not rel_pat.search(tag):
+                continue
+            lm, hm = lang_pat.search(tag), href_pat.search(tag)
+            if lm and hm:
+                pos.append(m.start())
+                langs.append(lm.group(1).lower())
+                hrefs.append(hm.group(1))
+        if not pos:
+            return empty
+        rows = np.searchsorted(starts, np.asarray(pos, np.int64), side="right") - 1
+        return pa.table({"src": pa.array(srcs[rows], pa.string()),
+                         "hreflang": pa.array(langs, pa.string()),
+                         "href": pa.array(hrefs, pa.string())})
+
+    return pages.map_batches(fn, batch_format="pyarrow")
+
+
 def extract_anchor_texts(pages, url_col: str = "url", html_col: str = "html"):
     """(src, dst, anchor) from raw html: the text between an <a href> tag
     and the next tag. Same one-scan-per-batch shape as extract_links; rows

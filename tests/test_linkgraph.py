@@ -273,3 +273,27 @@ def test_resolve_redirects_long_chain_and_cap(ray_session):
     gc = {r.src: r.hops for r in capped.itertuples()}
     assert "n19" in gc and gc["n19"] == 1
     assert "n0" not in gc  # 20 hops > cap
+
+
+def test_extract_hreflang_variants(ray_session):
+    """Attribute-order / quoting / case variants parse; non-alternate and
+    incomplete tags skip; multi-row batches map matches to the right src."""
+    import ray.data
+
+    from search_engine_ray.pipelines.linkgraph import extract_hreflang
+
+    pages = ray.data.from_items([
+        {"url": "u0", "html":
+            b'<link rel="alternate" hreflang="de" href="https://x/de">'
+            b'<LINK HREFLANG=FR REL=ALTERNATE HREF=https://x/fr>'},
+        {"url": "u1", "html":
+            b'<link rel="stylesheet" href="https://x/css">'      # wrong rel
+            b'<link rel="alternate" hreflang="en">'},            # no href
+        {"url": "u2", "html":
+            b"<link href='https://y/en-gb' hreflang='EN-GB' rel='alternate'>"},
+    ], override_num_blocks=2)
+    out = (extract_hreflang(pages).to_pandas()
+           .sort_values(["src", "hreflang"]).reset_index(drop=True))
+    got = list(zip(out["src"], out["hreflang"], out["href"]))
+    assert got == [("u0", "de", "https://x/de"), ("u0", "fr", "https://x/fr"),
+                   ("u2", "en-gb", "https://y/en-gb")]
