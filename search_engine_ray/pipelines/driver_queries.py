@@ -1656,6 +1656,37 @@ def q_hreflang_map(sf_dir: str):
     return out.sort_values(["src", "hreflang"]).reset_index(drop=True)
 
 
+def q_canonical_tags(sf_dir: str):
+    """Site-declared canonical-link extraction over the same synthesized
+    pages as hreflang_map: i%4!=0 pages carry a rel=canonical link, the
+    alternates pages don't; first tag per page wins."""
+    import ray.data
+
+    from search_engine_ray.pipelines.linkgraph import extract_canonical_tags
+
+    docs = _read_docs(sf_dir, ("doc_id",))
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        urls, htmls = [], []
+        for i in ids:
+            i = int(i)
+            if i % 4 == 0:
+                body = (f'<link rel="alternate" hreflang="de" '
+                        f'href="https://h{i}.test/de">')
+            else:
+                body = (f'<link rel="canonical" href="https://h{i // 2}.test/">'
+                        f'<LINK REL=CANONICAL HREF=https://ignored{i}.test/>')
+            urls.append(f"https://h{i}.test/")
+            htmls.append(f"<html><head>{body}</head></html>".encode())
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "html": pa.array(htmls, pa.binary())})
+
+    out = extract_canonical_tags(
+        docs.map_batches(to_pages, batch_format="pyarrow")).to_pandas()
+    return out.sort_values("src").reset_index(drop=True)
+
+
 def q_resolve_redirects(sf_dir: str):
     """Redirect-chain resolution (pointer jumping): synthetic chains
     i → i−1 ending on multiples of 4; multiples of 12 self-redirect, so
@@ -1953,6 +1984,43 @@ def _hreflang_sql() -> str:
             AND regexp_extract(tag, '{href}', 1) <> ''
         )
         SELECT src, hreflang, href FROM ok ORDER BY src, hreflang
+    """
+
+
+def _canonical_tags_sql() -> str:
+    """DuckDB twin of q_canonical_tags: first rel=canonical link tag per
+    page via regexp_extract_all + list ordinal 1."""
+    from search_engine_ray.pipelines.linkgraph import (
+        _HREF_ATTR, _LINK_TAG_RE, _REL_CANONICAL)
+
+    tag = _LINK_TAG_RE.replace("'", "''")
+    href = _HREF_ATTR.replace("'", "''")
+    rel = _REL_CANONICAL.replace("'", "''")
+    return f"""
+        WITH h AS (
+          SELECT 'https://h' || doc_id || '.test/' AS src,
+                 '<html><head>' ||
+                 CASE WHEN doc_id % 4 = 0 THEN
+                   '<link rel="alternate" hreflang="de" href="https://h'
+                     || doc_id || '.test/de">'
+                 ELSE
+                   '<link rel="canonical" href="https://h' || (doc_id // 2)
+                     || '.test/">'
+                   || '<LINK REL=CANONICAL HREF=https://ignored' || doc_id
+                     || '.test/>'
+                 END || '</head></html>' AS html
+          FROM documents
+        ),
+        firsts AS (
+          SELECT src,
+                 list_filter(regexp_extract_all(html, '{tag}'),
+                             t -> regexp_matches(t, '{rel}')
+                                  AND regexp_extract(t, '{href}', 1) <> ''
+                             )[1] AS tag
+          FROM h
+        )
+        SELECT src, regexp_extract(tag, '{href}', 1) AS canonical
+        FROM firsts WHERE tag IS NOT NULL ORDER BY src
     """
 
 
@@ -5105,6 +5173,7 @@ def oracle_queries() -> dict[str, str]:
         "resolve_redirects": _resolve_redirects_sql(),
         "docid_gap_report": _docid_gap_sql(),
         "hreflang_map": _hreflang_sql(),
+        "canonical_tags": _canonical_tags_sql(),
         "link_components": f"""
             WITH RECURSIVE edges AS (
               SELECT 'https://d' || doc_id || '.test/' AS src,
@@ -6176,6 +6245,7 @@ RAY_QUERIES = {
     "resolve_redirects": q_resolve_redirects,
     "docid_gap_report": q_docid_gap_report,
     "hreflang_map": q_hreflang_map,
+    "canonical_tags": q_canonical_tags,
     "hits": q_hits,
     "link_components": q_link_components,
     "anchor_terms": q_anchor_terms,

@@ -131,6 +131,62 @@ def extract_hreflang(pages, url_col: str = "url", html_col: str = "html"):
     return pages.map_batches(fn, batch_format="pyarrow")
 
 
+_REL_CANONICAL = r'(?i)\brel\s*=\s*["\']?canonical["\'\s/>]'
+
+
+def extract_canonical_tags(pages, url_col: str = "url", html_col: str = "html"):
+    """(src, canonical) rows from ``<link rel="canonical" href=...>`` —
+    the site-declared duplicate-group key that OVERRIDES URL
+    normalization heuristics (webcorpus.canonical_urls) when present:
+    dedup should group by the declared canonical first, the normalized
+    URL as fallback. First canonical tag per page wins (sites publishing
+    several are malformed); same batch findall shape as
+    :func:`extract_hreflang`."""
+    import re
+
+    tag_pat = re.compile(_LINK_TAG_RE)
+    href_pat = re.compile(_HREF_ATTR)
+    rel_pat = re.compile(_REL_CANONICAL)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        empty = pa.table({"src": pa.array([], pa.string()),
+                          "canonical": pa.array([], pa.string())})
+        if batch.num_rows == 0:
+            return empty
+        srcs = np.asarray(batch[url_col].to_pylist(), dtype=object)
+        texts = [
+            (h.decode("utf-8", errors="replace") if isinstance(h, (bytes, bytearray))
+             else ("" if h is None else str(h)))
+            for h in batch[html_col].to_pylist()
+        ]
+        big = ">".join(texts)
+        starts = np.zeros(len(texts), np.int64)
+        np.cumsum([len(t) + 1 for t in texts[:-1]], out=starts[1:])
+        seen: set[int] = set()
+        pos, canon = [], []
+        for m in tag_pat.finditer(big):
+            tag = m.group(0)
+            if not rel_pat.search(tag):
+                continue
+            hm = href_pat.search(tag)
+            if not hm:
+                continue
+            row = int(np.searchsorted(starts, m.start(), side="right") - 1)
+            if row in seen:  # first tag per page wins
+                continue
+            seen.add(row)
+            pos.append(row)
+            canon.append(hm.group(1))
+        if not pos:
+            return empty
+        rows = np.asarray(pos, np.int64)
+        return pa.table({"src": pa.array(srcs[rows], pa.string()),
+                         "canonical": pa.array(canon, pa.string())})
+
+    return pages.map_batches(fn, batch_format="pyarrow")
+
+
 def extract_anchor_texts(pages, url_col: str = "url", html_col: str = "html"):
     """(src, dst, anchor) from raw html: the text between an <a href> tag
     and the next tag. Same one-scan-per-batch shape as extract_links; rows

@@ -114,7 +114,7 @@ def test_query_and_oracle_keys_align(entry):
         "collocations", "cooccurrence", "prune_postings",
         "pagerank", "hits", "link_components", "anchor_terms",
         "reciprocal_links", "robots_meta", "resolve_redirects",
-        "docid_gap_report", "hreflang_map",
+        "docid_gap_report", "hreflang_map", "canonical_tags",
         "latest_snapshot", "degree_stats",
         "bm25f",
         "remove_repeated_ngrams", "remove_global_ngrams",

@@ -297,3 +297,21 @@ def test_extract_hreflang_variants(ray_session):
     got = list(zip(out["src"], out["hreflang"], out["href"]))
     assert got == [("u0", "de", "https://x/de"), ("u0", "fr", "https://x/fr"),
                    ("u2", "en-gb", "https://y/en-gb")]
+
+
+def test_extract_canonical_first_tag_wins(ray_session):
+    import ray.data
+
+    from search_engine_ray.pipelines.linkgraph import extract_canonical_tags
+
+    pages = ray.data.from_items([
+        {"url": "u0", "html":
+            b'<link rel="canonical" href="https://c/a">'
+            b'<link rel="canonical" href="https://c/b">'},  # second ignored
+        {"url": "u1", "html": b'<link rel="stylesheet" href="https://c/css">'},
+        {"url": "u2", "html": b"<LINK HREF=https://c/x REL=CANONICAL>"},
+    ], override_num_blocks=2)
+    out = (extract_canonical_tags(pages).to_pandas()
+           .sort_values("src").reset_index(drop=True))
+    assert list(zip(out["src"], out["canonical"])) == [
+        ("u0", "https://c/a"), ("u2", "https://c/x")]
