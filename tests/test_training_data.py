@@ -1400,3 +1400,18 @@ def test_docid_gap_report_matches_scalar_spec(ray_session):
     assert int(out.loc["doc_id", "total_gap_bytes"]) == want_doc
     assert int(out.loc["clustered", "total_gap_bytes"]) == want_cl
     assert want_cl < want_doc  # clustering genuinely compresses here
+
+
+def test_vb_gap_bytes_matches_real_codec():
+    """docid_gap_report's byte model must equal the engine's actual VB
+    encoder length for every gap magnitude class."""
+    from search_engine_ray.functions.vb import vb_encode
+    from search_engine_ray.pipelines.training_data import _vb_gap_bytes
+
+    rng = np.random.default_rng(2)
+    edges = [1, 127, 128, 16383, 16384, 2097151, 2097152,
+             268435455, 268435456, 5_000_000_000]
+    gaps = np.array(edges + list(rng.integers(1, 1 << 34, 200)), np.int64)
+    ids = np.cumsum(gaps) - 1  # first gap = id+1 convention
+    want = sum(len(vb_encode(int(g))) for g in gaps)
+    assert _vb_gap_bytes(ids) == want
