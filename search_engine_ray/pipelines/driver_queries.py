@@ -6149,6 +6149,109 @@ def oracle_queries() -> dict[str, str]:
 
 
 RAY_QUERIES = {
+    # Round-5 registry order: the driver samples the FIRST 50 keys each round;
+    # rounds 1-4 sampled 67 distinct index/query-surface keys, so this round
+    # leads with the 81 oracle-backed queries never yet sampled (training-data /
+    # web-curation / events surface), then the rows-only never-sampled ones,
+    # then the previously-sampled keys. Coverage, not cosmetics.
+    "cluster_best": q_cluster_best,
+    "lang_confusion": q_lang_confusion,
+    "corpus_drift": q_corpus_drift,
+    "validate": q_validate,
+    "classifier_scores": q_classifier_scores,
+    "quality_logreg": q_quality_logreg,
+    "bitext_mine": q_bitext_mine,
+    "gopher_rules": q_gopher_rules,
+    "doc_keywords": q_doc_keywords,
+    "sparse_knn": q_sparse_knn,
+    "doc_logprob": q_doc_logprob,
+    "doc_bigram_logprob": q_doc_bigram_logprob,
+    "doc_embeddings": q_doc_embeddings,
+    "passage_bm25": q_passage_bm25,
+    "dsir_weights": q_dsir_weights,
+    "doc_novelty": q_doc_novelty,
+    "ccnet_buckets": q_ccnet_buckets,
+    "project_embeddings": q_project_embeddings,
+    "host_stats": q_host_stats,
+    "canonical_urls": q_canonical_urls,
+    "host_mirrors": q_host_mirrors,
+    "host_cap": q_host_cap,
+    "stratified_sample": q_stratified_sample,
+    "sample_k": q_sample_k,
+    "upsample_mix": q_upsample_mix,
+    "curriculum_order": q_curriculum_order,
+    "quality_filter": q_quality_filter,
+    "token_budget": q_token_budget,
+    "split_assign": q_split_assign,
+    "pack_sequences": q_pack_sequences,
+    "collocations": q_collocations,
+    "cooccurrence": q_cooccurrence,
+    "prune_postings": q_prune_postings,
+    "pagerank": q_pagerank,
+    "reciprocal_links": q_reciprocal_links,
+    "robots_meta": q_robots_meta,
+    "resolve_redirects": q_resolve_redirects,
+    "docid_gap_report": q_docid_gap_report,
+    "hreflang_map": q_hreflang_map,
+    "canonical_tags": q_canonical_tags,
+    "hits": q_hits,
+    "link_components": q_link_components,
+    "anchor_terms": q_anchor_terms,
+    "bm25f": q_bm25f,
+    "degree_stats": q_degree_stats,
+    "latest_snapshot": q_latest_snapshot,
+    "remove_repeated_ngrams": q_remove_repeated_ngrams,
+    "remove_global_ngrams": q_remove_global_ngrams,
+    "heavy_hitters_exact": q_heavy_hitters_exact,
+    "vocab_size": q_vocab_size,
+    "quantize_embeddings": q_quantize_embeddings,
+    "ann_quantized_topk": q_ann_quantized_topk,
+    "event_hopping": q_event_hopping,
+    "value_quantiles": q_value_quantiles,
+    "funnel": q_funnel,
+    "cohort_retention": q_cohort_retention,
+    "window_anomalies": q_window_anomalies,
+    "shuffle": q_shuffle,
+    "event_asof": q_event_asof,
+    "event_range": q_event_range,
+    "grouped_quantiles": q_grouped_quantiles,
+    "new_vs_snapshot": q_new_vs_snapshot,
+    "new_vs_snapshot_near": q_new_vs_snapshot_near,
+    "dedup_lines": q_dedup_lines,
+    "host_boilerplate": q_host_boilerplate,
+    "clean_corpus_full": q_clean_corpus_full,
+    "lsh_recall": q_lsh_recall,
+    "triplets": q_triplets,
+    "containment_verify": q_containment_verify,
+    "cosine_verify": q_cosine_verify,
+    "ann_ivf_full": q_ann_ivf_full,
+    "ann_lsh_full": q_ann_lsh_full,
+    "readability": q_readability,
+    "regex_search": q_regex_search,
+    "chunk_documents": q_chunk_documents,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "pii_scrub": q_pii_scrub,
+    "decontaminate": q_decontaminate,
+    "decontaminate_fuzzy": q_decontaminate_fuzzy,
+    "repetition": q_repetition,
+    # --- rows-only (no SQL oracle), never sampled r01-r04 ---
+    "textrank_keywords": q_textrank,
+    "count_min": q_count_min,
+    "bpe_tokens": q_bpe_tokens,
+    "training_shards": q_training_shards,
+    "host_mirrors_near": q_host_mirrors_near,
+    "heavy_hitters": q_heavy_hitters,
+    "vocab_size_hll": q_vocab_size_hll,
+    "value_quantiles_approx": q_value_quantiles_approx,
+    "bloom_new_docs": q_bloom_new_docs,
+    "embedding_clusters": q_embedding_clusters,
+    "semdedup_pairs": q_semdedup_pairs,
+    "cdc_chunks": q_cdc_chunks,
+    "cdc_dup_chunks": q_cdc_dup_chunks,
+    "dedup_chunks": q_dedup_chunks,
+    "ann_lsh_topk": q_ann_lsh,
+    # --- previously sampled in r01-r04 (all green) ---
     "extract_text": q_extract_text,
     "doc_ids": q_doc_ids,
     "term_postings": q_term_postings,
@@ -6199,118 +6302,21 @@ RAY_QUERIES = {
     "facet_counts": q_facet_counts,
     "normalize_text": q_normalize_text,
     "exact_dedup": q_exact_dedup,
-    "cluster_best": q_cluster_best,
     "lang_counts": q_lang_counts,
-    "lang_confusion": q_lang_confusion,
-    "corpus_drift": q_corpus_drift,
-    "textrank_keywords": q_textrank,
-    "count_min": q_count_min,
-    "validate": q_validate,
     "text_stats": q_text_stats,
-    "classifier_scores": q_classifier_scores,
-    "quality_logreg": q_quality_logreg,
-    "bitext_mine": q_bitext_mine,
-    "gopher_rules": q_gopher_rules,
-    "doc_keywords": q_doc_keywords,
-    "sparse_knn": q_sparse_knn,
-    "doc_logprob": q_doc_logprob,
-    "doc_bigram_logprob": q_doc_bigram_logprob,
-    "doc_embeddings": q_doc_embeddings,
-    "passage_bm25": q_passage_bm25,
-    "dsir_weights": q_dsir_weights,
-    "doc_novelty": q_doc_novelty,
-    "bpe_tokens": q_bpe_tokens,
-    "training_shards": q_training_shards,
-    "ccnet_buckets": q_ccnet_buckets,
-    "project_embeddings": q_project_embeddings,
-    "host_stats": q_host_stats,
-    "canonical_urls": q_canonical_urls,
-    "host_mirrors": q_host_mirrors,
-    "host_mirrors_near": q_host_mirrors_near,
-    "host_cap": q_host_cap,
-    "stratified_sample": q_stratified_sample,
-    "sample_k": q_sample_k,
-    "upsample_mix": q_upsample_mix,
-    "curriculum_order": q_curriculum_order,
-    "quality_filter": q_quality_filter,
-    "token_budget": q_token_budget,
-    "split_assign": q_split_assign,
-    "pack_sequences": q_pack_sequences,
-    "collocations": q_collocations,
-    "cooccurrence": q_cooccurrence,
-    "prune_postings": q_prune_postings,
-    "pagerank": q_pagerank,
-    "reciprocal_links": q_reciprocal_links,
-    "robots_meta": q_robots_meta,
-    "resolve_redirects": q_resolve_redirects,
-    "docid_gap_report": q_docid_gap_report,
-    "hreflang_map": q_hreflang_map,
-    "canonical_tags": q_canonical_tags,
-    "hits": q_hits,
-    "link_components": q_link_components,
-    "anchor_terms": q_anchor_terms,
-    "bm25f": q_bm25f,
-    "degree_stats": q_degree_stats,
-    "latest_snapshot": q_latest_snapshot,
-    "remove_repeated_ngrams": q_remove_repeated_ngrams,
-    "remove_global_ngrams": q_remove_global_ngrams,
-    "heavy_hitters": q_heavy_hitters,
-    "heavy_hitters_exact": q_heavy_hitters_exact,
-    "vocab_size": q_vocab_size,
-    "vocab_size_hll": q_vocab_size_hll,
     "ann_topk": q_ann_topk,
-    "quantize_embeddings": q_quantize_embeddings,
-    "ann_quantized_topk": q_ann_quantized_topk,
     "media_features": q_media_features,
     "media_resize": q_media_resize,
     "media_frames": q_media_frames,
     "event_windows": q_event_windows,
-    "event_hopping": q_event_hopping,
-    "value_quantiles": q_value_quantiles,
-    "value_quantiles_approx": q_value_quantiles_approx,
     "event_sessions": q_event_sessions,
-    "funnel": q_funnel,
-    "cohort_retention": q_cohort_retention,
-    "window_anomalies": q_window_anomalies,
-    "shuffle": q_shuffle,
-    "event_asof": q_event_asof,
-    "event_range": q_event_range,
-    "grouped_quantiles": q_grouped_quantiles,
     "clean_corpus": q_clean_corpus,
-    "new_vs_snapshot": q_new_vs_snapshot,
-    "new_vs_snapshot_near": q_new_vs_snapshot_near,
-    "dedup_lines": q_dedup_lines,
-    "host_boilerplate": q_host_boilerplate,
-    "clean_corpus_full": q_clean_corpus_full,
     "dedup_clusters": q_dedup_clusters,
-    "lsh_recall": q_lsh_recall,
-    "triplets": q_triplets,
     "jaccard_verify": q_jaccard_verify,
-    "containment_verify": q_containment_verify,
-    "cosine_verify": q_cosine_verify,
-    "ann_ivf_full": q_ann_ivf_full,
-    "ann_lsh_full": q_ann_lsh_full,
-    # rows-only (no SQL oracle): stateful/approx/sketch operators
-    "bloom_new_docs": q_bloom_new_docs,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "cosine_neardup": q_cosine_neardup,
-    "embedding_clusters": q_embedding_clusters,
-    "semdedup_pairs": q_semdedup_pairs,
     "fingerprints": q_fingerprints,
     "langid": q_langid,
-    "readability": q_readability,
-    "regex_search": q_regex_search,
-    "chunk_documents": q_chunk_documents,
-    "cdc_chunks": q_cdc_chunks,
-    "cdc_dup_chunks": q_cdc_dup_chunks,
-    "dedup_chunks": q_dedup_chunks,
-    "pricing_summary": q_pricing_summary,
-    "revenue_by_nation": q_revenue_by_nation,
-    "pii_scrub": q_pii_scrub,
-    "decontaminate": q_decontaminate,
-    "decontaminate_fuzzy": q_decontaminate_fuzzy,
-    "repetition": q_repetition,
     "ann_ivf_topk": q_ann_ivf,
-    "ann_lsh_topk": q_ann_lsh,
 }
