@@ -2033,12 +2033,24 @@ def docid_gap_report(docs: "ray.data.Dataset", cluster_col: str = "source",
     code = {s: i for i, s in enumerate(srcs)}
     cref = ray.put(code)
 
+    if len(code) >= (1 << 23):
+        raise ValueError(
+            f"docid_gap_report: {len(code)} cluster codes >= 2^23 — the fused "
+            "(code << 40 | doc_id) int64 key would overflow and silently "
+            "mis-order the clustered ranking; widen the key first")
+
     def keyed(b: pa.Table) -> pa.Table:
         b = b.combine_chunks()
         cmap = ray.get(cref)
         codes = np.asarray([cmap[v] for v in b[cluster_col].to_pylist()],
                            np.int64)
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and int(ids.max()) >= (1 << 40):
+            raise ValueError(
+                f"docid_gap_report: doc_id {int(ids.max())} >= 2^40 — the "
+                "fused (code << 40 | doc_id) int64 key would collide across "
+                "clusters and silently corrupt the clustered ranking; "
+                "renumber doc ids densely or widen the key")
         return pa.table({
             "k": pa.array(codes * (1 << 40) + ids, pa.int64()),
             id_col: pa.array(ids, pa.int64()),
@@ -4115,13 +4127,25 @@ def bitext_mine(embeddings, langs, src_lang: str, tgt_lang: str,
     margin ≥ threshold, one row per src doc, ties tgt-id-asc.
 
     Scale shape: langs attach by ONE hash join (the corpus never
-    broadcasts); the tgt-side matrix broadcasts once via ray.put
-    (guarded by ``broadcast_cap`` — past it, shard tgt and bucket by LSH
-    like cosine_neardup, the documented seam); two streaming passes over
-    the src side: pass 1 emits per-batch per-tgt top-k cosine partials
-    (global top-k ⊆ union of per-batch top-k's) reduced to the
-    tgt-neighborhood table by one sorted_group_map, pass 2 scores
-    margins row-vectorized and argmaxes with pinned ties."""
+    broadcasts). Under ``broadcast_cap`` the tgt-side matrix broadcasts
+    once via ray.put and two streaming passes over the src side run:
+    pass 1 emits per-batch per-tgt top-k cosine partials (global top-k ⊆
+    union of per-batch top-k's), pre-combined block-locally (two-level
+    neighborhood reduce — the sort-shuffle input is bounded by k·n_tgt
+    per coalesced block, not k·n_tgt·n_src_batches) then reduced by one
+    sorted_group_map; pass 2 scores margins row-vectorized and argmaxes
+    with pinned ties. PAST the cap the tgt matrix is hash-SHARDED into
+    ceil(n_tgt/cap) broadcasts of ≤ cap rows each and the same algebra
+    runs exactly, per shard: per-src top-k(union of per-shard top-k) is
+    the global top-k, per-tgt neighborhoods are shard-local, and the
+    global argmax is the max of per-shard argmaxes (ties resolved by the
+    final (−margin, tgt_id) lexsort, so the shard layout cannot change
+    the winner). avgx attaches to the src side broadcast-or-hash-join
+    (src-cardinality); driver memory stays O(cap) per shard throughout.
+    Degenerate neighborhoods where (avgx+avgy)/2 would be ≤ 0 or
+    non-finite raise loudly instead of emitting inf/sign-flipped margins
+    (the DuckDB oracle shares the flaw, so parity could not catch the
+    garbage rows)."""
     from search_engine_ray.stages.grouped import coalesce_for_join, sorted_group_map
 
     try:
@@ -4198,13 +4222,59 @@ def bitext_mine(embeddings, langs, src_lang: str, tgt_lang: str,
                       "margin_r": pa.array([], pa.float64())})
     tgt = joined.map_batches(side(tgt_lang), batch_format="pyarrow").materialize()
     n_tgt = tgt.count()
-    if n_tgt == 0 or src.count() == 0:
+    n_src = src.count()
+    if n_tgt == 0 or n_src == 0:
         return ray.data.from_arrow(empty)
+
+    k = int(margin_k)
+
+    def _keep_topk(gids: np.ndarray, cos: np.ndarray, kk: int):
+        """Exact block-local pre-combine: the kk best cosines per gid.
+        Top-kk of a union == top-kk of the union of per-part top-kk's, so
+        stacking these across blocks/shards then re-applying is lossless."""
+        o = np.lexsort((-cos, gids))
+        gids, cos = gids[o], cos[o]
+        change = np.r_[True, gids[1:] != gids[:-1]]
+        starts = np.flatnonzero(change)
+        pos = np.arange(len(gids)) - np.repeat(
+            starts, np.diff(np.append(starts, len(gids))))
+        sel = pos < kk
+        return gids[sel], cos[sel]
+
+    def _topk_avg(gids: np.ndarray, cos: np.ndarray, kk: int):
+        """(unique gid, mean of its kk best cosines) — gid-ascending."""
+        o = np.lexsort((-cos, gids))
+        gids, cos = gids[o], cos[o]
+        change = np.r_[True, gids[1:] != gids[:-1]]
+        starts = np.flatnonzero(change)
+        pos = np.arange(len(gids)) - np.repeat(
+            starts, np.diff(np.append(starts, len(gids))))
+        keep = pos < kk
+        grp = np.cumsum(change) - 1
+        sums = np.bincount(grp[keep], weights=cos[keep])
+        cnts = np.bincount(grp[keep])
+        return gids[starts], sums / cnts
+
+    def _denom_guard(ax: np.ndarray, ay: np.ndarray) -> None:
+        # min(ax)+min(ay) is the exact minimum over all pair denominators
+        # (the argmin pair attains it), so this O(n) check covers the full
+        # n_src×n_tgt margin matrix without materializing it.
+        if len(ax) == 0 or len(ay) == 0:
+            return
+        if (not np.isfinite(ax).all()) or (not np.isfinite(ay).all()) or (
+                float(ax.min()) + float(ay.min()) <= 0.0):
+            raise ValueError(
+                "bitext_mine: degenerate margin denominator — some pair has "
+                "(avgtop_x + avgtop_y)/2 <= 0 or non-finite, which would "
+                "yield inf/sign-flipped margins and a garbage argmax row; "
+                "refusing to mine this embedding set")
+
     if n_tgt > broadcast_cap:
-        raise ValueError(
-            f"tgt side has {n_tgt} rows > broadcast_cap={broadcast_cap}; "
-            "shard the tgt matrix / bucket by hyperplane LSH (the "
-            "cosine_neardup shape) instead of the broadcast path")
+        return _bitext_mine_sharded(
+            src, tgt, n_src, n_tgt, id_col, _unpack, empty, k, threshold,
+            broadcast_cap, round_digits, npart,
+            _keep_topk, _topk_avg, _denom_guard)
+
     rows = tgt.take_all()
     ids_t = np.asarray([r[id_col] for r in rows], np.int64)
     order = np.argsort(ids_t, kind="stable")
@@ -4212,8 +4282,6 @@ def bitext_mine(embeddings, langs, src_lang: str, tgt_lang: str,
     mat_t = np.asarray([np.frombuffer(rows[int(i)]["embp"], np.float64)
                         for i in order])
     tref = ray.put((ids_t, np.ascontiguousarray(mat_t)))
-
-    k = int(margin_k)
 
     def tgt_topk_partial(b: pa.Table) -> pa.Table:
         b = b.combine_chunks()
@@ -4234,22 +4302,27 @@ def bitext_mine(embeddings, langs, src_lang: str, tgt_lang: str,
         if t.num_rows == 0:
             return pa.table({"tid": pa.array([], pa.int64()),
                              "avgy": pa.array([], pa.float64())})
-        tid = t["tid"].to_numpy(zero_copy_only=False)
-        cos = t["cos"].to_numpy(zero_copy_only=False)
-        o = np.lexsort((-cos, tid))
-        tid, cos = tid[o], cos[o]
-        change = np.r_[True, tid[1:] != tid[:-1]]
-        starts = np.flatnonzero(change)
-        pos = np.arange(len(tid)) - np.repeat(starts, np.diff(np.append(starts, len(tid))))
-        keep = pos < k
-        grp = np.cumsum(change) - 1
-        sums = np.bincount(grp[keep], weights=cos[keep])
-        cnts = np.bincount(grp[keep])
-        return pa.table({"tid": pa.array(tid[starts], pa.int64()),
-                         "avgy": pa.array(sums / cnts, pa.float64())})
+        tid, avg = _topk_avg(t["tid"].to_numpy(zero_copy_only=False),
+                             t["cos"].to_numpy(zero_copy_only=False), k)
+        return pa.table({"tid": pa.array(tid, pa.int64()),
+                         "avgy": pa.array(avg, pa.float64())})
+
+    def precombine(t: pa.Table) -> pa.Table:
+        # two-level neighborhood reduce: many src-batch partials coalesce
+        # into one large batch here, and only the k best cosines per tid
+        # survive into the sort shuffle — bounds its input at k·n_tgt per
+        # coalesced block instead of k·n_tgt·n_src_batches total.
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return t
+        tid, cos = _keep_topk(t["tid"].to_numpy(zero_copy_only=False),
+                              t["cos"].to_numpy(zero_copy_only=False), k)
+        return pa.table({"tid": pa.array(tid, pa.int64()),
+                         "cos": pa.array(cos, pa.float64())})
 
     ay_pdf = sorted_group_map(
-        src.map_batches(tgt_topk_partial, batch_format="pyarrow"),
+        src.map_batches(tgt_topk_partial, batch_format="pyarrow")
+           .map_batches(precombine, batch_format="pyarrow", batch_size=1 << 18),
         ["tid"], topk_avg).to_pandas()  # tgt-cardinality (≤ broadcast_cap)
     avgy = np.zeros(len(ids_t), np.float64)
     avgy[np.searchsorted(ids_t, ay_pdf["tid"].to_numpy())] = ay_pdf["avgy"].to_numpy()
@@ -4267,6 +4340,7 @@ def bitext_mine(embeddings, langs, src_lang: str, tgt_lang: str,
         kk = min(k, sims.shape[1])
         topx = np.partition(sims, sims.shape[1] - kk, axis=1)[:, -kk:]
         avgx = topx.mean(axis=1)
+        _denom_guard(avgx, ay)
         margins = sims / ((avgx[:, None] + ay[None, :]) / 2.0)
         best = np.argmax(margins, axis=1)  # first max: tgt ids sorted asc
         mbest = margins[np.arange(len(sids)), best]
@@ -4280,6 +4354,239 @@ def bitext_mine(embeddings, langs, src_lang: str, tgt_lang: str,
                                  pa.float64())})
 
     return src.map_batches(score, batch_format="pyarrow")
+
+
+def _bitext_mine_sharded(src, tgt, n_src: int, n_tgt: int, id_col: str,
+                         _unpack, empty: pa.Table, k: int, threshold: float,
+                         broadcast_cap: int, round_digits: int, npart: int,
+                         _keep_topk, _topk_avg, _denom_guard):
+    """bitext_mine's past-broadcast-cap path: hash-shard the tgt matrix
+    into S = ceil(n_tgt/cap) broadcasts of ≤ cap rows each and run the
+    margin algebra exactly, per shard. Exactness argument:
+
+    - per-src avgtop_x: top-k(∪_s per-shard top-k) == global top-k (each
+      shard's survivors superset the global winners that live in it);
+    - per-tgt avgtop_y: each tgt lives in exactly one shard, and within a
+      shard the per-src-batch partial + pre-combine + sorted_group_map
+      reduce is the same (lossless) computation as the under-cap path;
+    - global argmax_y margin(x,y) = max over per-shard argmaxes; ties are
+      settled by the final (sid, −margin, tgt_id) lexsort, so the shard
+      layout cannot change which tgt wins.
+
+    ``src``/``tgt`` arrive packed as (id, embp:binary of normalized f64)
+    and materialized. Driver memory stays O(cap): one shard's (ids,
+    matrix) is collected and ray.put at a time; avgy slices are filtered
+    per shard; avgx (src-cardinality) attaches to the src stream
+    broadcast-or-hash-join. Src-side passes: S partial passes + S scoring
+    passes — the blocked-matmul tradeoff that replaces the ValueError
+    seam this function used to be (VERDICT r4 #1)."""
+    from search_engine_ray.stages.grouped import coalesce_for_join, sorted_group_map
+
+    S = int(np.ceil(n_tgt / max(1, broadcast_cap)))
+    MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def _shard_of(ids: np.ndarray) -> np.ndarray:
+        h = (ids.astype(np.uint64) * MIX) >> np.uint64(32)
+        return (h % np.uint64(S)).astype(np.int64)
+
+    def _shard_filter(s: int):
+        def fn(b: pa.Table) -> pa.Table:
+            b = b.combine_chunks()
+            if b.num_rows == 0:
+                return b
+            ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return b.filter(pa.array(_shard_of(ids) == s))
+        return fn
+
+    # one shard's (sorted ids, matrix) held on the driver at a time, then
+    # pinned in the object store — every worker reads the same copy
+    shard_refs: list = []
+    for s in range(S):
+        rows = tgt.map_batches(_shard_filter(s), batch_format="pyarrow").take_all()
+        if not rows:
+            shard_refs.append(None)
+            continue
+        ids_s = np.asarray([r[id_col] for r in rows], np.int64)
+        o = np.argsort(ids_s, kind="stable")
+        ids_s = ids_s[o]
+        mat_s = np.asarray([np.frombuffer(rows[int(i)]["embp"], np.float64)
+                            for i in o])
+        shard_refs.append(ray.put((ids_s, np.ascontiguousarray(mat_s))))
+
+    part_schema = pa.table({"side": pa.array([], pa.int8()),
+                            "gid": pa.array([], pa.int64()),
+                            "cos": pa.array([], pa.float64())})
+
+    def pass_a(tref_s):
+        # one pass over src per shard: ONE matmul feeds both neighborhood
+        # partials — per-tgt top-k over this src batch (side=0) and
+        # per-src top-k within this shard (side=1)
+        def fn(b: pa.Table) -> pa.Table:
+            b = b.combine_chunks()
+            if b.num_rows == 0:
+                return part_schema
+            t_ids, t_mat = ray.get(tref_s)
+            m = _unpack(b)
+            sids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            sims = m @ t_mat.T
+            kk_t = min(k, sims.shape[0])
+            top_t = np.partition(sims, sims.shape[0] - kk_t, axis=0)[-kk_t:]
+            kk_s = min(k, sims.shape[1])
+            top_s = np.partition(sims, sims.shape[1] - kk_s, axis=1)[:, -kk_s:]
+            return pa.table({
+                "side": pa.array(np.r_[np.zeros(top_t.size, np.int8),
+                                       np.ones(top_s.size, np.int8)], pa.int8()),
+                "gid": pa.array(np.r_[np.tile(t_ids, kk_t),
+                                      np.repeat(sids, kk_s)], pa.int64()),
+                "cos": pa.array(np.r_[top_t.reshape(-1), top_s.reshape(-1)],
+                                pa.float64())})
+        return fn
+
+    def precombine2(t: pa.Table) -> pa.Table:
+        # two-level reduce on the fused (side, gid) key before the sort
+        # shuffle — same volume bound as the under-cap path's precombine
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return t
+        side = t["side"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gid = t["gid"].to_numpy(zero_copy_only=False)
+        cos = t["cos"].to_numpy(zero_copy_only=False)
+        fused, cos = _keep_topk(gid * 2 + side, cos, k)
+        return pa.table({"side": pa.array((fused & 1).astype(np.int8), pa.int8()),
+                         "gid": pa.array(fused >> 1, pa.int64()),
+                         "cos": pa.array(cos, pa.float64())})
+
+    def avg_fn(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.table({"side": pa.array([], pa.int8()),
+                             "gid": pa.array([], pa.int64()),
+                             "avg": pa.array([], pa.float64())})
+        side = t["side"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gid = t["gid"].to_numpy(zero_copy_only=False)
+        cos = t["cos"].to_numpy(zero_copy_only=False)
+        fused, avg = _topk_avg(gid * 2 + side, cos, k)
+        return pa.table({"side": pa.array((fused & 1).astype(np.int8), pa.int8()),
+                         "gid": pa.array(fused >> 1, pa.int64()),
+                         "avg": pa.array(avg, pa.float64())})
+
+    parts = [src.map_batches(pass_a(tr), batch_format="pyarrow")
+             for tr in shard_refs if tr is not None]
+    partials = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    partials = partials.map_batches(precombine2, batch_format="pyarrow",
+                                    batch_size=1 << 18)
+    red = sorted_group_map(partials, ["side", "gid"], avg_fn).materialize()
+
+    def _side_filter(want: int, out_col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            b = b.combine_chunks()
+            keep = pc.equal(b["side"], pa.scalar(want, pa.int8()))
+            return (b.filter(keep).select(["gid", "avg"])
+                    .rename_columns(["gid", out_col]))
+        return fn
+
+    ay_ds = red.map_batches(_side_filter(0, "avgy"), batch_format="pyarrow")
+    ax_ds = red.map_batches(_side_filter(1, "avgx"), batch_format="pyarrow")
+
+    def _ay_shard_filter(s: int):
+        def fn(b: pa.Table) -> pa.Table:
+            b = b.combine_chunks()
+            if b.num_rows == 0:
+                return b
+            gids = b["gid"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return b.filter(pa.array(_shard_of(gids) == s))
+        return fn
+
+    # per-shard avgy slices (each ≤ cap rows), aligned to the shard's
+    # sorted id order; a tgt absent from the partials keeps avgy=0 like
+    # the under-cap path (cannot happen while src is non-empty — every
+    # pass_a batch emits a partial for every shard tgt)
+    ay_refs: list = []
+    for s, tr in enumerate(shard_refs):
+        if tr is None:
+            ay_refs.append(None)
+            continue
+        ids_s, _ = ray.get(tr)
+        ap = ay_ds.map_batches(_ay_shard_filter(s),
+                               batch_format="pyarrow").to_pandas()
+        ay_s = np.zeros(len(ids_s), np.float64)
+        if len(ap):
+            ay_s[np.searchsorted(ids_s, ap["gid"].to_numpy().astype(np.int64))] = (
+                ap["avgy"].to_numpy())
+        ay_refs.append(ray.put(ay_s))
+
+    # attach avgx to the src stream: broadcast under the cap, hash join past it
+    if n_src <= broadcast_cap:
+        ap = ax_ds.to_pandas()
+        ax_ids = ap["gid"].to_numpy().astype(np.int64)
+        ax_val = ap["avgx"].to_numpy().astype(np.float64)
+        o = np.argsort(ax_ids, kind="stable")
+        axref = ray.put((ax_ids[o], ax_val[o]))
+
+        def attach_ax(b: pa.Table) -> pa.Table:
+            b = b.combine_chunks()
+            if b.num_rows == 0:
+                return b.append_column("avgx", pa.array([], pa.float64()))
+            ids_a, val_a = ray.get(axref)
+            ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            i = np.clip(np.searchsorted(ids_a, ids), 0, max(len(ids_a) - 1, 0))
+            hit = (ids_a[i] == ids) if len(ids_a) else np.zeros(len(ids), bool)
+            return (b.filter(pa.array(hit))
+                    .append_column("avgx", pa.array(val_a[i][hit], pa.float64())))
+
+        src_ax = src.map_batches(attach_ax, batch_format="pyarrow").materialize()
+    else:
+        ax_j = ax_ds.map_batches(
+            lambda b: b.rename_columns([id_col, "avgx"]), batch_format="pyarrow")
+        src_ax = coalesce_for_join(src, npart).join(
+            coalesce_for_join(ax_j, npart), join_type="inner",
+            num_partitions=npart, on=(id_col,)).materialize()
+
+    cand_schema = pa.table({"sid": pa.array([], pa.int64()),
+                            "tgt_id": pa.array([], pa.int64()),
+                            "margin": pa.array([], pa.float64())})
+
+    def pass_b(tref_s, ayref_s):
+        def fn(b: pa.Table) -> pa.Table:
+            b = b.combine_chunks()
+            if b.num_rows == 0:
+                return cand_schema
+            t_ids, t_mat = ray.get(tref_s)
+            ay = ray.get(ayref_s)
+            m = _unpack(b)
+            sids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            ax = b["avgx"].to_numpy(zero_copy_only=False).astype(np.float64)
+            _denom_guard(ax, ay)
+            sims = m @ t_mat.T
+            margins = sims / ((ax[:, None] + ay[None, :]) / 2.0)
+            best = np.argmax(margins, axis=1)  # shard ids sorted asc: first max
+            mbest = margins[np.arange(len(sids)), best]
+            return pa.table({"sid": pa.array(sids, pa.int64()),
+                             "tgt_id": pa.array(t_ids[best], pa.int64()),
+                             "margin": pa.array(mbest, pa.float64())})
+        return fn
+
+    cands = [src_ax.map_batches(pass_b(tr, ar), batch_format="pyarrow")
+             for tr, ar in zip(shard_refs, ay_refs) if tr is not None]
+    cand = cands[0].union(*cands[1:]) if len(cands) > 1 else cands[0]
+
+    def best_fn(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return empty
+        sid = t["sid"].to_numpy(zero_copy_only=False)
+        mg = t["margin"].to_numpy(zero_copy_only=False)
+        tid = t["tgt_id"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((tid, -mg, sid))
+        sid, mg, tid = sid[o], mg[o], tid[o]
+        first = np.r_[True, sid[1:] != sid[:-1]]
+        keep = first & (mg >= threshold)
+        return pa.table({
+            "src_id": pa.array(sid[keep], pa.int64()),
+            "tgt_id": pa.array(tid[keep], pa.int64()),
+            "margin_r": pa.array(np.round(mg[keep], round_digits), pa.float64())})
+
+    return sorted_group_map(cand, ["sid"], best_fn)
 
 
 def quantize_embeddings(embeddings, id_col: str = "vec_id",

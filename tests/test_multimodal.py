@@ -67,6 +67,83 @@ class TestFrameSample:
         out = FrameSampleStage()(_batch([b""])).to_pandas()
         assert len(out) == 1 and out["frame_idx"][0] == 0
 
+    def test_vectorized_batch_equals_scalar_spec(self):
+        """The numpy-vectorized __call__ reproduces the per-payload scalar
+        spec (_fallback_frames) row for row — boundary sizes, invalid
+        utf-8 (replacement chars shift char counts vs bytes), multi-byte
+        chars, and the empty payload all included."""
+        payloads = [
+            b"",
+            b"a",
+            b"x" * 1023, b"x" * 1024, b"x" * 1025,
+            b"y" * (1024 * 7 + 3),
+            b"z" * (1024 * 100),              # mf-capped
+            "é" * 2000,                        # 2-byte chars: bytes≠chars
+            b"\xff\xfe invalid utf8 \x80" * 300,  # replacement chars
+            ("mixéé世" * 500),
+        ]
+        payloads = [p.encode() if isinstance(p, str) else p for p in payloads]
+        for fc, mf in [(1024, 8), (100, 3), (1, 2), (7, 1)]:
+            stage = FrameSampleStage(fc, mf)
+            got = stage(_batch(payloads)).to_pandas()
+            want = []
+            for i, p in enumerate(payloads):
+                for fi, digest in stage._fallback_frames(p):
+                    want.append((i, fi, digest))
+            assert list(zip(got["doc_id"], got["frame_idx"],
+                            got["frame_md5"])) == want, (fc, mf)
+
+    def test_video_decode_probe_without_codecs(self):
+        """Neither av nor cv2 ships in this container: the probe leaves
+        backend=None, decode_frames_real raises the loud seam, and
+        use_real_decoder=True still serves batches via the fallback."""
+        stage = FrameSampleStage()
+        assert stage.backend is None
+        with pytest.raises(NotImplementedError):
+            stage.decode_frames_real(b"abc")
+        out = FrameSampleStage(use_real_decoder=True)(
+            _batch([b"hello" * 300])).to_pandas()
+        assert len(out) >= 1  # fallback path served the batch
+
+    def test_video_decode_implemented_with_av(self, monkeypatch):
+        """With PyAV importable the NotImplementedError is unreachable:
+        decode_frames_real opens the container, strides the decoded
+        frames, and hashes the RGB bytes. av is absent here, so a minimal
+        stand-in module exercises the path (the PIL-test pattern)."""
+        import sys
+        import types
+
+        class _Frame:
+            def __init__(self, fill):
+                self.fill = fill
+
+            def to_ndarray(self, format):
+                assert format == "rgb24"
+                return np.full((2, 2, 3), self.fill, np.uint8)
+
+        class _Container:
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+            def decode(self, video):
+                assert video == 0
+                return [_Frame(i) for i in range(10)]
+
+        av = types.ModuleType("av")
+        av.open = lambda fp: _Container()
+        monkeypatch.setitem(sys.modules, "av", av)
+        stage = FrameSampleStage(max_frames=4, use_real_decoder=True)
+        assert stage.backend == "av"
+        sampled = stage.decode_frames_real(b"fake-video-bytes")
+        assert [fi for fi, _ in sampled] == [0, 2, 5, 7]  # (j*10)//4 stride
+        want0 = hashlib.md5(np.full((2, 2, 3), 0, np.uint8).tobytes()).hexdigest()
+        assert sampled[0][1] == want0
+        out = stage(_batch([b"fake-video-bytes"])).to_pandas()
+        assert list(out["frame_idx"]) == [0, 2, 5, 7]  # real path in __call__
+
 
 class TestStubSeam:
     def test_real_decode_raises_only_without_pil(self):
