@@ -148,40 +148,34 @@ def run_bench() -> dict:
     results["bm25_cold_batch"] = time.perf_counter() - t0
 
     eng = SearchEngine(zipf_out)
+    # hot-qps campaign: plain BM25 / block-max WAND / MAXSCORE timed
+    # INTERLEAVED, min over 4 rounds each — a noisy-neighbor burst lands
+    # on all three paths within the same round and the min discards it
+    # (BENCH_r04's lone maxscore sample read 0.82x while same-day
+    # BASELINE re-measurement of identical code read 1.0x: single-sample
+    # sequential timing, not a regression)
     for q in QUERIES:  # warm postings cache (first-read I/O, untimed)
         eng.bm25_topk(q, 10)
-    t0 = time.perf_counter()
-    n_q = 0
-    for _ in range(50):
-        for q in QUERIES:
-            eng.bm25_topk(q, 10)
-            n_q += 1
-    results["bm25_queries"] = time.perf_counter() - t0
-    qps = n_q / results["bm25_queries"] if results["bm25_queries"] else 0.0
-
-    # block-max WAND (north-star serving path; exact same top-k)
-    for q in QUERIES:
         eng.bm25_topk_wand(q, 10)
-    t0 = time.perf_counter()
-    n_w = 0
-    for _ in range(50):
-        for q in QUERIES:
-            eng.bm25_topk_wand(q, 10)
-            n_w += 1
-    results["bm25_wand_queries"] = time.perf_counter() - t0
-    wand_qps = n_w / results["bm25_wand_queries"] if results["bm25_wand_queries"] else 0.0
-
-    # MAXSCORE (second dynamic-pruning path; exact same top-k)
-    for q in QUERIES:
         eng.bm25_topk_maxscore(q, 10)
-    t0 = time.perf_counter()
-    n_m = 0
-    for _ in range(50):
-        for q in QUERIES:
-            eng.bm25_topk_maxscore(q, 10)
-            n_m += 1
-    results["bm25_maxscore_queries"] = time.perf_counter() - t0
-    maxscore_qps = n_m / results["bm25_maxscore_queries"] if results["bm25_maxscore_queries"] else 0.0
+    hot_rounds, hot_reps = 4, 100
+    hot_times: dict = {"bm25_queries": [], "bm25_wand_queries": [],
+                       "bm25_maxscore_queries": []}
+    for _ in range(hot_rounds):
+        for key, fn in (("bm25_queries", eng.bm25_topk),
+                        ("bm25_wand_queries", eng.bm25_topk_wand),
+                        ("bm25_maxscore_queries", eng.bm25_topk_maxscore)):
+            t0 = time.perf_counter()
+            for _ in range(hot_reps):
+                for q in QUERIES:
+                    fn(q, 10)
+            hot_times[key].append(time.perf_counter() - t0)
+    n_per_round = hot_reps * len(QUERIES)
+    for key in hot_times:
+        results[key] = min(hot_times[key])
+    qps = n_per_round / results["bm25_queries"]
+    wand_qps = n_per_round / results["bm25_wand_queries"]
+    maxscore_qps = n_per_round / results["bm25_maxscore_queries"]
 
     # --- training-data ops over the sf dir ---------------------------------
     docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])

@@ -3560,6 +3560,22 @@ def new_vs_snapshot_near(new_docs, snapshot_index_dir: str,
 
     with open(os.path.join(snapshot_index_dir, "meta.json")) as f:
         meta = json.load(f)
+    # stale-parameter guard: if the stored signatures disagree with what
+    # meta.json claims (an index written under different settings, then a
+    # meta edit / partial rebuild), band keys would simply never match and
+    # the probe would return EMPTY — indistinguishable from "no dups".
+    # Validate the stored sig width against meta before probing.
+    _probe = ray.data.read_parquet(
+        os.path.join(snapshot_index_dir, "sigs")).take(1)
+    if _probe:
+        got_perm = len(_probe[0]["sig"]) // 8
+        if got_perm != int(meta["num_perm"]):
+            raise ValueError(
+                f"stale snapshot index at {snapshot_index_dir}: meta.json "
+                f"says num_perm={meta['num_perm']} but stored signatures "
+                f"have {got_perm} permutations — the index was written "
+                "under different parameters; rebuild it instead of "
+                "probing (results would be silently empty or mis-scored)")
     sig_fn = (minhash_signatures_md5 if meta["hash_mode"] == "md5"
               else minhash_signatures)
     sig_new = sig_fn(new_docs, meta["shingle_k"], meta["num_perm"], 1,

@@ -97,3 +97,41 @@ class TestLocatorPrefixMaxBound:
             assert any("nostats" in p for p, _ in idx.row_groups_for(probe))
         got = idx.row_groups_for("bbb")
         assert any("normal" in p for p, _ in got)
+
+
+class TestStaleSnapshotIndexGuard:
+    def test_probe_against_stale_parameter_index_raises(self, ray_session, tmp_path):
+        """An index whose stored signatures disagree with meta.json (a
+        meta edit or partial rebuild under new settings) must RAISE at
+        probe time — band keys from mismatched parameters simply never
+        match, so without the guard the probe would return empty rows,
+        indistinguishable from 'no duplicates'."""
+        import json
+
+        import ray.data
+
+        from search_engine_ray.pipelines.training_data import (
+            new_vs_snapshot_near, write_snapshot_band_index)
+
+        docs = ray.data.from_items(
+            [{"doc_id": i, "text": f"alpha beta gamma delta {i}"}
+             for i in range(20)])
+        idx = str(tmp_path / "snapidx")
+        write_snapshot_band_index(docs, idx, num_perm=64, bands=16)
+        # sanity: a well-formed probe runs (any result count is fine)
+        crawl = ray.data.from_items(
+            [{"doc_id": 1000, "text": "alpha beta gamma delta 3"}])
+        new_vs_snapshot_near(crawl, idx, threshold=0.3).to_pandas()
+        # tamper meta: claim a different num_perm than the stored sigs
+        mpath = os.path.join(idx, "meta.json")
+        with open(mpath) as f:
+            meta = json.load(f)
+        meta["num_perm"] = 128
+        with open(mpath, "w") as f:
+            json.dump(meta, f)
+        with pytest.raises(ValueError, match="stale snapshot index"):
+            new_vs_snapshot_near(crawl, idx, threshold=0.3).to_pandas()
+        # missing meta.json stays loud too (the round-4 guard)
+        os.remove(mpath)
+        with pytest.raises(FileNotFoundError):
+            new_vs_snapshot_near(crawl, idx, threshold=0.3)
