@@ -2824,7 +2824,8 @@ def _get_minhasher(num_perm: int, seed: int) -> MinHasher:
 
 
 def minhash_signatures(docs, shingle_k=3, num_perm=128, seed=1,
-                       id_col="doc_id", text_col="text"):
+                       id_col="doc_id", text_col="text",
+                       batch_size: int = 8192):
     def fn(batch: pa.Table) -> pa.Table:
         stage = _MinHashStage.__new__(_MinHashStage)
         stage.h = _get_minhasher(num_perm, seed)
@@ -2832,7 +2833,13 @@ def minhash_signatures(docs, shingle_k=3, num_perm=128, seed=1,
         stage.id_col, stage.text_col = id_col, text_col
         return stage(batch)
 
-    return docs.map_batches(fn, batch_format="pyarrow")
+    # batch_size bounds the kernel's (n_shingles × perm_block) transient:
+    # an unbounded batch lets Ray hand ~128 MB text blocks (~10^5 docs →
+    # multi-GB temporaries PER WORKER; at 32 workers the 5M-doc curation
+    # rehearsal drove the node to the memory wall). 8192 docs × ~150
+    # shingles × 32 perms × 8 B ≈ 0.3 GB per worker — batch × concurrency
+    # fits the heap, per the memory-aware sizing rule.
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
 
 
 _PAIR_TEMPLATES: dict[int, tuple[np.ndarray, np.ndarray]] = {}
@@ -3398,7 +3405,10 @@ def minhash_signatures_md5(docs, shingle_k=2, num_perm=128, seed=1,
         return pa.table({id_col: batch[id_col].filter(pa.array(nonempty)).cast(pa.int64()),
                          "sig": sig_col})
 
-    return docs.map_batches(fn, batch_format="pyarrow")
+    # bounded batches for the same per-worker-transient reason as
+    # minhash_signatures (this twin builds the full n_grams × num_perm
+    # matrix in one go, so it is the more memory-hungry of the two)
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=4096)
 
 
 def minhash_lsh_dedup(docs, shingle_k=3, num_perm=128, bands=32, threshold=0.7,
@@ -3540,7 +3550,8 @@ def new_vs_snapshot_near(new_docs, snapshot_index_dir: str,
                          threshold: float = 0.5, max_bucket: int = 64,
                          id_col: str = "doc_id", text_col: str = "text",
                          snap_id_col: str = "snap_id",
-                         broadcast_cap: int = 500_000):
+                         broadcast_cap: int = 500_000,
+                         snap_prefilter_cap: int = 64_000_000):
     """Incremental NEAR-dup dedup of a new crawl against a persisted
     snapshot index — the LSH analog of
     :func:`~search_engine_ray.pipelines.corpus_clean.new_vs_snapshot`
@@ -3554,7 +3565,25 @@ def new_vs_snapshot_near(new_docs, snapshot_index_dir: str,
     crawl; the new crawl computes its own signatures, and ONE
     sort-co-group over the unioned (band_key, side, id) rows yields
     cross-side candidates, verified by the existing join kernels (each
-    signature moves once)."""
+    signature moves once).
+
+    Snapshot-side prefilter (what keeps the probe's SHUFFLE O(crawl),
+    not O(snapshot)): a band with no crawl-side row can never emit a
+    cross-side pair, so when the crawl's distinct band keys fit
+    ``snap_prefilter_cap`` they broadcast once (sorted int64 array) and
+    the snapshot band stream is membership-filtered as it is READ — the
+    snapshot side is still scanned (two skinny columns, streaming) but
+    only MATCHING rows enter the sort co-group, so shuffle volume is
+    candidate-cardinality instead of snapshot-cardinality. The default
+    cap (64M keys = 512 MB of int64, one shared plasma copy per node)
+    covers nightly crawls up to ~2M docs at 32 bands; past it (a crawl
+    that is a large fraction of the snapshot, where prefiltering would
+    not prune much anyway) the full co-group runs unchanged, logged.
+    Measured at 5M snapshot / 550k crawl / 8 GB store (BASELINE.md
+    curation rehearsal): prefilter on ≈ 0.6 ms per crawl doc; the full
+    co-group fallback was 2× slower per doc and drove node memory to
+    the wall — size the cap to keep nightly crawls on the prefilter
+    path."""
     import json
     import os
 
@@ -3591,11 +3620,44 @@ def new_vs_snapshot_near(new_docs, snapshot_index_dir: str,
             })
         return fn
 
-    snap_bands = ray.data.read_parquet(
-        os.path.join(snapshot_index_dir, "bands"),
-        columns=["band_key", "doc_id"]).map_batches(tag(0), batch_format="pyarrow")
     new_bands = minhash_band_rows(sig_new, meta["bands"]).map_batches(
-        tag(1), batch_format="pyarrow")
+        tag(1), batch_format="pyarrow").materialize()
+
+    # crawl band-key set for the snapshot-side prefilter: per-block unique
+    # then one driver-side merge — bounded by crawl_docs × bands keys
+    key_parts = new_bands.map_batches(
+        lambda b: pa.table({"band_key": pa.array(
+            np.unique(b["band_key"].to_numpy(zero_copy_only=False)), pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    crawl_keys = np.unique(key_parts["band_key"].to_numpy().astype(np.int64))
+
+    snap_raw = ray.data.read_parquet(
+        os.path.join(snapshot_index_dir, "bands"),
+        columns=["band_key", "doc_id"])
+    if len(crawl_keys) <= snap_prefilter_cap:
+        kref = ray.put(crawl_keys)
+
+        def filter_tag0(b: pa.Table) -> pa.Table:
+            b = b.combine_chunks()
+            if b.num_rows == 0:
+                return tag(0)(b)
+            ks = b["band_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+            u = ray.get(kref)
+            if len(u) == 0:
+                hit = np.zeros(len(ks), bool)
+            else:
+                i = np.clip(np.searchsorted(u, ks), 0, len(u) - 1)
+                hit = u[i] == ks
+            return tag(0)(b.filter(pa.array(hit)))
+
+        snap_bands = snap_raw.map_batches(filter_tag0, batch_format="pyarrow")
+    else:  # crawl too large to broadcast its key set: full co-group
+        _LOG.warning(
+            "new_vs_snapshot_near: crawl has %d distinct band keys > "
+            "snap_prefilter_cap=%d — snapshot-side prefilter disabled, "
+            "probe pays the full O(snapshot) band co-group",
+            len(crawl_keys), snap_prefilter_cap)
+        snap_bands = snap_raw.map_batches(tag(0), batch_format="pyarrow")
 
     from search_engine_ray.stages.grouped import (
         coalesce_for_join, grouped_reduce, sorted_group_map)

@@ -1266,6 +1266,14 @@ def test_new_vs_snapshot_near(ray_session, tmp_path):
             .sort_values(["doc_id", "snap_id"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(outj, out.sort_values(
         ["doc_id", "snap_id"]).reset_index(drop=True))
+    # snap_prefilter_cap=0 disables the snapshot-side band-key prefilter
+    # (full co-group, the past-cap path) — identical result, so the
+    # prefilter is provably lossless on this fixture
+    outf = (new_vs_snapshot_near(ds(new_texts), idx, threshold=0.5,
+                                 snap_prefilter_cap=0).to_pandas()
+            .sort_values(["doc_id", "snap_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(outf, out.sort_values(
+        ["doc_id", "snap_id"]).reset_index(drop=True))
 
     # accepted crawl folds INTO the index (append-only files); a later
     # crawl that recrawls an appended doc now matches it too
