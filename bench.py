@@ -341,6 +341,20 @@ def run_bench() -> dict:
                 margin_k=4, threshold=1.0).count()
     results["bitext_mine"] = time.perf_counter() - t0
 
+    # round-5 past-cap path: same mining, tgt hash-sharded into ~3
+    # broadcasts (identical pairs — the exactness tests pin that; this
+    # times the blocked-matmul S-pass tradeoff)
+    import pyarrow.compute as _pc
+
+    n_en = int(_pc.sum(_pc.equal(
+        pq.read_table(f"{SF_DIR}/documents.parquet", columns=["lang"])["lang"],
+        "en").cast("int64")).as_py() or 0)
+    t0 = time.perf_counter()
+    bitext_mine(ray.data.read_parquet(emb_path), langs_ds, "de", "en",
+                margin_k=4, threshold=1.0,
+                broadcast_cap=max(1, n_en // 3)).count()
+    results["bitext_mine_sharded"] = time.perf_counter() - t0
+
     snap_idx = "/tmp/se_ray_bench/snapidx"
     shutil.rmtree(snap_idx, ignore_errors=True)
     snap_half = docs.map_batches(

@@ -1382,6 +1382,12 @@ def test_bitext_mine_planted_pairs(ray_session):
                         margin_k=4, threshold=1.0, broadcast_cap=7)
             .to_pandas().sort_values("src_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(out, out5)
+    # broadcast_cap=1 → S=30 hash shards over 30 tgt docs: most shards
+    # hold one doc, several are EMPTY (skipped) — still identical
+    out6 = (bitext_mine(emb, langs, "de", "en", margin_k=4, threshold=1.0,
+                        broadcast_cap=1)
+            .to_pandas().sort_values("src_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, out6)
 
 
 def test_bitext_mine_denominator_guard(ray_session):
