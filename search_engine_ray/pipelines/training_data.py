@@ -4476,11 +4476,42 @@ def _bitext_mine_sharded(src, tgt, n_src: int, n_tgt: int, id_col: str,
             return b.filter(pa.array(_shard_of(ids) == s))
         return fn
 
-    # one shard's (sorted ids, matrix) held on the driver at a time, then
-    # pinned in the object store — every worker reads the same copy
+    # Shard collection: one shard's (sorted ids, matrix) held on the
+    # driver at a time, then pinned in the object store — every worker
+    # reads the same copy. For small S a filter-scan per shard is fine;
+    # past a few shards that is O(S × n_tgt) re-scanning, so the tgt set
+    # is written ONCE hive-partitioned by shard and each shard loads from
+    # its own partition-pruned read (O(n_tgt) total + S partition reads).
+    tmp_shards: str | None = None
+    if S > 4:
+        import tempfile
+
+        tmp_shards = tempfile.mkdtemp(prefix="bitext_tgt_shards_")
+
+        def add_shard(b: pa.Table) -> pa.Table:
+            b = b.combine_chunks()
+            ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return b.append_column(
+                "tshard", pa.array(_shard_of(ids), pa.int64()))
+
+        tgt.map_batches(add_shard, batch_format="pyarrow").write_parquet(
+            tmp_shards, partition_cols=["tshard"])
+
+    def _shard_rows(s: int) -> list:
+        if tmp_shards is not None:
+            import glob as _glob
+            import os as _os
+
+            part = _os.path.join(tmp_shards, f"tshard={s}")
+            if not _glob.glob(_os.path.join(part, "*.parquet")):
+                return []
+            return ray.data.read_parquet(part).take_all()
+        return tgt.map_batches(_shard_filter(s),
+                               batch_format="pyarrow").take_all()
+
     shard_refs: list = []
     for s in range(S):
-        rows = tgt.map_batches(_shard_filter(s), batch_format="pyarrow").take_all()
+        rows = _shard_rows(s)
         if not rows:
             shard_refs.append(None)
             continue
@@ -4490,6 +4521,10 @@ def _bitext_mine_sharded(src, tgt, n_src: int, n_tgt: int, id_col: str,
         mat_s = np.asarray([np.frombuffer(rows[int(i)]["embp"], np.float64)
                             for i in o])
         shard_refs.append(ray.put((ids_s, np.ascontiguousarray(mat_s))))
+    if tmp_shards is not None:
+        import shutil as _shutil
+
+        _shutil.rmtree(tmp_shards, ignore_errors=True)
 
     part_schema = pa.table({"side": pa.array([], pa.int8()),
                             "gid": pa.array([], pa.int64()),
