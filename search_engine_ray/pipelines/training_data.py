@@ -2045,10 +2045,11 @@ def docid_gap_report(docs: "ray.data.Dataset", cluster_col: str = "source",
         codes = np.asarray([cmap[v] for v in b[cluster_col].to_pylist()],
                            np.int64)
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(ids) and int(ids.max()) >= (1 << 40):
+        if len(ids) and (int(ids.max()) >= (1 << 40) or int(ids.min()) < 0):
             raise ValueError(
-                f"docid_gap_report: doc_id {int(ids.max())} >= 2^40 — the "
-                "fused (code << 40 | doc_id) int64 key would collide across "
+                f"docid_gap_report: doc_id range [{int(ids.min())}, "
+                f"{int(ids.max())}] outside [0, 2^40) — the fused "
+                "(code << 40 | doc_id) int64 key would collide across "
                 "clusters and silently corrupt the clustered ranking; "
                 "renumber doc ids densely or widen the key")
         return pa.table({
@@ -3594,8 +3595,8 @@ def new_vs_snapshot_near(new_docs, snapshot_index_dir: str,
     # meta edit / partial rebuild), band keys would simply never match and
     # the probe would return EMPTY — indistinguishable from "no dups".
     # Validate the stored sig width against meta before probing.
-    _probe = ray.data.read_parquet(
-        os.path.join(snapshot_index_dir, "sigs")).take(1)
+    _sigs_ds = ray.data.read_parquet(os.path.join(snapshot_index_dir, "sigs"))
+    _probe = _sigs_ds.take(1)
     if _probe:
         got_perm = len(_probe[0]["sig"]) // 8
         if got_perm != int(meta["num_perm"]):
@@ -3605,6 +3606,27 @@ def new_vs_snapshot_near(new_docs, snapshot_index_dir: str,
                 f"have {got_perm} permutations — the index was written "
                 "under different parameters; rebuild it instead of "
                 "probing (results would be silently empty or mis-scored)")
+        # bands-parameter check: every write/append emits exactly
+        # meta.bands band rows per signature row, so a stored ratio that
+        # disagrees with meta.json means the bands/ layout was built
+        # under a different `bands` — crawl keys would fold differently
+        # and never match (the same silent-empty failure). Both counts
+        # are parquet-metadata reads. (A shingle_k edit leaves no
+        # structural trace — it changes hash VALUES only — and remains
+        # undetectable from the stored data; meta.json is authoritative
+        # for it.)
+        n_sig_rows = _sigs_ds.count()
+        n_band_rows_snap = ray.data.read_parquet(
+            os.path.join(snapshot_index_dir, "bands"),
+            columns=["doc_id"]).count()
+        if n_band_rows_snap != n_sig_rows * int(meta["bands"]):
+            raise ValueError(
+                f"stale snapshot index at {snapshot_index_dir}: meta.json "
+                f"says bands={meta['bands']} but the stored layout has "
+                f"{n_band_rows_snap} band rows for {n_sig_rows} signatures "
+                f"(ratio {n_band_rows_snap / max(n_sig_rows, 1):.2f}) — "
+                "the bands/ files were written under a different `bands`; "
+                "rebuild the index instead of probing")
     sig_fn = (minhash_signatures_md5 if meta["hash_mode"] == "md5"
               else minhash_signatures)
     sig_new = sig_fn(new_docs, meta["shingle_k"], meta["num_perm"], 1,
@@ -3623,18 +3645,26 @@ def new_vs_snapshot_near(new_docs, snapshot_index_dir: str,
     new_bands = minhash_band_rows(sig_new, meta["bands"]).map_batches(
         tag(1), batch_format="pyarrow").materialize()
 
-    # crawl band-key set for the snapshot-side prefilter: per-block unique
-    # then one driver-side merge — bounded by crawl_docs × bands keys
-    key_parts = new_bands.map_batches(
-        lambda b: pa.table({"band_key": pa.array(
-            np.unique(b["band_key"].to_numpy(zero_copy_only=False)), pa.int64())}),
-        batch_format="pyarrow").to_pandas()
-    crawl_keys = np.unique(key_parts["band_key"].to_numpy().astype(np.int64))
+    # crawl band-key set for the snapshot-side prefilter. The TOTAL band
+    # row count (cheap on the materialized dataset) is checked BEFORE any
+    # driver-side collection: distinct keys ≤ total rows, so under the
+    # cap the collection is bounded; over it the prefilter is skipped
+    # without ever pulling the key set to the driver (the blowup the cap
+    # exists to avoid must not be paid on the way to detecting it).
+    n_band_rows = new_bands.count()
+    crawl_keys = None
+    if n_band_rows <= snap_prefilter_cap:
+        key_parts = new_bands.map_batches(
+            lambda b: pa.table({"band_key": pa.array(
+                np.unique(b["band_key"].to_numpy(zero_copy_only=False)),
+                pa.int64())}),
+            batch_format="pyarrow").to_pandas()
+        crawl_keys = np.unique(key_parts["band_key"].to_numpy().astype(np.int64))
 
     snap_raw = ray.data.read_parquet(
         os.path.join(snapshot_index_dir, "bands"),
         columns=["band_key", "doc_id"])
-    if len(crawl_keys) <= snap_prefilter_cap:
+    if crawl_keys is not None:
         kref = ray.put(crawl_keys)
 
         def filter_tag0(b: pa.Table) -> pa.Table:
@@ -3642,21 +3672,16 @@ def new_vs_snapshot_near(new_docs, snapshot_index_dir: str,
             if b.num_rows == 0:
                 return tag(0)(b)
             ks = b["band_key"].to_numpy(zero_copy_only=False).astype(np.int64)
-            u = ray.get(kref)
-            if len(u) == 0:
-                hit = np.zeros(len(ks), bool)
-            else:
-                i = np.clip(np.searchsorted(u, ks), 0, len(u) - 1)
-                hit = u[i] == ks
+            hit, _ = _sorted_lookup(ks, ray.get(kref))
             return tag(0)(b.filter(pa.array(hit)))
 
         snap_bands = snap_raw.map_batches(filter_tag0, batch_format="pyarrow")
     else:  # crawl too large to broadcast its key set: full co-group
         _LOG.warning(
-            "new_vs_snapshot_near: crawl has %d distinct band keys > "
+            "new_vs_snapshot_near: crawl has %d band rows > "
             "snap_prefilter_cap=%d — snapshot-side prefilter disabled, "
             "probe pays the full O(snapshot) band co-group",
-            len(crawl_keys), snap_prefilter_cap)
+            n_band_rows, snap_prefilter_cap)
         snap_bands = snap_raw.map_batches(tag(0), batch_format="pyarrow")
 
     from search_engine_ray.stages.grouped import (
@@ -4189,6 +4214,24 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _sorted_lookup(keys: np.ndarray, keys_sorted: np.ndarray,
+                   vals_sorted: np.ndarray | None = None):
+    """Broadcast-join primitive shared by the lang/avgx attaches and the
+    band-key prefilter: hit mask of ``keys`` against a SORTED key array,
+    plus (when given) the values aligned to each key's match position.
+    One home for the searchsorted+clip+empty-array edge handling that
+    used to be copied per call site."""
+    if len(keys_sorted) == 0:
+        hit = np.zeros(len(keys), bool)
+        return (hit, None) if vals_sorted is None else (
+            hit, np.empty(len(keys), vals_sorted.dtype))
+    i = np.clip(np.searchsorted(keys_sorted, keys), 0, len(keys_sorted) - 1)
+    hit = keys_sorted[i] == keys
+    if vals_sorted is None:
+        return hit, None
+    return hit, vals_sorted[i]
+
+
 def bitext_mine(embeddings, langs, src_lang: str, tgt_lang: str,
                 margin_k: int = 4, threshold: float = 1.0,
                 id_col: str = "vec_id", emb_col: str = "embedding",
@@ -4273,9 +4316,7 @@ def bitext_mine(embeddings, langs, src_lang: str, tgt_lang: str,
                 return b.append_column(lang_col, pa.array([], pa.string()))
             ids_s, langs_s = ray.get(lref)
             ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            i = np.clip(np.searchsorted(ids_s, ids), 0, max(len(ids_s) - 1, 0))
-            hit = (ids_s[i] == ids) if len(ids_s) else np.zeros(len(ids), bool)
-            lv_rows = np.where(hit, langs_s[i] if len(ids_s) else "", "")
+            hit, lv_rows = _sorted_lookup(ids, ids_s, langs_s)
             return (b.filter(pa.array(hit))
                     .append_column(lang_col,
                                    pa.array(list(lv_rows[hit]), pa.string())))
@@ -4451,6 +4492,15 @@ def _bitext_mine_sharded(src, tgt, n_src: int, n_tgt: int, id_col: str,
       settled by the final (sid, −margin, tgt_id) lexsort, so the shard
       layout cannot change which tgt wins.
 
+    Float caveat (reviewed, accepted): the two paths select the SAME k
+    neighborhood cosines but may sum them in different orders (partition
+    slice mean vs sorted bincount), so margins can differ by ~1 ulp — a
+    pair whose margin sits exactly ON the threshold, or two tgt ids whose
+    margins tie to the last bit, could in principle resolve differently
+    across paths. The equivalence tests pass deterministically because
+    real margins don't sit on those measure-zero boundaries; rank
+    stability for boundary-free data is exact.
+
     ``src``/``tgt`` arrive packed as (id, embp:binary of normalized f64)
     and materialized. Driver memory stays O(cap): one shard's (ids,
     matrix) is collected and ray.put at a time; avgy slices are filtered
@@ -4482,8 +4532,26 @@ def _bitext_mine_sharded(src, tgt, n_src: int, n_tgt: int, id_col: str,
     # past a few shards that is O(S × n_tgt) re-scanning, so the tgt set
     # is written ONCE hive-partitioned by shard and each shard loads from
     # its own partition-pruned read (O(n_tgt) total + S partition reads).
+    # The staging dir is node-LOCAL tmp, so this fast path is only valid
+    # when every write task shares the driver's filesystem — i.e. a
+    # single-node cluster; on multi-node, remote tasks would write shards
+    # to other nodes' disks and the driver-side read would silently see
+    # them as empty (= dropped tgt docs). Multi-node falls back to the
+    # filter-scan path: correct everywhere, logged cost. (A shared-FS /
+    # object-store staging path is the multi-node upgrade if S-scan cost
+    # ever dominates there.)
+    try:
+        _single_node = (
+            len([n for n in ray.nodes() if n.get("Alive")]) <= 1)
+    except Exception:  # pragma: no cover - conservative default
+        _single_node = False
     tmp_shards: str | None = None
-    if S > 4:
+    if S > 4 and not _single_node:
+        _LOG.warning(
+            "bitext_mine sharded: %d shards on a multi-node cluster — "
+            "node-local staging is unsafe, using per-shard filter scans "
+            "(O(S × n_tgt) read volume)", S)
+    if S > 4 and _single_node:
         import tempfile
 
         tmp_shards = tempfile.mkdtemp(prefix="bitext_tgt_shards_")
@@ -4642,10 +4710,9 @@ def _bitext_mine_sharded(src, tgt, n_src: int, n_tgt: int, id_col: str,
                 return b.append_column("avgx", pa.array([], pa.float64()))
             ids_a, val_a = ray.get(axref)
             ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            i = np.clip(np.searchsorted(ids_a, ids), 0, max(len(ids_a) - 1, 0))
-            hit = (ids_a[i] == ids) if len(ids_a) else np.zeros(len(ids), bool)
+            hit, vals = _sorted_lookup(ids, ids_a, val_a)
             return (b.filter(pa.array(hit))
-                    .append_column("avgx", pa.array(val_a[i][hit], pa.float64())))
+                    .append_column("avgx", pa.array(vals[hit], pa.float64())))
 
         src_ax = src.map_batches(attach_ax, batch_format="pyarrow").materialize()
     else:

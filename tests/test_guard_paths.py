@@ -131,6 +131,14 @@ class TestStaleSnapshotIndexGuard:
             json.dump(meta, f)
         with pytest.raises(ValueError, match="stale snapshot index"):
             new_vs_snapshot_near(crawl, idx, threshold=0.3).to_pandas()
+        # a bands edit (num_perm restored) trips the stored-ratio check:
+        # band rows per signature row must equal meta.json's bands
+        meta["num_perm"] = 64
+        meta["bands"] = 32
+        with open(mpath, "w") as f:
+            json.dump(meta, f)
+        with pytest.raises(ValueError, match="different `bands`"):
+            new_vs_snapshot_near(crawl, idx, threshold=0.3).to_pandas()
         # missing meta.json stays loud too (the round-4 guard)
         os.remove(mpath)
         with pytest.raises(FileNotFoundError):

@@ -22,19 +22,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-def _argv(i: int, cast, default):
-    """Tolerant argv parse so sibling tools (curation_rehearsal) can import
-    the sampler from here under THEIR argv without tripping ours."""
-    try:
-        return cast(sys.argv[i])
-    except (IndexError, ValueError):
-        return default
-
-
-NUM_DOCS = _argv(1, int, 5_000_000)
-STORE_GB = _argv(2, float, 8.0)
-NUM_CPUS = _argv(3, int, 32)
-CORPUS = f"/tmp/se_ray_bench/corpus_{NUM_DOCS}"
+# argv is parsed inside main() (strictly — a typo'd argument errors out
+# instead of silently rehearsing the default scale), so sibling tools
+# (curation_rehearsal) can import the samplers from here under THEIR argv.
 OUT_IDX = "/tmp/se_ray_bench/mem_rehearsal_idx"
 OUT_CLEAN = "/tmp/se_ray_bench/mem_rehearsal_clean"
 
@@ -104,6 +94,11 @@ def spill_bytes(session_dir: str) -> int:
 
 def main() -> None:
     import ray
+
+    NUM_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
+    STORE_GB = float(sys.argv[2]) if len(sys.argv) > 2 else 8.0
+    NUM_CPUS = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    CORPUS = f"/tmp/se_ray_bench/corpus_{NUM_DOCS}"
 
     ray.init(address="local", num_cpus=NUM_CPUS,
              object_store_memory=int(STORE_GB * 1e9),
