@@ -4278,14 +4278,18 @@ def bitext_mine(embeddings, langs, src_lang: str, tgt_lang: str,
     def pack(b: pa.Table) -> pa.Table:
         # Arrow's hash join can't carry list payload columns — embeddings
         # ride the lang join as normalized-float64 BINARY (semdedup's trick)
+        from search_engine_ray.functions.vb import binary_from_spans
+
         b = b.combine_chunks()
         if b.num_rows == 0:
             return pa.table({id_col: pa.array([], pa.int64()),
                              "embp": pa.array([], pa.binary())})
         m = _normalize(_to_matrix(b[emb_col]))
-        return pa.table({id_col: b[id_col].cast(pa.int64()),
-                         "embp": pa.array([m[i].tobytes() for i in range(len(m))],
-                                          pa.binary())})
+        n, d = m.shape
+        spans = np.arange(n + 1, dtype=np.int64) * (d * 8)
+        embp = binary_from_spans(
+            np.ascontiguousarray(m).view(np.uint8).reshape(-1), spans)
+        return pa.table({id_col: b[id_col].cast(pa.int64()), "embp": embp})
 
     def _unpack(b: pa.Table) -> np.ndarray:
         from search_engine_ray.functions.vb import binary_column_parts
