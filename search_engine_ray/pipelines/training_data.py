@@ -4214,6 +4214,17 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _matmul_batch_rows(n_cols: int, budget_bytes: int = 256 << 20) -> int:
+    """Rows per batch so a (rows × n_cols) float64 similarity matrix stays
+    under ``budget_bytes`` per worker. The margin/scoring kernels allocate
+    sims + margins (~2× the matrix) per batch; an UNBOUNDED batch against
+    a 50k-row broadcast shard is a multi-GB transient per worker — at 32
+    workers the 200k×200k bitext rehearsal OOM-killed the node until this
+    bound existed (the same failure class the minhash batch_size fix
+    closed)."""
+    return max(64, int(budget_bytes // max(1, n_cols * 8)))
+
+
 def _sorted_lookup(keys: np.ndarray, keys_sorted: np.ndarray,
                    vals_sorted: np.ndarray | None = None):
     """Broadcast-join primitive shared by the lang/avgx attaches and the
@@ -4407,18 +4418,30 @@ def bitext_mine(embeddings, langs, src_lang: str, tgt_lang: str,
     tref = ray.put((ids_t, np.ascontiguousarray(mat_t)))
 
     def tgt_topk_partial(b: pa.Table) -> pa.Table:
+        # memory/volume balance: the (rows × n_tgt) sims matrix is
+        # computed in row CHUNKS under a fixed byte budget while a
+        # running (≤k × n_tgt) top-k accumulator carries across chunks —
+        # so worker transients stay bounded WITHOUT shrinking the batch
+        # (a small batch_size would multiply the k×n_tgt-per-batch
+        # partial volume instead; both failure modes were measured at
+        # the 200k×200k rehearsal)
         b = b.combine_chunks()
         if b.num_rows == 0:
             return pa.table({"tid": pa.array([], pa.int64()),
                              "cos": pa.array([], pa.float64())})
         t_ids, t_mat = ray.get(tref)
         m = _unpack(b)
-        sims = m @ t_mat.T  # (n_src_batch, n_tgt)
-        kk = min(k, sims.shape[0])
-        top = np.partition(sims, sims.shape[0] - kk, axis=0)[-kk:]  # (kk, n_tgt)
+        chunk = _matmul_batch_rows(t_mat.shape[0])
+        best: np.ndarray | None = None  # (≤k, n_tgt) running top-k
+        for lo in range(0, m.shape[0], chunk):
+            sims = m[lo:lo + chunk] @ t_mat.T
+            stack = sims if best is None else np.vstack([best, sims])
+            kk = min(k, stack.shape[0])
+            best = np.partition(stack, stack.shape[0] - kk, axis=0)[-kk:]
+        kk = best.shape[0]
         return pa.table({
             "tid": pa.array(np.tile(t_ids, kk), pa.int64()),
-            "cos": pa.array(top.reshape(-1), pa.float64())})
+            "cos": pa.array(best.reshape(-1), pa.float64())})
 
     def topk_avg(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
@@ -4452,6 +4475,8 @@ def bitext_mine(embeddings, langs, src_lang: str, tgt_lang: str,
     ayref = ray.put(avgy)
 
     def score(b: pa.Table) -> pa.Table:
+        # per-row outputs only, so internal row-chunking bounds the
+        # (chunk × n_tgt) sims/margins transients with no volume cost
         b = b.combine_chunks()
         if b.num_rows == 0:
             return empty
@@ -4459,21 +4484,28 @@ def bitext_mine(embeddings, langs, src_lang: str, tgt_lang: str,
         ay = ray.get(ayref)
         m = _unpack(b)
         sids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        sims = m @ t_mat.T
-        kk = min(k, sims.shape[1])
-        topx = np.partition(sims, sims.shape[1] - kk, axis=1)[:, -kk:]
-        avgx = topx.mean(axis=1)
-        _denom_guard(avgx, ay)
-        margins = sims / ((avgx[:, None] + ay[None, :]) / 2.0)
-        best = np.argmax(margins, axis=1)  # first max: tgt ids sorted asc
-        mbest = margins[np.arange(len(sids)), best]
-        keep = mbest >= threshold
-        if not keep.any():
+        chunk = _matmul_batch_rows(t_mat.shape[0])
+        out_s, out_t, out_m = [], [], []
+        for lo in range(0, m.shape[0], chunk):
+            sims = m[lo:lo + chunk] @ t_mat.T
+            kk = min(k, sims.shape[1])
+            topx = np.partition(sims, sims.shape[1] - kk, axis=1)[:, -kk:]
+            avgx = topx.mean(axis=1)
+            _denom_guard(avgx, ay)
+            margins = sims / ((avgx[:, None] + ay[None, :]) / 2.0)
+            best = np.argmax(margins, axis=1)  # first max: tgt ids sorted asc
+            mbest = margins[np.arange(sims.shape[0]), best]
+            keep = mbest >= threshold
+            if keep.any():
+                out_s.append(sids[lo:lo + chunk][keep])
+                out_t.append(t_ids[best[keep]])
+                out_m.append(mbest[keep])
+        if not out_s:
             return empty
         return pa.table({
-            "src_id": pa.array(sids[keep], pa.int64()),
-            "tgt_id": pa.array(t_ids[best[keep]], pa.int64()),
-            "margin_r": pa.array(np.round(mbest[keep], round_digits),
+            "src_id": pa.array(np.concatenate(out_s), pa.int64()),
+            "tgt_id": pa.array(np.concatenate(out_t), pa.int64()),
+            "margin_r": pa.array(np.round(np.concatenate(out_m), round_digits),
                                  pa.float64())})
 
     return src.map_batches(score, batch_format="pyarrow")
@@ -4603,9 +4635,12 @@ def _bitext_mine_sharded(src, tgt, n_src: int, n_tgt: int, id_col: str,
                             "cos": pa.array([], pa.float64())})
 
     def pass_a(tref_s):
-        # one pass over src per shard: ONE matmul feeds both neighborhood
-        # partials — per-tgt top-k over this src batch (side=0) and
-        # per-src top-k within this shard (side=1)
+        # one pass over src per shard: ONE matmul (row-chunked under the
+        # byte budget) feeds both neighborhood partials — per-tgt top-k
+        # over this src BATCH (side=0; a running (≤k × shard) accumulator
+        # carries across chunks, so partial volume stays k×shard per
+        # batch, not per chunk) and per-src top-k within this shard
+        # (side=1; per-row, emitted chunk-wise)
         def fn(b: pa.Table) -> pa.Table:
             b = b.combine_chunks()
             if b.num_rows == 0:
@@ -4613,18 +4648,26 @@ def _bitext_mine_sharded(src, tgt, n_src: int, n_tgt: int, id_col: str,
             t_ids, t_mat = ray.get(tref_s)
             m = _unpack(b)
             sids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            sims = m @ t_mat.T
-            kk_t = min(k, sims.shape[0])
-            top_t = np.partition(sims, sims.shape[0] - kk_t, axis=0)[-kk_t:]
-            kk_s = min(k, sims.shape[1])
-            top_s = np.partition(sims, sims.shape[1] - kk_s, axis=1)[:, -kk_s:]
+            chunk = _matmul_batch_rows(t_mat.shape[0])
+            best_t: np.ndarray | None = None
+            src_gid, src_cos = [], []
+            for lo in range(0, m.shape[0], chunk):
+                sims = m[lo:lo + chunk] @ t_mat.T
+                stack = sims if best_t is None else np.vstack([best_t, sims])
+                kk_t = min(k, stack.shape[0])
+                best_t = np.partition(stack, stack.shape[0] - kk_t, axis=0)[-kk_t:]
+                kk_s = min(k, sims.shape[1])
+                top_s = np.partition(sims, sims.shape[1] - kk_s, axis=1)[:, -kk_s:]
+                src_gid.append(np.repeat(sids[lo:lo + chunk], kk_s))
+                src_cos.append(top_s.reshape(-1))
+            kk_t = best_t.shape[0]
+            s_gid = np.concatenate(src_gid)
+            s_cos = np.concatenate(src_cos)
             return pa.table({
-                "side": pa.array(np.r_[np.zeros(top_t.size, np.int8),
-                                       np.ones(top_s.size, np.int8)], pa.int8()),
-                "gid": pa.array(np.r_[np.tile(t_ids, kk_t),
-                                      np.repeat(sids, kk_s)], pa.int64()),
-                "cos": pa.array(np.r_[top_t.reshape(-1), top_s.reshape(-1)],
-                                pa.float64())})
+                "side": pa.array(np.r_[np.zeros(kk_t * len(t_ids), np.int8),
+                                       np.ones(len(s_gid), np.int8)], pa.int8()),
+                "gid": pa.array(np.r_[np.tile(t_ids, kk_t), s_gid], pa.int64()),
+                "cos": pa.array(np.r_[best_t.reshape(-1), s_cos], pa.float64())})
         return fn
 
     def precombine2(t: pa.Table) -> pa.Table:
@@ -4732,6 +4775,7 @@ def _bitext_mine_sharded(src, tgt, n_src: int, n_tgt: int, id_col: str,
 
     def pass_b(tref_s, ayref_s):
         def fn(b: pa.Table) -> pa.Table:
+            # per-row outputs; sims/margins row-chunked under the budget
             b = b.combine_chunks()
             if b.num_rows == 0:
                 return cand_schema
@@ -4741,13 +4785,17 @@ def _bitext_mine_sharded(src, tgt, n_src: int, n_tgt: int, id_col: str,
             sids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
             ax = b["avgx"].to_numpy(zero_copy_only=False).astype(np.float64)
             _denom_guard(ax, ay)
-            sims = m @ t_mat.T
-            margins = sims / ((ax[:, None] + ay[None, :]) / 2.0)
-            best = np.argmax(margins, axis=1)  # shard ids sorted asc: first max
-            mbest = margins[np.arange(len(sids)), best]
+            chunk = _matmul_batch_rows(t_mat.shape[0])
+            out_t, out_m = [], []
+            for lo in range(0, m.shape[0], chunk):
+                sims = m[lo:lo + chunk] @ t_mat.T
+                margins = sims / ((ax[lo:lo + chunk, None] + ay[None, :]) / 2.0)
+                best = np.argmax(margins, axis=1)  # ids sorted asc: first max
+                out_t.append(t_ids[best])
+                out_m.append(margins[np.arange(sims.shape[0]), best])
             return pa.table({"sid": pa.array(sids, pa.int64()),
-                             "tgt_id": pa.array(t_ids[best], pa.int64()),
-                             "margin": pa.array(mbest, pa.float64())})
+                             "tgt_id": pa.array(np.concatenate(out_t), pa.int64()),
+                             "margin": pa.array(np.concatenate(out_m), pa.float64())})
         return fn
 
     cands = [src_ax.map_batches(pass_b(tr, ar), batch_format="pyarrow")

@@ -136,6 +136,58 @@ def main() -> None:
         append_to_snapshot_band_index(crawl, SNAP_IDX)
         results["append_sec"] = time.perf_counter() - t0
 
+    if PHASE in ("bitext", "all"):
+        # margin mining is inherently O(n_src × n_tgt) cosine work (the
+        # published algorithm's cost); what the sharded path buys is
+        # MEMORY feasibility (S broadcasts ≤ cap) and bounded partial
+        # volume. Rehearse 200k × 200k at dim 64 with S≈4 shards under
+        # the capped store to put a wall-clock on the blocked-matmul
+        # tradeoff at a size where the matmul (not per-pass fixed cost)
+        # dominates.
+        from search_engine_ray.pipelines.training_data import bitext_mine
+
+        n_side = int(os.environ.get("BITEXT_N_SIDE", "200000"))
+        dim = 64
+
+        def gen_emb(b):
+            import numpy as np
+            import pyarrow as pa
+
+            ids = b["id"].to_numpy()
+            rng = np.random.default_rng(ids[0] if len(ids) else 0)
+            m = rng.standard_normal((len(ids), dim))
+            offs = pa.array(np.arange(len(ids) + 1, dtype=np.int32) * dim)
+            return pa.table({
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.ListArray.from_arrays(
+                    offs, pa.array(m.reshape(-1), pa.float64()))})
+
+        def gen_lang(b):
+            import numpy as np
+            import pyarrow as pa
+
+            ids = b["id"].to_numpy()
+            lv = np.where(ids < n_side, "de", "en")
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "lang": pa.array(list(lv), pa.string())})
+
+        emb = ray.data.range(2 * n_side).map_batches(
+            gen_emb, batch_format="pyarrow").materialize()
+        lang_tab = ray.data.range(2 * n_side).map_batches(
+            gen_lang, batch_format="pyarrow").materialize()
+        cap = n_side // 4 + 1  # S = 4 tgt shards
+        t0 = time.perf_counter()
+        n_pairs = bitext_mine(emb, lang_tab, "de", "en", margin_k=4,
+                              threshold=1.0, broadcast_cap=cap).count()
+        results["bitext_sharded_sec"] = time.perf_counter() - t0
+        results["bitext_n_src"] = n_side
+        results["bitext_n_tgt"] = n_side
+        results["bitext_shards"] = 4
+        results["bitext_pairs"] = int(n_pairs)
+        results["bitext_pair_cosines_per_sec"] = round(
+            # 2 matmul passes per shard over the full src side
+            2 * 4 * (n_side * (n_side / 4)) / results["bitext_sharded_sec"], 1)
+
     if PHASE in ("segments", "all"):
         from search_engine_ray.config import EngineConfig
         from search_engine_ray.pipelines.segments import add_segment, compact
