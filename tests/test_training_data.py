@@ -1463,3 +1463,58 @@ def test_vb_gap_bytes_matches_real_codec():
     ids = np.cumsum(gaps) - 1  # first gap = id+1 convention
     want = sum(len(vb_encode(int(g))) for g in gaps)
     assert _vb_gap_bytes(ids) == want
+
+
+def test_bitext_matmul_chunking_invariant(ray_session, monkeypatch):
+    """Force the margin kernels through many tiny row-chunks (the 256 MB
+    budget never splits toy batches otherwise): the running top-k
+    accumulator and chunk-wise scoring must reproduce the single-chunk
+    output exactly, on BOTH the broadcast and sharded paths."""
+    import ray.data
+
+    import search_engine_ray.pipelines.training_data as td
+
+    rng = np.random.default_rng(23)
+    dim = 8
+    emb_rows = ([{"vec_id": i, "embedding": list(map(float, rng.standard_normal(dim)))}
+                 for i in range(25)]
+                + [{"vec_id": 100 + j, "embedding": list(map(float, rng.standard_normal(dim)))}
+                   for j in range(7)])
+    lang_rows = ([{"doc_id": i, "lang": "en"} for i in range(25)]
+                 + [{"doc_id": 100 + j, "lang": "de"} for j in range(7)])
+    emb = ray.data.from_items(emb_rows)
+    langs = ray.data.from_items(lang_rows)
+
+    def run(cap):
+        return (td.bitext_mine(emb, langs, "de", "en", margin_k=3,
+                               threshold=-100.0, broadcast_cap=cap)
+                .to_pandas().sort_values("src_id").reset_index(drop=True))
+
+    base_b, base_s = run(1000), run(10)
+    monkeypatch.setattr(td, "_matmul_batch_rows", lambda n, budget_bytes=0: 2)
+    chunked_b, chunked_s = run(1000), run(10)
+    pd.testing.assert_frame_equal(base_b, chunked_b)
+    pd.testing.assert_frame_equal(base_s, chunked_s)
+    pd.testing.assert_frame_equal(base_b, base_s)
+
+
+def test_sorted_lookup_matches_isin_spec():
+    """_sorted_lookup (the shared broadcast-join kernel) ≡ np.isin +
+    positional gather, including empty/miss/duplicate-key edges."""
+    from search_engine_ray.pipelines.training_data import _sorted_lookup
+
+    rng = np.random.default_rng(5)
+    for trial in range(20):
+        keys = rng.integers(-50, 50, rng.integers(0, 30))
+        table_keys = np.unique(rng.integers(-50, 50, rng.integers(0, 40)))
+        vals = table_keys.astype(np.float64) * 2.5
+        hit, got = _sorted_lookup(keys.astype(np.int64), table_keys.astype(np.int64), vals)
+        want_hit = np.isin(keys, table_keys)
+        assert (hit == want_hit).all(), trial
+        if len(keys) and len(table_keys):
+            idx = np.searchsorted(table_keys, keys[want_hit])
+            assert np.array_equal(got[want_hit], vals[idx]), trial
+    # empty table: all miss, values array well-formed
+    hit, got = _sorted_lookup(np.array([1, 2], np.int64),
+                              np.array([], np.int64), np.array([], np.float64))
+    assert not hit.any() and len(got) == 2
