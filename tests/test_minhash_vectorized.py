@@ -199,3 +199,21 @@ class TestMd5Twin:
         pairs = set(zip(out["a"], out["b"]))
         assert (1, 2) in pairs
         assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_signatures_batch_size_invariant(ray_session):
+    """The batch_size bound added for worker-memory discipline must not
+    change a single signature: 3-row batches ≡ one big batch."""
+    import ray.data
+
+    from search_engine_ray.pipelines.training_data import minhash_signatures
+
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": f"alpha beta gamma delta {i % 4} zeta"}
+         for i in range(40)])
+    a = (minhash_signatures(docs, shingle_k=2, num_perm=32).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (minhash_signatures(docs, shingle_k=2, num_perm=32, batch_size=3)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert all(x == y for x, y in zip(a["sig"], b["sig"]))
